@@ -1,0 +1,184 @@
+package graft.meta
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.schema.GraftSchema
+
+/** A data file registered in a snapshot (analog of an Iceberg manifest
+  * entry, reference `IcebergTableGenerator.java:417-422`). `recordCount` is
+  * the DECLARED count — `appendEmptyFile` deliberately lies (`:168`,
+  * `withRecordCount(1)` over an empty file); readers must trust file
+  * content, which the Spark read path does for free.
+  */
+final case class DataFileEntry(
+    path: String,
+    partition: Map[String, String],
+    specId: Int,
+    schemaV: Int,
+    seq: Long,
+    recordCount: Long)
+
+/** A delete file (positional or equality) registered via a row-delta
+  * (reference `RowDelta`, `IcebergTableGenerator.java:202,281-284,360-363`).
+  * Equality deletes carry the equality key column NAMES AT DELETE TIME
+  * (the in-file column names) plus the stable FIELD IDS (reference resolves
+  * keys to ids via `equalityIds`, `Main.java:590-594`) — ids keep the
+  * delete applicable even if the key column is later dropped from the live
+  * schema (S11). Equality deletes apply to data files with STRICTLY SMALLER
+  * sequence number (Iceberg v2 semantics, observable in the golden counts
+  * `Main.java:328-354`); positional deletes apply to seq <= delete seq.
+  */
+final case class DeleteFileEntry(
+    path: String,
+    partition: Map[String, String],
+    kind: String, // "pos" | "eq"
+    equalityCols: Seq[String],
+    equalityIds: Seq[Int],
+    seq: Long)
+
+/** One committed transaction = one snapshot (reference
+  * `IcebergTableGenerator.java:367-379`: N buffered ops, one commit).
+  */
+final case class Snapshot(
+    id: Long,
+    seq: Long,
+    schemaV: Int,
+    specId: Int,
+    dataFiles: Seq[DataFileEntry],
+    deleteFiles: Seq[DeleteFileEntry])
+
+/** Loaded table state as of a snapshot. */
+final case class TableState(
+    schemas: Map[Int, GraftSchema],
+    specs: Map[Int, Seq[String]],
+    snapshots: Seq[Snapshot]) {
+  def currentSchemaV: Int = snapshots.lastOption.map(_.schemaV).getOrElse(0)
+  def currentSpecId: Int = snapshots.lastOption.map(_.specId).getOrElse(0)
+  def schema: GraftSchema = schemas(currentSchemaV)
+  def partitionCols: Seq[String] = specs(currentSpecId)
+  def dataFiles: Seq[DataFileEntry] = snapshots.flatMap(_.dataFiles)
+  def deleteFiles: Seq[DeleteFileEntry] = snapshots.flatMap(_.deleteFiles)
+  def asOf(snapshotId: Long): TableState =
+    copy(snapshots = snapshots.filter(_.id <= snapshotId))
+}
+
+/** Append-only JSON-lines snapshot log under `<table>/metadata/`.
+  *
+  * Layout: `metadata/log.jsonl` (one snapshot per line), `metadata/
+  * schema-<v>.json`, `metadata/spec-<id>.json`. Commit atomicity mirrors
+  * HadoopCatalog's version-hint protocol (reference delegates to Iceberg's
+  * `Transaction.commitTransaction`, `IcebergTableGenerator.java:375-379`):
+  * write-temp + ATOMIC_MOVE, single-writer assumption (SURVEY.md §7.4.6).
+  */
+final class SnapshotLog(tableDir: Path) {
+  private val metaDir = tableDir.resolve("metadata")
+  private val logFile = metaDir.resolve("log.jsonl")
+  private val mapper = new ObjectMapper()
+
+  def init(): Unit = Files.createDirectories(metaDir)
+
+  def writeSchema(v: Int, schema: GraftSchema): Unit = {
+    init()
+    Files.writeString(metaDir.resolve(s"schema-$v.json"), schema.toJson)
+  }
+
+  def writeSpec(id: Int, partitionCols: Seq[String]): Unit = {
+    init()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("partitionCols")
+    partitionCols.foreach(arr.add)
+    Files.writeString(metaDir.resolve(s"spec-$id.json"), mapper.writeValueAsString(root))
+  }
+
+  def load(): TableState = {
+    val schemas = listVersioned("schema-").map { case (v, p) =>
+      v -> GraftSchema.fromJson(Files.readString(p))
+    }.toMap
+    val specs = listVersioned("spec-").map { case (v, p) =>
+      val node = mapper.readTree(Files.readString(p))
+      v -> node.get("partitionCols").elements().asScala.map(_.asText).toSeq
+    }.toMap
+    val snapshots =
+      if (!Files.exists(logFile)) Seq.empty
+      else Files.readAllLines(logFile).asScala.filter(_.nonEmpty)
+        .map(l => parseSnapshot(mapper.readTree(l))).toSeq
+    TableState(schemas, specs, snapshots)
+  }
+
+  def lastSnapshotId: Long = load().snapshots.lastOption.map(_.id).getOrElse(0L)
+  def lastSeq: Long = load().snapshots.lastOption.map(_.seq).getOrElse(0L)
+
+  /** Append one snapshot atomically (read-modify-write + ATOMIC_MOVE). */
+  def commit(s: Snapshot): Unit = {
+    init()
+    val existing = if (Files.exists(logFile)) Files.readString(logFile) else ""
+    val tmp = Files.createTempFile(metaDir, ".log", ".tmp")
+    Files.writeString(tmp, existing + renderSnapshot(s) + "\n")
+    Files.move(tmp, logFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- json ----
+
+  private def listVersioned(prefix: String): Seq[(Int, Path)] =
+    if (!Files.exists(metaDir)) Seq.empty
+    else Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .map(p => (p.getFileName.toString.stripPrefix(prefix).stripSuffix(".json").toInt, p))
+      .toSeq.sortBy(_._1)
+
+  private def putPartition(o: ObjectNode, partition: Map[String, String]): Unit = {
+    val p = o.putObject("partition")
+    partition.foreach { case (k, v) => p.put(k, v) }
+  }
+
+  private def renderSnapshot(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    root.put("id", s.id); root.put("seq", s.seq)
+    root.put("schemaV", s.schemaV); root.put("specId", s.specId)
+    val dfs = root.putArray("dataFiles")
+    s.dataFiles.foreach { f =>
+      val o = dfs.addObject()
+      o.put("path", f.path); o.put("specId", f.specId); o.put("schemaV", f.schemaV)
+      o.put("seq", f.seq); o.put("recordCount", f.recordCount)
+      putPartition(o, f.partition)
+    }
+    val dels = root.putArray("deleteFiles")
+    s.deleteFiles.foreach { f =>
+      val o = dels.addObject()
+      o.put("path", f.path); o.put("kind", f.kind); o.put("seq", f.seq)
+      val eq = o.putArray("equalityCols"); f.equalityCols.foreach(eq.add)
+      val eqi = o.putArray("equalityIds"); f.equalityIds.foreach(eqi.add)
+      putPartition(o, f.partition)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def partitionOf(n: JsonNode): Map[String, String] = {
+    val p = n.get("partition").asInstanceOf[ObjectNode]
+    p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  }
+
+  private def parseSnapshot(n: JsonNode): Snapshot = {
+    val dfs = n.get("dataFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
+      DataFileEntry(o.get("path").asText, partitionOf(o), o.get("specId").asInt,
+        o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong)
+    }.toSeq
+    val dels = n.get("deleteFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
+      DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,
+        o.get("equalityCols").elements().asScala.map(_.asText).toSeq,
+        o.get("equalityIds").elements().asScala.map(_.asInt).toSeq,
+        o.get("seq").asLong)
+    }.toSeq
+    Snapshot(n.get("id").asLong, n.get("seq").asLong, n.get("schemaV").asInt,
+      n.get("specId").asInt, dfs, dels)
+  }
+}
+
+object SnapshotLog {
+  def apply(tableDir: String): SnapshotLog = new SnapshotLog(Paths.get(tableDir))
+}

@@ -1,0 +1,177 @@
+package graft.read
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.meta._
+import graft.schema.GraftSchema
+
+/** Merge-on-read scan: snapshot log → live DataFrame.
+  *
+  * Implements the relational semantics an Iceberg-v2 reader must apply to
+  * the reference's tables (SURVEY.md §2.4):
+  *   - per-epoch schema projection (columns resolved by FIELD ID, so adds/
+  *     drops/re-adds are correct even though Parquet resolves by name;
+  *     reference `Main.java:440-443`),
+  *   - positional deletes: anti-join on `(file_path, pos)` with
+  *     `delete.seq >= data.seq` (reference writer
+  *     `IcebergTableGenerator.java:237-286`),
+  *   - equality deletes: anti-join on the equality key columns with STRICT
+  *     `delete.seq > data.seq` visibility — rows appended after a delete
+  *     survive it (the S10 golden-count semantics, `Main.java:328-354`),
+  *     scoped to the delete file's partition,
+  *   - declared record counts are never trusted: the scan reads real Parquet
+  *     footers, so `appendEmptyFile`'s lying `record_count=1`
+  *     (`IcebergTableGenerator.java:168`) is harmless by construction.
+  *
+  * Scale notes: planning is metadata-scale (driver filters the file list —
+  * the manifest-pruning analog); delete sets join via equi-keys so Spark
+  * picks broadcast-hash for small delete files and shuffle-hash/SMJ for
+  * giant ones (S6's ~10^8-entry file) under AQE; the file→seq map is a
+  * broadcast join keyed on `_metadata.file_path`.
+  */
+object MorReader {
+
+  /** `_metadata.file_path` is a URI (`file:///a/b`); the log stores plain
+    * absolute paths. Normalize to `/a/b` on every join key. */
+  def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+
+  val FilePathCol = "_graft_file_path"
+  val PosCol = "_graft_pos"
+  val SeqCol = "_graft_seq"
+
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    read(spark, tableDir, None, Map.empty)
+
+  /** Time travel (SURVEY.md §2.8 `snapshot_scan`). */
+  def readAt(spark: SparkSession, tableDir: String, snapshotId: Long): DataFrame =
+    read(spark, tableDir, Some(snapshotId), Map.empty)
+
+  /** Partition-pruned read: `filter` maps partition col → allowed values
+    * (the `Expressions.in` analog, reference
+    * `IcebergTableGenerator.java:195-200`). Files whose partition metadata
+    * excludes the values are never opened; files from OLDER spec epochs that
+    * lack the partition key cannot be file-pruned, so the predicate is also
+    * applied to rows (sound because only identity transforms exist — the
+    * partition value is a data column, reference `Main.java:142,156,362`). */
+  def readWhere(spark: SparkSession, tableDir: String,
+                filter: Map[String, Set[String]]): DataFrame =
+    read(spark, tableDir, None, filter)
+
+  def read(spark: SparkSession, tableDir: String, asOf: Option[Long],
+           partitionFilter: Map[String, Set[String]]): DataFrame = {
+    val st0 = SnapshotLog(tableDir).load()
+    val st = asOf.map(st0.asOf).getOrElse(st0)
+    val live = st.schema
+    val rowPred = partitionFilter.collect {
+      case (k, vs) if live.names.contains(k) =>
+        col(k).cast("string").isin(vs.toSeq: _*)
+    }.foldLeft(lit(true))(_ && _)
+    withMeta(spark, st, live, partitionFilter)
+      .where(rowPred)
+      .select(live.names.map(col): _*)
+  }
+
+  /** Same as read but keeps (file_path, pos, seq) service columns. */
+  def readWithMeta(spark: SparkSession, tableDir: String): DataFrame = {
+    val st = SnapshotLog(tableDir).load()
+    withMeta(spark, st, st.schema, Map.empty)
+  }
+
+  private def matchesPartition(p: Map[String, String],
+                               f: Map[String, Set[String]]): Boolean =
+    f.forall { case (k, vs) => p.get(k).forall(vs.contains) }
+
+  private[graft] def withMeta(spark: SparkSession, st: TableState, live: GraftSchema,
+                              partitionFilter: Map[String, Set[String]]): DataFrame = {
+    val dataFiles = st.dataFiles.filter(f => matchesPartition(f.partition, partitionFilter))
+    if (dataFiles.isEmpty) {
+      val struct = StructType(live.struct.fields ++ Seq(
+        StructField(FilePathCol, StringType), StructField(PosCol, LongType),
+        StructField(SeqCol, LongType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+    }
+
+    val deleteFiles = st.deleteFiles.filter(f => matchesPartition(f.partition, partitionFilter))
+
+    // Equality-delete keys resolve by FIELD ID; a key field dropped from the
+    // live schema (S11) is still projected — under a synthetic name — so the
+    // delete keeps applying to old rows. Resolution uses the newest schema
+    // version that carries the id.
+    val liveIds = live.fields.map(_.id).toSet
+    val extraKeyFields: Seq[(Int, graft.schema.GraftField)] =
+      deleteFiles.filter(_.kind == "eq").flatMap(_.equalityIds)
+        .distinct.filterNot(liveIds).sorted.flatMap { kid =>
+          st.schemas.toSeq.sortBy(-_._1).flatMap(_._2.fieldById(kid)).headOption
+            .map(f => kid -> f)
+        }
+    def keyDataCol(kid: Int): String =
+      live.fields.find(_.id == kid).map(_.name).getOrElse(s"_gk$kid")
+
+    // ---- data scan, one branch per schema epoch, projected by field id ----
+    val scan = dataFiles.groupBy(_.schemaV).toSeq.sortBy(_._1).map { case (v, files) =>
+      val epoch = st.schemas(v)
+      def resolve(id: Int, dt: DataType, as: String): Column =
+        epoch.fieldById(id) match {
+          case Some(old) => col(old.name).cast(dt).as(as)
+          case None => lit(null).cast(dt).as(as)
+        }
+      val proj: Seq[Column] =
+        live.fields.map(f => resolve(f.id, f.dataType, f.name)) ++
+          extraKeyFields.map { case (kid, f) => resolve(kid, f.dataType, s"_gk$kid") }
+      spark.read.schema(epoch.struct).parquet(files.map(_.path): _*)
+        .select(proj :+ normPath(col("_metadata.file_path")).as(FilePathCol)
+                     :+ col("_metadata.row_index").as(PosCol): _*)
+    }.reduce(_.unionByName(_))
+
+    // file → sequence-number map: tiny, broadcast (SURVEY.md §7.4.1)
+    val seqMap = spark.createDataFrame(dataFiles.map(f => (f.path, f.seq)))
+      .toDF("_m_fp", "_m_seq")
+    var data = scan.join(broadcast(seqMap), col(FilePathCol) === col("_m_fp"), "left")
+      .withColumn(SeqCol, coalesce(col("_m_seq"), lit(0L)))
+      .drop("_m_fp", "_m_seq")
+
+    // ---- positional deletes: anti-join on (path, pos) -------------------
+    val posFiles = deleteFiles.filter(_.kind == "pos")
+    if (posFiles.nonEmpty) {
+      val dels = posFiles.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, fs) =>
+        spark.read.parquet(fs.map(_.path): _*)
+          .select(col("file_path").as("_d_fp"), col("pos").as("_d_pos"),
+                  lit(seq).as("_d_seq"))
+      }.reduce(_.unionByName(_))
+      data = data.join(dels,
+        col(FilePathCol) === col("_d_fp") && col(PosCol) === col("_d_pos") &&
+          col("_d_seq") >= col(SeqCol),
+        "left_anti")
+    }
+
+    // ---- equality deletes: per key-set anti-join with strict seq ---------
+    val eqFiles = deleteFiles.filter(_.kind == "eq")
+    eqFiles.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._1.mkString(",")).foreach {
+      case (keyIds, fs) =>
+        val partCols = fs.flatMap(_.partition.keys).distinct.sorted
+        val dels = fs.sortBy(_.seq).map { f =>
+          val partLits = partCols.map { p =>
+            val t = live.fields.find(_.name == p).map(_.dataType).getOrElse(StringType)
+            f.partition.get(p).map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t))
+              .as(s"_dp_$p")
+          }
+          // in-file column names are the delete-time names, aligned with ids
+          val byId = f.equalityIds.zip(f.equalityCols).toMap
+          spark.read.parquet(f.path)
+            .select(keyIds.map(kid => col(byId(kid)).as(s"_dk$kid")) ++
+                    partLits :+ lit(f.seq).as("_d_seq"): _*)
+        }.reduce(_.unionByName(_))
+        val keyCond = keyIds.map(kid => data(keyDataCol(kid)) === dels(s"_dk$kid"))
+          .reduce(_ && _)
+        val partCond = partCols.map(p =>
+          dels(s"_dp_$p").isNull || dels(s"_dp_$p") === data(p))
+          .foldLeft(lit(true))(_ && _)
+        data = data.join(dels,
+          keyCond && partCond && dels("_d_seq") > data(SeqCol), "left_anti")
+    }
+
+    data.drop(extraKeyFields.map(kf => s"_gk${kf._1}"): _*)
+  }
+}

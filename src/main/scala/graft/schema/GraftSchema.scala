@@ -1,0 +1,83 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import scala.jdk.CollectionConverters._
+
+/** A field with a stable integer id, mirroring Iceberg's id-based column
+  * resolution (reference `Main.java:43-60`: every field declared with an
+  * explicit id; schema evolution at `Main.java:440-443` resolves by id, not
+  * name). Spark's Parquet reader resolves by name, so evolved reads go
+  * through an explicit per-epoch projection (see `graft.read.MorReader`).
+  */
+final case class GraftField(id: Int, name: String, dataType: DataType)
+
+/** Versioned schema for a Graft table.
+  *
+  * All reference fields are `required` (`Main.java:43-60`), but the Spark
+  * representation is all-nullable: schema evolution adds columns that are
+  * null for pre-existing files, and Spark does not enforce nullability on
+  * Parquet read anyway.
+  */
+final case class GraftSchema(fields: Seq[GraftField]) {
+
+  def struct: StructType =
+    StructType(fields.map(f => StructField(f.name, f.dataType, nullable = true)))
+
+  def fieldId(name: String): Int =
+    fields.find(_.name == name).getOrElse(sys.error(s"no field $name")).id
+
+  def fieldById(id: Int): Option[GraftField] = fields.find(_.id == id)
+
+  def names: Seq[String] = fields.map(_.name)
+
+  private def maxId: Int = if (fields.isEmpty) 0 else fields.map(_.id).max
+
+  /** Add a column with a fresh field id (ref `UpdateSchema.addColumn`, `Main.java:441`). */
+  def addColumn(name: String, dataType: DataType): GraftSchema = {
+    require(!fields.exists(_.name == name), s"field $name already exists")
+    GraftSchema(fields :+ GraftField(maxId + 1, name, dataType))
+  }
+
+  /** Drop a column by name (ref `UpdateSchema.deleteColumn`, `Main.java:442`). */
+  def deleteColumn(name: String): GraftSchema = {
+    require(fields.exists(_.name == name), s"no field $name")
+    GraftSchema(fields.filterNot(_.name == name))
+  }
+
+  /** Projection of named fields, keeping ids (ref `Schema.select`, `Main.java:411`). */
+  def select(names: String*): GraftSchema =
+    GraftSchema(names.map(n => fields.find(_.name == n).getOrElse(sys.error(s"no field $n"))))
+
+  def toJson: String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val arr = root.putArray("fields")
+    fields.foreach { f =>
+      val o = arr.addObject()
+      o.put("id", f.id)
+      o.put("name", f.name)
+      o.put("type", f.dataType.json)
+    }
+    m.writeValueAsString(root)
+  }
+}
+
+object GraftSchema {
+  def fromJson(json: String): GraftSchema = {
+    val m = new ObjectMapper()
+    val root = m.readTree(json)
+    val fields = root.get("fields").elements().asScala.map { n =>
+      val o = n.asInstanceOf[ObjectNode]
+      GraftField(o.get("id").asInt, o.get("name").asText,
+        DataType.fromJson(o.get("type").asText))
+    }.toSeq
+    GraftSchema(fields)
+  }
+
+  /** Convenience: build from (name, type) pairs with ids 1..n (reference style). */
+  def of(fields: (String, DataType)*): GraftSchema =
+    GraftSchema(fields.zipWithIndex.map { case ((n, t), i) => GraftField(i + 1, n, t) })
+}

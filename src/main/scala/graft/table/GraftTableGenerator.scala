@@ -1,0 +1,389 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.gen.{RecordBundle, ValueGen}
+import graft.meta._
+import graft.read.MorReader
+import graft.schema.GraftSchema
+
+/** Fluent table-building engine — the Spark-native re-expression of the
+  * reference's `IcebergTableGenerator` (reference
+  * `IcebergTableGenerator.java:61-485`): create / append / appendEmptyFile /
+  * positionalDelete / equalityDelete / updateSpec / updateSchema / commit,
+  * over a plain-Parquet warehouse plus a self-written snapshot log (no
+  * Iceberg jar exists in this environment — SURVEY.md §0.1).
+  *
+  * Layout mirrors the reference so warehouses are diff-able
+  * (`IcebergTableGenerator.java:103-146,207-222,381-395`):
+  *   - `<warehouse>/<table>/data/<value>/<value>-NN.parquet` (partitioned)
+  *   - `<warehouse>/<table>/data/NN.parquet` (unpartitioned)
+  *   - `delete-<part>-NN.parquet` / `eqdelete-<part>-NN.parquet`
+  *   - `<warehouse>/<table>/metadata/` snapshot log
+  *
+  * Determinism: values are pure functions of (row id, seed, column tag) —
+  * see [[graft.gen.ValueGen]] — and row ids are globally monotonic across
+  * appends (`idStart` threading), matching the reference's id counter
+  * semantics (`ValueGenerator.java:28-30`).
+  */
+final class GraftTableGenerator(
+    spark: SparkSession,
+    warehouse: String,
+    name: String,
+    seed: Long = ValueGen.DefaultSeed) {
+
+  val tableDir: Path = Paths.get(warehouse, name)
+  private val dataDir: Path = tableDir.resolve("data")
+  private val log = new SnapshotLog(tableDir)
+
+  private var schema: GraftSchema = _
+  private var schemaV: Int = 0
+  private var partitionCols: Seq[String] = Nil
+  private var specId: Int = 0
+  private var props: Map[String, String] = Map.empty
+  private var nextId: Long = 0L
+
+  // transaction state (reference `IcebergTableGenerator.java:367-379`)
+  private var committedSeq: Long = 0L
+  private var committedSnapId: Long = 0L
+  private var stagedOps: Int = 0
+  private var stagedData: Vector[DataFileEntry] = Vector.empty
+  private var stagedDeletes: Vector[DeleteFileEntry] = Vector.empty
+
+  private def nextOpSeq(): Long = { stagedOps += 1; committedSeq + stagedOps }
+
+  /** Drop-if-exists then create; Parquet layout props pass through to the
+    * writer (reference `create`, `IcebergTableGenerator.java:71-88`;
+    * format-version=2 semantics are inherent here).
+    * Recognized props: `parquet.block.size`, `parquet.page.size`,
+    * `parquet.dictionary.page.size` (reference `Main.java:186-191`).
+    */
+  def create(schema: GraftSchema, partitionCols: Seq[String],
+             props: Map[String, String] = Map.empty): this.type = {
+    deleteRecursively(tableDir)
+    this.schema = schema; this.schemaV = 0
+    this.partitionCols = partitionCols; this.specId = 0
+    this.props = props
+    this.nextId = 0; this.committedSeq = 0; this.committedSnapId = 0
+    this.stagedOps = 0; this.stagedData = Vector.empty; this.stagedDeletes = Vector.empty
+    log.init()
+    log.writeSchema(0, schema)
+    log.writeSpec(0, partitionCols)
+    this
+  }
+
+  def liveSchema: GraftSchema = schema
+  def currentPartitionCols: Seq[String] = partitionCols
+
+  // ---- appends (reference `IcebergTableGenerator.java:103-175`) --------
+
+  /** Partitioned append: for each partition value, `filesPerPartition`
+    * Parquet files of `rowsPerFile` generated rows each. Exact file counts
+    * are part of the scenario spec, so the per-file loop is intentional;
+    * each file is a 1-task Spark job over a deterministic id range.
+    */
+  def append(partitionValues: Seq[Any], bundle: RecordBundle,
+             filesPerPartition: Int, rowsPerFile: Int): this.type = {
+    require(partitionCols.size == 1, "reference appends target single-col specs")
+    val opSeq = nextOpSeq()
+    for (pv <- partitionValues; _ <- 0 until filesPerPartition) {
+      val df = bundle.frame(spark, nextId, rowsPerFile, Some(pv), schema)
+      nextId += rowsPerFile
+      val pdir = dataDir.resolve(pv.toString)
+      val target = uniqueNumberedFile(pdir, s"$pv-%02d.parquet")
+      writeSingleFile(df, target)
+      stagedData :+= DataFileEntry(target.toString,
+        Map(partitionCols.head -> pv.toString), specId, schemaV, opSeq, rowsPerFile)
+    }
+    this
+  }
+
+  /** Unpartitioned append (reference `IcebergTableGenerator.java:129-146`). */
+  def append(bundle: RecordBundle, numFiles: Int, rowsPerFile: Int): this.type = {
+    val opSeq = nextOpSeq()
+    for (_ <- 0 until numFiles) {
+      val df = bundle.frame(spark, nextId, rowsPerFile, None, schema)
+      nextId += rowsPerFile
+      val target = uniqueNumberedFile(dataDir, "%02d.parquet")
+      writeSingleFile(df, target)
+      stagedData :+= DataFileEntry(target.toString, Map.empty, specId, schemaV,
+        opSeq, rowsPerFile)
+    }
+    this
+  }
+
+  /** Bulk distributed append — the 100 TB-scale sink the per-file loop is
+    * not: one Spark job writes `numFiles` files in parallel and registers
+    * them all. Rows get ids in an unspecified per-file order (determinism
+    * holds per run via the input df). Unpartitioned specs only.
+    */
+  def appendBulk(df: DataFrame, numFiles: Int): this.type = {
+    require(partitionCols.isEmpty, "appendBulk supports unpartitioned specs")
+    val opSeq = nextOpSeq()
+    val staging = Files.createTempDirectory(tableDir, ".staging")
+    df.repartition(numFiles).write.options(props).mode("overwrite")
+      .parquet(staging.toString)
+    val parts = Files.list(staging).iterator()
+    val it = new scala.collection.AbstractIterator[Path] {
+      def hasNext = parts.hasNext; def next() = parts.next()
+    }
+    it.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      .foreach { part =>
+        val target = uniqueNumberedFile(dataDir, "%02d.parquet")
+        Files.createDirectories(target.getParent)
+        Files.move(part, target)
+        stagedData :+= DataFileEntry(target.toString, Map.empty, specId, schemaV,
+          opSeq, -1L) // count unknown; readers never trust declared counts
+      }
+    deleteRecursively(staging)
+    this
+  }
+
+  /** Copy a pre-existing (empty-row-group) Parquet file into a partition and
+    * register it with a LYING record count of 1 — the corrupt-metadata
+    * stressor (reference `IcebergTableGenerator.java:148-175`, lie at
+    * `:168`). With no source given, a 0-row file with the live schema is
+    * synthesized (the reference hardcodes an author-machine path,
+    * `Main.java:168-170`).
+    */
+  def appendEmptyFile(partitionValue: Any, source: Option[Path] = None): this.type = {
+    val opSeq = nextOpSeq()
+    val src = source.getOrElse {
+      val tmp = Files.createTempDirectory("graft-empty")
+      val empty = spark.range(0).select(
+        schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      writeSingleFile(empty, tmp.resolve("empty.parquet"))
+      tmp.resolve("empty.parquet")
+    }
+    val pdir = dataDir.resolve(partitionValue.toString)
+    val target = uniqueNumberedFile(pdir, s"$partitionValue-%02d.parquet")
+    Files.createDirectories(target.getParent)
+    Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
+    stagedData :+= DataFileEntry(target.toString,
+      Map(partitionCols.head -> partitionValue.toString), specId, schemaV, opSeq, 1L)
+    this
+  }
+
+  // ---- deletes (reference `IcebergTableGenerator.java:177-365`) --------
+
+  def positionalDelete(pred: Column): this.type =
+    positionalDelete(None, pred, 0, 0, Nil)
+
+  def positionalDelete(partitionValues: Seq[Any], pred: Column): this.type =
+    positionalDelete(Some(partitionValues), pred, 0, 0, Nil)
+
+  /** Scan committed data files (partition-pruned), write ONE positional-
+    * delete file per partition containing `(file_path, pos, row)` of
+    * predicate matches, strictly ordered by (path, pos); optionally
+    * interleave fake non-existent file paths carrying
+    * `extraDeletesPerFile` entries each — delete-file bloat a reader must
+    * ignore (reference `IcebergTableGenerator.java:187-286`; fakes
+    * `:228-235,269-277`; used 10000×10000 by S6 `Main.java:261-266`).
+    *
+    * Fake positions reproduce the cumulative `pos += intRange(1,100)` quirk
+    * via a running-sum window; fake generation is pure Spark expressions —
+    * ~10^8 rows never touch the driver (SURVEY.md §7.4.5).
+    */
+  def positionalDelete(partitionValues: Option[Seq[Any]], pred: Column,
+                       extraFilesPerPartition: Int, extraDeletesPerFile: Int,
+                       fakeRow: Seq[Column]): this.type = {
+    val opSeq = nextOpSeq()
+    for ((partition, files) <- plannedPartitions(partitionValues)) {
+      val scan = rawScan(files)
+      val rowStruct = struct(schema.names.map(col): _*).as("row")
+      var matches = scan.where(pred)
+        .select(col(MorReader.FilePathCol).as("file_path"),
+                col(MorReader.PosCol).as("pos"), rowStruct)
+
+      if (extraFilesPerPartition > 0) {
+        val partitionString = partitionDirName(partition)
+        val prefix =
+          if (partitionString.nonEmpty) s"$dataDir/$partitionString/$partitionString-"
+          else s"$dataDir/"
+        val h = md5(concat(lit(name), lit(partitionString), col("id").cast("string"))
+          .cast("binary"))
+        val fakeUuid = concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+          substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+        val fakePaths = spark.range(extraFilesPerPartition)
+          .select(format_string("%s%010d-%s-fake.parquet",
+            lit(prefix), col("id"), fakeUuid).as("file_path"))
+        val js = spark.range(extraDeletesPerFile).toDF("j")
+        val w = Window.partitionBy("file_path").orderBy("j")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val delta = (pmod(xxhash64(lit(seed), lit("fakepos"), col("file_path"), col("j")),
+          lit(99L)) + 1)
+        val fakes = fakePaths.crossJoin(js)
+          .withColumn("pos", coalesce(sum(delta).over(w), lit(0L)))
+          .select(col("file_path"), col("pos"),
+            struct(schema.names.zip(fakeRow).map { case (n, c) => c.as(n) }: _*).as("row"))
+        matches = matches.unionByName(fakes)
+      }
+
+      val target = deleteFileTarget("delete", partition)
+      writeSingleFile(matches.repartition(1).sortWithinPartitions("file_path", "pos"), target)
+      stagedDeletes :+= DeleteFileEntry(target.toString, partition, "pos", Nil, Nil, opSeq)
+    }
+    this
+  }
+
+  def equalityDelete(pred: Column, keyCols: Seq[String]): this.type =
+    equalityDelete(None, pred, keyCols)
+
+  def equalityDelete(partitionValues: Seq[Any], pred: Column,
+                     keyCols: Seq[String]): this.type =
+    equalityDelete(Some(partitionValues), pred, keyCols)
+
+  /** Write ONE equality-delete file per partition holding the FULL rows
+    * matching the predicate, with the equality key columns recorded in the
+    * snapshot log; a row is later deleted iff its key tuple matches a
+    * delete row from a strictly later sequence number (reference
+    * `IcebergTableGenerator.java:288-365`; key-id resolution
+    * `Main.java:590-594`).
+    */
+  def equalityDelete(partitionValues: Option[Seq[Any]], pred: Column,
+                     keyCols: Seq[String]): this.type = {
+    keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    val opSeq = nextOpSeq()
+    for ((partition, files) <- plannedPartitions(partitionValues)) {
+      val matches = rawScan(files).where(pred).select(schema.names.map(col): _*)
+      val target = deleteFileTarget("eqdelete", partition)
+      writeSingleFile(matches, target)
+      stagedDeletes :+= DeleteFileEntry(target.toString, partition, "eq", keyCols,
+        keyCols.map(schema.fieldId), opSeq)
+    }
+    this
+  }
+
+  // ---- evolution (reference `IcebergTableGenerator.java:94-101`, `Main.java:440-443`) ----
+
+  /** Partition-spec evolution: later appends use the new spec; existing
+    * files keep their layout (reference `updateSpec`, used by S7
+    * `Main.java:281-283`). */
+  def updateSpec(additions: Seq[String], removals: Seq[String]): this.type = {
+    partitionCols = partitionCols.filterNot(removals.contains) ++ additions
+    specId += 1
+    log.writeSpec(specId, partitionCols)
+    this
+  }
+
+  /** Schema evolution by field id: add columns / delete columns between
+    * commits (reference `Main.java:440-443`). */
+  def updateSchema(addCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+                   dropCols: Seq[String]): this.type = {
+    var s = schema
+    addCols.foreach { case (n, t) => s = s.addColumn(n, t) }
+    dropCols.foreach(n => s = s.deleteColumn(n))
+    schema = s
+    schemaV += 1
+    log.writeSchema(schemaV, s)
+    this
+  }
+
+  /** One snapshot per commit (reference `IcebergTableGenerator.java:375-379`). */
+  def commit(): this.type = {
+    committedSnapId += 1
+    committedSeq += stagedOps
+    log.commit(Snapshot(committedSnapId, committedSeq, schemaV, specId,
+      stagedData, stagedDeletes))
+    stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
+    this
+  }
+
+  /** MoR read of the committed table. */
+  def read: DataFrame = MorReader.read(spark, tableDir.toString)
+  def readAt(snapshotId: Long): DataFrame =
+    MorReader.readAt(spark, tableDir.toString, snapshotId)
+
+  // ---- internals -------------------------------------------------------
+
+  /** Committed data files matching the partition filter, grouped by
+    * partition and path-sorted within each group — the canonical order
+    * (reference `orderFileScanTasksByPartitionAndPath`,
+    * `IcebergTableGenerator.java:451-464`). */
+  private def plannedPartitions(partitionValues: Option[Seq[Any]])
+      : Seq[(Map[String, String], Seq[DataFileEntry])] = {
+    val st = log.load()
+    val filtered = partitionValues match {
+      case Some(vs) =>
+        val set = vs.map(_.toString).toSet
+        // first CURRENT-spec field, like the reference's Expressions.in
+        // (`:196-199`); files from older specs lacking the field are skipped
+        val firstCol = partitionCols.head
+        st.dataFiles.filter(f => f.partition.get(firstCol).exists(set))
+      case None => st.dataFiles
+    }
+    filtered.groupBy(_.partition).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).map(_._2).mkString("-"))
+      .map { case (p, fs) => (p, fs.sortBy(_.path)) }
+  }
+
+  /** Raw (delete-unaware) scan of given files with live-schema projection
+    * plus (file_path, pos) service columns — the generator's read-back path
+    * (reference `IcebergTableGenerator.java:249-257`). */
+  private def rawScan(files: Seq[DataFileEntry]): DataFrame = {
+    val st = log.load()
+    files.groupBy(_.schemaV).toSeq.sortBy(_._1).map { case (v, fs) =>
+      val epoch = st.schemas(v)
+      val proj: Seq[Column] = schema.fields.map { f =>
+        epoch.fieldById(f.id) match {
+          case Some(old) => col(old.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      spark.read.schema(epoch.struct).parquet(fs.map(_.path): _*)
+        .select(proj :+ MorReader.normPath(col("_metadata.file_path"))
+          .as(MorReader.FilePathCol)
+          :+ col("_metadata.row_index").as(MorReader.PosCol): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def partitionDirName(partition: Map[String, String]): String =
+    partition.toSeq.sortBy(_._1).map(_._2).mkString("-")
+
+  private def deleteFileTarget(kind: String, partition: Map[String, String]): Path = {
+    val partitionString = partitionDirName(partition)
+    if (partitionString.nonEmpty)
+      uniqueNumberedFile(dataDir.resolve(partitionString),
+        s"$kind-$partitionString-%02d.parquet")
+    else uniqueNumberedFile(dataDir, s"$kind-%02d.parquet")
+  }
+
+  /** `%02d`-numbered probe-until-free naming (reference
+    * `getUniqueNumberedFilename`, `IcebergTableGenerator.java:386-395`). */
+  private def uniqueNumberedFile(dir: Path, template: String): Path = {
+    var n = 0
+    var p = dir.resolve(template.format(n))
+    while (Files.exists(p)) { n += 1; p = dir.resolve(template.format(n)) }
+    p
+  }
+
+  /** Write `df` as exactly one Parquet file at `target` (write-temp + move;
+    * Parquet layout knobs from table props — reference
+    * `IcebergTableGenerator.java:397-424`, PARQUET_1_0 is Spark's default
+    * writer version). */
+  private def writeSingleFile(df: DataFrame, target: Path): Unit = {
+    val tmp = Files.createTempDirectory(target.getParent.getFileName.toString)
+    try {
+      df.coalesce(1).write.options(props).mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      var found: Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p
+      }
+      require(found != null, s"no parquet part written for $target")
+      Files.createDirectories(target.getParent)
+      Files.move(found, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.Bundles
+import graft.read.MorReader
+import graft.scenarios.Scenarios
+import graft.table.GraftTableGenerator
+
+/** Golden-count and MoR-semantics tests against the reference's documented
+  * expectations (reference `Main.java:328-354` for S10; other counts derived
+  * from the deterministic id assignment — see each test).
+  */
+class GraftTableSpec extends SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft-wh").toString
+
+  test("_metadata.row_index is 0-based per file and stable (SURVEY §7.4.3 guard)") {
+    val dir = Files.createTempDirectory("rowidx")
+    spark.range(0, 100).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(dir.toString + "/t")
+    val df = spark.read.parquet(dir.toString + "/t")
+      .select(col("v"), col("_metadata.row_index").as("pos"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == rows.map(_._1).toSeq) // pos == write order
+  }
+
+  test("S1 createSmallOrders: 600 rows, 200 per order_year, ids 0..599") {
+    val g = Scenarios.createSmallOrders(spark, wh)
+    val df = g.read
+    assert(df.count() == 600)
+    val per = df.groupBy("order_year").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(per == Map(2019 -> 200L, 2020 -> 200L, 2021 -> 200L))
+    val ids = df.select("order_id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (0 until 600))
+  }
+
+  test("S2 createSmallOrdersWithDeletes: 680 live rows; empty file's lying count ignored") {
+    val g = Scenarios.createSmallOrdersWithDeletes(spark, wh)
+    val df = g.read
+    // 800 appended; deletes: %10==0 over ids 0..399 (40), %10==3 over
+    // ids 0..599 (60, 2019/2020 files incl. second append), %10==6 over
+    // ids 600..799 (20). The appended empty file declares record_count=1
+    // but holds 0 rows — content wins.
+    assert(df.count() == 680)
+    assert(df.where(col("order_id") % 10 === 0 && col("order_id") < 400).count() == 0)
+    assert(df.where(col("order_id") % 10 === 3 && col("order_id") < 600).count() == 0)
+    assert(df.where(col("order_id") % 10 === 6 && col("order_id") >= 600).count() == 0)
+  }
+
+  test("S3 multi-rowgroup deletes: 7225 live; per-partition 3000/2500/1725") {
+    val g = Scenarios.createMultiRowGroupOrdersWithDeletes(spark, wh)
+    val per = g.read.groupBy("order_year").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(per == Map(2019 -> 3000L, 2020 -> 2500L, 2021 -> 1725L))
+  }
+
+  test("S6 large delete file: txn abandoned → table unchanged; delete file on disk, ordered") {
+    val g = Scenarios.createSmallOrdersWithLargeDeleteFile(spark, wh,
+      fakeFiles = 5, fakeDeletes = 10)
+    // reference never commits the delete txn (`Main.java:251-267`)
+    assert(g.read.count() == 200)
+    val delFile = s"$wh/orders_with_large_delete_file/data/2021/delete-2021-00.parquet"
+    val dels = spark.read.parquet(delFile)
+    // 60 real matches (%10<3 of ids 0..199) + 5 fake files × 10 entries
+    assert(dels.count() == 110)
+    assert(dels.where(col("file_path").endsWith("-fake.parquet")).count() == 50)
+    // strictly ordered by (file_path, pos)
+    val seq = dels.select("file_path", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(seq.toSeq == seq.toSeq.sorted)
+    // fake positions ascending with gaps in [1,100)
+    val fakes = seq.filter(_._1.endsWith("-fake.parquet")).groupBy(_._1)
+    fakes.values.foreach { entries =>
+      val ps = entries.map(_._2).toSeq
+      assert(ps == ps.sorted && ps.head == 0L)
+      ps.sliding(2).foreach { case Seq(a, b) => assert(b - a >= 1 && b - a < 100)
+                              case _ => }
+    }
+  }
+
+  test("S7 partition evolution: union of spec epochs = 800 rows, no loss/dup") {
+    val g = Scenarios.createSmallOrdersWithPartitionEvolution(spark, wh)
+    val df = g.read
+    assert(df.count() == 800)
+    assert(df.select("order_id").distinct().count() == 800)
+    // post-evolution files partitioned by source_id: 5 × 40 rows with ids ≥ 600
+    assert(df.where(col("order_id") >= 600).groupBy("source_id").count()
+      .collect().map(_.getLong(1)).toSeq == Seq.fill(5)(40L))
+    // partition-filtered read: new-epoch files prune at file level; old-epoch
+    // files (partitioned by order_year) can't be file-pruned but their rows
+    // still filter — identity transform means row semantics win
+    val pruned = MorReader.readWhere(spark, s"$wh/orders_part_evol",
+      Map("source_id" -> Set("2")))
+    assert(pruned.count() == df.where(col("source_id") === 2).count())
+  }
+
+  test("S8 unpartitioned MoR: 340 live (delete scope = files present at delete time)") {
+    val g = Scenarios.createUnpartitionedOrdersWithDeletes(spark, wh)
+    assert(g.read.count() == 340)
+  }
+
+  test("S9 (shrunk 10 delete commits): 9900 live") {
+    val g = Scenarios.createLargeUnpartitionedOrdersWithDeletes(spark, wh,
+      deleteCommits = 10)
+    assert(g.read.count() == 9900)
+  }
+
+  test("S10 golden counts: 200→170→370→333→933→453→450 (Main.java:328-354)") {
+    val g = new GraftTableGenerator(spark, wh, "products_with_eq_deletes")
+    def n: Long = g.read.count()
+    g.create(Scenarios.ProductsSchema, Seq("category"), Scenarios.TinyRowGroupProps)
+      .append(Seq("widget"), Bundles.products(), 1, 200).commit()
+    assert(n == 200)
+    g.equalityDelete(Seq("widget"), col("product_id") < 30, Seq("product_id")).commit()
+    assert(n == 170)
+    g.append(Seq("gizmo"), Bundles.products(), 1, 200).commit()
+    assert(n == 370)
+    g.equalityDelete(Seq("widget", "gizmo"), col("color") === "green", Seq("color")).commit()
+    assert(n == 333)
+    g.append(Seq("widget", "gadget", "gizmo"), Bundles.products(), 1, 200).commit()
+    assert(n == 933) // rows re-using eq-deleted keys SURVIVE earlier deletes
+    g.equalityDelete(Seq("widget", "gadget", "gizmo"),
+      col("product_id") % 200 >= 100, Seq("product_id")).commit()
+    assert(n == 453)
+    g.positionalDelete(Seq("widget"),
+      col("product_id") >= 50 && col("product_id") < 53).commit()
+    assert(n == 450)
+    // per-category finals
+    val per = g.read.groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.values.sum == 450)
+    // time travel: snapshot 5 = after third append
+    assert(g.readAt(5).count() == 933)
+    assert(g.readAt(1).count() == 200)
+  }
+
+  test("S11 schema evolution: drop keyed column keeps old eq-deletes applying") {
+    val g = Scenarios.createProductsWithEqDeletesSchemaChange(spark, wh)
+    val df = g.read
+    assert(df.columns.toSeq == Seq("name", "category", "color"))
+    assert(df.count() == 370) // 200 − 30 + 200
+    // widget rows predate the color column → null; gizmo rows carry it
+    assert(df.where(col("category") === "widget").count() == 170)
+    assert(df.where(col("category") === "widget" && col("color").isNull).count() == 170)
+    assert(df.where(col("category") === "gizmo" && col("color").isNotNull).count() == 200)
+  }
+
+  test("S12 wide metrics: 1000 cols × 30 rows") {
+    val g = Scenarios.createWideMetrics(spark, wh)
+    val df = g.read
+    assert(df.columns.length == 1000)
+    assert(df.count() == 30)
+    assert(df.select("id").distinct().count() == 30)
+  }
+
+  test("eq-delete sequence visibility property: re-inserted keys survive") {
+    val g = new GraftTableGenerator(spark, wh, "seq_vis")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), Bundles.products(), 1, 50).commit()
+      .equalityDelete(Seq("widget"), col("product_id") < 50, Seq("product_id")).commit()
+    assert(g.read.count() == 0)
+    // same key range cannot be re-inserted (ids are monotonic), but color
+    // keys CAN repeat: delete color black then insert rows with black again
+    g.equalityDelete(Seq("widget"), col("color") === "black", Seq("color")).commit()
+      .append(Seq("widget"), Bundles.products(), 1, 50).commit()
+    val df = g.read
+    assert(df.count() == 50) // all second-wave rows survive both deletes
+    assert(df.where(col("color") === "black").count() == 5)
+  }
+
+  test("positional-delete file ordering invariant (path, pos) strictly increasing") {
+    val g = new GraftTableGenerator(spark, wh, "ordering")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2020), Bundles.orders(), 3, 100).commit()
+      .positionalDelete(Seq(2020), col("order_id") % 3 === 0).commit()
+    val delFile = s"$wh/ordering/data/2020/delete-2020-00.parquet"
+    val rows = spark.read.parquet(delFile).select("file_path", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 100)
+    assert(rows.toSeq == rows.toSeq.sorted)
+    assert(rows.toSet.size == rows.length)
+  }
+}
