@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora (SURVEY.md §2.9).
+  *
+  * Scale design: every variant shuffles only (key, id) pairs — a hash or a
+  * band key, never the document text — so shuffle volume is O(rows × key
+  * width), independent of document size. Candidate verification joins are
+  * equi-joins on those keys, which AQE resolves to broadcast or
+  * shuffle-hash as cardinality dictates.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per content hash. One shuffle on the
+    * 60-bit text hash. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = TextOps.hash60(col(textCol))
+    df.select(col(idCol), h.as("_h"))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol), count(lit(1)).as("_grp_sz"))
+  }
+
+  /** MinHash + LSH near-dup candidate pairs.
+    *
+    * shingle(k, stride) → `numHashes` salted-minhash signature → bands of
+    * `rowsPerBand` → self-join per band bucket → verify by estimated
+    * Jaccard (fraction of equal signature components) ≥ `minEstJaccard`.
+    * Only (band_key, id) rows shuffle; signatures re-join by id for the
+    * verify step. Returns distinct (id_a < id_b, est_jaccard) pairs.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 8, stride: Int = 4,
+                   numHashes: Int = 8, rowsPerBand: Int = 2,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sigs = df
+      .withColumn("_norm", TextOps.norm(col(textCol)))
+      .withColumn("_sh", TextOps.shingles("_norm", shingleK, stride))
+      .select(col(idCol), TextOps.minhashSig("_sh", numHashes).as("_sig"))
+    // band key = the band's signature slice rendered to a compact string
+    val bands = sigs.select(col(idCol), col("_sig"),
+      explode(expr(
+        (0 until numBands).map { b =>
+          val slice = s"slice(_sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
+          s"concat('$b:', array_join($slice, ','))"
+        }.mkString("array(", ", ", ")"))).as("_band"))
+    val a = bands.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"), col("_band"))
+    val b = bands.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"), col("_band"))
+    val est = expr(
+      s"""size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))
+         | / cast($numHashes as double)""".stripMargin)
+    a.join(b, Seq("_band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .distinct()
+  }
+
+  /** SimHash bucket histogram: docs sharing a 16-bit simhash land in one
+    * bucket; near-identical docs collide. Returns (bucket_size → n_buckets). */
+  def simhashBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("_toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol), TextOps.simhash16("_toks").as("_sim"))
+      .groupBy("_sim").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+
+  /** Exact character-n-gram Jaccard of every doc against one probe text.
+    * The probe's gram set broadcasts as a literal array; per-row work is
+    * pure expressions (array_intersect/union on distinct grams). */
+  def ngramJaccardVsProbe(df: DataFrame, textCol: String, idCol: String,
+                          probeNorm: String, k: Int): DataFrame = {
+    val probeGrams = probeNorm.sliding(k).toSeq.distinct
+    val probeArr = s"array(${probeGrams.map(g => s"'$g'").mkString(", ")})"
+    df.withColumn("_norm", TextOps.norm(col(textCol)))
+      .withColumn("_grams", array_distinct(TextOps.shingles("_norm", k, 1)))
+      .select(col(idCol),
+        expr(s"round(size(array_intersect(_grams, $probeArr)) / " +
+          s"cast(size(array_union(_grams, $probeArr)) as double), 4)").as("jaccard"))
+  }
+}

@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextOps}
+import Q._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.9) as declared,
+  * oracle-checked queries over `/root/testdata` `documents` / `embeddings` /
+  * `events`.
+  *
+  * The test corpus has no natural duplicates, so the dedup queries plant
+  * deterministic ones (exact copies / lightly-perturbed copies / copied
+  * vectors under shifted ids) with constructions that are expressible in
+  * both engines — the oracle then checks the full pipeline: corpus
+  * synthesis → candidate generation → verification.
+  *
+  * Hashing is md5-hex-prefix based throughout (`TextOps.hash60`) — the one
+  * hash family Spark and DuckDB share bit-for-bit.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, d: String) = tbl(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = tbl(s, d, "embeddings")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; read it as long nanos and truncate to microseconds — the same
+    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies. */
+  private def evts(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, d, "events")
+      .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** documents ∪ exact copies of every 10th doc under shifted ids. */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ lightly-perturbed copies of every 20th doc. */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.where(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz qq xx")).as("text")))
+  }
+
+  /** embeddings ∪ exact copies of every 50th vector. */
+  private def vecCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).select(col("vec_id"), col("embedding"))
+    base.unionByName(base.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+    embs(s, d).where(col("vec_id") === 0).head()
+      .getSeq[Float](1).map(_.toDouble)
+
+  private def probeNorm(s: SparkSession, d: String): String =
+    docs(s, d).where(col("doc_id") === 0).head().getString(1)
+      .toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- dedup family --------------------------------------------------
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(dupCorpus(s, d), "text", "doc_id")
+        .agg(count(lit(1)).as("survivors"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(when(col("_grp_sz") > 1, 1L).otherwise(0L)).as("dup_groups"))
+    }),
+
+    "dedup_minhash" -> ((s, d) => {
+      Dedup.minhashPairs(nearDupCorpus(s, d), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashBuckets(nearDupCorpus(s, d), "text", "doc_id")
+        .orderBy("bucket_size")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardVsProbe(docs(s, d), "text", "doc_id", probeNorm(s, d), 4)
+        .orderBy(desc("jaccard"), col("doc_id")).limit(10)
+    }),
+
+    "dedup_embed_cosine" -> ((s, d) => {
+      Similarity.embedDupPairs(vecCorpus(s, d), "embedding", "vec_id",
+        bits = 8, minCos = 0.999)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search --------------------------------------------
+    "sim_topk_cosine" -> ((s, d) => {
+      Similarity.topKCosine(embs(s, d), "embedding", "vec_id",
+        queryVec(s, d), 10)
+    }),
+
+    // IVF scale path: no SQL oracle (recall is probe-dependent); driver
+    // records rows-only. Exactness vs brute force is spec-tested.
+    "sim_topk_cosine_ivf" -> ((s, d) => {
+      Similarity.topKCosineIvf(embs(s, d), "embedding", "vec_id",
+        queryVec(s, d), 10, nCentroids = 16, nProbe = 8)
+    }),
+
+    // ---- text analysis -------------------------------------------------
+    "lang_id" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("_toks", TextOps.tokens(col("text")))
+        .select(col("lang"), TextOps.langId(col("text"), "_toks").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "text_quality_score" -> ((s, d) => {
+      val df = docs(s, d).withColumn("_toks", TextOps.tokens(col("text")))
+      val (nTok, punctRatio, stopRatio, meanLen) =
+        TextOps.qualityParts(col("text"), "_toks")
+      df.select(col("lang"), nTok.as("n_tok"), punctRatio.as("pr"),
+          stopRatio.as("sr"), meanLen.as("ml"),
+          TextOps.qualityScore(col("text"), "_toks").as("q"))
+        .groupBy("lang")
+        .agg(round(avg("n_tok"), 4).as("avg_tokens"),
+          round(avg("pr"), 4).as("avg_punct_ratio"),
+          round(avg("sr"), 4).as("avg_stop_ratio"),
+          round(avg("ml"), 4).as("avg_word_len"),
+          round(avg("q"), 4).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
+    "token_count" -> ((s, d) => {
+      docs(s, d)
+        .select(col("lang"), size(TextOps.tokens(col("text"))).cast("long").as("ws"),
+          TextOps.bpeishCount(col("text")).cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(sum("ws").as("ws_tokens"), sum("bpe").as("bpeish_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "doc_fingerprint" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("_toks", TextOps.tokens(col("text")))
+        .select(col("lang"), TextOps.fingerprint("_toks").as("fp"))
+        .groupBy("lang")
+        .agg(countDistinct("fp").as("distinct_fps"), count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "text_stats" -> ((s, d) => {
+      docs(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // ---- events: tumbling windows + sessionization ---------------------
+    "events_window" -> ((s, d) => {
+      evts(s, d)
+        .groupBy(window(col("_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("cnt"), col("value_cents"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    "events_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("_ts")
+      evts(s, d)
+        .withColumn("_prev", lag(col("_ts"), 1).over(byUser))
+        .withColumn("_new_sess",
+          when(col("_prev").isNull ||
+            unix_timestamp(col("_ts")) - unix_timestamp(col("_prev")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("_new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  // ---- DuckDB oracles --------------------------------------------------
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private val nearDupCorpusSql =
+    s"""SELECT doc_id AS id, $normSql AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         trim(regexp_replace(lower(text || ' zz qq xx'), '[^a-z0-9]+', ' ', 'g'))
+       |  FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
+  private val vecCorpusSql =
+    """SELECT vec_id AS id, embedding AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+
+  // explicit double-precision cosine, mirroring Similarity.cosine's
+  // left-to-right accumulation
+  private def cosSql(a: String, b: String) =
+    s"""(list_sum(list_transform(range(1, 65),
+       |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH corpus AS ($dupCorpusSql)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS survivors,
+         |       CAST(SUM(keep_id) AS BIGINT) AS id_checksum,
+         |       CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+         |FROM (SELECT MIN(doc_id) AS keep_id, COUNT(*) AS grp
+         |      FROM corpus GROUP BY md5(text))""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH corpus AS ($nearDupCorpusSql),
+         |sh AS (
+         |  SELECT id, substr(t, CAST(u.i AS INTEGER), 8) AS s
+         |  FROM corpus, LATERAL unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS u(i)),
+         |mh AS (
+         |  SELECT id, k.k AS k,
+         |         MIN(${h60("CAST(k.k AS VARCHAR) || '|' || s")}) AS mh
+         |  FROM sh, LATERAL unnest(range(0, 8)) AS k(k)
+         |  GROUP BY id, k.k),
+         |sig AS (SELECT id, list(mh ORDER BY k) AS sig FROM mh GROUP BY id),
+         |bands AS (
+         |  SELECT id, sig, b.b AS b,
+         |         CAST(sig[2 * b.b + 1] AS VARCHAR) || ',' ||
+         |         CAST(sig[2 * b.b + 2] AS VARCHAR) AS bv
+         |  FROM sig, LATERAL unnest(range(0, 4)) AS b(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b, est AS est_jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 AS est
+         |  FROM pairs)
+         |WHERE est >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH corpus AS ($nearDupCorpusSql),
+         |tok AS (SELECT id, unnest(string_split(t, ' ')) AS w FROM corpus),
+         |h AS (SELECT id, ${h60("w")} AS h FROM tok),
+         |sim AS (
+         |  SELECT id, ${(0 until 16).map(b =>
+             s"(CASE WHEN 2 * SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE 0 END) " +
+               s">= COUNT(*) THEN ${1 << b} ELSE 0 END)").mkString(" + ")} AS sim
+         |  FROM h GROUP BY id)
+         |SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |FROM (SELECT sim, CAST(COUNT(*) AS BIGINT) AS bucket_size
+         |      FROM sim GROUP BY sim)
+         |GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, list(DISTINCT substr(t, CAST(u.i AS INTEGER), 4)) AS gs
+         |  FROM d, LATERAL unnest(range(1, greatest(len(t) - 3, 1) + 1)) AS u(i)
+         |  GROUP BY doc_id),
+         |probe AS (SELECT gs AS pg FROM grams WHERE doc_id = 0)
+         |SELECT doc_id,
+         |       round(len(list_intersect(gs, pg)) /
+         |             CAST(len(list_distinct(list_concat(gs, pg))) AS DOUBLE), 4)
+         |         AS jaccard
+         |FROM grams, probe
+         |ORDER BY jaccard DESC, doc_id LIMIT 10""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      s"""WITH corpus AS ($vecCorpusSql),
+         |b AS (
+         |  SELECT id, e, ${(0 until 8).map(i =>
+             s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+             .mkString(" + ")} AS bkt
+         |  FROM corpus)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT x.id AS id_a, y.id AS id_b,
+         |         round(${cosSql("x.e", "y.e")}, 4) AS cos
+         |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.id < y.id)
+         |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
+         |FROM embeddings, q
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "lang_id" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(string_split(t, ' '), x -> x IN (${
+          words.map(w => s"'$w'").mkString(", ")})))"
+      val sEn = score(TextOps.Stopwords("en")); val sDe = score(TextOps.Stopwords("de"))
+      val sFr = score(TextOps.Stopwords("fr")); val sEs = score(TextOps.Stopwords("es"))
+      s"""WITH d AS (SELECT lang, text, $normSql AS t FROM documents),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |         WHEN $sDe > greatest($sEn, $sFr, $sEs) THEN 'de'
+         |         WHEN $sFr > greatest($sEn, $sDe, $sEs) THEN 'fr'
+         |         WHEN $sEs > greatest($sEn, $sDe, $sFr) THEN 'es'
+         |         ELSE 'en' END AS predicted
+         |  FROM d)
+         |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+
+    "text_quality_score" -> {
+      val allStops = TextOps.Stopwords.values.flatten.toSeq
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT lang, text, $normSql AS t,
+         |         len(string_split($normSql, ' ')) AS n_tok
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, CAST(n_tok AS BIGINT) AS n_tok,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+         |      CAST(greatest(len(text), 1) AS DOUBLE) AS pr,
+         |    len(list_filter(string_split(t, ' '), x -> x IN ($allStops))) /
+         |      CAST(greatest(n_tok, 1) AS DOUBLE) AS sr,
+         |    len(replace(t, ' ', '')) / CAST(greatest(n_tok, 1) AS DOUBLE) AS ml
+         |  FROM d),
+         |q AS (
+         |  SELECT lang, n_tok, pr, sr, ml,
+         |    (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END) +
+         |    (CASE WHEN pr < 0.1 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN ml >= 2.5 AND ml <= 9.5 THEN 0.3 ELSE 0.0 END) AS q
+         |  FROM m)
+         |SELECT lang, round(avg(n_tok), 4) AS avg_tokens,
+         |       round(avg(pr), 4) AS avg_punct_ratio,
+         |       round(avg(sr), 4) AS avg_stop_ratio,
+         |       round(avg(ml), 4) AS avg_word_len,
+         |       round(avg(q), 4) AS avg_quality
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "token_count" ->
+      s"""SELECT lang,
+         |  CAST(SUM(len(string_split($normSql, ' '))) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split($normSql, ' ') AS toks
+         |           FROM documents),
+         |tp AS (
+         |  SELECT doc_id, lang, unnest(toks) AS w,
+         |         generate_subscripts(toks, 1) - 1 AS pos
+         |  FROM d),
+         |fp AS (
+         |  SELECT doc_id, lang,
+         |         SUM((${h60("w")} % 1000003) * ((pos % 97) + 1)) % 1000003 AS fp
+         |  FROM tp GROUP BY doc_id, lang)
+         |SELECT lang, CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fps,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM fp GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events),
+        |flags AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2) IS NULL
+        |           OR date_diff('second',
+        |                lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2),
+        |                ts2) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e)
+        |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
