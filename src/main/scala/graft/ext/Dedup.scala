@@ -61,7 +61,8 @@ object Dedup {
     * bucket; near-identical docs collide. Returns (bucket_size → n_buckets). */
   def simhashBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.withColumn("_toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol), TextOps.simhash16("_toks").as("_sim"))
+      .withColumn("_hs", TextOps.tokenHashes("_toks"))
+      .select(col(idCol), TextOps.simhash16("_hs").as("_sim"))
       .groupBy("_sim").agg(count(lit(1)).as("bucket_size"))
       .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
 

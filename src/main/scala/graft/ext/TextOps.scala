@@ -33,24 +33,45 @@ object TextOps {
       s" i -> substr($c, i, $k))")
   }
 
-  /** MinHash signature: for each of `k` salted hash functions, the min
-    * 60-bit hash over the shingle set. Returns an array<long> of length k.
-    * Salting re-hashes (salt || '|' || shingle) — no multiply-mod families,
-    * so the same construction is expressible in oracle SQL. */
+  /** MinHash signature: `k` hash lanes, each the min over the shingle set.
+    * Lanes are 32-bit slices of ceil(k/4) salted md5s — one md5 per salt
+    * per shingle instead of one per lane (4× fewer digests; the lambda
+    * variable `m` guarantees single evaluation) — folded to the k mins in
+    * ONE pass via aggregate + zip_with(least). Same slicing is expressible
+    * in oracle SQL: `('0x'||substr(md5((k/4)||'|'||s), 1+8*(k%4), 8))::BIGINT`. */
   def minhashSig(shinglesColName: String, k: Int): Column = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 lanes per md5)")
     val s = shinglesColName
-    val mins = (0 until k).map(i =>
-      s"array_min(transform($s, x -> cast(conv(substr(md5(cast(concat('$i|', x) as binary)), 1, 15), 16, 10) as bigint)))")
-    expr(s"array(${mins.mkString(", ")})")
+    val nSalts = k / 4
+    val salts = (0 until nSalts).map(i => s"'$i'").mkString(", ")
+    val slices = (0 until 4)
+      .map(j => s"cast(conv(substr(m, ${1 + 8 * j}, 8), 16, 10) as bigint)")
+      .mkString(", ")
+    val perShingle =
+      s"""flatten(transform(
+         |  transform(array($salts), si -> md5(cast(concat(si, '|', x) as binary))),
+         |  m -> array($slices)))""".stripMargin
+    val init = Seq.fill(k)(Long.MaxValue.toString + "L").mkString(", ")
+    expr(
+      s"""aggregate(
+         |  transform($s, x -> $perShingle),
+         |  array($init),
+         |  (acc, h) -> zip_with(acc, h, (a, b) -> least(a, b)))""".stripMargin)
   }
 
-  /** 16-bit SimHash over the token multiset: bit b is set iff tokens whose
-    * hash has bit b outnumber those without (majority vote). */
-  def simhash16(tokensColName: String): Column = {
-    val t = tokensColName
-    val hs = s"transform($t, x -> cast(conv(substr(md5(cast(x as binary)), 1, 15), 16, 10) as bigint))"
+  /** Token-hash array (materialize once; [[simhash16]] reads it 16×). */
+  def tokenHashes(tokensColName: String): Column =
+    expr(s"transform($tokensColName, x -> " +
+      "cast(conv(substr(md5(cast(x as binary)), 1, 15), 16, 10) as bigint))")
+
+  /** 16-bit SimHash over a PRE-COMPUTED token-hash array column: bit b is
+    * set iff tokens whose hash has bit b outnumber those without (majority
+    * vote). Takes the hash array — not the tokens — so the md5 pass runs
+    * once, not 16 times. */
+  def simhash16(hashesColName: String): Column = {
+    val hs = hashesColName
     val bits = (0 until 16).map { b =>
-      s"(case when 2 * size(filter($hs, h -> (shiftright(h, $b) & 1) = 1)) >= size($t) " +
+      s"(case when 2 * size(filter($hs, h -> (shiftright(h, $b) & 1) = 1)) >= size($hs) " +
         s"then ${1 << b} else 0 end)"
     }
     expr(s"(${bits.mkString(" + ")})").cast("int")

@@ -229,7 +229,8 @@ object ExtQueries {
          |  FROM corpus, LATERAL unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS u(i)),
          |mh AS (
          |  SELECT id, k.k AS k,
-         |         MIN(${h60("CAST(k.k AS VARCHAR) || '|' || s")}) AS mh
+         |         MIN(('0x' || substr(md5(CAST(k.k // 4 AS VARCHAR) || '|' || s),
+         |                             1 + 8 * CAST(k.k % 4 AS INTEGER), 8))::BIGINT) AS mh
          |  FROM sh, LATERAL unnest(range(0, 8)) AS k(k)
          |  GROUP BY id, k.k),
          |sig AS (SELECT id, list(mh ORDER BY k) AS sig FROM mh GROUP BY id),

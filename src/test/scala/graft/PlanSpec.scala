@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan quality gates (the 100 TB checklist): column pruning
+  * reaches the scan, small dims broadcast, top-k avoids global sorts,
+  * aggregates are partial (map-side combine), hot paths stay inside
+  * whole-stage codegen. These assertions pin the plans we want — a
+  * regression to a shuffle-heavy plan fails the build, not just the bench.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_project prunes columns at the parquet scan (ReadSchema)") {
+    val p = plan("scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_shipdate"),
+      s"projection not pruned: $read")
+  }
+
+  test("filter_modulo scans vectorized (Batched) with a data filter") {
+    val p = plan("filter_modulo")
+    assert(p.contains("Batched: true"), p)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("join_broadcast_dim uses BroadcastHashJoin, never SortMergeJoin") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("join_agg_segment broadcasts the dimension side") {
+    val p = plan("join_agg_segment")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject (no global sort shuffle)") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1_agg aggregates partially before the shuffle, filter pushed to parquet") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,0.0)]"), p)
+  }
+
+  test("sim_topk_cosine plans TakeOrderedAndProject (per-partition top-k)") {
+    val p = plan("sim_topk_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pos_delete_merge anti-join avoids cartesian/nested-loop") {
+    val p = plan("pos_delete_merge")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_exact shuffles only (hash, id) — no text column past the scan") {
+    val p = plan("dedup_exact")
+    val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchange.contains("text"), s"text column reaches the shuffle:\n$exchange")
+  }
+}
