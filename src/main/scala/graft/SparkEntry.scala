@@ -36,11 +36,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ MorQueries.queries ++ ExtQueries.queries ++
-      MediaQueries.queries
+      MediaQueries.queries ++ BreadthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ MorQueries.oracleSql ++ ExtQueries.oracleSql ++
-      MediaQueries.oracleSql
+      MediaQueries.oracleSql ++ BreadthQueries.oracleSql
 }

@@ -42,6 +42,9 @@ final case class DeleteFileEntry(
 
 /** One committed transaction = one snapshot (reference
   * `IcebergTableGenerator.java:367-379`: N buffered ops, one commit).
+  * `removedDataFiles`/`removedDeleteFiles` record compaction rewrites:
+  * the paths leave the live file set but stay on disk, so time travel to
+  * pre-compaction snapshots keeps working.
   */
 final case class Snapshot(
     id: Long,
@@ -49,7 +52,9 @@ final case class Snapshot(
     schemaV: Int,
     specId: Int,
     dataFiles: Seq[DataFileEntry],
-    deleteFiles: Seq[DeleteFileEntry])
+    deleteFiles: Seq[DeleteFileEntry],
+    removedDataFiles: Seq[String] = Nil,
+    removedDeleteFiles: Seq[String] = Nil)
 
 /** Loaded table state as of a snapshot. */
 final case class TableState(
@@ -60,8 +65,14 @@ final case class TableState(
   def currentSpecId: Int = snapshots.lastOption.map(_.specId).getOrElse(0)
   def schema: GraftSchema = schemas(currentSchemaV)
   def partitionCols: Seq[String] = specs(currentSpecId)
-  def dataFiles: Seq[DataFileEntry] = snapshots.flatMap(_.dataFiles)
-  def deleteFiles: Seq[DeleteFileEntry] = snapshots.flatMap(_.deleteFiles)
+  def dataFiles: Seq[DataFileEntry] = {
+    val removed = snapshots.flatMap(_.removedDataFiles).toSet
+    snapshots.flatMap(_.dataFiles).filterNot(f => removed(f.path))
+  }
+  def deleteFiles: Seq[DeleteFileEntry] = {
+    val removed = snapshots.flatMap(_.removedDeleteFiles).toSet
+    snapshots.flatMap(_.deleteFiles).filterNot(f => removed(f.path))
+  }
   def asOf(snapshotId: Long): TableState =
     copy(snapshots = snapshots.filter(_.id <= snapshotId))
 }
@@ -155,6 +166,10 @@ final class SnapshotLog(tableDir: Path) {
       val eqi = o.putArray("equalityIds"); f.equalityIds.foreach(eqi.add)
       putPartition(o, f.partition)
     }
+    val rdf = root.putArray("removedDataFiles")
+    s.removedDataFiles.foreach(rdf.add)
+    val rdel = root.putArray("removedDeleteFiles")
+    s.removedDeleteFiles.foreach(rdel.add)
     mapper.writeValueAsString(root)
   }
 
@@ -174,8 +189,11 @@ final class SnapshotLog(tableDir: Path) {
         o.get("equalityIds").elements().asScala.map(_.asInt).toSeq,
         o.get("seq").asLong)
     }.toSeq
+    def strArr(field: String): Seq[String] = Option(n.get(field))
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
     Snapshot(n.get("id").asLong, n.get("seq").asLong, n.get("schemaV").asInt,
-      n.get("specId").asInt, dfs, dels)
+      n.get("specId").asInt, dfs, dels,
+      strArr("removedDataFiles"), strArr("removedDeleteFiles"))
   }
 }
 

@@ -1,0 +1,199 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Relational-breadth inventory: the operator families a user of a general
+  * engine expects beyond the reference's own surface (SURVEY.md §2.8's
+  * "no reference implementation" list) — partitioned-layout pruning,
+  * rollup/cube, set ops, ranking windows, running windows, JSON
+  * extraction, as-of joins. Each is oracle-checked.
+  */
+object BreadthQueries {
+
+  /** Hive-partitioned copy of lineitem (by l_returnflag), written once per
+    * (jvm, sfDir) — the partitioned-SINK op; reads against it exercise
+    * Catalyst's partition-directory pruning (`PartitionFilters`, the
+    * `Expressions.in` analog on physical layout). */
+  private val partitionedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def partitionedLineitem(s: SparkSession, d: String): String =
+    partitionedDirs.computeIfAbsent(d, _ => {
+      val out = Files.createTempDirectory("graft-part-li").toString
+      tbl(s, d, "lineitem").write.partitionBy("l_returnflag")
+        .mode("overwrite").parquet(out)
+      out
+    })
+
+  val queries: Map[String, QueryFn] = Map(
+    "partition_prune" -> ((s, d) => {
+      s.read.parquet(partitionedLineitem(s, d))
+        .where(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("l_quantity"))).as("qty_cents"))
+        .orderBy("l_linestatus")
+    }),
+
+    "rollup_agg" -> ((s, d) => {
+      tbl(s, d, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("price_cents"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("cnt"), col("price_cents"))
+        .orderBy("prio", "status")
+    }),
+
+    "cube_agg" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("cnt"))
+        .orderBy("rf", "ls")
+    }),
+
+    "set_ops" -> ((s, d) => {
+      val orders = tbl(s, d, "orders")
+      val any = orders.select(col("o_custkey")).distinct()
+      val frequent = orders.groupBy("o_custkey").count()
+        .where(col("count") >= 3).select(col("o_custkey"))
+      val all = tbl(s, d, "customer").select(col("c_custkey").as("o_custkey"))
+      any.intersect(frequent).agg(count(lit(1)).as("n_frequent_buyers"))
+        .crossJoin(any.except(frequent).agg(count(lit(1)).as("n_casual_buyers")))
+        .crossJoin(all.except(any).agg(count(lit(1)).as("n_never_bought")))
+    }),
+
+    "window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      tbl(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"),
+          row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .where(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "orders")
+        .where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("running_n"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "json_extract" -> ((s, d) => {
+      ExtQueries.eventsWithTs(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("k_sum"),
+          max("k").as("k_max"))
+        .orderBy("event_type")
+    }),
+
+    // as-of join: each purchase matched to the user's most recent click at
+    // or before it (equi-join on user + range residual + max-reduce; exact
+    // and order-free, so tie semantics match the oracle's NOT EXISTS-free
+    // max() formulation)
+    "asof_join" -> ((s, d) => {
+      val ev = ExtQueries.eventsWithTs(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("_ts").as("p_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("_ts").as("c_ts"))
+      purchases.join(clicks,
+          col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"), "left")
+        .groupBy("event_id", "user_id", "p_ts")
+        .agg(max(col("c_ts")).as("last_click"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("last_click")).as("n_with_prior_click"),
+          sum(unix_micros(col("p_ts")) - unix_micros(col("last_click"))).as("gap_us_sum"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "partition_prune" ->
+      """SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY prio, status""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "set_ops" ->
+      """WITH any_b AS (SELECT DISTINCT o_custkey FROM orders),
+        |freq AS (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM (SELECT * FROM any_b INTERSECT SELECT * FROM freq)) AS BIGINT)
+        |    AS n_frequent_buyers,
+        |  CAST((SELECT COUNT(*) FROM (SELECT * FROM any_b EXCEPT SELECT * FROM freq)) AS BIGINT)
+        |    AS n_casual_buyers,
+        |  CAST((SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+        |        EXCEPT SELECT o_custkey FROM any_b)) AS BIGINT) AS n_never_bought""".stripMargin,
+
+    "window_rank" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents,
+        |       CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+        |       CAST(drnk AS INTEGER) AS drnk
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT)
+        |         AS running_cents
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, p.p_ts,
+        |         (SELECT MAX(c.c_ts) FROM c
+        |          WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts) AS last_click
+        |  FROM p)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(last_click) AS BIGINT) AS n_with_prior_click,
+        |       CAST(SUM(epoch_us(p_ts) - epoch_us(last_click)) AS BIGINT) AS gap_us_sum
+        |FROM m""".stripMargin
+  )
+}

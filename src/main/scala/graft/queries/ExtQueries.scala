@@ -27,11 +27,12 @@ object ExtQueries {
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
     * default; read it as long nanos and truncate to microseconds — the same
     * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies. */
-  private def evts(s: SparkSession, d: String): DataFrame = {
+  private[queries] def eventsWithTs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tbl(s, d, "events")
       .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
   }
+  private def evts(s: SparkSession, d: String): DataFrame = eventsWithTs(s, d)
 
   /** documents ∪ exact copies of every 10th doc under shifted ids. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
@@ -166,6 +167,17 @@ object ExtQueries {
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("cnt"), col("value_cents"))
         .orderBy("hour_start", "event_type")
+    }),
+
+    // gap-based sessions via the native session_window operator — must
+    // agree with the lag+running-sum formulation (same oracle shape)
+    "events_session_window" -> ((s, d) => {
+      evts(s, d)
+        .groupBy(col("user_id"), session_window(col("_ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+        .orderBy("user_id")
     }),
 
     "events_sessionize" -> ((s, d) => {
@@ -379,6 +391,24 @@ object ExtQueries {
         |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    // session_window semantics: event at ts ≥ prev + gap starts a NEW
+    // session (µs precision, half-open windows) — hence >= on the µs diff,
+    // unlike events_sessionize's truncated-second strict >
+    "events_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events),
+        |flags AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2) IS NULL
+        |           OR date_diff('microseconds',
+        |                lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2),
+        |                ts2) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e)
+        |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -41,6 +41,23 @@ object MorQueries {
     table(spark, "s8", Scenarios.createUnpartitionedOrdersWithDeletes)
   private def s11(spark: SparkSession): String =
     table(spark, "s11", Scenarios.createProductsWithEqDeletesSchemaChange)
+  /** S10 rebuilt under another name, then compacted — same live rows. */
+  private def s10c(spark: SparkSession): String =
+    built.computeIfAbsent("s10c", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_compacted")
+      g.create(Scenarios.ProductsSchema, Seq("category"), Scenarios.TinyRowGroupProps)
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget"), col("product_id") < 30, Seq("product_id")).commit()
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget", "gizmo"), col("color") === "green", Seq("color")).commit()
+        .append(Seq("widget", "gadget", "gizmo"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget", "gadget", "gizmo"),
+          col("product_id") % 200 >= 100, Seq("product_id")).commit()
+        .positionalDelete(Seq("widget"),
+          col("product_id") >= 50 && col("product_id") < 53).commit()
+        .compact().commit()
+      g.tableDir.toString
+    })
 
   val queries: Map[String, QueryFn] = Map(
     // S10 golden merge: full MoR pipeline → 450 rows across 3 categories
@@ -90,6 +107,15 @@ object MorQueries {
         .orderBy("category", "color")
     }),
 
+    // compaction roundtrip: S10 state rewritten copy-on-write — the merged
+    // result must be byte-equal to the MoR read (same oracle as
+    // mor_count_golden)
+    "mor_compact_golden" -> ((s, _) => {
+      MorReader.read(s, s10c(s))
+        .groupBy("category").agg(count(lit(1)).as("cnt"))
+        .orderBy("category")
+    }),
+
     // partition-pruned MoR read (Expressions.in analog): widget partition only
     "mor_partition_prune" -> ((s, _) => {
       MorReader.readWhere(s, s10(s), Map("category" -> Set("widget")))
@@ -111,6 +137,15 @@ object MorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "mor_count_golden" ->
+      s"""$s10Rows
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
+         |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |  AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |  AND NOT (id % 200 >= 100 AND seq < 6)
+         |  AND NOT (id BETWEEN 50 AND 52)
+         |GROUP BY category ORDER BY category""".stripMargin,
+
+    "mor_compact_golden" ->
       s"""$s10Rows
          |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
          |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)

@@ -54,6 +54,8 @@ final class GraftTableGenerator(
   private var stagedOps: Int = 0
   private var stagedData: Vector[DataFileEntry] = Vector.empty
   private var stagedDeletes: Vector[DeleteFileEntry] = Vector.empty
+  private var stagedRemovedData: Vector[String] = Vector.empty
+  private var stagedRemovedDeletes: Vector[String] = Vector.empty
 
   private def nextOpSeq(): Long = { stagedOps += 1; committedSeq + stagedOps }
 
@@ -284,13 +286,44 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Compaction (merge-on-read → copy-on-write rewrite): per selected
+    * partition, materialize the MoR-merged live rows into ONE fresh data
+    * file and drop the partition's old data + delete files from the live
+    * set (they stay on disk, so time travel to earlier snapshots still
+    * resolves). The Iceberg `rewrite_data_files` analog — at scale this is
+    * the operation that caps delete-file fan-in on the read path.
+    */
+  def compact(partitionValues: Option[Seq[Any]] = None): this.type = {
+    val opSeq = nextOpSeq()
+    val st = log.load()
+    for ((partition, files) <- plannedPartitions(partitionValues)) {
+      val filter = partition.map { case (k, v) => k -> Set(v) }
+      val merged = MorReader.read(spark, tableDir.toString, None, filter)
+      val partitionString = partitionDirName(partition)
+      val target =
+        if (partitionString.nonEmpty)
+          uniqueNumberedFile(dataDir.resolve(partitionString),
+            s"$partitionString-%02d.parquet")
+        else uniqueNumberedFile(dataDir, "%02d.parquet")
+      val rows = merged.count()
+      writeSingleFile(merged.select(schema.names.map(col): _*), target)
+      stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
+        opSeq, rows)
+      stagedRemovedData ++= files.map(_.path)
+      stagedRemovedDeletes ++=
+        st.deleteFiles.filter(_.partition == partition).map(_.path)
+    }
+    this
+  }
+
   /** One snapshot per commit (reference `IcebergTableGenerator.java:375-379`). */
   def commit(): this.type = {
     committedSnapId += 1
     committedSeq += stagedOps
     log.commit(Snapshot(committedSnapId, committedSeq, schemaV, specId,
-      stagedData, stagedDeletes))
+      stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes))
     stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
+    stagedRemovedData = Vector.empty; stagedRemovedDeletes = Vector.empty
     this
   }
 

@@ -157,6 +157,37 @@ class GraftTableSpec extends SparkSpec {
     assert(df.select("id").distinct().count() == 30)
   }
 
+  test("compaction rewrites MoR state losslessly; time travel survives") {
+    val g = new GraftTableGenerator(spark, wh, "compact_products")
+    g.create(Scenarios.ProductsSchema, Seq("category"), Scenarios.TinyRowGroupProps)
+      .append(Seq("widget"), Bundles.products(), 1, 200).commit()
+      .equalityDelete(Seq("widget"), col("product_id") < 30, Seq("product_id")).commit()
+      .append(Seq("gizmo"), Bundles.products(), 1, 200).commit()
+      .equalityDelete(Seq("widget", "gizmo"), col("color") === "green", Seq("color")).commit()
+    val before = g.read.groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.values.sum == 333)
+
+    g.compact().commit()
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    assert(st.deleteFiles.isEmpty) // all delete files rewritten away
+    assert(st.dataFiles.size == 2) // one per partition
+    val after = g.read.groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    // id multiset preserved, not just counts: live = ids ≥30 not ending in 5
+    val expectedIdSum = (0 until 400).filter(i => i >= 30 && i % 10 != 5).map(_.toLong).sum
+    assert(g.read.agg(sum(col("product_id"))).head().getLong(0) == expectedIdSum)
+    // pre-compaction snapshots still resolve from the old files
+    assert(g.readAt(2).count() == 170)
+    assert(g.readAt(4).count() == 333)
+    // further MoR ops compose on the compacted state: live widget ids < 40
+    // are 30..39 minus green-deleted 35 → 9 rows removed
+    g.positionalDelete(Seq("widget"), col("product_id") < 40).commit()
+    assert(g.read.where(col("category") === "widget").count() ==
+      before("widget") - 9)
+  }
+
   test("eq-delete sequence visibility property: re-inserted keys survive") {
     val g = new GraftTableGenerator(spark, wh, "seq_vis")
     g.create(Scenarios.ProductsSchema, Seq("category"))

@@ -63,6 +63,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("partition_prune hits PartitionFilters — non-matching dirs never open") {
+    val p = plan("partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    // the partition column filter must NOT degrade to a data filter
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!scanLine.contains("PushedFilters: [IsNotNull(l_returnflag"), scanLine)
+  }
+
   test("dedup_exact shuffles only (hash, id) — no text column past the scan") {
     val p = plan("dedup_exact")
     val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
