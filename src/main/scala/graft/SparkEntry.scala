@@ -33,10 +33,16 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every query is
+    * wrapped to register graft's native Catalyst functions on whatever
+    * session the host hands us (idempotent). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ MorQueries.queries ++ ExtQueries.queries ++
-      MediaQueries.queries ++ BreadthQueries.queries
+    (RelationalQueries.queries ++ MorQueries.queries ++ ExtQueries.queries ++
+      MediaQueries.queries ++ BreadthQueries.queries).map { case (k, fn) =>
+      k -> ((s: SparkSession, d: String) => {
+        graft.functions.GraftFunctions.ensureRegistered(s); fn(s, d)
+      })
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

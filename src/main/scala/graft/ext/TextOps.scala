@@ -15,7 +15,7 @@ object TextOps {
   /** 60-bit deterministic hash: first 15 hex digits of md5, as a long.
     * DuckDB mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    call_function("md5prefix64", c.cast("binary"))
 
   /** Lowercased, latin-alnum-normalized text, single-spaced. */
   def norm(text: Column): Column =
@@ -44,13 +44,9 @@ object TextOps {
     val s = shinglesColName
     val nSalts = k / 4
     val salts = (0 until nSalts).map(i => s"'$i'").mkString(", ")
-    val slices = (0 until 4)
-      .map(j => s"cast(conv(substr(m, ${1 + 8 * j}, 8), 16, 10) as bigint)")
-      .mkString(", ")
     val perShingle =
-      s"""flatten(transform(
-         |  transform(array($salts), si -> md5(cast(concat(si, '|', x) as binary))),
-         |  m -> array($slices)))""".stripMargin
+      s"""flatten(transform(array($salts),
+         |  si -> md5lanes4(cast(concat(si, '|', x) as binary))))""".stripMargin
     val init = Seq.fill(k)(Long.MaxValue.toString + "L").mkString(", ")
     expr(
       s"""aggregate(
@@ -61,8 +57,7 @@ object TextOps {
 
   /** Token-hash array (materialize once; [[simhash16]] reads it 16×). */
   def tokenHashes(tokensColName: String): Column =
-    expr(s"transform($tokensColName, x -> " +
-      "cast(conv(substr(md5(cast(x as binary)), 1, 15), 16, 10) as bigint))")
+    expr(s"transform($tokensColName, x -> md5prefix64(cast(x as binary)))")
 
   /** 16-bit SimHash over a PRE-COMPUTED token-hash array column: bit b is
     * set iff tokens whose hash has bit b outnumber those without (majority
@@ -83,7 +78,7 @@ object TextOps {
   def fingerprint(tokensColName: String): Column = {
     val t = tokensColName
     expr(s"aggregate(zip_with($t, sequence(0, size($t) - 1), (x, i) -> " +
-      "(cast(conv(substr(md5(cast(x as binary)), 1, 15), 16, 10) as bigint) % 1000003)" +
+      "(md5prefix64(cast(x as binary)) % 1000003)" +
       " * ((i % 97) + 1)), cast(0 as bigint), (acc, v) -> acc + v) % 1000003")
   }
 
