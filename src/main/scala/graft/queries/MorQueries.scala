@@ -39,6 +39,8 @@ object MorQueries {
     table(spark, "s7", Scenarios.createSmallOrdersWithPartitionEvolution)
   private def s8(spark: SparkSession): String =
     table(spark, "s8", Scenarios.createUnpartitionedOrdersWithDeletes)
+  private def s12(spark: SparkSession): String =
+    table(spark, "s12", Scenarios.createWideMetrics)
   private def s11(spark: SparkSession): String =
     table(spark, "s11", Scenarios.createProductsWithEqDeletesSchemaChange)
   /** S10 rebuilt under another name, then compacted — same live rows. */
@@ -114,6 +116,16 @@ object MorQueries {
       MorReader.read(s, s10c(s))
         .groupBy("category").agg(count(lit(1)).as("cnt"))
         .orderBy("category")
+    }),
+
+    // S12 wide schema (1000 cols, 30 files × 1 row): planning + projection
+    // over a metadata-heavy table; only id-derived facts are SQL-replayable
+    // (metric values are xxhash64-derived, which DuckDB lacks)
+    "mor_wide_metrics" -> ((s, _) => {
+      val df = MorReader.read(s, s12(s))
+      df.agg(count(lit(1)).as("cnt"),
+        sum(col("id").cast("long")).as("id_sum"),
+        lit(df.columns.length.toLong).as("n_cols"))
     }),
 
     // partition-pruned MoR read (Expressions.in analog): widget partition only
@@ -201,6 +213,11 @@ object MorQueries {
         |SELECT category, color, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
         |WHERE NOT (category = 'widget' AND id < 30)
         |GROUP BY category, color ORDER BY category, color""".stripMargin,
+
+    "mor_wide_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(1000 AS BIGINT) AS n_cols
+        |FROM (SELECT range AS id FROM range(0, 30))""".stripMargin,
 
     "mor_partition_prune" ->
       s"""$s10Rows
