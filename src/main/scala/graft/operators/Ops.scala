@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed relational primitives that need more than a single built-in
+  * call — each written the way it must work on a 1000-executor cluster.
+  */
+object Ops {
+
+  /** Global 0-based row index in `sortCols` order WITHOUT a
+    * single-partition window (the `Window.orderBy(...)` formulation moves
+    * the whole dataset through one task — fine at 60k rows, dead at 100 TB).
+    * Here: range-repartition on the sort key (sampled range exchange),
+    * sort within partitions, then per-partition offsets via
+    * `rdd.zipWithIndex` (one lightweight count job + one attach pass).
+    */
+  def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
+                      idxName: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add(idxName, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Skew-resistant equi-join: the large side's key is salted into
+    * `saltFactor` buckets and the small side is replicated across every
+    * bucket, so one hot key spreads over `saltFactor` tasks instead of
+    * hammering one. Result is row-identical to the plain join. (AQE's
+    * skew-join handles sort-merge cases adaptively; explicit salting is
+    * the deterministic variant that also covers hash joins and custom
+    * partitioners.)
+    */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, largeKey: String,
+                     smallKey: String, saltFactor: Int): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated,
+        salted(largeKey) === replicated(smallKey) &&
+          salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+}

@@ -116,12 +116,23 @@ object RelationalQueries {
     }),
 
     // ---- position assignment (delete addressing, SURVEY §2.8 pos_assign) ----
+    // global index WITHOUT a single-partition window: range exchange +
+    // per-partition offsets (graft.operators.Ops.withGlobalIndex)
     "pos_assign" -> ((s, d) => {
-      val w = Window.orderBy("l_orderkey", "l_linenumber")
-      tbl(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-                (row_number().over(w) - 1).cast("long").as("pos"))
+      graft.operators.Ops.withGlobalIndex(
+          tbl(s, d, "lineitem").select("l_orderkey", "l_linenumber"),
+          Seq(col("l_orderkey"), col("l_linenumber")), "pos")
         .orderBy("pos")
+    }),
+
+    // skew-resistant salted equi-join — row-identical to the plain join
+    "join_skew_salted" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+      val ords = tbl(s, d, "orders")
+      graft.operators.Ops.saltedEquiJoin(li, ords, "l_orderkey", "o_orderkey", 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("l_extendedprice"))).as("rev_cents"))
+        .orderBy("o_orderpriority")
     }),
 
     // ---- MoR positional-delete application (ref :177-286) ----
@@ -245,6 +256,12 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber,
         |       CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS pos
         |FROM lineitem ORDER BY pos""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "pos_delete_merge" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
