@@ -41,6 +41,17 @@ object MorQueries {
     table(spark, "s8", Scenarios.createUnpartitionedOrdersWithDeletes)
   private def s12(spark: SparkSession): String =
     table(spark, "s12", Scenarios.createWideMetrics)
+  /** 200 widget rows, then upsert of ids 100..249 (100 replace + 50 insert). */
+  private def upserted(spark: SparkSession): String =
+    built.computeIfAbsent("upserted", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_upserted")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 200).commit()
+      val incoming = graft.gen.Bundles.products()
+        .frame(spark, 100, 150, Some("widget"), Scenarios.ProductsSchema)
+      g.upsert(incoming, Seq("product_id")).commit()
+      g.tableDir.toString
+    })
   private def s11(spark: SparkSession): String =
     table(spark, "s11", Scenarios.createProductsWithEqDeletesSchemaChange)
   /** S10 rebuilt under another name, then compacted — same live rows. */
@@ -115,6 +126,17 @@ object MorQueries {
     "mor_compact_golden" -> ((s, _) => {
       MorReader.read(s, s10c(s))
         .groupBy("category").agg(count(lit(1)).as("cnt"))
+        .orderBy("category")
+    }),
+
+    // MERGE-style upsert (eq-delete + append composition): 200 rows,
+    // 150 incoming (100 replace, 50 insert) → 250 distinct keys
+    "mor_upsert" -> ((s, _) => {
+      MorReader.read(s, upserted(s))
+        .groupBy("category")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"),
+          countDistinct(col("product_id")).as("n_keys"))
         .orderBy("category")
     }),
 
@@ -213,6 +235,12 @@ object MorQueries {
         |SELECT category, color, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
         |WHERE NOT (category = 'widget' AND id < 30)
         |GROUP BY category, color ORDER BY category, color""".stripMargin,
+
+    "mor_upsert" ->
+      """SELECT 'widget' AS category, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_keys
+        |FROM (SELECT range AS id FROM range(0, 250))""".stripMargin,
 
     "mor_wide_metrics" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,

@@ -261,6 +261,60 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Append caller-provided rows (live-schema columns required; for
+    * partitioned specs the partition column must be populated). One data
+    * file per partition value — the scenario-scale path; a 100 TB ingest
+    * would use `partitionBy` bulk writes with the same registration. */
+  def appendData(df: DataFrame): this.type = {
+    val opSeq = nextOpSeq()
+    val parts: Seq[(Map[String, String], DataFrame)] =
+      if (partitionCols.isEmpty) Seq((Map.empty[String, String], df))
+      else {
+        val pcol = partitionCols.head
+        df.select(pcol).distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
+          .map(v => (Map(pcol -> v.toString), df.where(col(pcol) === v)))
+      }
+    for ((partition, rows) <- parts) {
+      val partitionString = partitionDirName(partition)
+      val target =
+        if (partitionString.nonEmpty)
+          uniqueNumberedFile(dataDir.resolve(partitionString),
+            s"$partitionString-%02d.parquet")
+        else uniqueNumberedFile(dataDir, "%02d.parquet")
+      val n = rows.count()
+      writeSingleFile(rows.select(schema.names.map(col): _*), target)
+      stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
+        opSeq, n)
+    }
+    this
+  }
+
+  /** MERGE-style upsert: rows whose `keyCols` tuple already exists replace
+    * the old row; new keys insert. Composed from the MoR primitives — an
+    * equality-delete file holding the incoming rows (op seq s) followed by
+    * an append (op seq s+1): old rows have seq < s and die, incoming rows
+    * have seq s+1 > s and live. No data file is rewritten — pure
+    * merge-on-read, O(incoming) write cost.
+    */
+  def upsert(df: DataFrame, keyCols: Seq[String]): this.type = {
+    keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    val delSeq = nextOpSeq()
+    val parts: Seq[(Map[String, String], DataFrame)] =
+      if (partitionCols.isEmpty) Seq((Map.empty[String, String], df))
+      else {
+        val pcol = partitionCols.head
+        df.select(pcol).distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
+          .map(v => (Map(pcol -> v.toString), df.where(col(pcol) === v)))
+      }
+    for ((partition, rows) <- parts) {
+      val target = deleteFileTarget("eqdelete", partition)
+      writeSingleFile(rows.select(schema.names.map(col): _*), target)
+      stagedDeletes :+= DeleteFileEntry(target.toString, partition, "eq", keyCols,
+        keyCols.map(schema.fieldId), delSeq)
+    }
+    appendData(df)
+  }
+
   // ---- evolution (reference `IcebergTableGenerator.java:94-101`, `Main.java:440-443`) ----
 
   /** Partition-spec evolution: later appends use the new spec; existing

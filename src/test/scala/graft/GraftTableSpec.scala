@@ -188,6 +188,28 @@ class GraftTableSpec extends SparkSpec {
       before("widget") - 9)
   }
 
+  test("upsert: existing keys replaced, new keys inserted, time travel intact") {
+    val g = new GraftTableGenerator(spark, wh, "upsert_demo")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), Bundles.products(), 1, 200).commit()
+    // incoming batch: ids 100..249 (100..199 replace, 200..249 insert),
+    // recognizably mutated (weight = id as a double)
+    val incoming = Bundles.products()
+      .frame(spark, 100, 150, Some("widget"), Scenarios.ProductsSchema)
+      .withColumn("weight", col("product_id").cast("double"))
+    g.upsert(incoming, Seq("product_id")).commit()
+
+    val df = g.read
+    assert(df.count() == 250)
+    assert(df.select("product_id").distinct().count() == 250)
+    // replaced rows carry the new weight; untouched rows keep the old one
+    assert(df.where(col("product_id") === 150 && col("weight") === 150.0).count() == 1)
+    assert(df.where(col("product_id") < 100 && col("weight") === col("product_id")
+      .cast("double")).count() == 0)
+    // pre-upsert snapshot unchanged
+    assert(g.readAt(1).count() == 200)
+  }
+
   test("eq-delete sequence visibility property: re-inserted keys survive") {
     val g = new GraftTableGenerator(spark, wh, "seq_vis")
     g.create(Scenarios.ProductsSchema, Seq("category"))
