@@ -133,6 +133,15 @@ final class SnapshotLog(tableDir: Path) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Atomically replace the whole history (snapshot expiry). */
+  def rewrite(snapshots: Seq[Snapshot]): Unit = {
+    init()
+    val tmp = Files.createTempFile(metaDir, ".log", ".tmp")
+    Files.writeString(tmp, snapshots.map(renderSnapshot).mkString("", "\n", "\n"))
+    Files.move(tmp, logFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ---- json ----
 
   private def listVersioned(prefix: String): Seq[(Int, Path)] =

@@ -120,28 +120,55 @@ final class GraftTableGenerator(
   }
 
   /** Bulk distributed append — the 100 TB-scale sink the per-file loop is
-    * not: one Spark job writes `numFiles` files in parallel and registers
-    * them all. Rows get ids in an unspecified per-file order (determinism
-    * holds per run via the input df). Unpartitioned specs only.
+    * not: ONE Spark job writes all files in parallel (`partitionBy` when
+    * the spec is partitioned), then every produced part file is registered.
+    * Declared record counts are -1 (unknown without a second pass; readers
+    * never trust declared counts anyway — that is the engine's contract).
     */
   def appendBulk(df: DataFrame, numFiles: Int): this.type = {
-    require(partitionCols.isEmpty, "appendBulk supports unpartitioned specs")
     val opSeq = nextOpSeq()
     val staging = Files.createTempDirectory(tableDir, ".staging")
-    df.repartition(numFiles).write.options(props).mode("overwrite")
-      .parquet(staging.toString)
-    val parts = Files.list(staging).iterator()
-    val it = new scala.collection.AbstractIterator[Path] {
-      def hasNext = parts.hasNext; def next() = parts.next()
-    }
-    it.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      .foreach { part =>
-        val target = uniqueNumberedFile(dataDir, "%02d.parquet")
-        Files.createDirectories(target.getParent)
-        Files.move(part, target)
-        stagedData :+= DataFileEntry(target.toString, Map.empty, specId, schemaV,
-          opSeq, -1L) // count unknown; readers never trust declared counts
+    def list(dir: Path): Seq[Path] = {
+      val s = Files.list(dir).iterator()
+      val it = new scala.collection.AbstractIterator[Path] {
+        def hasNext = s.hasNext; def next() = s.next()
       }
+      it.toSeq
+    }
+    if (partitionCols.isEmpty) {
+      df.repartition(numFiles).write.options(props).mode("overwrite")
+        .parquet(staging.toString)
+      list(staging).filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.toString).foreach { part =>
+          val target = uniqueNumberedFile(dataDir, "%02d.parquet")
+          Files.createDirectories(target.getParent)
+          Files.move(part, target)
+          stagedData :+= DataFileEntry(target.toString, Map.empty, specId,
+            schemaV, opSeq, -1L)
+        }
+    } else {
+      val pcol = partitionCols.head
+      // partitionBy strips its column from file contents, but identity
+      // transform keeps partition values as data columns — partition on a
+      // duplicate so the real column stays in the files
+      val dup = s"__part_$pcol"
+      df.withColumn(dup, col(pcol)).repartition(numFiles, col(pcol))
+        .write.options(props)
+        .partitionBy(dup).mode("overwrite").parquet(staging.toString)
+      list(staging).filter(p => p.getFileName.toString.startsWith(s"$dup="))
+        .sortBy(_.toString).foreach { pdir =>
+          val value = pdir.getFileName.toString.stripPrefix(s"$dup=")
+          list(pdir).filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.toString).foreach { part =>
+              val target = uniqueNumberedFile(dataDir.resolve(value),
+                s"$value-%02d.parquet")
+              Files.createDirectories(target.getParent)
+              Files.move(part, target)
+              stagedData :+= DataFileEntry(target.toString,
+                Map(pcol -> value), specId, schemaV, opSeq, -1L)
+            }
+        }
+    }
     deleteRecursively(staging)
     this
   }
@@ -367,6 +394,34 @@ final class GraftTableGenerator(
       stagedRemovedDeletes ++=
         st.deleteFiles.filter(_.partition == partition).map(_.path)
     }
+    this
+  }
+
+  /** Snapshot expiry (the remaining Iceberg maintenance op): drop history
+    * older than `keepLast` snapshots and DELETE files that are no longer
+    * reachable from any retained snapshot (compaction leftovers). Retained
+    * snapshots are rebased into one baseline snapshot + the recent tail,
+    * so current reads and time travel within the retained window are
+    * unchanged; travel past the horizon is gone by design.
+    */
+  def expireSnapshots(keepLast: Int): this.type = {
+    require(stagedOps == 0, "commit staged work before expiring snapshots")
+    val st = log.load()
+    if (st.snapshots.size <= keepLast) return this
+    val horizon = st.snapshots(st.snapshots.size - keepLast - 1).id
+    val base = st.asOf(horizon)
+    // files live at the horizon — everything else written before it is orphaned
+    val liveData = base.dataFiles
+    val liveDeletes = base.deleteFiles
+    val livePaths = (liveData.map(_.path) ++ liveDeletes.map(_.path)).toSet
+    val orphaned = (base.snapshots.flatMap(_.dataFiles).map(_.path) ++
+      base.snapshots.flatMap(_.deleteFiles).map(_.path))
+      .filterNot(livePaths).distinct
+    val baseline = Snapshot(horizon, base.snapshots.last.seq,
+      base.currentSchemaV, base.currentSpecId, liveData, liveDeletes)
+    val tail = st.snapshots.drop(st.snapshots.size - keepLast)
+    log.rewrite(baseline +: tail)
+    orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
     this
   }
 

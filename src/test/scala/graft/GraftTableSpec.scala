@@ -188,6 +188,49 @@ class GraftTableSpec extends SparkSpec {
       before("widget") - 9)
   }
 
+  test("expireSnapshots drops history + deletes orphaned files; current reads unchanged") {
+    val g = new GraftTableGenerator(spark, wh, "expire_demo")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), Bundles.products(), 1, 100).commit()       // snap 1
+      .equalityDelete(Seq("widget"), col("product_id") < 20, Seq("product_id")).commit() // 2
+      .compact().commit()                                               // 3
+      .append(Seq("widget"), Bundles.products(), 1, 50).commit()        // 4
+    val before = g.read.count()
+    assert(before == 130)
+    val preFiles = java.nio.file.Files.walk(g.tableDir.resolve("data"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+
+    g.expireSnapshots(keepLast = 1) // horizon = snap 3 (compact) as baseline, keep snap 4
+    assert(g.read.count() == before)
+    assert(g.readAt(3).count() == 80)  // retained horizon still resolves
+    assert(g.readAt(1).count() == 0)   // history past the horizon is gone
+    // pre-compaction data + delete files physically removed
+    val postFiles = java.nio.file.Files.walk(g.tableDir.resolve("data"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(postFiles < preFiles)
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    assert(st.snapshots.size == 2) // baseline + 1 retained
+    // engine continues to operate post-expiry
+    g.positionalDelete(Seq("widget"), col("product_id") >= 140).commit()
+    assert(g.read.count() == 120)
+  }
+
+  test("appendBulk (partitioned): one job, files per partition dir, reader-visible") {
+    val g = new GraftTableGenerator(spark, wh, "bulk_demo")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+    val rows = graft.gen.Bundles.ordersUnpartitioned()
+      .frame(spark, 0, 3000, None, Scenarios.OrdersSchema)
+    g.appendBulk(rows, numFiles = 6).commit()
+    val df = g.read
+    assert(df.count() == 3000)
+    // partition column survived in-file AND as directory layout
+    assert(df.groupBy("order_year").count().collect().map(_.getLong(1)).sum == 3000)
+    val pruned = graft.read.MorReader.readWhere(spark, g.tableDir.toString,
+      Map("order_year" -> Set("2020")))
+    assert(pruned.count() == df.where(col("order_year") === 2020).count())
+    assert(pruned.count() > 0)
+  }
+
   test("upsert: existing keys replaced, new keys inserted, time travel intact") {
     val g = new GraftTableGenerator(spark, wh, "upsert_demo")
     g.create(Scenarios.ProductsSchema, Seq("category"))
