@@ -90,6 +90,36 @@ object BreadthQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // pivot: status counts spread across priority columns (fixed pivot
+    // values keep the schema static and oracle-stable)
+    "pivot_agg" -> ((s, d) => {
+      tbl(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // exact interpolated percentiles (both engines: linear interpolation)
+    "percentile_agg" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        // single aggregation buffer for all three percentiles
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"),
+          round(element_at(col("ps"), 3), 4).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
     "json_extract" -> ((s, d) => {
       ExtQueries.eventsWithTs(s, d)
         .select(col("event_type"),
@@ -174,6 +204,22 @@ object BreadthQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "json_extract" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,

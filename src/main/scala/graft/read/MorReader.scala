@@ -133,13 +133,21 @@ object MorReader {
       .drop("_m_fp", "_m_seq")
 
     // ---- positional deletes: anti-join on (path, pos) -------------------
+    // ONE scan over all pos-delete files (S9 has 100 of them — a per-file
+    // or per-seq union would put 100 branches in the plan); each delete
+    // row learns its file's sequence number via a broadcast path→seq map.
     val posFiles = deleteFiles.filter(_.kind == "pos")
     if (posFiles.nonEmpty) {
-      val dels = posFiles.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, fs) =>
-        spark.read.parquet(fs.map(_.path): _*)
-          .select(col("file_path").as("_d_fp"), col("pos").as("_d_pos"),
-                  lit(seq).as("_d_seq"))
-      }.reduce(_.unionByName(_))
+      val posSeqMap = spark.createDataFrame(posFiles.map(f => (f.path, f.seq)))
+        .toDF("_df_path", "_d_seq")
+      val dels = spark.read
+        .schema(StructType(Seq(StructField("file_path", StringType),
+          StructField("pos", LongType))))
+        .parquet(posFiles.map(_.path): _*)
+        .select(col("file_path").as("_d_fp"), col("pos").as("_d_pos"),
+          normPath(col("_metadata.file_path")).as("_d_src"))
+        .join(broadcast(posSeqMap), col("_d_src") === col("_df_path"))
+        .select(col("_d_fp"), col("_d_pos"), col("_d_seq"))
       data = data.join(dels,
         col(FilePathCol) === col("_d_fp") && col(PosCol) === col("_d_pos") &&
           col("_d_seq") >= col(SeqCol),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.EventSessions
+import graft.streaming.{EventPipeline, EventSessions}
 import graft.streaming.EventSessions.Ev
 
 class StreamingSpec extends SparkSpec {
@@ -56,6 +56,53 @@ class StreamingSpec extends SparkSpec {
         }
       assert(streamed == batchSummaries(1800))
     } finally sq.stop()
+  }
+
+  test("file-source pipeline: readStream → watermark window → parquet sink == batch") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("pipeline")
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("ts").cache()
+    val n = events.count()
+    // land the events as 3 input files in time order, plus a far-future
+    // sentinel file that advances the watermark past every real window
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("land")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, java.nio.file.Paths.get(in, s"$name.parquet"))
+      }
+    }
+    val chunks = events.collect().grouped((n / 3 + 1).toInt).toSeq
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      land(spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+        events.schema), s"chunk$i")
+    }
+    // far-future sentinel advances the watermark past every real window
+    land(events.limit(1)
+      .withColumn("ts", col("ts") + expr("interval 365 days"))
+      .withColumn("event_type", lit("__sentinel__")), "zz_sentinel")
+
+    val sq = EventPipeline.start(spark, in, out, ckpt)
+    try sq.processAllAvailable() finally sq.stop()
+
+    val streamed = spark.read.parquet(out)
+      .where(col("event_type") =!= "__sentinel__")
+      .select("hour_start", "event_type", "cnt", "value_cents")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = EventPipeline.windowedCounts(events).collect()
+      .map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("streaming result is batch-split invariant (one batch vs many)") {
