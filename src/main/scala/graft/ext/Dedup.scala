@@ -75,8 +75,10 @@ object Dedup {
     val probeArr = s"array(${probeGrams.map(g => s"'$g'").mkString(", ")})"
     df.withColumn("_norm", TextOps.norm(col(textCol)))
       .withColumn("_grams", array_distinct(TextOps.shingles("_norm", k, 1)))
+      // |A∪B| = |A| + |B| − |A∩B|: skips materializing the union array
+      .withColumn("_inter", expr(s"size(array_intersect(_grams, $probeArr))"))
       .select(col(idCol),
-        expr(s"round(size(array_intersect(_grams, $probeArr)) / " +
-          s"cast(size(array_union(_grams, $probeArr)) as double), 4)").as("jaccard"))
+        expr(s"round(_inter / cast(size(_grams) + ${probeGrams.size} - _inter" +
+          " as double), 4)").as("jaccard"))
   }
 }

@@ -130,6 +130,18 @@ object BreadthQueries {
         .orderBy("event_type")
     }),
 
+    // HLL++ sketches: approximate distinct counts at 2% target error — the
+    // sketch path for cardinalities where exact countDistinct's shuffle is
+    // the bottleneck. No SQL oracle (sketch estimates are engine-specific);
+    // rows-only check here, exact-vs-approx tolerance proven in ExtSpec.
+    "sketch_approx_distinct" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .orderBy("l_returnflag")
+    }),
+
     // as-of join: each purchase matched to the user's most recent click at
     // or before it (equi-join on user + range residual + max-reduce; exact
     // and order-free, so tie semantics match the oracle's NOT EXISTS-free

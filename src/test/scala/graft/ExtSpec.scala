@@ -82,6 +82,15 @@ class ExtSpec extends SparkSpec {
     assert(ivf.contains(0L))
   }
 
+  test("approx_count_distinct sketch lands within 5% of exact") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+  }
+
   test("streaming: windowed event counts match the batch events_window query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
