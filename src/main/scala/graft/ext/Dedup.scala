@@ -45,14 +45,26 @@ object Dedup {
           val slice = s"slice(_sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
           s"concat('$b:', array_join($slice, ','))"
         }.mkString("array(", ", ", ")"))).as("_band"))
-    val a = bands.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"), col("_band"))
-    val b = bands.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"), col("_band"))
-    val est = expr(
-      s"""size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))
-         | / cast($numHashes as double)""".stripMargin)
-    a.join(b, Seq("_band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+    // pairs generated INSIDE each band bucket (groupBy + in-bucket pair
+    // expansion) rather than a self-join — one pass over the signature
+    // pipeline and one shuffle on the band key. Bucket sizes are near-dup
+    // cluster sizes (tiny); a production corpus would cap pathological
+    // buckets before expansion.
+    val members = bands
+      .groupBy("_band")
+      .agg(collect_list(struct(col(idCol).as("id"), col("_sig").as("sig")))
+        .as("_members"))
+      .where(size(col("_members")) > 1)
+    val pairs = members.select(explode(expr(
+      """flatten(transform(sequence(1, size(_members) - 1),
+        |  i -> transform(slice(_members, i + 1, size(_members) - i),
+        |    n -> struct(element_at(_members, i) as a, n as b))))""".stripMargin))
+      .as("_p"))
+    pairs.select(
+        least(col("_p.a.id"), col("_p.b.id")).as("id_a"),
+        greatest(col("_p.a.id"), col("_p.b.id")).as("id_b"),
+        (expr("size(filter(zip_with(_p.a.sig, _p.b.sig, (x, y) -> x = y), v -> v))")
+          / numHashes.toDouble).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
       .distinct()
   }
