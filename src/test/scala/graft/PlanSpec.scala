@@ -71,6 +71,22 @@ class PlanSpec extends SparkSpec {
     assert(!scanLine.contains("PushedFilters: [IsNotNull(l_returnflag"), scanLine)
   }
 
+  test("mor_count_golden plan: hash/broadcast anti-joins only, no nested loop") {
+    val p = plan("mor_count_golden")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("dedup_minhash plan: single signature pipeline (no duplicated scan sides)") {
+    val df = SparkEntry.queries("dedup_minhash")(spark, dir)
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan"))
+    // corpus = documents ∪ perturbed documents = 2 scans; the old self-join
+    // formulation had 4
+    assert(scans == 2, s"expected 2 scans, got $scans")
+  }
+
   test("dedup_exact shuffles only (hash, id) — no text column past the scan") {
     val p = plan("dedup_exact")
     val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
