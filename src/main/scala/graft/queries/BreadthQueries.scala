@@ -130,6 +130,40 @@ object BreadthQueries {
         .orderBy("event_type")
     }),
 
+    // explicit GROUPING SETS (beyond rollup/cube) through the SQL surface
+    "grouping_sets_agg" -> ((s, d) => {
+      tbl(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS prio,
+          |       count(1) AS cnt
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, prio""".stripMargin)
+    }),
+
+    // string-function family (shared-semantics subset: no initcap in DuckDB)
+    "str_funcs" -> ((s, d) => {
+      tbl(s, d, "part")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(replace(col("p_type"), lit(" "), lit("")))).as("type_chars"),
+          min(upper(substring(col("p_name"), 1, 8))).as("first_name"),
+          max(levenshtein(col("p_brand"), col("p_type"))).as("max_lev"))
+        .orderBy("p_brand")
+    }),
+
+    // date/time extraction + truncation family
+    "date_funcs" -> ((s, d) => {
+      tbl(s, d, "orders")
+        .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).as("cnt"), min("dom").as("first_day"),
+          max("dom").as("last_day"))
+        .orderBy("y", "m")
+    }),
+
     // HLL++ sketches: approximate distinct counts at 2% target error — the
     // sketch path for cardinalities where exact countDistinct's shuffle is
     // the bottleneck. No SQL oracle (sketch estimates are engine-specific);
@@ -216,6 +250,29 @@ object BreadthQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "grouping_sets_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin,
+
+    "str_funcs" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(length(replace(p_type, ' ', ''))) AS BIGINT) AS type_chars,
+        |       MIN(upper(substr(p_name, 1, 8))) AS first_name,
+        |       CAST(MAX(levenshtein(p_brand, p_type)) AS INTEGER) AS max_lev
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(MIN(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS first_day,
+        |       CAST(MAX(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS last_day
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
 
     "pivot_agg" ->
       """SELECT o_orderstatus,

@@ -140,6 +140,33 @@ object MorQueries {
         .orderBy("category")
     }),
 
+    // products created_date = LocalDate(2022 - id/12, 12 - id%12, 1) —
+    // deterministic date arithmetic replayed in SQL over the live S10 rows
+    // (SURVEY §2.6 key `date_arith_created`, reference Main.java:537)
+    "date_arith_created" -> ((s, _) => {
+      MorReader.read(s, s10(s))
+        .groupBy(year(col("created_date")).as("y"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(month(col("created_date"))).as("n_months"))
+        .orderBy("y")
+    }),
+
+    // products name = template(Category) [+ suffix] — every generated name
+    // must match the documented shape per category (SURVEY §2.6 key
+    // `str_format_name`, reference Main.java:522-531,62-69)
+    "str_format_name" -> ((s, _) => {
+      val shape = "^(Core|Ever|Home)?(Widget|Gizmo|Gadget)" +
+        "(Press|Lab|Scope|Kit|Tron|View|Buddy)?" +
+        "( (Advanced|1000|2000|Deluxe|Express|Ultimate))?$"
+      MorReader.read(s, s10(s))
+        .groupBy("category")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("name").rlike(shape) &&
+            col("name").contains(initcap(col("category"))), 1L).otherwise(0L))
+            .as("well_formed"))
+        .orderBy("category")
+    }),
+
     // S12 wide schema (1000 cols, 30 files × 1 row): planning + projection
     // over a metadata-heavy table; only id-derived facts are SQL-replayable
     // (metric values are xxhash64-derived, which DuckDB lacks)
@@ -235,6 +262,32 @@ object MorQueries {
         |SELECT category, color, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
         |WHERE NOT (category = 'widget' AND id < 30)
         |GROUP BY category, color ORDER BY category, color""".stripMargin,
+
+    "date_arith_created" ->
+      s"""$s10Rows,
+         |live AS (
+         |  SELECT id FROM rows_
+         |  WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |    AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |    AND NOT (id % 200 >= 100 AND seq < 6)
+         |    AND NOT (id BETWEEN 50 AND 52))
+         |SELECT CAST(2022 - (id // 12) AS INTEGER) AS y,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(COUNT(DISTINCT 12 - (id % 12)) AS BIGINT) AS n_months
+         |FROM live GROUP BY y ORDER BY y""".stripMargin,
+
+    // all 450 live names must be well-formed → well_formed == cnt
+    "str_format_name" ->
+      s"""$s10Rows,
+         |live AS (
+         |  SELECT id, category FROM rows_
+         |  WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |    AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |    AND NOT (id % 200 >= 100 AND seq < 6)
+         |    AND NOT (id BETWEEN 50 AND 52))
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(COUNT(*) AS BIGINT) AS well_formed
+         |FROM live GROUP BY category ORDER BY category""".stripMargin,
 
     "mor_upsert" ->
       """SELECT 'widget' AS category, CAST(COUNT(*) AS BIGINT) AS cnt,
