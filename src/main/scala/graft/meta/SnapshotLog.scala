@@ -146,10 +146,14 @@ final class SnapshotLog(tableDir: Path) {
 
   private def listVersioned(prefix: String): Seq[(Int, Path)] =
     if (!Files.exists(metaDir)) Seq.empty
-    else Files.list(metaDir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(prefix))
-      .map(p => (p.getFileName.toString.stripPrefix(prefix).stripSuffix(".json").toInt, p))
-      .toSeq.sortBy(_._1)
+    else {
+      val s = Files.list(metaDir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .map(p => (p.getFileName.toString.stripPrefix(prefix).stripSuffix(".json").toInt, p))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
 
   private def putPartition(o: ObjectNode, partition: Map[String, String]): Unit = {
     val p = o.putObject("partition")

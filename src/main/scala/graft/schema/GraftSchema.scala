@@ -21,7 +21,7 @@ final case class GraftField(id: Int, name: String, dataType: DataType)
   * null for pre-existing files, and Spark does not enforce nullability on
   * Parquet read anyway.
   */
-final case class GraftSchema(fields: Seq[GraftField]) {
+final case class GraftSchema(fields: Seq[GraftField], lastColumnId: Int = 0) {
 
   def struct: StructType =
     StructType(fields.map(f => StructField(f.name, f.dataType, nullable = true)))
@@ -35,25 +35,34 @@ final case class GraftSchema(fields: Seq[GraftField]) {
 
   private def maxId: Int = if (fields.isEmpty) 0 else fields.map(_.id).max
 
+  /** Highest field id ever assigned — ids of dropped columns are NEVER
+    * reused (Iceberg's lastColumnId invariant): a reused id would make the
+    * by-id epoch projection resurrect the dropped column's old data under
+    * the new column's name. */
+  private def highWater: Int = math.max(lastColumnId, maxId)
+
   /** Add a column with a fresh field id (ref `UpdateSchema.addColumn`, `Main.java:441`). */
   def addColumn(name: String, dataType: DataType): GraftSchema = {
     require(!fields.exists(_.name == name), s"field $name already exists")
-    GraftSchema(fields :+ GraftField(maxId + 1, name, dataType))
+    GraftSchema(fields :+ GraftField(highWater + 1, name, dataType), highWater + 1)
   }
 
-  /** Drop a column by name (ref `UpdateSchema.deleteColumn`, `Main.java:442`). */
+  /** Drop a column by name (ref `UpdateSchema.deleteColumn`, `Main.java:442`);
+    * the id stays retired forever via `lastColumnId`. */
   def deleteColumn(name: String): GraftSchema = {
     require(fields.exists(_.name == name), s"no field $name")
-    GraftSchema(fields.filterNot(_.name == name))
+    GraftSchema(fields.filterNot(_.name == name), highWater)
   }
 
   /** Projection of named fields, keeping ids (ref `Schema.select`, `Main.java:411`). */
   def select(names: String*): GraftSchema =
-    GraftSchema(names.map(n => fields.find(_.name == n).getOrElse(sys.error(s"no field $n"))))
+    GraftSchema(names.map(n => fields.find(_.name == n).getOrElse(sys.error(s"no field $n"))),
+      highWater)
 
   def toJson: String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
+    root.put("lastColumnId", highWater)
     val arr = root.putArray("fields")
     fields.foreach { f =>
       val o = arr.addObject()
@@ -74,7 +83,8 @@ object GraftSchema {
       GraftField(o.get("id").asInt, o.get("name").asText,
         DataType.fromJson(o.get("type").asText))
     }.toSeq
-    GraftSchema(fields)
+    val last = Option(root.get("lastColumnId")).map(_.asInt).getOrElse(0)
+    GraftSchema(fields, last)
   }
 
   /** Convenience: build from (name, type) pairs with ids 1..n (reference style). */

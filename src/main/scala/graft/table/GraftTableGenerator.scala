@@ -73,6 +73,7 @@ final class GraftTableGenerator(
     this.props = props
     this.nextId = 0; this.committedSeq = 0; this.committedSnapId = 0
     this.stagedOps = 0; this.stagedData = Vector.empty; this.stagedDeletes = Vector.empty
+    this.stagedRemovedData = Vector.empty; this.stagedRemovedDeletes = Vector.empty
     log.init()
     log.writeSchema(0, schema)
     log.writeSpec(0, partitionCols)
@@ -128,13 +129,7 @@ final class GraftTableGenerator(
   def appendBulk(df: DataFrame, numFiles: Int): this.type = {
     val opSeq = nextOpSeq()
     val staging = Files.createTempDirectory(tableDir, ".staging")
-    def list(dir: Path): Seq[Path] = {
-      val s = Files.list(dir).iterator()
-      val it = new scala.collection.AbstractIterator[Path] {
-        def hasNext = s.hasNext; def next() = s.next()
-      }
-      it.toSeq
-    }
+    def list(dir: Path): Seq[Path] = listDir(dir)
     if (partitionCols.isEmpty) {
       df.repartition(numFiles).write.options(props).mode("overwrite")
         .parquet(staging.toString)
@@ -288,31 +283,39 @@ final class GraftTableGenerator(
     this
   }
 
-  /** Append caller-provided rows (live-schema columns required; for
-    * partitioned specs the partition column must be populated). One data
-    * file per partition value — the scenario-scale path; a 100 TB ingest
-    * would use `partitionBy` bulk writes with the same registration. */
-  def appendData(df: DataFrame): this.type = {
+  /** One (partition-map, rows) slice per partition value. Evaluates the
+    * caller's df once for the value list; slices are lazy filters. */
+  private def partitionSlices(df: DataFrame): Seq[(Map[String, String], DataFrame)] =
+    if (partitionCols.isEmpty) Seq((Map.empty[String, String], df))
+    else {
+      val pcol = partitionCols.head
+      df.select(pcol).distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
+        .map(v => (Map(pcol -> v.toString), df.where(col(pcol) === v)))
+    }
+
+  private def appendSlices(slices: Seq[(Map[String, String], DataFrame)]): Unit = {
     val opSeq = nextOpSeq()
-    val parts: Seq[(Map[String, String], DataFrame)] =
-      if (partitionCols.isEmpty) Seq((Map.empty[String, String], df))
-      else {
-        val pcol = partitionCols.head
-        df.select(pcol).distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
-          .map(v => (Map(pcol -> v.toString), df.where(col(pcol) === v)))
-      }
-    for ((partition, rows) <- parts) {
+    for ((partition, rows) <- slices) {
       val partitionString = partitionDirName(partition)
       val target =
         if (partitionString.nonEmpty)
           uniqueNumberedFile(dataDir.resolve(partitionString),
             s"$partitionString-%02d.parquet")
         else uniqueNumberedFile(dataDir, "%02d.parquet")
-      val n = rows.count()
+      // declared count -1: readers never trust declared counts (engine
+      // contract), so skip the extra evaluation a count() would cost
       writeSingleFile(rows.select(schema.names.map(col): _*), target)
       stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-        opSeq, n)
+        opSeq, -1L)
     }
+  }
+
+  /** Append caller-provided rows (live-schema columns required; for
+    * partitioned specs the partition column must be populated). One data
+    * file per partition value — the scenario-scale path; a 100 TB ingest
+    * would use `partitionBy` bulk writes with the same registration. */
+  def appendData(df: DataFrame): this.type = {
+    appendSlices(partitionSlices(df))
     this
   }
 
@@ -322,24 +325,22 @@ final class GraftTableGenerator(
     * an append (op seq s+1): old rows have seq < s and die, incoming rows
     * have seq s+1 > s and live. No data file is rewritten — pure
     * merge-on-read, O(incoming) write cost.
+    *
+    * The delete is registered with GLOBAL partition scope (one file at the
+    * table root): a key whose incoming row lands in a different partition
+    * than its old row must still kill the old row — a partition-scoped
+    * delete would miss it and silently violate key uniqueness.
     */
   def upsert(df: DataFrame, keyCols: Seq[String]): this.type = {
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
     val delSeq = nextOpSeq()
-    val parts: Seq[(Map[String, String], DataFrame)] =
-      if (partitionCols.isEmpty) Seq((Map.empty[String, String], df))
-      else {
-        val pcol = partitionCols.head
-        df.select(pcol).distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
-          .map(v => (Map(pcol -> v.toString), df.where(col(pcol) === v)))
-      }
-    for ((partition, rows) <- parts) {
-      val target = deleteFileTarget("eqdelete", partition)
-      writeSingleFile(rows.select(schema.names.map(col): _*), target)
-      stagedDeletes :+= DeleteFileEntry(target.toString, partition, "eq", keyCols,
-        keyCols.map(schema.fieldId), delSeq)
-    }
-    appendData(df)
+    val slices = partitionSlices(df)
+    val target = deleteFileTarget("eqdelete", Map.empty)
+    writeSingleFile(df.select(schema.names.map(col): _*), target)
+    stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "eq", keyCols,
+      keyCols.map(schema.fieldId), delSeq)
+    appendSlices(slices)
+    this
   }
 
   // ---- evolution (reference `IcebergTableGenerator.java:94-101`, `Main.java:440-443`) ----
@@ -378,8 +379,14 @@ final class GraftTableGenerator(
     val opSeq = nextOpSeq()
     val st = log.load()
     for ((partition, files) <- plannedPartitions(partitionValues)) {
-      val filter = partition.map { case (k, v) => k -> Set(v) }
-      val merged = MorReader.read(spark, tableDir.toString, None, filter)
+      // merge EXACTLY this group's files (a partition-map filter would also
+      // match other-spec-epoch files whose partition lacks the key — their
+      // rows would be duplicated into the new file while staying live)
+      val groupPaths = files.map(_.path).toSet
+      val restricted = st.copy(snapshots = st.snapshots.map(s =>
+        s.copy(dataFiles = s.dataFiles.filter(f => groupPaths(f.path)))))
+      val merged = MorReader.withMeta(spark, restricted, schema, Map.empty)
+        .select(schema.names.map(col): _*)
       val partitionString = partitionDirName(partition)
       val target =
         if (partitionString.nonEmpty)
@@ -512,16 +519,22 @@ final class GraftTableGenerator(
     val tmp = Files.createTempDirectory(target.getParent.getFileName.toString)
     try {
       df.coalesce(1).write.options(props).mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator()
-      var found: Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) found = p
-      }
-      require(found != null, s"no parquet part written for $target")
+      val found = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $target"))
       Files.createDirectories(target.getParent)
       Files.move(found, target, StandardCopyOption.REPLACE_EXISTING)
     } finally deleteRecursively(tmp)
+  }
+
+  /** Files.list with the stream closed (it holds a directory fd open). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) buf += it.next()
+      buf.result()
+    } finally s.close()
   }
 
   private def deleteRecursively(p: Path): Unit =

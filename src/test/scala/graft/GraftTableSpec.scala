@@ -188,6 +188,51 @@ class GraftTableSpec extends SparkSpec {
       before("widget") - 9)
   }
 
+  test("compact after partition evolution: no row duplication across spec epochs") {
+    val g = new GraftTableGenerator(spark, wh, "compact_evolved")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019, 2020), Bundles.orders(), 1, 100).commit()
+      .updateSpec(Seq("source_id"), Seq("order_year")).commit()
+      .append(Seq(0, 1), Bundles.ordersSourcePartition(), 1, 50).commit()
+    assert(g.read.count() == 300)
+    g.compact().commit()
+    val df = g.read
+    assert(df.count() == 300) // old-epoch rows must not be baked in twice
+    assert(df.select("order_id").distinct().count() == 300)
+  }
+
+  test("upsert across partitions: key moving partition kills the old row") {
+    val g = new GraftTableGenerator(spark, wh, "upsert_move")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), Bundles.products(), 1, 50).commit()
+    // key 10 re-lands in gadget: old widget row must die
+    val moved = Bundles.products()
+      .frame(spark, 10, 1, Some("gadget"), Scenarios.ProductsSchema)
+    g.upsert(moved, Seq("product_id")).commit()
+    val df = g.read
+    assert(df.count() == 50)
+    assert(df.where(col("product_id") === 10).count() == 1)
+    assert(df.where(col("product_id") === 10).head().getString(2) == "gadget")
+  }
+
+  test("dropped field ids are never reused (no data resurrection)") {
+    val g = new GraftTableGenerator(spark, wh, "id_reuse")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), Bundles.products(), 1, 20).commit()
+      .updateSchema(Nil, Seq("quantity")) // drop the highest-id column
+      .updateSchema(Seq("score" -> org.apache.spark.sql.types.DoubleType), Nil)
+    g.append(Seq("gizmo"), (s, idStart, n, pv, schema) => {
+      Bundles.products().frame(s, idStart, n, pv,
+        schema.deleteColumn("score"))
+        .withColumn("score", lit(1.5))
+        .select(schema.names.map(col): _*)
+    }, 1, 20).commit()
+    val df = g.read
+    // old widget rows: score must be NULL, not resurrected quantity ints
+    assert(df.where(col("category") === "widget" && col("score").isNotNull).count() == 0)
+    assert(df.where(col("category") === "gizmo" && col("score") === 1.5).count() == 20)
+  }
+
   test("expireSnapshots drops history + deletes orphaned files; current reads unchanged") {
     val g = new GraftTableGenerator(spark, wh, "expire_demo")
     g.create(Scenarios.ProductsSchema, Seq("category"))
