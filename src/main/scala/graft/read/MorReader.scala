@@ -1,5 +1,7 @@
 package graft.read
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -155,27 +157,38 @@ object MorReader {
     }
 
     // ---- equality deletes: per key-set anti-join with strict seq ---------
+    // ONE multi-path scan per key set: eq-delete files carry canonical
+    // `_dk<fieldId>` key columns written at delete time (field ids are
+    // stable across schema epochs), so 100 delete commits on the same keys
+    // are 1 FileScan, not 100 plan branches. Each delete row learns its
+    // file's sequence number and partition scope from a broadcast
+    // path→(seq, partition) map — the exact shape of the pos-delete path.
+    def keyDataType(kid: Int): DataType =
+      live.fields.find(_.id == kid).map(_.dataType)
+        .orElse(extraKeyFields.collectFirst { case (`kid`, f) => f.dataType })
+        .getOrElse(StringType)
     val eqFiles = deleteFiles.filter(_.kind == "eq")
     eqFiles.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._1.mkString(",")).foreach {
       case (keyIds, fs) =>
         val partCols = fs.flatMap(_.partition.keys).distinct.sorted
-        val dels = fs.sortBy(_.seq).map { f =>
-          val partLits = partCols.map { p =>
-            val t = live.fields.find(_.name == p).map(_.dataType).getOrElse(StringType)
-            f.partition.get(p).map(v => lit(v).cast(t)).getOrElse(lit(null).cast(t))
-              .as(s"_dp_$p")
-          }
-          // in-file column names are the delete-time names, aligned with ids
-          val byId = f.equalityIds.zip(f.equalityCols).toMap
-          spark.read.parquet(f.path)
-            .select(keyIds.map(kid => col(byId(kid)).as(s"_dk$kid")) ++
-                    partLits :+ lit(f.seq).as("_d_seq"): _*)
-        }.reduce(_.unionByName(_))
+        val delSchema = StructType(keyIds.map(kid =>
+          StructField(s"_dk$kid", keyDataType(kid))))
+        val metaSchema = StructType(
+          StructField("_df_path", StringType) +: StructField("_d_seq", LongType) +:
+            partCols.map(p => StructField(s"_dp_$p", StringType)))
+        val metaRows = fs.map(f => org.apache.spark.sql.Row.fromSeq(
+          f.path +: f.seq +: partCols.map(p => f.partition.get(p).orNull)))
+        val seqPartMap = spark.createDataFrame(metaRows.asJava, metaSchema)
+        val dels = spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+          .withColumn("_d_src", normPath(col("_metadata.file_path")))
+          .join(broadcast(seqPartMap), col("_d_src") === col("_df_path"))
+          .drop("_d_src", "_df_path")
         val keyCond = keyIds.map(kid => data(keyDataCol(kid)) === dels(s"_dk$kid"))
           .reduce(_ && _)
-        val partCond = partCols.map(p =>
-          dels(s"_dp_$p").isNull || dels(s"_dp_$p") === data(p))
-          .foldLeft(lit(true))(_ && _)
+        val partCond = partCols.map { p =>
+          val t = live.fields.find(_.name == p).map(_.dataType).getOrElse(StringType)
+          dels(s"_dp_$p").isNull || dels(s"_dp_$p").cast(t) === data(p)
+        }.foldLeft(lit(true))(_ && _)
         data = data.join(dels,
           keyCond && partCond && dels("_d_seq") > data(SeqCol), "left_anti")
     }

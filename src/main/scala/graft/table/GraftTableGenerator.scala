@@ -268,13 +268,22 @@ final class GraftTableGenerator(
     * delete row from a strictly later sequence number (reference
     * `IcebergTableGenerator.java:288-365`; key-id resolution
     * `Main.java:590-594`).
+    *
+    * Besides the full row, each file carries canonical `_dk<fieldId>` key
+    * columns. Field ids are stable across renames/drops, so every eq-delete
+    * file — whatever schema epoch it was written under — exposes the SAME
+    * key column names, which lets the reader scan all files of a key set in
+    * ONE multi-path read instead of one plan branch per file (the scale fix
+    * for S9-shaped tables with ~100 delete commits).
     */
   def equalityDelete(partitionValues: Option[Seq[Any]], pred: Column,
                      keyCols: Seq[String]): this.type = {
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
     val opSeq = nextOpSeq()
+    val canonicalKeys = keyCols.map(k => col(k).as(s"_dk${schema.fieldId(k)}"))
     for ((partition, files) <- plannedPartitions(partitionValues)) {
-      val matches = rawScan(files).where(pred).select(schema.names.map(col): _*)
+      val matches = rawScan(files).where(pred)
+        .select(schema.names.map(col) ++ canonicalKeys: _*)
       val target = deleteFileTarget("eqdelete", partition)
       writeSingleFile(matches, target)
       stagedDeletes :+= DeleteFileEntry(target.toString, partition, "eq", keyCols,
@@ -336,7 +345,8 @@ final class GraftTableGenerator(
     val delSeq = nextOpSeq()
     val slices = partitionSlices(df)
     val target = deleteFileTarget("eqdelete", Map.empty)
-    writeSingleFile(df.select(schema.names.map(col): _*), target)
+    val canonicalKeys = keyCols.map(k => col(k).as(s"_dk${schema.fieldId(k)}"))
+    writeSingleFile(df.select(schema.names.map(col) ++ canonicalKeys: _*), target)
     stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "eq", keyCols,
       keyCols.map(schema.fieldId), delSeq)
     appendSlices(slices)

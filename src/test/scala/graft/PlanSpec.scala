@@ -87,6 +87,28 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 scans, got $scans")
   }
 
+  test("eq-delete read: many delete commits -> ONE multi-path scan per key set") {
+    import graft.gen.Bundles
+    import graft.scenarios.Scenarios
+    import graft.table.GraftTableGenerator
+    val wh = java.nio.file.Files.createTempDirectory("graft-eqplan").toString
+    val g = new GraftTableGenerator(spark, wh, "many_eq")
+      .create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019, 2020), Bundles.orders(), 2, 100).commit()
+    // 20 separate eq-delete commits on the same key set (S9-shaped history)
+    (0 until 20).foreach { i =>
+      g.equalityDelete(org.apache.spark.sql.functions.col("order_id") === i,
+        Seq("order_id")).commit()
+    }
+    val df = g.read
+    val p = df.queryExecution.executedPlan.toString
+    val eqScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("eqdelete"))
+    assert(eqScans == 1, s"expected 1 eqdelete FileScan, got $eqScans:\n$p")
+    // and the semantics still hold: ids 0..19 are gone
+    assert(df.count() == 380 &&
+      df.where(org.apache.spark.sql.functions.col("order_id") < 20).count() == 0)
+  }
+
   test("dedup_exact shuffles only (hash, id) — no text column past the scan") {
     val p = plan("dedup_exact")
     val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
