@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100 TB-scale corpora (SURVEY.md §2.9).
@@ -28,11 +29,20 @@ object Dedup {
     * Jaccard (fraction of equal signature components) ≥ `minEstJaccard`.
     * Only (band_key, id) rows shuffle; signatures re-join by id for the
     * verify step. Returns distinct (id_a < id_b, est_jaccard) pairs.
+    *
+    * Degenerate buckets (e.g. thousands of empty docs sharing one band
+    * slice) are capped at `maxBucket` members BEFORE the in-bucket pair
+    * expansion: members rank deterministically by id inside their bucket
+    * and ranks > `maxBucket` are dropped, so a pathological band key costs
+    * at most C(maxBucket, 2) pairs instead of an O(n²) row that OOMs a
+    * task. Truncation is observable via the `lsh_bucket_cap` observe
+    * metric (`dropped_members`; see `df.queryExecution.observedMetrics`).
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleK: Int = 8, stride: Int = 4,
                    numHashes: Int = 8, rowsPerBand: Int = 2,
-                   minEstJaccard: Double = 0.5): DataFrame = {
+                   minEstJaccard: Double = 0.5,
+                   maxBucket: Int = 64): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sigs = df
       .withColumn("_norm", TextOps.norm(col(textCol)))
@@ -47,10 +57,16 @@ object Dedup {
         }.mkString("array(", ", ", ")"))).as("_band"))
     // pairs generated INSIDE each band bucket (groupBy + in-bucket pair
     // expansion) rather than a self-join — one pass over the signature
-    // pipeline and one shuffle on the band key. Bucket sizes are near-dup
-    // cluster sizes (tiny); a production corpus would cap pathological
-    // buckets before expansion.
-    val members = bands
+    // pipeline and one shuffle on the band key (the window and the groupBy
+    // share the hash-partitioning on _band, so the cap adds a sort, not a
+    // second exchange).
+    val w = Window.partitionBy("_band").orderBy(col(idCol))
+    val capped = bands
+      .withColumn("_rk", row_number().over(w))
+      .observe("lsh_bucket_cap",
+        sum(when(col("_rk") > maxBucket, 1L).otherwise(0L)).as("dropped_members"))
+      .where(col("_rk") <= maxBucket)
+    val members = capped
       .groupBy("_band")
       .agg(collect_list(struct(col(idCol).as("id"), col("_sig").as("sig")))
         .as("_members"))
@@ -79,18 +95,21 @@ object Dedup {
       .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
 
   /** Exact character-n-gram Jaccard of every doc against one probe text.
-    * The probe's gram set broadcasts as a literal array; per-row work is
-    * pure expressions (array_intersect/union on distinct grams). */
+    * The probe's gram set rides along as a TYPED literal array column (not
+    * interpolated SQL text, so quotes or any other content in the probe are
+    * inert); per-row work is pure expressions (array_intersect on distinct
+    * grams). */
   def ngramJaccardVsProbe(df: DataFrame, textCol: String, idCol: String,
                           probeNorm: String, k: Int): DataFrame = {
     val probeGrams = probeNorm.sliding(k).toSeq.distinct
-    val probeArr = s"array(${probeGrams.map(g => s"'$g'").mkString(", ")})"
+    val probeArr = array(probeGrams.map(lit): _*)
     df.withColumn("_norm", TextOps.norm(col(textCol)))
       .withColumn("_grams", array_distinct(TextOps.shingles("_norm", k, 1)))
       // |A∪B| = |A| + |B| − |A∩B|: skips materializing the union array
-      .withColumn("_inter", expr(s"size(array_intersect(_grams, $probeArr))"))
+      .withColumn("_inter", size(array_intersect(col("_grams"), probeArr)))
       .select(col(idCol),
-        expr(s"round(_inter / cast(size(_grams) + ${probeGrams.size} - _inter" +
-          " as double), 4)").as("jaccard"))
+        round(col("_inter") /
+          (size(col("_grams")) + lit(probeGrams.size) - col("_inter")).cast("double"),
+          4).as("jaccard"))
   }
 }

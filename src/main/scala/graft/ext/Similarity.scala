@@ -67,39 +67,48 @@ object Similarity {
     * k-means — centroids are `nCentroids` sampled vectors by id hash),
     * vectors assigned to nearest centroid, query probes the `nProbe`
     * nearest centroid cells only. Returns (id, cos) top-k from the probed
-    * cells — sub-linear scan at scale; recall depends on nProbe.
+    * cells — sub-linear scan at scale; recall depends on nProbe. With
+    * `nProbe == nCentroids` every cell is probed and the result equals
+    * exact brute force (the oracle-able configuration).
+    *
+    * The centroid table travels to executors as ONE broadcast row holding
+    * `array<struct<cid, cv, cn>>` (id, vector, precomputed norm) — data,
+    * not SQL text — so `nCentroids` can reach the thousands a real index
+    * needs without hitting codegen/parser limits. Only the nProbe cell
+    * selection is driver math, over the O(nCentroids) collected sample.
     */
   def topKCosineIvf(df: DataFrame, vecCol: String, idCol: String,
                     query: Seq[Double], k: Int,
                     nCentroids: Int, nProbe: Int): DataFrame = {
     // centroids: the nCentroids rows with smallest id-hash (deterministic sample)
-    val cents = df.select(col(idCol), col(vecCol).as("_c"))
-      .orderBy(TextOps.hash60(col(idCol).cast("string")), col(idCol))
+    val cents = df.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
       .limit(nCentroids)
-      .select(col(idCol).as("_cid"), col("_c"))
-    val centRows = cents.collect().map(r =>
-      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     // query-side: pick the nProbe centroids nearest the query (driver math —
     // centroid count is tiny and this mirrors a real IVF probe)
+    val centRows = cents.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     val probed = centRows.sortBy { case (id, c) => (-cos(c, query), id) }
       .take(nProbe).map(_._1).toSeq
-    // assignment: nearest centroid per vector (broadcast centroid array)
-    val centArrSql = centRows.sortBy(_._1).map { case (id, c) =>
-      s"struct(cast($id as bigint) as cid, array(${c.mkString(",")}) as cv)"
-    }.mkString("array(", ", ", ")")
-    val withCands = df
+    // assignment: one broadcast row of sorted (cid, cv, norm) structs;
+    // per-vector argmax over it. sort_array keeps first-wins tie-breaking
+    // deterministic (struct comparison leads with cid).
+    val centsRow = cents
+      .select(col("_cid"), col("_cv"),
+        sqrt(aggregate(transform(col("_cv"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)).as("_cn"))
+      .agg(sort_array(collect_list(struct(col("_cid").as("cid"),
+        col("_cv").as("cv"), col("_cn").as("cn")))).as("_cents"))
+    val withCands = df.crossJoin(broadcast(centsRow))
+      .withColumn("_vn", l2norm(col(vecCol)))
       .withColumn("_cands", expr(
-        s"""transform($centArrSql, s -> struct(s.cid as cid,
-           | aggregate(zip_with($vecCol, s.cv, (x, y) -> cast(x as double) * y),
-           |   cast(0.0 as double), (a, b) -> a + b)
-           | / (sqrt(aggregate(transform($vecCol, x -> cast(x as double) * x),
-           |      cast(0.0 as double), (a, b) -> a + b)) *
-           |    sqrt(aggregate(transform(s.cv, x -> x * x),
-           |      cast(0.0 as double), (a, b) -> a + b))) as sim))""".stripMargin))
+        s"""transform(_cents, s -> struct(s.cid as cid,
+           | aggregate(zip_with($vecCol, s.cv, (x, y) -> cast(x as double) * cast(y as double)),
+           |   cast(0.0 as double), (a, b) -> a + b) / (_vn * s.cn) as sim))""".stripMargin))
       .withColumn("_cell", expr(
         "aggregate(_cands, struct(cast(-1 as bigint) as cid, cast(-2.0 as double) as best)," +
           " (acc, c) -> if(c.sim > acc.best, struct(c.cid as cid, c.sim as best), acc)).cid"))

@@ -120,6 +120,23 @@ object BreadthQueries {
         .orderBy("l_returnflag")
     }),
 
+    // t-digest-style sketch percentiles (Spark's GK approx_percentile):
+    // the 100 TB path — the exact `percentile` above buffers every distinct
+    // value per group, this keeps a bounded sketch. No SQL oracle (sketch
+    // internals are engine-specific); rows-only check here, exact-vs-approx
+    // tolerance proven in ExtSpec.
+    "sketch_approx_percentile" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p90"),
+          element_at(col("ps"), 3).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
     "json_extract" -> ((s, d) => {
       ExtQueries.eventsWithTs(s, d)
         .select(col("event_type"),

@@ -107,6 +107,15 @@ object ExtQueries {
         queryVec(s, d), 10, nCentroids = 16, nProbe = 8)
     }),
 
+    // probe=all configuration: every cell is scanned, so the result is
+    // exact and shares the brute-force oracle — proves the whole IVF
+    // pipeline (centroid sample, broadcast assignment, cell filter) under
+    // the DuckDB hash-compare, not just rows-only.
+    "sim_topk_cosine_ivf_full" -> ((s, d) => {
+      Similarity.topKCosineIvf(embs(s, d), "embedding", "vec_id",
+        queryVec(s, d), 10, nCentroids = 16, nProbe = 16)
+    }),
+
     // ---- text analysis -------------------------------------------------
     "lang_id" -> ((s, d) => {
       docs(s, d)
@@ -219,6 +228,14 @@ object ExtQueries {
 
   // explicit double-precision cosine, mirroring Similarity.cosine's
   // left-to-right accumulation
+  /** Brute-force top-k oracle; also the oracle for IVF at nProbe=nCentroids
+    * (all cells probed ⇒ exact). */
+  private lazy val bruteTopkSql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
+       |FROM embeddings, q
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   private def cosSql(a: String, b: String) =
     s"""(list_sum(list_transform(range(1, 65),
        |   i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -250,7 +267,8 @@ object ExtQueries {
          |  SELECT id, sig, b.b AS b,
          |         CAST(sig[2 * b.b + 1] AS VARCHAR) || ',' ||
          |         CAST(sig[2 * b.b + 2] AS VARCHAR) AS bv
-         |  FROM sig, LATERAL unnest(range(0, 4)) AS b(b)),
+         |  FROM sig, LATERAL unnest(range(0, 4)) AS b(b)
+         |  QUALIFY row_number() OVER (PARTITION BY b.b, bv ORDER BY id) <= 64),
          |pairs AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
@@ -302,11 +320,10 @@ object ExtQueries {
          |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.id < y.id)
          |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
-    "sim_topk_cosine" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
-         |FROM embeddings, q
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_topk_cosine" -> bruteTopkSql,
+
+    // IVF with every cell probed is exact ⇒ same oracle as brute force
+    "sim_topk_cosine_ivf_full" -> bruteTopkSql,
 
     "lang_id" -> {
       def score(words: Seq[String]) =

@@ -39,6 +39,24 @@ class ExtSpec extends SparkSpec {
       s"recall too low: $found of $nPlanted planted pairs")
   }
 
+  test("minhash LSH caps degenerate band buckets (1000 identical docs)") {
+    import spark.implicits._
+    // all 1000 docs are identical -> every band bucket holds all 1000
+    // members; uncapped expansion would build 4 rows of ~500k pair structs
+    val corpus = (0L until 1000L).map(i => (i, "aaaa bbbb cccc dddd eeee ffff"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", maxBucket = 64)
+    val rows = pairs.collect()
+    // kept members are deterministically the 64 smallest ids in every band,
+    // so the distinct pair set is exactly C(64, 2)
+    assert(rows.length == 64 * 63 / 2)
+    assert(rows.map(_.getLong(1)).max == 63L)
+    // truncation is observable: 936 dropped members in each of 4 bands
+    val dropped = pairs.queryExecution.observedMetrics("lsh_bucket_cap")
+      .getAs[Long]("dropped_members")
+    assert(dropped == 936L * 4)
+  }
+
   test("simhash collides planted near-duplicates into shared buckets") {
     val base = docs.select(col("doc_id"), col("text"))
     val perturbed = base.where(col("doc_id") % 20 === 0)
@@ -80,6 +98,28 @@ class ExtSpec extends SparkSpec {
       s"IVF recall too low: ${ivf.intersect(brute).size}/10")
     // query vector itself must be found (it sits in a probed cell by construction)
     assert(ivf.contains(0L))
+  }
+
+  test("IVF works at nCentroids=1024 and probe=all equals brute force") {
+    val q = embs.where(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
+    val brute = Similarity.topKCosine(embs, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // an index size the old SQL-literal centroid encoding could not reach
+    val full = Similarity.topKCosineIvf(embs, "embedding", "vec_id", q, 10,
+      nCentroids = 1024, nProbe = 1024)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute) // every cell probed ⇒ exact
+  }
+
+  test("approx_percentile sketch lands within 2% of exact per group") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def ps(aggSql: String): Map[String, Seq[Double]] =
+      li.groupBy("l_returnflag").agg(expr(aggSql).as("ps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val exact = ps("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    val approx = ps("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+    for ((flag, ex) <- exact; (a, e) <- approx(flag).zip(ex))
+      assert(math.abs(a - e) / e < 0.02, s"$flag: approx $a vs exact $e")
   }
 
   test("approx_count_distinct sketch lands within 5% of exact") {
