@@ -75,6 +75,18 @@ object ValueGen {
     call_function("make_timestamp_ntz", year, month, day, hour, minute, sec)
   }
 
+  /** No-arg `timestamp()` quirk: year uniform in [1, currentYear − 10]
+    * (ref `ValueGenerator.java:36-38`, `nextInt(now.getYear() - 10) + 1` —
+    * so year 1 CE is a legal order date). Unused by any reference scenario;
+    * implemented for §2.6 completeness. `currentYear` is injectable so the
+    * generated data stays deterministic across wall-clock years.
+    */
+  def timestampAnyYear(id: Column, seed: Long, tag: String,
+                       currentYear: Int = java.time.Year.now.getValue): Column = {
+    val year = intRange(id, seed, s"$tag.year", 1, currentYear - 10 + 1)
+    timestampInYear(id, seed, tag, year)
+  }
+
   /** Random date within `year` (ref `date(int)`, `ValueGenerator.java:69-71`). */
   def dateInYear(id: Column, seed: Long, tag: String, year: Column): Column =
     timestampInYear(id, seed, tag, year).cast("date")

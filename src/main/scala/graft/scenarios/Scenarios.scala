@@ -207,20 +207,32 @@ object Scenarios {
 
 /** CLI entry mirroring the reference's `main` (reference `Main.java:85-134`):
   * `--warehouse <path>` (default `$HOME/warehouse`), repeatable
-  * `--conf k=v` (accepted and ignored — cloud connectors are out of scope
-  * offline), `--scenario <name>|all` (fixes the comment-toggling
+  * `--conf k=v` applied to the session's Hadoop configuration — the S3A/GCS
+  * credential plumbing of `Main.java:97-116` (connector jars themselves are
+  * out of scope offline, but the conf reaches any filesystem that is on the
+  * classpath), `--scenario <name>|all` (fixes the comment-toggling
   * anti-pattern of `run()`).
   */
 object GenMain {
+
+  /** `k=v` pairs from repeatable `--conf` flags (ref `Main.java:97-105`). */
+  def parseConfs(args: Array[String]): Seq[(String, String)] =
+    args.sliding(2).collect { case Array("--conf", kv) =>
+      require(kv.contains("="), s"--conf expects k=v, got $kv")
+      val Array(k, v) = kv.split("=", 2)
+      (k, v)
+    }.toSeq
+
   def main(args: Array[String]): Unit = {
     var warehouse = sys.env.getOrElse("HOME", "/tmp") + "/warehouse"
     var scenario = "all"
+    val confs = parseConfs(args)
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--warehouse" => warehouse = args(i + 1); i += 2
         case "--scenario" => scenario = args(i + 1); i += 2
-        case "--conf" => i += 2 // pass-through, unused offline
+        case "--conf" => i += 2
         case other => System.err.println(s"Invalid option: $other"); sys.exit(1)
       }
     }
@@ -232,6 +244,7 @@ object GenMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }
     val selected =
       if (scenario == "all") Scenarios.all
       else Scenarios.all.filter(_._1 == scenario)

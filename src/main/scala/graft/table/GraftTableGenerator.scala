@@ -57,7 +57,21 @@ final class GraftTableGenerator(
   private var stagedRemovedData: Vector[String] = Vector.empty
   private var stagedRemovedDeletes: Vector[String] = Vector.empty
 
-  private def nextOpSeq(): Long = { stagedOps += 1; committedSeq + stagedOps }
+  private var created = false
+
+  /** Constructing a generator over an EXISTING table and staging without
+    * `create()` would silently reuse snapshot id 1 and restart row ids at 0,
+    * corrupting history — fail fast instead (reopen is not a reference
+    * operation; the reference always re-creates,
+    * `IcebergTableGenerator.java:71-88`). */
+  private def requireCreated(op: String): Unit =
+    require(created, s"table $name: create() must run before $op — " +
+      "reopening an existing table would corrupt snapshot ids and id monotonicity")
+
+  private def nextOpSeq(): Long = {
+    requireCreated("staging ops")
+    stagedOps += 1; committedSeq + stagedOps
+  }
 
   /** Drop-if-exists then create; Parquet layout props pass through to the
     * writer (reference `create`, `IcebergTableGenerator.java:71-88`;
@@ -74,6 +88,7 @@ final class GraftTableGenerator(
     this.nextId = 0; this.committedSeq = 0; this.committedSnapId = 0
     this.stagedOps = 0; this.stagedData = Vector.empty; this.stagedDeletes = Vector.empty
     this.stagedRemovedData = Vector.empty; this.stagedRemovedDeletes = Vector.empty
+    this.created = true
     log.init()
     log.writeSchema(0, schema)
     log.writeSpec(0, partitionCols)
@@ -278,6 +293,7 @@ final class GraftTableGenerator(
     */
   def equalityDelete(partitionValues: Option[Seq[Any]], pred: Column,
                      keyCols: Seq[String]): this.type = {
+    requireCreated("equalityDelete()")
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
     val opSeq = nextOpSeq()
     val canonicalKeys = keyCols.map(k => col(k).as(s"_dk${schema.fieldId(k)}"))
@@ -359,6 +375,7 @@ final class GraftTableGenerator(
     * files keep their layout (reference `updateSpec`, used by S7
     * `Main.java:281-283`). */
   def updateSpec(additions: Seq[String], removals: Seq[String]): this.type = {
+    requireCreated("updateSpec()")
     partitionCols = partitionCols.filterNot(removals.contains) ++ additions
     specId += 1
     log.writeSpec(specId, partitionCols)
@@ -369,6 +386,7 @@ final class GraftTableGenerator(
     * commits (reference `Main.java:440-443`). */
   def updateSchema(addCols: Seq[(String, org.apache.spark.sql.types.DataType)],
                    dropCols: Seq[String]): this.type = {
+    requireCreated("updateSchema()")
     var s = schema
     addCols.foreach { case (n, t) => s = s.addColumn(n, t) }
     dropCols.foreach(n => s = s.deleteColumn(n))
@@ -444,6 +462,7 @@ final class GraftTableGenerator(
 
   /** One snapshot per commit (reference `IcebergTableGenerator.java:375-379`). */
   def commit(): this.type = {
+    requireCreated("commit()")
     committedSnapId += 1
     committedSeq += stagedOps
     log.commit(Snapshot(committedSnapId, committedSeq, schemaV, specId,

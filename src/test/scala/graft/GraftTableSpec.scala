@@ -260,6 +260,32 @@ class GraftTableSpec extends SparkSpec {
     assert(g.read.count() == 120)
   }
 
+  test("reopening a generator without create() fails fast (no snapshot-id reuse)") {
+    Scenarios.createSmallOrders(spark, wh) // table exists on disk
+    val reopened = new GraftTableGenerator(spark, wh, "orders")
+    val e = intercept[IllegalArgumentException] {
+      reopened.equalityDelete(col("order_id") === 0, Seq("order_id"))
+    }
+    assert(e.getMessage.contains("create() must run"))
+    intercept[IllegalArgumentException](reopened.commit())
+    intercept[IllegalArgumentException](reopened.updateSpec(Seq("source_id"), Nil))
+  }
+
+  test("GenMain --conf k=v parses and reaches the session Hadoop conf (Main.java:97-116)") {
+    val confs = graft.scenarios.GenMain.parseConfs(Array(
+      "--warehouse", "/tmp/x", "--scenario", "all",
+      "--conf", "fs.s3a.endpoint=http://localhost:9000",
+      "--conf", "fs.s3a.path.style.access=true"))
+    assert(confs == Seq("fs.s3a.endpoint" -> "http://localhost:9000",
+      "fs.s3a.path.style.access" -> "true"))
+    confs.foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")
+      == "http://localhost:9000")
+    intercept[IllegalArgumentException] {
+      graft.scenarios.GenMain.parseConfs(Array("--conf", "not-a-pair"))
+    }
+  }
+
   test("appendBulk (partitioned): one job, files per partition dir, reader-visible") {
     val g = new GraftTableGenerator(spark, wh, "bulk_demo")
     g.create(Scenarios.OrdersSchema, Seq("order_year"))

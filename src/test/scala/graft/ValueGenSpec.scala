@@ -40,6 +40,16 @@ class ValueGenSpec extends SparkSpec {
     assert(years == Set(2019, 2020, 2021))
   }
 
+  test("no-arg timestamp() quirk: year ∈ [1, currentYear − 10] (ValueGenerator.java:36-38)") {
+    val ts = ids(20000).select(
+      ValueGen.timestampAnyYear(col("__id"), 42, "ts", currentYear = 2026).as("ts"))
+    val r = ts.agg(min(year(col("ts"))).as("min_y"), max(year(col("ts"))).as("max_y"),
+      max(hour(col("ts"))).as("max_hour")).head()
+    assert(r.getInt(0) >= 1 && r.getInt(1) <= 2016, r.toString)
+    assert(r.getInt(0) < 100 && r.getInt(1) > 1950) // both tails actually reached
+    assert(r.getInt(2) <= 22) // inherits the hour quirk
+  }
+
   test("timestamp quirks preserved: Feb ≤ 28, hour ∈ [0,22] (ValueGenerator.java:53-54,64)") {
     val ts = ids(20000).select(
       ValueGen.timestampInYear(col("__id"), 42, "ts", lit(2020)).as("ts"))
