@@ -44,10 +44,13 @@ object Dedup {
                    minEstJaccard: Double = 0.5,
                    maxBucket: Int = 64): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // native one-pass signature (spec-proven equal to the
+    // shingles→minhashSig expression pipeline and to the DuckDB oracle)
     val sigs = df
       .withColumn("_norm", TextOps.norm(col(textCol)))
-      .withColumn("_sh", TextOps.shingles("_norm", shingleK, stride))
-      .select(col(idCol), TextOps.minhashSig("_sh", numHashes).as("_sig"))
+      .select(col(idCol),
+        call_function("minhash_sig", col("_norm"),
+          lit(numHashes), lit(shingleK), lit(stride)).as("_sig"))
     // band key = the band's signature slice rendered to a compact string
     val bands = sigs.select(col(idCol), col("_sig"),
       explode(expr(
@@ -96,20 +99,23 @@ object Dedup {
 
   /** Exact character-n-gram Jaccard of every doc against one probe text.
     * The probe's gram set rides along as a TYPED literal array column (not
-    * interpolated SQL text, so quotes or any other content in the probe are
-    * inert); per-row work is pure expressions (array_intersect on distinct
-    * grams). */
+    * interpolated SQL text, so quotes or any other content in the probe
+    * are inert). The per-row work is ONE native `ngram_stats` scan over
+    * the normalized text (distinct-gram count + probe-intersection size in
+    * a single pass, packed into a long) — no gram array is ever
+    * materialized, and the probe set packs+sorts once per task instead of
+    * per row. */
   def ngramJaccardVsProbe(df: DataFrame, textCol: String, idCol: String,
                           probeNorm: String, k: Int): DataFrame = {
     val probeGrams = probeNorm.sliding(k).toSeq.distinct
     val probeArr = array(probeGrams.map(lit): _*)
+    val inter = col("_st").bitwiseAND(lit(0xffffffffL))
+    val distinct = shiftrightunsigned(col("_st"), 32)
     df.withColumn("_norm", TextOps.norm(col(textCol)))
-      .withColumn("_grams", array_distinct(TextOps.shingles("_norm", k, 1)))
-      // |A∪B| = |A| + |B| − |A∩B|: skips materializing the union array
-      .withColumn("_inter", size(array_intersect(col("_grams"), probeArr)))
+      .withColumn("_st", call_function("ngram_stats", col("_norm"), probeArr, lit(k)))
+      // |A∪B| = |A| + |B| − |A∩B|: never materializes the union either
       .select(col(idCol),
-        round(col("_inter") /
-          (size(col("_grams")) + lit(probeGrams.size) - col("_inter")).cast("double"),
+        round(inter / (distinct + lit(probeGrams.size) - inter).cast("double"),
           4).as("jaccard"))
   }
 }

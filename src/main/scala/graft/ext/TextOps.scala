@@ -17,9 +17,13 @@ object TextOps {
   def hash60(c: Column): Column =
     call_function("md5prefix64", c.cast("binary"))
 
-  /** Lowercased, latin-alnum-normalized text, single-spaced. */
+  /** Lowercased, latin-alnum-normalized text, single-spaced. Native
+    * single-pass expression; output byte-identical to
+    * `trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))` (the DuckDB
+    * oracle formulation, equivalence spec-gated in `FunctionsSpec`) with
+    * no per-row regex. */
   def norm(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    call_function("norm_alnum", text)
 
   /** Whitespace tokens of normalized text. */
   def tokens(text: Column): Column = split(norm(text), " ")

@@ -121,6 +121,18 @@ object GraftFunctions {
         FunctionIdentifier("md5lanes4"),
         new ExpressionInfo(classOf[Md5Lanes4].getName, "md5lanes4"),
         (exprs: Seq[Expression]) => Md5Lanes4(exprs.head))
+      registry.registerFunction(
+        FunctionIdentifier("norm_alnum"),
+        new ExpressionInfo(classOf[NormAlnum].getName, "norm_alnum"),
+        (exprs: Seq[Expression]) => NormAlnum(exprs.head))
+      registry.registerFunction(
+        FunctionIdentifier("ngram_stats"),
+        new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
+        (exprs: Seq[Expression]) => NgramStats(exprs(0), exprs(1), exprs(2)))
+      registry.registerFunction(
+        FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+        (exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1), exprs(2), exprs(3)))
     }
   }
 }

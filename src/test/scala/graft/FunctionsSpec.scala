@@ -31,6 +31,67 @@ class FunctionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("norm_alnum == trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ')) incl. unicode") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "", "   ", "Hello,  World!", "\ttabs\nand\r\nnewlines", "ALL CAPS 123",
+      "--leading & trailing--", "héllo wörld", "日本語テキスト mixed latin",
+      "emoji 🙂 in 🚀 text", "a", "7", "İstanbul I ı", "a-b_c.d/e\\f",
+      "double  space   runs", "ümlaut ÄÖÜ ß", "ça va déjà")
+    val fromDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("s"))
+    val df = adversarial.toDF("s").unionByName(fromDocs)
+    val mismatches = df.select(
+      expr("norm_alnum(s)").as("fast"),
+      expr("trim(regexp_replace(lower(s), '[^a-z0-9]+', ' '))").as("ref"))
+      .where(col("fast") =!= col("ref") ||
+        col("fast").isNull =!= col("ref").isNull).count()
+    assert(mismatches == 0)
+  }
+
+  test("ngram_stats == array_distinct/array_intersect pipeline on ASCII text") {
+    import spark.implicits._
+    val k = 4
+    // normalized docs + degenerate cases: empty, shorter-than-k, exactly-k
+    val adversarial = Seq("", "ab", "abcd", "aaaa aaaa", "a b c d e")
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("norm_alnum(text)").as("s"))
+      .unionByName(adversarial.toDF("s"))
+    val probe = Seq("abcd", "bcd ", "aaa", "zzzz", "a", "")
+      .map(g => s"'$g'").mkString("array(", ", ", ")")
+    val grams = s"array_distinct(transform(sequence(1, greatest(length(s) - ${k - 1}, 1)), " +
+      s"i -> substr(s, i, $k)))"
+    val mismatches = texts.select(
+        expr(s"ngram_stats(s, $probe, $k)").as("st"),
+        expr(s"size($grams)").as("ref_distinct"),
+        expr(s"size(array_intersect($grams, $probe))").as("ref_inter"))
+      .where(shiftrightunsigned(col("st"), 32) =!= col("ref_distinct") ||
+        col("st").bitwiseAND(lit(0xffffffffL)) =!= col("ref_inter")).count()
+    assert(mismatches == 0)
+    // null text -> null stats
+    assert(spark.sql(s"select ngram_stats(cast(null as string), $probe, $k)")
+      .head().isNullAt(0))
+    // non-foldable probe is rejected at analysis
+    intercept[Exception] {
+      texts.select(expr(s"ngram_stats(s, array(s), $k)")).head()
+    }
+  }
+
+  test("minhash_sig == shingles→minhashSig expression pipeline") {
+    import spark.implicits._
+    val adversarial = Seq("", "ab", "abcdefgh", "abcdefghi", "aaaa bbbb cccc dddd")
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("norm_alnum(text)").as("_norm"))
+      .unionByName(adversarial.toDF("_norm"))
+    val ref = texts
+      .withColumn("_sh", graft.ext.TextOps.shingles("_norm", 8, 4))
+      .select(graft.ext.TextOps.minhashSig("_sh", 8).as("ref"),
+        expr("minhash_sig(_norm, 8, 8, 4)").as("fast"))
+    assert(ref.where(col("fast") =!= col("ref")).count() == 0)
+    assert(spark.sql("select minhash_sig(cast(null as string), 8, 8, 4)")
+      .head().isNullAt(0))
+  }
+
   test("md5prefix64 survives whole-stage codegen (no interpreted fallback)") {
     // force evaluation through a codegen'd projection over a real scan
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
