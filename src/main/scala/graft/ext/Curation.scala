@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ops
+
+/** Corpus-curation operators a training-data pipeline runs after dedup and
+  * quality filtering (SURVEY.md §2.9 extension surface): deterministic
+  * splits, stratified sampling, token-budget packing, vocabulary stats.
+  *
+  * Every operator is a pure function of row ids via the md5-prefix hash
+  * ([[TextOps.hash60]]) — the one hash family Spark and DuckDB share
+  * bit-for-bit — so assignments are reproducible across engines, retries,
+  * and cluster sizes, and every query key stays oracle-checkable. Nothing
+  * here shuffles more than (key, id)-width rows or collects more than
+  * metadata-scale summaries.
+  */
+object Curation {
+
+  /** Deterministic percentage-band split: `md5prefix64(id) % 100` lands in
+    * a band (e.g. train [0,80), val [80,90), test [90,100)). Row-stable
+    * (pure function of the id — adding or removing other rows never moves
+    * an assignment), skew-free, and portable: the same expression yields
+    * the same split in any md5-capable engine. `bands` are (name,
+    * upperBoundExclusive) pairs in ascending order; the last band absorbs
+    * the remainder.
+    */
+  def hashSplit(df: DataFrame, idCol: String, bands: Seq[(String, Int)]): DataFrame = {
+    require(bands.nonEmpty && bands.map(_._2) == bands.map(_._2).sorted,
+      "bands must be ascending (name, upperBoundExclusive) pairs")
+    val bucket = TextOps.hash60(col(idCol).cast("string")) % 100
+    val split = bands.init.foldRight(lit(bands.last._1): Column) {
+      case ((name, ub), rest) => when(bucket < ub, name).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic per-stratum downsampling: a row survives iff
+    * `md5prefix64(id) % 1000 < permille(stratum)`. The per-stratum rates
+    * rebalance a skewed corpus (e.g. cap the dominant language) without a
+    * shuffle — selection is a pure row-local predicate, and expected kept
+    * counts are rate × stratum size. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       permille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val bucket = TextOps.hash60(col(idCol).cast("string")) % 1000
+    val rate = permille.foldLeft(lit(defaultPermille): Column) {
+      case (rest, (stratum, p)) => when(col(strataCol) === stratum, p).otherwise(rest)
+    }
+    df.where(bucket < rate)
+  }
+
+  /** Token-budget packing: docs in `orderCol` order are laid head-to-tail
+    * by whitespace-token count and binned by STARTING offset —
+    * `bin = (runningTotal − tokens) div budget` — so bin boundaries are a
+    * pure function of the global running total (documents stay whole; a
+    * doc that straddles a boundary belongs to the bin it starts in, which
+    * may overrun the budget by at most one document — the standard
+    * streaming-concatenation chunking used to fill fixed-length training
+    * sequences). The running total is [[Ops.bucketedRunningTotal]] — NO
+    * single-partition window at data scale. */
+  def packByTokenBudget(df: DataFrame, textCol: String, orderCol: String,
+                        budget: Long): DataFrame = {
+    val toks = df.select(col(orderCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("_toks"))
+    Ops.bucketedRunningTotal(toks, col(orderCol), col("_toks"),
+        bucketSize = 1000L, totalName = "_cum")
+      .withColumn("bin", floor((col("_cum") - col("_toks")) / budget))
+  }
+
+  /** Exact corpus-wide top-k terms by document frequency-weighted count.
+    * Tokens partially aggregate BEFORE the shuffle (map-side combine over
+    * each partition's vocabulary — shuffle volume is distinct-terms, not
+    * total-tokens) and the top-k is `TakeOrderedAndProject`, never a
+    * global sort. */
+  def freqTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term"))
+      .limit(k)
+}

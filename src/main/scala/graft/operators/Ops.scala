@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -27,6 +28,41 @@ object Ops {
       Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** EXACT global running total of `valueCol` in `orderCol` order WITHOUT
+    * the single-partition `Window.orderBy(...)` that dies at scale.
+    *
+    * Two-level decomposition: rows bucket by `orderCol div bucketSize`
+    * (order-preserving for a numeric key); the in-bucket cumulative sum is
+    * a window PARTITIONED by bucket (parallel across buckets); bucket
+    * prefix offsets come from a bucket-level aggregate — thousands of rows
+    * at most — whose own running sum is metadata-scale and broadcast back.
+    * total = in-bucket cumsum + prefix offset. At 100 TB every data-scale
+    * operation stays partitioned; only the bucket summary (|buckets| ≈
+    * maxKey/bucketSize) is single-partition.
+    */
+  def bucketedRunningTotal(df: DataFrame, orderCol: Column, valueCol: Column,
+                           bucketSize: Long, totalName: String): DataFrame = {
+    val bucketed = df.withColumn("_rt_bkt", floor(orderCol / bucketSize))
+      .withColumn("_rt_v", valueCol.cast("long"))
+    val inBucket = sum(col("_rt_v")).over(
+      Window.partitionBy("_rt_bkt").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // bucket totals are tiny: the single-partition running sum here is over
+    // |buckets| rows, not |rows|
+    val offsets = bucketed.groupBy("_rt_bkt")
+      .agg(sum("_rt_v").as("_rt_sum"))
+      .withColumnRenamed("_rt_bkt", "_rt_obkt")
+      .select(col("_rt_obkt"),
+        coalesce(sum(col("_rt_sum")).over(
+          Window.orderBy("_rt_obkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("_rt_off"))
+    bucketed
+      .withColumn("_rt_cum", inBucket)
+      .join(broadcast(offsets), col("_rt_bkt") === col("_rt_obkt"))
+      .withColumn(totalName, col("_rt_cum") + col("_rt_off"))
+      .drop("_rt_bkt", "_rt_v", "_rt_cum", "_rt_obkt", "_rt_off")
   }
 
   /** Skew-resistant equi-join: the large side's key is salted into

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextOps}
+import graft.ext.{Curation, Dedup, Similarity, TextOps}
 import Q._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.9) as declared,
@@ -149,6 +149,35 @@ object ExtQueries {
         .agg(sum("ws").as("ws_tokens"), sum("bpe").as("bpeish_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    }),
+
+    // ---- corpus curation (split / sample / pack / vocab) ---------------
+    "split_train_test" -> ((s, d) => {
+      Curation.hashSplit(docs(s, d), "doc_id",
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+        .orderBy("split")
+    }),
+
+    "sample_stratified" -> ((s, d) => {
+      Curation.stratifiedSample(docs(s, d), "doc_id", "lang",
+          Map("en" -> 100), defaultPermille = 500)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"))
+        .orderBy("lang")
+    }),
+
+    "pack_token_budget" -> ((s, d) => {
+      Curation.packByTokenBudget(docs(s, d), "text", "doc_id", budget = 2000L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("_toks").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    }),
+
+    "freq_terms" -> ((s, d) => {
+      Curation.freqTerms(docs(s, d), "text", 20)
     }),
 
     "doc_fingerprint" -> ((s, d) => {
@@ -380,6 +409,41 @@ object ExtQueries {
          |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "split_train_test" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${h60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         |FROM documents
+         |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 <
+         |      CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pack_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, len(string_split($normSql, ' ')) AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |             SUM(toks) OVER (ORDER BY doc_id) AS cum FROM d)
+         |SELECT CAST((cum - toks) // 2000 AS BIGINT) AS bin,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "freq_terms" ->
+      s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(string_split($normSql, ' ')) AS term
+         |      FROM documents)
+         |WHERE term <> ''
+         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split($normSql, ' ') AS toks

@@ -111,6 +111,78 @@ class ExtSpec extends SparkSpec {
     assert(full == brute) // every cell probed ⇒ exact
   }
 
+  test("hashSplit: disjoint, exhaustive, row-stable under corpus changes") {
+    import graft.ext.Curation
+    val bands = Seq(("train", 80), ("val", 90), ("test", 100))
+    val split = Curation.hashSplit(docs, "doc_id", bands)
+    // exhaustive + disjoint: one split per doc
+    assert(split.count() == docs.count())
+    val per = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(per("train") / n > 0.7 && per("train") / n < 0.9)
+    // row-stability: dropping half the corpus never moves an assignment
+    val subset = Curation.hashSplit(docs.where(col("doc_id") % 2 === 0), "doc_id", bands)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("stratifiedSample rebalances strata deterministically") {
+    import graft.ext.Curation
+    val sampled = Curation.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 100), defaultPermille = 500)
+    val kept = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en downsampled to ~10%, everything else ~50% (binomial tolerance)
+    assert(kept("en").toDouble / totals("en") < 0.25)
+    totals.filterKeys(_ != "en").foreach { case (l, t) =>
+      val r = kept.getOrElse(l, 0L).toDouble / t
+      assert(r > 0.3 && r < 0.7, s"$l rate $r")
+    }
+    // deterministic: second evaluation keeps the identical id set
+    val a = sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Curation.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 100), 500).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("bucketedRunningTotal == single-partition window cumsum (exact)") {
+    import org.apache.spark.sql.expressions.Window
+    val vals = spark.range(5000).select(col("id"),
+      (pmod(xxhash64(col("id")), lit(97L)) + 1).as("v"))
+    val fast = graft.operators.Ops.bucketedRunningTotal(
+        vals, col("id"), col("v"), bucketSize = 256L, totalName = "cum")
+      .select("id", "cum")
+    val ref = vals.withColumn("cum_ref",
+      sum(col("v")).over(Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(fast.join(ref, "id").where(col("cum") =!= col("cum_ref")).count() == 0)
+  }
+
+  test("packByTokenBudget: bins are contiguous doc ranges that meet the budget") {
+    import graft.ext.Curation
+    val bins = Curation.packByTokenBudget(docs, "text", "doc_id", budget = 2000L)
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("_toks").as("toks"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"), max("_toks").as("max_doc"))
+      .orderBy("bin").collect()
+    assert(bins.length > 1)
+    // contiguous, non-overlapping doc ranges in bin order
+    bins.sliding(2).foreach {
+      case Array(x, y) => assert(x.getAs[Long]("hi") < y.getAs[Long]("lo"))
+      case _ =>
+    }
+    // every bin but the last fills the budget up to one straddling doc
+    bins.init.foreach { b =>
+      assert(b.getAs[Long]("toks") + 1 > 2000L - b.getAs[Long]("max_doc"),
+        b.toString)
+    }
+  }
+
   test("approx_percentile sketch lands within 2% of exact per group") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     def ps(aggSql: String): Map[String, Seq[Double]] =

@@ -109,6 +109,12 @@ class PlanSpec extends SparkSpec {
       df.where(org.apache.spark.sql.functions.col("order_id") < 20).count() == 0)
   }
 
+  test("freq_terms: map-side partial aggregation + TakeOrderedAndProject top-k") {
+    val p = plan("freq_terms")
+    assert(p.contains("partial_count"), p) // vocabulary combines before the shuffle
+    assert(p.contains("TakeOrderedAndProject"), p) // no global sort for the top-k
+  }
+
   test("dedup_exact shuffles only (hash, id) — no text column past the scan") {
     val p = plan("dedup_exact")
     val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")

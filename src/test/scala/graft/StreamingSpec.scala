@@ -105,6 +105,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup: re-deliveries within the watermark drop; state bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    val stream = MemoryStream[(Long, Long)]
+    val df = stream.toDS().toDF("event_id", "us")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"))
+    val out = graft.streaming.EventDedup.dedup(df, Seq("event_id"), "1 hour")
+    val sq = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = base.splitAt(base.length / 2)
+      // batch 1: first half, each event delivered TWICE (in-batch dup)
+      stream.addData(a ++ a); sq.processAllAvailable()
+      // batch 2: second half + re-delivery of the first half's tail
+      // (cross-batch dup within the watermark delay)
+      stream.addData(b ++ a.takeRight(50)); sq.processAllAvailable()
+      // advance the watermark far past everything so all rows emit
+      val lastUs = base.last._2
+      stream.addData(Seq((-1L, lastUs + 100L * 3600L * 1000000L)))
+      sq.processAllAvailable()
+      val got = spark.sql("select event_id from dedup_out where event_id >= 0")
+        .collect().map(_.getLong(0)).sorted
+      // every duplicate delivery dropped: exactly one row per event id
+      assert(got.toSeq == base.map(_._1).sorted)
+    } finally sq.stop()
+  }
+
   test("streaming result is batch-split invariant (one batch vs many)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
