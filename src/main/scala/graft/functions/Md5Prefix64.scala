@@ -134,5 +134,7 @@ object GraftFunctions {
         new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
         (exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1), exprs(2), exprs(3)))
     }
+    // built-in-chain → native-expression optimizer rewrites ride along
+    graft.plans.GraftExtensionsLive.ensureInstalled(spark)
   }
 }

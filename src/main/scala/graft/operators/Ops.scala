@@ -65,6 +65,31 @@ object Ops {
       .drop("_rt_bkt", "_rt_v", "_rt_cum", "_rt_obkt", "_rt_off")
   }
 
+  /** Point-in-interval range join WITHOUT the BroadcastNestedLoopJoin a
+    * raw theta-join gets from the planner: both sides bucket on
+    * `timestamp div bucketWidth`, the interval side replicating into each
+    * bucket it overlaps (≤ ceil(maxIntervalLength / bucketWidth) + 1 rows
+    * — pick bucketWidth ≥ the max interval length for a ≤2× expansion),
+    * then an ordinary hash equi-join on (equiKeys, bucket) with the exact
+    * `[start, end)` residual on top. Every (point, interval) match shares
+    * exactly the point's bucket, so no dedup pass is needed. Shuffle is
+    * hash-partitioned on the equi keys + bucket — the plan that survives
+    * 100 TB, where a nested-loop over points × intervals cannot.
+    * Timestamps are plain numeric columns (e.g. epoch micros).
+    */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+                        equiKeys: Seq[String], pointTsCol: String,
+                        startCol: String, endCol: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("_rj_bkt", expr(s"$pointTsCol div $bucketWidth"))
+    val iv = intervals.withColumn("_rj_bkt",
+      explode(expr(s"sequence($startCol div $bucketWidth, ($endCol - 1) div $bucketWidth)")))
+    p.join(iv, equiKeys :+ "_rj_bkt")
+      .where(col(pointTsCol) >= col(startCol) && col(pointTsCol) < col(endCol))
+      .drop("_rj_bkt")
+  }
+
   /** Skew-resistant equi-join: the large side's key is salted into
     * `saltFactor` buckets and the small side is replicated across every
     * bucket, so one hot key spreads over `saltFactor` tasks instead of

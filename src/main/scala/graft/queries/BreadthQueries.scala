@@ -193,6 +193,26 @@ object BreadthQueries {
         .orderBy("l_returnflag")
     }),
 
+    // range join: events matched to the 90-minute "incident windows" of
+    // their own event type (windows start at hours divisible by 3). Runs
+    // through Ops.bucketedRangeJoin — hash equi-join on (type, time
+    // bucket) + residual, never the nested-loop a raw theta join plans.
+    "join_range_bucketed" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val e = ExtQueries.eventsWithTs(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("ts div 1000").as("us"))
+      val iv = e.where(hour(expr("timestamp_micros(us)")) % 3 === 0)
+        .select(col("event_type"), expr(s"(us div $hourUs) * $hourUs").as("ws"))
+        .distinct()
+        .withColumn("we", col("ws") + lit(90L * 60000000L))
+      graft.operators.Ops.bucketedRangeJoin(e, iv, Seq("event_type"),
+          "us", "ws", "we", bucketWidth = 2L * hourUs)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hits"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     // as-of join: each purchase matched to the user's most recent click at
     // or before it (equi-join on user + range residual + max-reduce; exact
     // and order-free, so tie semantics match the oracle's NOT EXISTS-free
@@ -312,6 +332,17 @@ object BreadthQueries {
         |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_range_bucketed" ->
+      """WITH e AS (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |iv AS (SELECT DISTINCT event_type, date_trunc('hour', t) AS ws
+        |       FROM e WHERE EXTRACT(hour FROM t) % 3 = 0)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM e JOIN iv ON e.event_type = iv.event_type
+        |              AND e.t >= iv.ws AND e.t < iv.ws + INTERVAL 90 MINUTE
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts

@@ -92,6 +92,30 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("optimizer rule rewrites built-in chains to native expressions in user SQL") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // parquet-backed (a literal relation would be constant-folded whole)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("s"))
+    df.createOrReplaceTempView("rw_probe")
+    // user writes the documented portable chains; the optimizer swaps in
+    // norm_alnum / md5prefix64 (GraftRewrites via extraOptimizations)
+    val q = spark.sql(
+      """select trim(regexp_replace(lower(s), '[^a-z0-9]+', ' ')) as n,
+        |       cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10) as bigint) as h
+        |from rw_probe""".stripMargin)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("norm_alnum"), opt)
+    assert(opt.contains("md5prefix64"), opt)
+    assert(!opt.contains("regexp_replace"), opt)
+    // and the rewritten plan computes the same values
+    val rows = q.collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = df.select(
+      expr("norm_alnum(s)"), expr("md5prefix64(cast(s as binary))"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == ref.toSeq)
+  }
+
   test("md5prefix64 survives whole-stage codegen (no interpreted fallback)") {
     // force evaluation through a codegen'd projection over a real scan
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -109,6 +109,13 @@ class PlanSpec extends SparkSpec {
       df.where(org.apache.spark.sql.functions.col("order_id") < 20).count() == 0)
   }
 
+  test("join_range_bucketed: hash join on (key, bucket), never a nested loop") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("freq_terms: map-side partial aggregation + TakeOrderedAndProject top-k") {
     val p = plan("freq_terms")
     assert(p.contains("partial_count"), p) // vocabulary combines before the shuffle
