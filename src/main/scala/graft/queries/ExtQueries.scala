@@ -116,6 +116,17 @@ object ExtQueries {
         queryVec(s, d), 10, nCentroids = 16, nProbe = 16)
     }),
 
+    // int8 embedding quantization: per-vector scale factors + code stats —
+    // the full transform is checked (sum/extremes of every code vector)
+    "embed_quantize_int8" -> ((s, d) => {
+      Similarity.quantizeInt8(embs(s, d), "embedding", "vec_id")
+        .select(col("vec_id"),
+          round(col("_mn"), 4).as("vmin"), round(col("_mx"), 4).as("vmax"),
+          expr("cast(aggregate(codes, 0L, (a, c) -> a + c) as bigint)").as("q_sum"),
+          expr("array_min(codes)").as("q_min"), expr("array_max(codes)").as("q_max"))
+        .orderBy("vec_id")
+    }),
+
     // ---- text analysis -------------------------------------------------
     "lang_id" -> ((s, d) => {
       docs(s, d)
@@ -409,6 +420,25 @@ object ExtQueries {
          |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "embed_quantize_int8" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         |         CAST(list_max(embedding) AS DOUBLE) AS mx
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, mn, mx,
+         |         list_transform(embedding, x -> CAST(
+         |           CASE WHEN mx = mn THEN 0
+         |                ELSE round((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255)
+         |           END AS INTEGER)) AS codes
+         |  FROM q)
+         |SELECT vec_id, round(mn, 4) AS vmin, round(mx, 4) AS vmax,
+         |       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+         |       CAST(list_min(codes) AS INTEGER) AS q_min,
+         |       CAST(list_max(codes) AS INTEGER) AS q_max
+         |FROM c ORDER BY vec_id""".stripMargin,
 
     "split_train_test" ->
       s"""WITH b AS (SELECT doc_id,

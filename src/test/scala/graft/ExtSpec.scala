@@ -111,6 +111,21 @@ class ExtSpec extends SparkSpec {
     assert(full == brute) // every cell probed ⇒ exact
   }
 
+  test("int8 quantization: reconstruction error ≤ half a code step per dim") {
+    val q = Similarity.quantizeInt8(embs, "embedding", "vec_id")
+    val checked = q.select(
+      expr("""aggregate(zip_with(_v, codes, (x, c) ->
+             |  abs(cast(x as double) - (_mn + c / 255.0 * (_mx - _mn)))),
+             |  cast(0.0 as double), (a, e) -> greatest(a, e))""".stripMargin)
+        .as("max_err"),
+      // half a code step, plus a relative epsilon: the ideal |t·255 − c| ≤ ½
+      // bound can overshoot by an ulp-scale amount through the double
+      // divide/multiply chain
+      (((col("_mx") - col("_mn")) / 510.0) * 1.001 + lit(1e-9)).as("bound"))
+    assert(checked.where(col("max_err") > col("bound")).count() == 0)
+    assert(q.count() == embs.count())
+  }
+
   test("hashSplit: disjoint, exhaustive, row-stable under corpus changes") {
     import graft.ext.Curation
     val bands = Seq(("train", 80), ("val", 90), ("test", 100))
