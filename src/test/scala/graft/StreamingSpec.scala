@@ -136,6 +136,51 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("stream-stream interval join == batch join (clicks→purchase attribution)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+
+    val pStream = MemoryStream[(Long, Long, Long)]
+    val cStream = MemoryStream[(Long, Long)]
+    val pDf = pStream.toDS().toDF("event_id", "user_id", "p_us")
+      .select(col("event_id"), col("user_id"), expr("timestamp_micros(p_us)").as("p_ts"))
+    val cDf = cStream.toDS().toDF("c_user", "c_us")
+      .select(col("c_user"), expr("timestamp_micros(c_us)").as("c_ts"))
+    val out = graft.streaming.EventJoin.purchasesWithClicks(pDf, cDf, windowSec = 1800)
+    val sq = out.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // interleave both sides across two batches — pairs must match across
+      // the batch boundary via buffered state
+      val (p1, p2) = purchases.splitAt(purchases.length / 2)
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      pStream.addData(p1); cStream.addData(c1); sq.processAllAvailable()
+      pStream.addData(p2); cStream.addData(c2); sq.processAllAvailable()
+      val streamed = spark.sql("select event_id, user_id, p_ts, c_ts from ssjoin")
+        .collect().map(_.toString).sorted.toSeq
+      // batch reference: same join on static frames
+      val pB = purchases.toDF("event_id", "user_id", "p_us")
+        .select(col("event_id"), col("user_id"), expr("timestamp_micros(p_us)").as("p_ts"))
+      val cB = clicks.toDF("c_user", "c_us")
+        .select(col("c_user"), expr("timestamp_micros(c_us)").as("c_ts"))
+      val batch = pB.join(cB,
+          expr("user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1800 SECONDS AND p_ts"))
+        .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally sq.stop()
+  }
+
   test("streaming result is batch-split invariant (one batch vs many)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
