@@ -86,6 +86,17 @@ object TextOps {
       " * ((i % 97) + 1)), cast(0 as bigint), (acc, v) -> acc + v) % 1000003")
   }
 
+  /** PII scrubbing for release-able corpora: email addresses and long
+    * digit runs (phone-shaped) replace with typed tags. Patterns are
+    * deliberately RE2-compatible so the SAME regex runs in Spark (Java
+    * regex) and the DuckDB oracle — the full redacted text is
+    * fingerprint-checked, not just counted. Emails redact FIRST so their
+    * local-part digits can't half-match as phones. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{7,}"
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** BPE-ish token count: latin words, single digits, single other glyphs. */
   val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def bpeishCount(text: Column): Column =

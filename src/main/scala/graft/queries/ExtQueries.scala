@@ -116,6 +116,29 @@ object ExtQueries {
         queryVec(s, d), 10, nCentroids = 16, nProbe = 16)
     }),
 
+    // PII redaction: every 10th doc gets a planted email + phone appended;
+    // the scrub replaces both and the ORACLE CHECKS THE FULL REDACTED TEXT
+    // via a per-doc hash fingerprint, not just match counts
+    "pii_redact" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@example.com call +88005553535")))
+          .otherwise(col("text")).as("t"))
+      corpus
+        // Column-API lit patterns: Spark SQL string literals would eat the
+        // backslash escapes that the redaction itself uses
+        .withColumn("emails",
+          size(regexp_extract_all(col("t"), lit(TextOps.EmailRe), lit(0))).cast("long"))
+        .withColumn("phones",
+          size(regexp_extract_all(col("t"), lit(TextOps.PhoneRe), lit(0))).cast("long"))
+        .withColumn("red", TextOps.redactPii(col("t")))
+        .groupBy("lang")
+        .agg(sum("emails").as("emails_found"), sum("phones").as("phones_found"),
+          sum(TextOps.hash60(col("red")) % 1000003L).as("redacted_fp"))
+        .orderBy("lang")
+    }),
+
     // int8 embedding quantization: per-vector scale factors + code stats —
     // the full transform is checked (sum/extremes of every code vector)
     "embed_quantize_int8" -> ((s, d) => {
@@ -420,6 +443,27 @@ object ExtQueries {
          |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pii_redact" -> {
+      // duckdb string literals keep backslashes (no escape processing)
+      val em = TextOps.EmailRe
+      val ph = TextOps.PhoneRe
+      s"""WITH c AS (SELECT doc_id, lang,
+         |  CASE WHEN doc_id % 10 = 0
+         |       THEN text || ' contact u' || doc_id || '@example.com call +88005553535'
+         |       ELSE text END AS t
+         |  FROM documents),
+         |r AS (SELECT lang,
+         |  len(regexp_extract_all(t, '$em')) AS emails,
+         |  len(regexp_extract_all(t, '$ph')) AS phones,
+         |  regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+         |                 '$ph', '<PHONE>', 'g') AS red
+         |  FROM c)
+         |SELECT lang, CAST(SUM(emails) AS BIGINT) AS emails_found,
+         |       CAST(SUM(phones) AS BIGINT) AS phones_found,
+         |       CAST(SUM(${h60("red")} % 1000003) AS BIGINT) AS redacted_fp
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "embed_quantize_int8" ->
       s"""WITH q AS (

@@ -111,6 +111,23 @@ class ExtSpec extends SparkSpec {
     assert(full == brute) // every cell probed ⇒ exact
   }
 
+  test("redactPii scrubs planted emails/phones and leaves clean text alone") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    val df = Seq(
+      ("mail me at john.doe+x@sub.example.co.uk thanks", true),
+      ("call +14155551234 or 88005553535 now", true),
+      ("clean text with short 123 and a-b.c", false)).toDF("t", "dirty")
+    val red = df.withColumn("r", TextOps.redactPii(col("t"))).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    red.foreach { case (orig, dirty, r) =>
+      assert(!r.matches(s".*${TextOps.EmailRe}.*"), r)
+      assert(!"[0-9]{7,}".r.findFirstIn(r).isDefined, r)
+      if (dirty) assert(r.contains("<EMAIL>") || r.contains("<PHONE>"), r)
+      else assert(r == orig, r)
+    }
+  }
+
   test("int8 quantization: reconstruction error ≤ half a code step per dim") {
     val q = Similarity.quantizeInt8(embs, "embedding", "vec_id")
     val checked = q.select(
