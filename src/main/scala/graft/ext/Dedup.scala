@@ -88,6 +88,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Bounded min-label propagation — connected components over near-dup
+    * candidate pairs, the step that turns pairwise matches into CLUSTERS
+    * so exactly one document survives per near-dup group.
+    *
+    * `iters` rounds of `label(n) := min(label(n), min(labels of
+    * neighbors))`; round r finds every component of diameter ≤ r. Near-dup
+    * clusters are star/clique shaped (every copy matches the original), so
+    * small fixed `iters` converges; the 100 TB version is the SAME loop
+    * run to fixpoint — O(log n) rounds with path doubling — each round one
+    * equi-join + groupBy shuffle on the node id, no driver iteration over
+    * data. Returns (id, lbl) where lbl = min id of the cluster.
+    */
+  def clusterLabels(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                    iters: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = nodes.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("lbl"))
+    for (_ <- 1 to iters) {
+      val nbMin = edges
+        .join(labels.select(col("id").as("_v"), col("lbl").as("_vlbl")),
+          col("v") === col("_v"))
+        .groupBy(col("u").as("id")).agg(min("_vlbl").as("_nmin"))
+      labels = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"))
+    }
+    labels
+  }
+
   /** SimHash bucket histogram: docs sharing a 16-bit simhash land in one
     * bucket; near-identical docs collide. Returns (bucket_size → n_buckets). */
   def simhashBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -78,6 +78,18 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // pairs → clusters: 3 rounds of min-label propagation, exactly the
+    // algorithm the oracle mirrors in chained CTEs
+    "dedup_minhash_cluster" -> ((s, d) => {
+      val corpus = nearDupCorpus(s, d)
+      val pairs = Dedup.minhashPairs(corpus, "text", "doc_id")
+      Dedup.clusterLabels(corpus.select("doc_id"), pairs, "doc_id", iters = 3)
+        .agg(count_distinct(col("lbl")).as("n_clusters"),
+          sum(when(col("lbl") =!= col("id"), 1L).otherwise(0L)).as("n_merged"),
+          sum(when(col("lbl") === col("id"), col("id")).otherwise(0L))
+            .as("survivor_checksum"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashBuckets(nearDupCorpus(s, d), "text", "doc_id")
         .orderBy("bucket_size")
@@ -305,6 +317,37 @@ object ExtQueries {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
+  /** Shared minhash-LSH CTE chain, ending in `mp(id_a, id_b, est_jaccard)`
+    * (used by `dedup_minhash` and `dedup_minhash_cluster`). */
+  private lazy val minhashCtes =
+    s"""corpus AS ($nearDupCorpusSql),
+       |sh AS (
+       |  SELECT id, substr(t, CAST(u.i AS INTEGER), 8) AS s
+       |  FROM corpus, LATERAL unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS u(i)),
+       |mh AS (
+       |  SELECT id, k.k AS k,
+       |         MIN(('0x' || substr(md5(CAST(k.k // 4 AS VARCHAR) || '|' || s),
+       |                             1 + 8 * CAST(k.k % 4 AS INTEGER), 8))::BIGINT) AS mh
+       |  FROM sh, LATERAL unnest(range(0, 8)) AS k(k)
+       |  GROUP BY id, k.k),
+       |sig AS (SELECT id, list(mh ORDER BY k) AS sig FROM mh GROUP BY id),
+       |bands AS (
+       |  SELECT id, sig, b.b AS b,
+       |         CAST(sig[2 * b.b + 1] AS VARCHAR) || ',' ||
+       |         CAST(sig[2 * b.b + 2] AS VARCHAR) AS bv
+       |  FROM sig, LATERAL unnest(range(0, 4)) AS b(b)
+       |  QUALIFY row_number() OVER (PARTITION BY b.b, bv ORDER BY id) <= 64),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id),
+       |mp AS (
+       |  SELECT id_a, id_b, est AS est_jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      list_sum(list_transform(range(1, 9),
+       |        i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 AS est
+       |    FROM pairs)
+       |  WHERE est >= 0.5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH corpus AS ($dupCorpusSql)
@@ -315,32 +358,31 @@ object ExtQueries {
          |      FROM corpus GROUP BY md5(text))""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH corpus AS ($nearDupCorpusSql),
-         |sh AS (
-         |  SELECT id, substr(t, CAST(u.i AS INTEGER), 8) AS s
-         |  FROM corpus, LATERAL unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS u(i)),
-         |mh AS (
-         |  SELECT id, k.k AS k,
-         |         MIN(('0x' || substr(md5(CAST(k.k // 4 AS VARCHAR) || '|' || s),
-         |                             1 + 8 * CAST(k.k % 4 AS INTEGER), 8))::BIGINT) AS mh
-         |  FROM sh, LATERAL unnest(range(0, 8)) AS k(k)
-         |  GROUP BY id, k.k),
-         |sig AS (SELECT id, list(mh ORDER BY k) AS sig FROM mh GROUP BY id),
-         |bands AS (
-         |  SELECT id, sig, b.b AS b,
-         |         CAST(sig[2 * b.b + 1] AS VARCHAR) || ',' ||
-         |         CAST(sig[2 * b.b + 2] AS VARCHAR) AS bv
-         |  FROM sig, LATERAL unnest(range(0, 4)) AS b(b)
-         |  QUALIFY row_number() OVER (PARTITION BY b.b, bv ORDER BY id) <= 64),
-         |pairs AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
-         |SELECT id_a, id_b, est AS est_jaccard FROM (
-         |  SELECT id_a, id_b,
-         |    list_sum(list_transform(range(1, 9),
-         |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 AS est
-         |  FROM pairs)
-         |WHERE est >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, est_jaccard FROM mp ORDER BY id_a, id_b""".stripMargin,
+
+    // bounded min-label propagation: 3 rounds of the identical algorithm
+    // the Spark operator runs, so the cluster assignment hash-matches
+    "dedup_minhash_cluster" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT n.id, least(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
+           |  FROM $prev n
+           |  LEFT JOIN edges e ON e.u = n.id
+           |  LEFT JOIN $prev l ON l.id = e.v
+           |  GROUP BY n.id, n.lbl)""".stripMargin
+      s"""WITH $minhashCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM mp
+         |          UNION ALL SELECT id_b, id_a FROM mp),
+         |l0 AS (SELECT id, id AS lbl FROM corpus),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(CASE WHEN lbl <> id THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+         |       CAST(SUM(CASE WHEN lbl = id THEN id ELSE 0 END) AS BIGINT) AS survivor_checksum
+         |FROM l3""".stripMargin
+    },
 
     "dedup_simhash" ->
       s"""WITH corpus AS ($nearDupCorpusSql),

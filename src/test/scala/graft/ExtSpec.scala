@@ -111,6 +111,21 @@ class ExtSpec extends SparkSpec {
     assert(full == brute) // every cell probed ⇒ exact
   }
 
+  test("clusterLabels: chains resolve transitively to the min id (k rounds, diameter k)") {
+    import spark.implicits._
+    val nodes = (1L to 8L).toDF("id")
+    // component {1..4} as a chain, {6,7} as a pair, {5, 8} singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val lbl3 = Dedup.clusterLabels(nodes, pairs, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+    // one round only reaches distance-1 neighbors: node 4 still sees 2
+    val lbl1 = Dedup.clusterLabels(nodes, pairs, "id", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl1(4L) == 3L && lbl1(3L) == 2L && lbl1(2L) == 1L)
+  }
+
   test("redactPii scrubs planted emails/phones and leaves clean text alone") {
     import spark.implicits._
     import graft.ext.TextOps
