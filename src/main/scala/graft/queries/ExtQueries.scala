@@ -90,6 +90,18 @@ object ExtQueries {
             .as("survivor_checksum"))
     }),
 
+    // the deduped corpus: keep the min-id survivor of every cluster; the
+    // oracle fingerprints every surviving normalized text
+    "dedup_survivors" -> ((s, d) => {
+      val corpus = nearDupCorpus(s, d)
+      val pairs = Dedup.minhashPairs(corpus, "text", "doc_id")
+      val labels = Dedup.clusterLabels(corpus.select("doc_id"), pairs, "doc_id", 3)
+      corpus.join(labels, corpus("doc_id") === labels("id"))
+        .where(col("lbl") === col("id"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(TextOps.hash60(TextOps.norm(col("text"))) % 1000003L).as("text_fp"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashBuckets(nearDupCorpus(s, d), "text", "doc_id")
         .orderBy("bucket_size")
@@ -348,6 +360,24 @@ object ExtQueries {
        |    FROM pairs)
        |  WHERE est >= 0.5)""".stripMargin
 
+  /** 3 rounds of min-label propagation over `mp` pairs + `corpus` nodes,
+    * ending in `l3(id, lbl)` (shared by the cluster/survivor keys). */
+  private lazy val clusterCtes = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.id, least(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
+         |  FROM $prev n
+         |  LEFT JOIN edges e ON e.u = n.id
+         |  LEFT JOIN $prev l ON l.id = e.v
+         |  GROUP BY n.id, n.lbl)""".stripMargin
+    s"""edges AS (SELECT id_a AS u, id_b AS v FROM mp
+       |          UNION ALL SELECT id_b, id_a FROM mp),
+       |l0 AS (SELECT id, id AS lbl FROM corpus),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH corpus AS ($dupCorpusSql)
@@ -363,26 +393,22 @@ object ExtQueries {
 
     // bounded min-label propagation: 3 rounds of the identical algorithm
     // the Spark operator runs, so the cluster assignment hash-matches
-    "dedup_minhash_cluster" -> {
-      def round(prev: String, out: String) =
-        s"""$out AS (
-           |  SELECT n.id, least(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
-           |  FROM $prev n
-           |  LEFT JOIN edges e ON e.u = n.id
-           |  LEFT JOIN $prev l ON l.id = e.v
-           |  GROUP BY n.id, n.lbl)""".stripMargin
+    "dedup_minhash_cluster" ->
       s"""WITH $minhashCtes,
-         |edges AS (SELECT id_a AS u, id_b AS v FROM mp
-         |          UNION ALL SELECT id_b, id_a FROM mp),
-         |l0 AS (SELECT id, id AS lbl FROM corpus),
-         |${round("l0", "l1")},
-         |${round("l1", "l2")},
-         |${round("l2", "l3")}
+         |$clusterCtes
          |SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_clusters,
          |       CAST(SUM(CASE WHEN lbl <> id THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
          |       CAST(SUM(CASE WHEN lbl = id THEN id ELSE 0 END) AS BIGINT) AS survivor_checksum
-         |FROM l3""".stripMargin
-    },
+         |FROM l3""".stripMargin,
+
+    // the deduped corpus itself: one survivor (min id) per cluster, with
+    // a fingerprint over every surviving normalized text
+    "dedup_survivors" ->
+      s"""WITH $minhashCtes,
+         |$clusterCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+         |       CAST(SUM(${h60("t")} % 1000003) AS BIGINT) AS text_fp
+         |FROM l3 JOIN corpus USING (id) WHERE lbl = id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH corpus AS ($nearDupCorpusSql),

@@ -116,6 +116,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("HashJoin"), p)
   }
 
+  test("sample_stratified: row-local predicate — no join, no pre-agg exchange") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Join"), p) // selection never shuffles the corpus
+    // below the partial aggregate (dataflow before it) sits only filter+scan
+    val belowAgg = p.linesIterator.dropWhile(!_.contains("partial_count")).drop(1)
+    assert(belowAgg.count(_.contains("Exchange")) == 0,
+      s"selection shuffled before aggregation:\n$p")
+  }
+
+  test("pack_token_budget: data-scale cumsum window is PARTITIONED by bucket") {
+    val p = plan("pack_token_budget")
+    // the big-side window must carry the bucket partition key; the only
+    // partition-less window allowed is the bucket-summary (broadcast side)
+    assert(p.contains("windowspecdefinition(_rt_bkt"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // offsets attach via broadcast
+  }
+
   test("freq_terms: map-side partial aggregation + TakeOrderedAndProject top-k") {
     val p = plan("freq_terms")
     assert(p.contains("partial_count"), p) // vocabulary combines before the shuffle
