@@ -102,8 +102,17 @@ object Dedup {
     */
   def clusterLabels(nodes: DataFrame, pairs: DataFrame, idCol: String,
                     iters: Int): DataFrame = {
+    // iterative lineage discipline: every round references labels twice
+    // (join side + neighbor lookup), so without materialization the
+    // upstream pair pipeline re-evaluates 2^iters times. localCheckpoint
+    // (eager) pins the edge set once and each round's (id, lbl) AND
+    // truncates the lineage — label state is rows × 16 bytes at any
+    // corpus size. Deliberately not cache(): checkpoint blocks are
+    // per-instance, so repeated runs in one session can't alias each
+    // other through the plan-equality cache registry.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("lbl"))
     for (_ <- 1 to iters) {
@@ -114,6 +123,7 @@ object Dedup {
       labels = labels.join(nbMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
     }
     labels
   }
