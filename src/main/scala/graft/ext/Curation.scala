@@ -27,8 +27,11 @@ object Curation {
     * the remainder.
     */
   def hashSplit(df: DataFrame, idCol: String, bands: Seq[(String, Int)]): DataFrame = {
-    require(bands.nonEmpty && bands.map(_._2) == bands.map(_._2).sorted,
-      "bands must be ascending (name, upperBoundExclusive) pairs")
+    val ubs = bands.map(_._2)
+    require(bands.nonEmpty && ubs.zip(ubs.tail).forall { case (a, b) => a < b } &&
+      ubs.head > 0 && ubs.last <= 100,
+      "bands must be STRICTLY ascending (name, upperBoundExclusive) pairs in (0, 100]" +
+        s" — a duplicate or out-of-range bound makes a band silently empty: $bands")
     val bucket = TextOps.hash60(col(idCol).cast("string")) % 100
     val split = bands.init.foldRight(lit(bands.last._1): Column) {
       case ((name, ub), rest) => when(bucket < ub, name).otherwise(rest)
@@ -65,10 +68,13 @@ object Curation {
       size(TextOps.tokens(col(textCol))).cast("long").as("_toks"))
     Ops.bucketedRunningTotal(toks, col(orderCol), col("_toks"),
         bucketSize = 1000L, totalName = "_cum")
-      .withColumn("bin", floor((col("_cum") - col("_toks")) / budget))
+      // integer `div`, not floor-of-double-divide: the running total at
+      // corpus scale exceeds 2^53, where double arithmetic misassigns bins
+      .withColumn("bin", expr(s"(_cum - _toks) div $budget"))
   }
 
-  /** Exact corpus-wide top-k terms by document frequency-weighted count.
+  /** Exact corpus-wide top-k terms by raw occurrence count (every token
+    * counts, however the occurrences distribute over documents).
     * Tokens partially aggregate BEFORE the shuffle (map-side combine over
     * each partition's vocabulary — shuffle volume is distinct-terms, not
     * total-tokens) and the top-k is `TakeOrderedAndProject`, never a

@@ -111,14 +111,17 @@ object Similarity {
     val probed = centRows.sortBy { case (id, c) => (-cos(c, query), id) }
       .take(nProbe).map(_._1).toSeq
     // assignment: one broadcast row of sorted (cid, cv, norm) structs;
-    // per-vector argmax over it. sort_array keeps first-wins tie-breaking
-    // deterministic (struct comparison leads with cid).
-    val centsRow = cents
-      .select(col("_cid"), col("_cv"),
-        sqrt(aggregate(transform(col("_cv"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (a, v) => a + v)).as("_cn"))
-      .agg(sort_array(collect_list(struct(col("_cid").as("cid"),
-        col("_cv").as("cv"), col("_cn").as("cn")))).as("_cents"))
+    // per-vector argmax over it, with first-wins tie-breaking on the
+    // cid-sorted array. Built from the ALREADY-COLLECTED sample — reusing
+    // the `cents` plan here would re-run the full-table TakeOrdered scan a
+    // second time at execution.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsRow = centRows.sortBy(_._1).toSeq.toDF("cid", "cv")
+      .select(struct(col("cid"), col("cv"),
+        sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, v) => a + v))
+          .as("cn")).as("_c"))
+      .agg(sort_array(collect_list(col("_c"))).as("_cents"))
     val withCands = df.crossJoin(broadcast(centsRow))
       .withColumn("_vn", l2norm(col(vecCol)))
       .withColumn("_cands", expr(

@@ -106,33 +106,36 @@ case class Md5Lanes4(child: Expression) extends UnaryExpression {
 }
 
 object GraftFunctions {
+
+  /** The native function family as (identifier, info, builder) descriptors —
+    * one source of truth for both the live registry path below and the
+    * `SparkSessionExtensions.injectFunction` path
+    * (`graft.plans.GraftExtensions`). */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("md5prefix64"),
+        new ExpressionInfo(classOf[Md5Prefix64].getName, "md5prefix64"),
+        (exprs: Seq[Expression]) => Md5Prefix64(exprs.head)),
+      (FunctionIdentifier("md5lanes4"),
+        new ExpressionInfo(classOf[Md5Lanes4].getName, "md5lanes4"),
+        (exprs: Seq[Expression]) => Md5Lanes4(exprs.head)),
+      (FunctionIdentifier("norm_alnum"),
+        new ExpressionInfo(classOf[NormAlnum].getName, "norm_alnum"),
+        (exprs: Seq[Expression]) => NormAlnum(exprs.head)),
+      (FunctionIdentifier("ngram_stats"),
+        new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
+        (exprs: Seq[Expression]) => NgramStats(exprs(0), exprs(1), exprs(2))),
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+        (exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1), exprs(2), exprs(3))))
+
   /** Idempotently register graft's native functions on a session (SQL name
     * `md5prefix64`). Called from every entry point AND defensively from
     * query builders, so the functions resolve under any host session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("md5prefix64")
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[Md5Prefix64].getName, "md5prefix64"),
-        (exprs: Seq[Expression]) => Md5Prefix64(exprs.head))
-      registry.registerFunction(
-        FunctionIdentifier("md5lanes4"),
-        new ExpressionInfo(classOf[Md5Lanes4].getName, "md5lanes4"),
-        (exprs: Seq[Expression]) => Md5Lanes4(exprs.head))
-      registry.registerFunction(
-        FunctionIdentifier("norm_alnum"),
-        new ExpressionInfo(classOf[NormAlnum].getName, "norm_alnum"),
-        (exprs: Seq[Expression]) => NormAlnum(exprs.head))
-      registry.registerFunction(
-        FunctionIdentifier("ngram_stats"),
-        new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
-        (exprs: Seq[Expression]) => NgramStats(exprs(0), exprs(1), exprs(2)))
-      registry.registerFunction(
-        FunctionIdentifier("minhash_sig"),
-        new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-        (exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1), exprs(2), exprs(3)))
+    descriptors.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
     // built-in-chain → native-expression optimizer rewrites ride along
     graft.plans.GraftExtensionsLive.ensureInstalled(spark)

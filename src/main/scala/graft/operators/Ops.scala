@@ -44,7 +44,10 @@ object Ops {
     */
   def bucketedRunningTotal(df: DataFrame, orderCol: Column, valueCol: Column,
                            bucketSize: Long, totalName: String): DataFrame = {
-    val bucketed = df.withColumn("_rt_bkt", floor(orderCol / bucketSize))
+    // integer `div` for the bucket key — floor(a / b) on doubles loses
+    // exactness past 2^53, silently splitting/merging buckets
+    val bucketed = df.withColumn("_rt_ord", orderCol.cast("long"))
+      .withColumn("_rt_bkt", expr(s"_rt_ord div $bucketSize"))
       .withColumn("_rt_v", valueCol.cast("long"))
     val inBucket = sum(col("_rt_v")).over(
       Window.partitionBy("_rt_bkt").orderBy(orderCol)
@@ -62,7 +65,7 @@ object Ops {
       .withColumn("_rt_cum", inBucket)
       .join(broadcast(offsets), col("_rt_bkt") === col("_rt_obkt"))
       .withColumn(totalName, col("_rt_cum") + col("_rt_off"))
-      .drop("_rt_bkt", "_rt_v", "_rt_cum", "_rt_obkt", "_rt_off")
+      .drop("_rt_ord", "_rt_bkt", "_rt_v", "_rt_cum", "_rt_obkt", "_rt_off")
   }
 
   /** Point-in-interval range join WITHOUT the BroadcastNestedLoopJoin a

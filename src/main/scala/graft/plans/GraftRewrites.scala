@@ -56,6 +56,7 @@ object GraftRewrites extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GraftRewrites)
+    graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }
 

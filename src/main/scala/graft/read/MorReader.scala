@@ -171,18 +171,40 @@ object MorReader {
     eqFiles.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._1.mkString(",")).foreach {
       case (keyIds, fs) =>
         val partCols = fs.flatMap(_.partition.keys).distinct.sorted
+        // A file written before the canonical-key change lacks `_dk*`
+        // columns; a schema-pinned read would fill them with null and the
+        // anti-join would SILENTLY no-op (deleted rows resurrect). Footer
+        // checks are driver-side metadata reads — one per delete file,
+        // once per plan; legacy files fall back to delete-time column
+        // names read per file (the pre-change path: correct, just one
+        // scan branch each).
+        val (canonical, legacy) = fs.partition { f =>
+          val names = spark.read.parquet(f.path).schema.fieldNames.toSet
+          keyIds.forall(kid => names.contains(s"_dk$kid"))
+        }
         val delSchema = StructType(keyIds.map(kid =>
           StructField(s"_dk$kid", keyDataType(kid))))
         val metaSchema = StructType(
           StructField("_df_path", StringType) +: StructField("_d_seq", LongType) +:
             partCols.map(p => StructField(s"_dp_$p", StringType)))
+        def legacyRead(f: graft.meta.DeleteFileEntry) = {
+          val byId = f.equalityIds.zip(f.equalityCols).toMap
+          spark.read.parquet(f.path)
+            .select(keyIds.map(kid =>
+              col(byId(kid)).cast(keyDataType(kid)).as(s"_dk$kid")) :+
+              lit(f.path).as("_d_src0"): _*)
+        }
+        val scans =
+          (if (canonical.nonEmpty)
+             Seq(spark.read.schema(delSchema).parquet(canonical.map(_.path): _*)
+               .withColumn("_d_src0", normPath(col("_metadata.file_path"))))
+           else Nil) ++ legacy.map(legacyRead)
         val metaRows = fs.map(f => org.apache.spark.sql.Row.fromSeq(
           f.path +: f.seq +: partCols.map(p => f.partition.get(p).orNull)))
         val seqPartMap = spark.createDataFrame(metaRows.asJava, metaSchema)
-        val dels = spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
-          .withColumn("_d_src", normPath(col("_metadata.file_path")))
-          .join(broadcast(seqPartMap), col("_d_src") === col("_df_path"))
-          .drop("_d_src", "_df_path")
+        val dels = scans.reduce(_.unionByName(_))
+          .join(broadcast(seqPartMap), col("_d_src0") === col("_df_path"))
+          .drop("_d_src0", "_df_path")
         val keyCond = keyIds.map(kid => data(keyDataCol(kid)) === dels(s"_dk$kid"))
           .reduce(_ && _)
         val partCond = partCols.map { p =>

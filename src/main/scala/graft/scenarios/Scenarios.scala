@@ -215,13 +215,25 @@ object Scenarios {
   */
 object GenMain {
 
-  /** `k=v` pairs from repeatable `--conf` flags (ref `Main.java:97-105`). */
-  def parseConfs(args: Array[String]): Seq[(String, String)] =
-    args.sliding(2).collect { case Array("--conf", kv) =>
-      require(kv.contains("="), s"--conf expects k=v, got $kv")
-      val Array(k, v) = kv.split("=", 2)
-      (k, v)
-    }.toSeq
+  /** `k=v` pairs from repeatable `--conf` flags (ref `Main.java:97-105`).
+    * Value-aware linear walk (other flags' values are skipped), so a flag
+    * value that happens to be the literal string "--conf" can't alias. */
+  def parseConfs(args: Array[String]): Seq[(String, String)] = {
+    var confs = Vector.empty[(String, String)]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--conf" if i + 1 < args.length =>
+          val kv = args(i + 1)
+          require(kv.contains("="), s"--conf expects k=v, got $kv")
+          val Array(k, v) = kv.split("=", 2)
+          confs :+= (k, v); i += 2
+        case "--warehouse" | "--scenario" => i += 2
+        case _ => i += 1
+      }
+    }
+    confs
+  }
 
   def main(args: Array[String]): Unit = {
     var warehouse = sys.env.getOrElse("HOME", "/tmp") + "/warehouse"

@@ -169,6 +169,13 @@ class ExtSpec extends SparkSpec {
     assert(per.keySet == Set("train", "val", "test"))
     val n = docs.count().toDouble
     assert(per("train") / n > 0.7 && per("train") / n < 0.9)
+    // misconfigured bands fail fast instead of shipping an empty split
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(docs, "doc_id", Seq(("a", 80), ("b", 80), ("c", 100)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(docs, "doc_id", Seq(("a", -5), ("b", 100)))
+    }
     // row-stability: dropping half the corpus never moves an assignment
     val subset = Curation.hashSplit(docs.where(col("doc_id") % 2 === 0), "doc_id", bands)
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

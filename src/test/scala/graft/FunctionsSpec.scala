@@ -92,6 +92,13 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("GraftExtensions installs both the rewrites and the full function family") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // must accept every descriptor
+    assert(graft.functions.GraftFunctions.descriptors.map(_._1.funcName).toSet ==
+      Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig"))
+  }
+
   test("optimizer rule rewrites built-in chains to native expressions in user SQL") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // parquet-backed (a literal relation would be constant-folded whole)

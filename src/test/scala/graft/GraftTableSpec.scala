@@ -271,6 +271,32 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](reopened.updateSpec(Seq("source_id"), Nil))
   }
 
+  test("legacy eq-delete files (no _dk columns) still apply via per-file fallback") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val g = new GraftTableGenerator(spark, wh, "legacy_eq")
+      .create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 1, 100).commit()
+    g.equalityDelete(col("order_id") < 10, Seq("order_id")).commit()
+    assert(g.read.count() == 90)
+    // simulate a file written before the canonical-key change: rewrite the
+    // delete file without its _dk columns (delete-time names remain)
+    val delFile = Paths.get(s"$wh/legacy_eq/data/2019/eqdelete-2019-00.parquet")
+    assert(JFiles.exists(delFile))
+    val cols = spark.read.parquet(delFile.toString).columns.filterNot(_.startsWith("_dk"))
+    val tmp = JFiles.createTempDirectory("legacy-eq")
+    spark.read.parquet(delFile.toString)
+      .select(cols.map(col): _*).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString + "/out")
+    val part = JFiles.list(Paths.get(tmp.toString + "/out")).iterator()
+    val rewritten = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    JFiles.copy(rewritten, delFile, StandardCopyOption.REPLACE_EXISTING)
+    // stripped file has no _dk columns, yet the deletes must still apply
+    assert(!spark.read.parquet(delFile.toString).columns.exists(_.startsWith("_dk")))
+    assert(g.read.count() == 90)
+    assert(g.read.where(col("order_id") < 10).count() == 0)
+  }
+
   test("GenMain --conf k=v parses and reaches the session Hadoop conf (Main.java:97-116)") {
     val confs = graft.scenarios.GenMain.parseConfs(Array(
       "--warehouse", "/tmp/x", "--scenario", "all",
