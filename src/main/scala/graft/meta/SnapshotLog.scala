@@ -31,6 +31,12 @@ final case class DataFileEntry(
   * schema (S11). Equality deletes apply to data files with STRICTLY SMALLER
   * sequence number (Iceberg v2 semantics, observable in the golden counts
   * `Main.java:328-354`); positional deletes apply to seq <= delete seq.
+  *
+  * `keyColsWritten` records the physical canonical key column names
+  * (`_dk<fieldId>`) the writer put IN the file — the reader trusts it and
+  * plans a single multi-path scan with zero Parquet footer probes. Empty on
+  * entries from logs predating the field (or pos deletes); only those
+  * legacy entries pay a driver-side footer check at plan time.
   */
 final case class DeleteFileEntry(
     path: String,
@@ -38,7 +44,8 @@ final case class DeleteFileEntry(
     kind: String, // "pos" | "eq"
     equalityCols: Seq[String],
     equalityIds: Seq[Int],
-    seq: Long)
+    seq: Long,
+    keyColsWritten: Seq[String] = Nil)
 
 /** One committed transaction = one snapshot (reference
   * `IcebergTableGenerator.java:367-379`: N buffered ops, one commit).
@@ -177,6 +184,9 @@ final class SnapshotLog(tableDir: Path) {
       o.put("path", f.path); o.put("kind", f.kind); o.put("seq", f.seq)
       val eq = o.putArray("equalityCols"); f.equalityCols.foreach(eq.add)
       val eqi = o.putArray("equalityIds"); f.equalityIds.foreach(eqi.add)
+      if (f.keyColsWritten.nonEmpty) {
+        val kw = o.putArray("keyColsWritten"); f.keyColsWritten.foreach(kw.add)
+      }
       putPartition(o, f.partition)
     }
     val rdf = root.putArray("removedDataFiles")
@@ -200,7 +210,9 @@ final class SnapshotLog(tableDir: Path) {
       DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,
         o.get("equalityCols").elements().asScala.map(_.asText).toSeq,
         o.get("equalityIds").elements().asScala.map(_.asInt).toSeq,
-        o.get("seq").asLong)
+        o.get("seq").asLong,
+        Option(o.get("keyColsWritten")) // absent on pre-field (legacy) logs
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
     }.toSeq
     def strArr(field: String): Seq[String] = Option(n.get(field))
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)

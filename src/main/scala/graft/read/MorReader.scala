@@ -43,6 +43,11 @@ object MorReader {
   val PosCol = "_graft_pos"
   val SeqCol = "_graft_seq"
 
+  /** Plan-time Parquet footer probes performed (legacy eq-delete entries
+    * only — tables written by the current writer must plan at ZERO; the
+    * counter exists so specs can pin that invariant). */
+  private[graft] val footerProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def read(spark: SparkSession, tableDir: String): DataFrame =
     read(spark, tableDir, None, Map.empty)
 
@@ -173,14 +178,20 @@ object MorReader {
         val partCols = fs.flatMap(_.partition.keys).distinct.sorted
         // A file written before the canonical-key change lacks `_dk*`
         // columns; a schema-pinned read would fill them with null and the
-        // anti-join would SILENTLY no-op (deleted rows resurrect). Footer
-        // checks are driver-side metadata reads — one per delete file,
-        // once per plan; legacy files fall back to delete-time column
-        // names read per file (the pre-change path: correct, just one
-        // scan branch each).
+        // anti-join would SILENTLY no-op (deleted rows resurrect). The
+        // writer records what it wrote (`keyColsWritten`), so plan
+        // construction normally does ZERO file I/O; only entries from logs
+        // predating the field pay one driver-side footer check each, and
+        // legacy files fall back to delete-time column names read per file
+        // (the pre-change path: correct, just one scan branch each).
         val (canonical, legacy) = fs.partition { f =>
-          val names = spark.read.parquet(f.path).schema.fieldNames.toSet
-          keyIds.forall(kid => names.contains(s"_dk$kid"))
+          if (f.keyColsWritten.nonEmpty)
+            keyIds.forall(kid => f.keyColsWritten.contains(s"_dk$kid"))
+          else {
+            footerProbes.incrementAndGet()
+            val names = spark.read.parquet(f.path).schema.fieldNames.toSet
+            keyIds.forall(kid => names.contains(s"_dk$kid"))
+          }
         }
         val delSchema = StructType(keyIds.map(kid =>
           StructField(s"_dk$kid", keyDataType(kid))))

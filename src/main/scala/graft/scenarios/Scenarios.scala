@@ -228,7 +228,10 @@ object GenMain {
           require(kv.contains("="), s"--conf expects k=v, got $kv")
           val Array(k, v) = kv.split("=", 2)
           confs :+= (k, v); i += 2
-        case "--warehouse" | "--scenario" => i += 2
+        case "--warehouse" | "--scenario" if i + 1 < args.length => i += 2
+        case flag @ ("--conf" | "--warehouse" | "--scenario") =>
+          // trailing valueless flag: fail fast, never silently ignore
+          throw new IllegalArgumentException(s"$flag requires a value")
         case _ => i += 1
       }
     }
@@ -242,9 +245,11 @@ object GenMain {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--warehouse" => warehouse = args(i + 1); i += 2
-        case "--scenario" => scenario = args(i + 1); i += 2
-        case "--conf" => i += 2
+        case "--warehouse" if i + 1 < args.length => warehouse = args(i + 1); i += 2
+        case "--scenario" if i + 1 < args.length => scenario = args(i + 1); i += 2
+        case "--conf" if i + 1 < args.length => i += 2
+        case flag @ ("--warehouse" | "--scenario" | "--conf") =>
+          System.err.println(s"Missing value for $flag"); sys.exit(1)
         case other => System.err.println(s"Invalid option: $other"); sys.exit(1)
       }
     }

@@ -303,7 +303,8 @@ final class GraftTableGenerator(
       val target = deleteFileTarget("eqdelete", partition)
       writeSingleFile(matches, target)
       stagedDeletes :+= DeleteFileEntry(target.toString, partition, "eq", keyCols,
-        keyCols.map(schema.fieldId), opSeq)
+        keyCols.map(schema.fieldId), opSeq,
+        keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"))
     }
     this
   }
@@ -364,7 +365,8 @@ final class GraftTableGenerator(
     val canonicalKeys = keyCols.map(k => col(k).as(s"_dk${schema.fieldId(k)}"))
     writeSingleFile(df.select(schema.names.map(col) ++ canonicalKeys: _*), target)
     stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "eq", keyCols,
-      keyCols.map(schema.fieldId), delSeq)
+      keyCols.map(schema.fieldId), delSeq,
+      keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"))
     appendSlices(slices)
     this
   }

@@ -278,8 +278,9 @@ class GraftTableSpec extends SparkSpec {
       .append(Seq(2019), Bundles.orders(), 1, 100).commit()
     g.equalityDelete(col("order_id") < 10, Seq("order_id")).commit()
     assert(g.read.count() == 90)
-    // simulate a file written before the canonical-key change: rewrite the
-    // delete file without its _dk columns (delete-time names remain)
+    // simulate a table written before the canonical-key change: rewrite the
+    // delete file without its _dk columns (delete-time names remain) AND
+    // strip the log's keyColsWritten field (a legacy writer never wrote it)
     val delFile = Paths.get(s"$wh/legacy_eq/data/2019/eqdelete-2019-00.parquet")
     assert(JFiles.exists(delFile))
     val cols = spark.read.parquet(delFile.toString).columns.filterNot(_.startsWith("_dk"))
@@ -291,10 +292,31 @@ class GraftTableSpec extends SparkSpec {
     val rewritten = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
       .find(_.getFileName.toString.endsWith(".parquet")).get
     JFiles.copy(rewritten, delFile, StandardCopyOption.REPLACE_EXISTING)
-    // stripped file has no _dk columns, yet the deletes must still apply
+    val logFile = Paths.get(s"$wh/legacy_eq/metadata/log.jsonl")
+    JFiles.writeString(logFile, JFiles.readString(logFile)
+      .replaceAll(""","keyColsWritten":\[[^\]]*\]""", ""))
+    // stripped file has no _dk columns, yet the deletes must still apply —
+    // via the footer-probe fallback, which must fire for the legacy entry
     assert(!spark.read.parquet(delFile.toString).columns.exists(_.startsWith("_dk")))
+    val before = graft.read.MorReader.footerProbes.get()
     assert(g.read.count() == 90)
+    assert(graft.read.MorReader.footerProbes.get() > before,
+      "legacy log entry did not take the footer-probe path")
     assert(g.read.where(col("order_id") < 10).count() == 0)
+  }
+
+  test("current-writer eq-delete tables plan with ZERO parquet footer probes") {
+    val g = new GraftTableGenerator(spark, wh, "noprobe_eq")
+      .create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019, 2020), Bundles.orders(), 1, 100).commit()
+    (0 until 5).foreach { i =>
+      g.equalityDelete(col("order_id") === i, Seq("order_id")).commit()
+    }
+    val before = graft.read.MorReader.footerProbes.get()
+    val df = g.read // plan construction happens here
+    assert(graft.read.MorReader.footerProbes.get() == before,
+      "plan construction read parquet footers despite keyColsWritten in the log")
+    assert(df.count() == 195)
   }
 
   test("GenMain --conf k=v parses and reaches the session Hadoop conf (Main.java:97-116)") {
@@ -309,6 +331,13 @@ class GraftTableSpec extends SparkSpec {
       == "http://localhost:9000")
     intercept[IllegalArgumentException] {
       graft.scenarios.GenMain.parseConfs(Array("--conf", "not-a-pair"))
+    }
+    // trailing valueless flag fails fast instead of being silently ignored
+    intercept[IllegalArgumentException] {
+      graft.scenarios.GenMain.parseConfs(Array("--scenario", "all", "--conf"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.scenarios.GenMain.parseConfs(Array("--warehouse"))
     }
   }
 
