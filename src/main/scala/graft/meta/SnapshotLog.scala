@@ -8,11 +8,28 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import graft.schema.GraftSchema
 
+/** Per-column file statistics (the `withMetrics(appender.metrics())` analog,
+  * reference `IcebergTableGenerator.java:420,445`): inclusive min/max of the
+  * column's non-null values rendered as canonical strings (numerics compare
+  * via BigDecimal at prune time; date/timestamp/string/boolean renderings
+  * compare lexically), plus the null count. `min`/`max` None with the entry
+  * present means the column is ALL NULL in the file — rows there can never
+  * satisfy a range predicate, so the file is prunable.
+  */
+final case class ColMetrics(min: Option[String], max: Option[String], nullCount: Long)
+
 /** A data file registered in a snapshot (analog of an Iceberg manifest
   * entry, reference `IcebergTableGenerator.java:417-422`). `recordCount` is
   * the DECLARED count — `appendEmptyFile` deliberately lies (`:168`,
   * `withRecordCount(1)` over an empty file); readers must trust file
   * content, which the Spark read path does for free.
+  *
+  * `metrics` maps FIELD ID → [[ColMetrics]] (ids, not names: metrics stay
+  * valid across schema evolution). Computed from actual file content at
+  * write time — never from declared counts — so even the lying empty file
+  * carries honest (absent) stats. This is what lets a reader skip whole
+  * files on arbitrary range/equality predicates at metadata scale instead
+  * of opening a million Parquet footers ([[graft.read.MorReader.readRange]]).
   */
 final case class DataFileEntry(
     path: String,
@@ -20,7 +37,8 @@ final case class DataFileEntry(
     specId: Int,
     schemaV: Int,
     seq: Long,
-    recordCount: Long)
+    recordCount: Long,
+    metrics: Map[Int, ColMetrics] = Map.empty)
 
 /** A delete file (positional or equality) registered via a row-delta
   * (reference `RowDelta`, `IcebergTableGenerator.java:202,281-284,360-363`).
@@ -177,6 +195,14 @@ final class SnapshotLog(tableDir: Path) {
       o.put("path", f.path); o.put("specId", f.specId); o.put("schemaV", f.schemaV)
       o.put("seq", f.seq); o.put("recordCount", f.recordCount)
       putPartition(o, f.partition)
+      if (f.metrics.nonEmpty) {
+        val m = o.putObject("metrics")
+        f.metrics.toSeq.sortBy(_._1).foreach { case (fid, cm) =>
+          val e = m.putObject(fid.toString)
+          cm.min.foreach(e.put("min", _)); cm.max.foreach(e.put("max", _))
+          e.put("nulls", cm.nullCount)
+        }
+      }
     }
     val dels = root.putArray("deleteFiles")
     s.deleteFiles.foreach { f =>
@@ -203,8 +229,17 @@ final class SnapshotLog(tableDir: Path) {
 
   private def parseSnapshot(n: JsonNode): Snapshot = {
     val dfs = n.get("dataFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
+      val metrics = Option(o.get("metrics")).map { m =>
+        m.asInstanceOf[ObjectNode].properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey.toInt -> ColMetrics(
+            Option(v.get("min")).map(_.asText), Option(v.get("max")).map(_.asText),
+            Option(v.get("nulls")).map(_.asLong).getOrElse(0L))
+        }.toMap
+      }.getOrElse(Map.empty[Int, ColMetrics])
       DataFileEntry(o.get("path").asText, partitionOf(o), o.get("specId").asInt,
-        o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong)
+        o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong,
+        metrics)
     }.toSeq
     val dels = n.get("deleteFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
       DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,

@@ -54,6 +54,17 @@ object MorQueries {
     })
   private def s11(spark: SparkSession): String =
     table(spark, "s11", Scenarios.createProductsWithEqDeletesSchemaChange)
+  /** 10 sequential unpartitioned files (order_id ranges of 100 each) + one
+    * eq-delete wave — the metrics-pruning fixture: a range predicate must
+    * open only the files whose recorded min/max intersect it. */
+  private def metricsTable(spark: SparkSession): String =
+    built.computeIfAbsent("metrics_prune", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_metrics")
+      g.create(Scenarios.OrdersSchema, Nil)
+        .append(graft.gen.Bundles.ordersUnpartitioned(), 10, 100).commit()
+        .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
+      g.tableDir.toString
+    })
   /** S10 rebuilt under another name, then compacted — same live rows. */
   private def s10c(spark: SparkSession): String =
     built.computeIfAbsent("s10c", _ => {
@@ -182,6 +193,16 @@ object MorQueries {
       MorReader.readWhere(s, s10(s), Map("category" -> Set("widget")))
         .groupBy("category").agg(count(lit(1)).as("cnt"))
         .orderBy("category")
+    }),
+
+    // file-level metrics pruning (withMetrics analog): order_id ∈ [250, 449]
+    // must open 3 of the 10 data files (per-file min/max from the log) and
+    // still apply the eq-delete wave to the surviving rows
+    "metrics_file_prune" -> ((s, _) => {
+      MorReader.readRange(s, metricsTable(s),
+          Map("order_id" -> MorReader.ColRange(Some("250"), Some("449"))))
+        .agg(count(lit(1)).as("cnt"), sum(col("order_id").cast("long")).as("id_sum"),
+          min(col("order_id")).as("min_id"), max(col("order_id")).as("max_id"))
     })
   )
 
@@ -308,6 +329,12 @@ object MorQueries {
          |  AND NOT (id % 10 = 5 AND seq < 4)
          |  AND NOT (id % 200 >= 100 AND seq < 6)
          |  AND NOT (id BETWEEN 50 AND 52)
-         |GROUP BY category ORDER BY category""".stripMargin
+         |GROUP BY category ORDER BY category""".stripMargin,
+
+    "metrics_file_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
+        |FROM (SELECT range AS id FROM range(250, 450))
+        |WHERE NOT (id % 10 = 7)""".stripMargin
   )
 }

@@ -48,12 +48,30 @@ object MorReader {
     * counter exists so specs can pin that invariant). */
   private[graft] val footerProbes = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Inclusive bounds (equality when `lo == hi`) over one column, rendered
+    * as canonical strings — the same representation [[graft.meta.ColMetrics]]
+    * stores, so file pruning compares without opening anything. */
+  final case class ColRange(lo: Option[String] = None, hi: Option[String] = None)
+
   def read(spark: SparkSession, tableDir: String): DataFrame =
     read(spark, tableDir, None, Map.empty)
 
   /** Time travel (SURVEY.md §2.8 `snapshot_scan`). */
   def readAt(spark: SparkSession, tableDir: String, snapshotId: Long): DataFrame =
     read(spark, tableDir, Some(snapshotId), Map.empty)
+
+  /** Range/equality-predicate read with FILE-LEVEL pruning from the
+    * snapshot log's per-column min/max metrics (the manifest-metrics
+    * pruning an Iceberg reader gets from `withMetrics`, reference
+    * `IcebergTableGenerator.java:420`): files whose recorded [min, max]
+    * cannot intersect a bound are never opened — a driver-side metadata
+    * decision over the log, no footer I/O. At millions of files this is
+    * the difference between a metadata-scale plan and a million footer
+    * reads; surviving files still apply the predicate row-level (Parquet
+    * row-group skipping then handles sub-file granularity for free). */
+  def readRange(spark: SparkSession, tableDir: String,
+                ranges: Map[String, ColRange]): DataFrame =
+    read(spark, tableDir, None, Map.empty, ranges)
 
   /** Partition-pruned read: `filter` maps partition col → allowed values
     * (the `Expressions.in` analog, reference
@@ -67,16 +85,25 @@ object MorReader {
     read(spark, tableDir, None, filter)
 
   def read(spark: SparkSession, tableDir: String, asOf: Option[Long],
-           partitionFilter: Map[String, Set[String]]): DataFrame = {
+           partitionFilter: Map[String, Set[String]],
+           ranges: Map[String, ColRange] = Map.empty): DataFrame = {
     val st0 = SnapshotLog(tableDir).load()
     val st = asOf.map(st0.asOf).getOrElse(st0)
     val live = st.schema
-    val rowPred = partitionFilter.collect {
+    val partPred = partitionFilter.collect {
       case (k, vs) if live.names.contains(k) =>
         col(k).cast("string").isin(vs.toSeq: _*)
     }.foldLeft(lit(true))(_ && _)
-    withMeta(spark, st, live, partitionFilter)
-      .where(rowPred)
+    // surviving files still need the row-level predicate (their stats
+    // intersect the range, not every row does)
+    val rangePred = ranges.collect {
+      case (k, r) if live.names.contains(k) =>
+        val dt = live.fields.find(_.name == k).get.dataType
+        (r.lo.map(lo => col(k) >= lit(lo).cast(dt)) ++
+          r.hi.map(hi => col(k) <= lit(hi).cast(dt))).reduce(_ && _)
+    }.foldLeft(lit(true))(_ && _)
+    withMeta(spark, st, live, partitionFilter, ranges)
+      .where(partPred && rangePred)
       .select(live.names.map(col): _*)
   }
 
@@ -90,9 +117,39 @@ object MorReader {
                                f: Map[String, Set[String]]): Boolean =
     f.forall { case (k, vs) => p.get(k).forall(vs.contains) }
 
+  /** Type-aware comparison of canonical metric strings: numerics through
+    * BigDecimal (so "1.0E-4" vs "0.01" compares right), everything else
+    * lexically (ISO dates, fixed-format timestamps, booleans all sort
+    * correctly as strings). */
+  private def cmpMetric(dt: DataType, a: String, b: String): Int = dt match {
+    case _: NumericType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  /** May any row of file `f` satisfy every range? Missing stats keep the
+    * file (never unsound); present stats with no min/max mean the column is
+    * ALL NULL in the file, and null never satisfies a range predicate. */
+  private def matchesRanges(f: DataFileEntry, live: GraftSchema,
+                            ranges: Map[String, ColRange]): Boolean =
+    ranges.forall { case (k, r) =>
+      live.fields.find(_.name == k).forall { field =>
+        f.metrics.get(field.id).forall { m =>
+          (m.min, m.max) match {
+            case (Some(mn), Some(mx)) =>
+              r.lo.forall(lo => cmpMetric(field.dataType, mx, lo) >= 0) &&
+                r.hi.forall(hi => cmpMetric(field.dataType, mn, hi) <= 0)
+            case _ => false
+          }
+        }
+      }
+    }
+
   private[graft] def withMeta(spark: SparkSession, st: TableState, live: GraftSchema,
-                              partitionFilter: Map[String, Set[String]]): DataFrame = {
-    val dataFiles = st.dataFiles.filter(f => matchesPartition(f.partition, partitionFilter))
+                              partitionFilter: Map[String, Set[String]],
+                              ranges: Map[String, ColRange] = Map.empty): DataFrame = {
+    val dataFiles = st.dataFiles.filter(f =>
+      matchesPartition(f.partition, partitionFilter) && matchesRanges(f, live, ranges))
     if (dataFiles.isEmpty) {
       val struct = StructType(live.struct.fields ++ Seq(
         StructField(FilePathCol, StringType), StructField(PosCol, LongType),

@@ -3,14 +3,15 @@ package graft.table
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.gen.{RecordBundle, ValueGen}
 import graft.meta._
 import graft.read.MorReader
-import graft.schema.GraftSchema
+import graft.schema.{GraftField, GraftSchema}
 
 /** Fluent table-building engine — the Spark-native re-expression of the
   * reference's `IcebergTableGenerator` (reference
@@ -116,7 +117,8 @@ final class GraftTableGenerator(
       val target = uniqueNumberedFile(pdir, s"$pv-%02d.parquet")
       writeSingleFile(df, target)
       stagedData :+= DataFileEntry(target.toString,
-        Map(partitionCols.head -> pv.toString), specId, schemaV, opSeq, rowsPerFile)
+        Map(partitionCols.head -> pv.toString), specId, schemaV, opSeq, rowsPerFile,
+        metrics = fileMetrics(target))
     }
     this
   }
@@ -130,7 +132,7 @@ final class GraftTableGenerator(
       val target = uniqueNumberedFile(dataDir, "%02d.parquet")
       writeSingleFile(df, target)
       stagedData :+= DataFileEntry(target.toString, Map.empty, specId, schemaV,
-        opSeq, rowsPerFile)
+        opSeq, rowsPerFile, metrics = fileMetrics(target))
     }
     this
   }
@@ -148,13 +150,15 @@ final class GraftTableGenerator(
     if (partitionCols.isEmpty) {
       df.repartition(numFiles).write.options(props).mode("overwrite")
         .parquet(staging.toString)
+      val stats = bulkMetrics(staging)
       list(staging).filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.toString).foreach { part =>
+          val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
           val target = uniqueNumberedFile(dataDir, "%02d.parquet")
           Files.createDirectories(target.getParent)
           Files.move(part, target)
           stagedData :+= DataFileEntry(target.toString, Map.empty, specId,
-            schemaV, opSeq, -1L)
+            schemaV, opSeq, -1L, metrics = m)
         }
     } else {
       val pcol = partitionCols.head
@@ -165,17 +169,19 @@ final class GraftTableGenerator(
       df.withColumn(dup, col(pcol)).repartition(numFiles, col(pcol))
         .write.options(props)
         .partitionBy(dup).mode("overwrite").parquet(staging.toString)
+      val stats = bulkMetrics(staging)
       list(staging).filter(p => p.getFileName.toString.startsWith(s"$dup="))
         .sortBy(_.toString).foreach { pdir =>
           val value = pdir.getFileName.toString.stripPrefix(s"$dup=")
           list(pdir).filter(_.getFileName.toString.endsWith(".parquet"))
             .sortBy(_.toString).foreach { part =>
+              val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
               val target = uniqueNumberedFile(dataDir.resolve(value),
                 s"$value-%02d.parquet")
               Files.createDirectories(target.getParent)
               Files.move(part, target)
               stagedData :+= DataFileEntry(target.toString,
-                Map(pcol -> value), specId, schemaV, opSeq, -1L)
+                Map(pcol -> value), specId, schemaV, opSeq, -1L, metrics = m)
             }
         }
     }
@@ -204,7 +210,8 @@ final class GraftTableGenerator(
     Files.createDirectories(target.getParent)
     Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
     stagedData :+= DataFileEntry(target.toString,
-      Map(partitionCols.head -> partitionValue.toString), specId, schemaV, opSeq, 1L)
+      Map(partitionCols.head -> partitionValue.toString), specId, schemaV, opSeq, 1L,
+      metrics = fileMetrics(target)) // honest all-null stats under the lying count
     this
   }
 
@@ -332,7 +339,7 @@ final class GraftTableGenerator(
       // contract), so skip the extra evaluation a count() would cost
       writeSingleFile(rows.select(schema.names.map(col): _*), target)
       stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-        opSeq, -1L)
+        opSeq, -1L, metrics = fileMetrics(target))
     }
   }
 
@@ -426,7 +433,7 @@ final class GraftTableGenerator(
       val rows = merged.count()
       writeSingleFile(merged.select(schema.names.map(col): _*), target)
       stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-        opSeq, rows)
+        opSeq, rows, metrics = fileMetrics(target))
       stagedRemovedData ++= files.map(_.path)
       stagedRemovedDeletes ++=
         st.deleteFiles.filter(_.partition == partition).map(_.path)
@@ -522,6 +529,64 @@ final class GraftTableGenerator(
     }.reduce(_.unionByName(_))
   }
 
+  // ---- file-level column metrics (reference `withMetrics(appender.metrics())`,
+  // `IcebergTableGenerator.java:420,445`) --------------------------------
+
+  /** Schema fields eligible for metrics: the first
+    * [[GraftTableGenerator.MetricsMaxCols]] with comparable types (Iceberg's
+    * `write.metadata.metrics.max-inferred-column-defaults` analog — a
+    * 1000-col table must not pay 3000 aggregates per file). */
+  private def metricFields: Seq[GraftField] =
+    schema.fields.take(GraftTableGenerator.MetricsMaxCols)
+      .filter(f => GraftTableGenerator.metricsSupported(f.dataType))
+
+  private def metricAggs(fields: Seq[GraftField]): Seq[Column] =
+    fields.flatMap(f => Seq(
+      min(col(f.name)).cast("string").as(s"_mn_${f.id}"),
+      max(col(f.name)).cast("string").as(s"_mx_${f.id}"),
+      coalesce(sum(when(col(f.name).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"_nc_${f.id}")))
+
+  private def rowToMetrics(fields: Seq[GraftField], r: Row): Map[Int, ColMetrics] =
+    fields.map { f =>
+      f.id -> ColMetrics(
+        Option(r.getAs[String](s"_mn_${f.id}")),
+        Option(r.getAs[String](s"_mx_${f.id}")),
+        r.getAs[Long](s"_nc_${f.id}"))
+    }.toMap
+
+  /** Min/max/null-count of the file JUST written — one tiny job re-reading
+    * the single file (stats come from actual content, never declared
+    * counts, so the lying empty file carries honest all-null stats). A
+    * production writer accumulates these inside the appender during the
+    * write itself; per-file re-read is the scenario-scale equivalent, and
+    * the bulk path ([[bulkMetrics]]) does it in ONE job for all files. */
+  private def fileMetrics(target: Path): Map[Int, ColMetrics] = {
+    val fields = metricFields
+    if (fields.isEmpty) return Map.empty
+    val df = spark.read.schema(schema.struct).parquet(target.toString)
+    val aggs = metricAggs(fields)
+    rowToMetrics(fields, df.agg(aggs.head, aggs.tail: _*).head())
+  }
+
+  /** Metrics for every part file in a staging dir in ONE Spark job
+    * (groupBy `_metadata.file_path`) — the 100 TB shape: stats collection
+    * scales with the write parallelism, not the file count. Keys are
+    * normalized absolute paths of the STAGING files (callers look up before
+    * moving each part to its target). */
+  private def bulkMetrics(staging: Path): Map[String, Map[Int, ColMetrics]] = {
+    val fields = metricFields
+    if (fields.isEmpty) return Map.empty
+    val aggs = metricAggs(fields)
+    spark.read.parquet(staging.toString)
+      .select(col("*"), col("_metadata.file_path").as("_mfp"))
+      .groupBy("_mfp").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getAs[String]("_mfp").replaceFirst("^file:/+", "/") ->
+        rowToMetrics(fields, r))
+      .toMap
+  }
+
   private def partitionDirName(partition: Map[String, String]): String =
     partition.toSeq.sortBy(_._1).map(_._2).mkString("-")
 
@@ -572,4 +637,19 @@ final class GraftTableGenerator(
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+}
+
+object GraftTableGenerator {
+  /** Metrics are inferred for at most this many leading schema columns
+    * (Iceberg `write.metadata.metrics.max-inferred-column-defaults`). */
+  val MetricsMaxCols = 32
+
+  /** Types whose min/max render to canonical strings the reader can compare
+    * (numerics via BigDecimal, the rest lexically — ISO dates, fixed-format
+    * timestamps and booleans all sort correctly as strings). */
+  private[table] def metricsSupported(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
+    case _ => false
+  }
 }

@@ -305,6 +305,35 @@ class GraftTableSpec extends SparkSpec {
     assert(g.read.where(col("order_id") < 10).count() == 0)
   }
 
+  test("file metrics: per-column min/max/nulls in the log, honest for the lying empty file") {
+    import graft.meta.SnapshotLog
+    val g = new GraftTableGenerator(spark, wh, "metrics_demo")
+      .create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 2, 50).commit()
+      .appendEmptyFile(2019).commit()
+    val st = SnapshotLog(g.tableDir.toString).load()
+    val files = st.dataFiles.sortBy(_.path)
+    assert(files.length == 3)
+    val idField = Scenarios.OrdersSchema.fieldId("order_id")
+    // file 0 covers ids [0,50), file 1 [50,100) — min/max recorded by field id
+    val m0 = files(0).metrics(idField); val m1 = files(1).metrics(idField)
+    assert(m0.min.contains("0") && m0.max.contains("49") && m0.nullCount == 0, m0.toString)
+    assert(m1.min.contains("50") && m1.max.contains("99"), m1.toString)
+    // the empty file LIES recordCount=1 but its metrics come from content:
+    // no non-null values → (None, None) → prunable under any range
+    val empty = files(2)
+    assert(empty.recordCount == 1L)
+    assert(empty.metrics(idField) == graft.meta.ColMetrics(None, None, 0L))
+    // a range read prunes to one file and returns exactly its rows
+    val pruned = graft.read.MorReader.readRange(spark, g.tableDir.toString,
+      Map("order_id" -> graft.read.MorReader.ColRange(Some("60"), Some("70"))))
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.mkString(","))
+    assert(pruned.count() == 11)
+    // string-typed bounds work too (lexical compare on product_name)
+    val mName = files(0).metrics(Scenarios.OrdersSchema.fieldId("product_name"))
+    assert(mName.min.isDefined && mName.max.isDefined)
+  }
+
   test("current-writer eq-delete tables plan with ZERO parquet footer probes") {
     val g = new GraftTableGenerator(spark, wh, "noprobe_eq")
       .create(Scenarios.OrdersSchema, Seq("order_year"))

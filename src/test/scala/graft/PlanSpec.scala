@@ -139,6 +139,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // no global sort for the top-k
   }
 
+  test("metrics_file_prune: range predicate opens ONLY the files whose stats match") {
+    val df = SparkEntry.queries("metrics_file_prune")(spark, dir)
+    // 10 data files exist with order_id ranges [0,100) .. [900,1000);
+    // [250,449] intersects exactly files 2,3,4 — the rest must never be
+    // part of the scan's file set (pruned from the log's metrics, no open)
+    val dataFiles = df.inputFiles.filter(p => !p.contains("eqdelete"))
+    assert(dataFiles.length == 3,
+      s"expected 3 of 10 data files after metrics pruning, got:\n${dataFiles.mkString("\n")}")
+    // correctness intact: the eq-delete wave still applies to survivors
+    val r = df.head()
+    assert(r.getLong(0) == 180, r.toString) // 200 ids minus 20 ending in 7
+  }
+
   test("dedup_exact shuffles only (hash, id) — no text column past the scan") {
     val p = plan("dedup_exact")
     val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
