@@ -20,8 +20,11 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** NULL (not an ANSI divide-by-zero error, not NaN) when either vector
+    * has zero norm — nulls sort LAST under `desc`, so degenerate vectors
+    * rank below every real match in both the brute-force and IVF paths. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
   /** Exact brute-force top-k by cosine against one query vector. The query
     * broadcasts as a literal array; Spark plans TakeOrderedAndProject — a
@@ -79,61 +82,86 @@ object Similarity {
         """transform(_v, x -> cast(if(_mx = _mn, 0,
           |  round((cast(x as double) - _mn) / (_mx - _mn) * 255)) as int))""".stripMargin))
 
-  /** IVF-style ANN: deterministic hash-seeded centroids (no iterative
-    * k-means — centroids are `nCentroids` sampled vectors by id hash),
-    * vectors assigned to nearest centroid, query probes the `nProbe`
-    * nearest centroid cells only. Returns (id, cos) top-k from the probed
-    * cells — sub-linear scan at scale; recall depends on nProbe. With
-    * `nProbe == nCentroids` every cell is probed and the result equals
-    * exact brute force (the oracle-able configuration).
-    *
-    * The centroid table travels to executors as ONE broadcast row holding
-    * `array<struct<cid, cv, cn>>` (id, vector, precomputed norm) — data,
-    * not SQL text — so `nCentroids` can reach the thousands a real index
-    * needs without hitting codegen/parser limits. Only the nProbe cell
-    * selection is driver math, over the O(nCentroids) collected sample.
-    */
-  def topKCosineIvf(df: DataFrame, vecCol: String, idCol: String,
-                    query: Seq[Double], k: Int,
-                    nCentroids: Int, nProbe: Int): DataFrame = {
-    // centroids: the nCentroids rows with smallest id-hash (deterministic sample)
-    val cents = df.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
-      .limit(nCentroids)
-    // query-side: pick the nProbe centroids nearest the query (driver math —
-    // centroid count is tiny and this mirrors a real IVF probe)
-    val centRows = cents.collect().map(r =>
-      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-    }
-    val probed = centRows.sortBy { case (id, c) => (-cos(c, query), id) }
-      .take(nProbe).map(_._1).toSeq
-    // assignment: one broadcast row of sorted (cid, cv, norm) structs;
-    // per-vector argmax over it, with first-wins tie-breaking on the
-    // cid-sorted array. Built from the ALREADY-COLLECTED sample — reusing
-    // the `cents` plan here would re-run the full-table TakeOrdered scan a
-    // second time at execution.
+  // ---- persisted IVF ANN index (build once, query many) -----------------
+
+  private def cosDriver(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  /** Nearest-centroid cell per vector, argmax over ONE broadcast row of
+    * cid-sorted `(cid, cv, norm)` structs — data, not SQL text, so centroid
+    * counts in the thousands never hit codegen/parser limits. Ties and
+    * degenerate similarities are deterministic: a NaN/undefined cosine
+    * (zero-norm vector or zero-norm centroid) scores −1e308, so every
+    * vector — including all-zero ones — lands in a real cell (the smallest
+    * cid wins ties via strict `>` over the sorted array). */
+  private def assignCells(df: DataFrame, vecCol: String,
+                          centRows: Seq[(Long, Seq[Double])]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val centsRow = centRows.sortBy(_._1).toSeq.toDF("cid", "cv")
+    val centsRow = centRows.sortBy(_._1).toDF("cid", "cv")
       .select(struct(col("cid"), col("cv"),
         sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, v) => a + v))
           .as("cn")).as("_c"))
       .agg(sort_array(collect_list(col("_c"))).as("_cents"))
-    val withCands = df.crossJoin(broadcast(centsRow))
+    df.crossJoin(broadcast(centsRow))
       .withColumn("_vn", l2norm(col(vecCol)))
       .withColumn("_cands", expr(
         s"""transform(_cents, s -> struct(s.cid as cid,
-           | aggregate(zip_with($vecCol, s.cv, (x, y) -> cast(x as double) * cast(y as double)),
-           |   cast(0.0 as double), (a, b) -> a + b) / (_vn * s.cn) as sim))""".stripMargin))
+           | if(s.cn = 0.0d or _vn = 0.0d, cast(-1.0E308 as double),
+           |   nanvl(aggregate(zip_with($vecCol, s.cv, (x, y) -> cast(x as double) * cast(y as double)),
+           |     cast(0.0 as double), (a, b) -> a + b) / (_vn * s.cn),
+           |     cast(-1.0E308 as double))) as sim))""".stripMargin))
       .withColumn("_cell", expr(
-        "aggregate(_cands, struct(cast(-1 as bigint) as cid, cast(-2.0 as double) as best)," +
+        "aggregate(_cands, struct(cast(-1 as bigint) as cid, cast('-Infinity' as double) as best)," +
           " (acc, c) -> if(c.sim > acc.best, struct(c.cid as cid, c.sim as best), acc)).cid"))
-    withCands
-      .where(col("_cell").isin(probed: _*))
-      .select(col(idCol), round(cosine(col(vecCol),
+      .drop("_cents", "_vn", "_cands")
+  }
+
+  /** Build an IVF index over an embedding table — the ONE full-table pass a
+    * real ANN service pays at build time, never per query:
+    *   - `<indexDir>/centroids`: `nCentroids` deterministic hash-seeded
+    *     sample vectors `(cid, cv)` (no iterative k-means — SURVEY.md §2.9),
+    *   - `<indexDir>/assign`: every corpus vector with its nearest-centroid
+    *     cell, PARTITIONED BY cell — a probe-limited query is literally a
+    *     partition-pruned scan, the file-skipping analog of probing an
+    *     inverted list.
+    */
+  def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String,
+                    nCentroids: Int, indexDir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // deterministic sample: the nCentroids rows with smallest id-hash.
+    // Collected ONCE here (O(nCentroids) driver memory) — the build cost.
+    val centRows: Seq[(Long, Seq[Double])] = df
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
+      .limit(nCentroids)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    centRows.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(df, vecCol, centRows)
+      .select(col(idCol), col(vecCol).as("vec"), col("_cell").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assign")
+  }
+
+  /** Query a [[buildIvfIndex]] index: rank centroids against the query
+    * (driver math over the O(nCentroids) centroid table — the corpus is
+    * never scanned, never re-sampled), then top-k cosine over the `nProbe`
+    * nearest cells only — a partition-pruned scan of the assignment table.
+    * With `nProbe == nCentroids` every cell is probed and the result equals
+    * exact brute force (the oracle-able configuration; zero-norm vectors
+    * rank by their NaN cosine exactly as [[topKCosine]] does). */
+  def queryIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               idCol: String, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probed = centRows.sortBy { case (cid, c) => (-cosDriver(c, query), cid) }
+      .take(nProbe).map(_._1).toSeq
+    spark.read.parquet(s"$indexDir/assign")
+      .where(col("cell").isin(probed: _*))
+      .select(col(idCol), round(cosine(col("vec"),
         array(query.map(lit): _*)), 4).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)

@@ -60,6 +60,18 @@ object ExtQueries {
     embs(s, d).where(col("vec_id") === 0).head()
       .getSeq[Float](1).map(_.toDouble)
 
+  /** IVF index built ONCE per sf dir and reused by every query invocation
+    * (build-once/query-many — the round-2 per-query centroid rebuild is
+    * gone; a spec pins that the query path scans only index files). */
+  private val ivfIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndex(s: SparkSession, d: String): String =
+    ivfIndexes.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Similarity.buildIvfIndex(embs(s, d), "embedding", "vec_id",
+        nCentroids = 16, indexDir = dir)
+      dir
+    })
+
   private def probeNorm(s: SparkSession, d: String): String =
     docs(s, d).where(col("doc_id") === 0).head().getString(1)
       .toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
@@ -124,20 +136,21 @@ object ExtQueries {
         queryVec(s, d), 10)
     }),
 
-    // IVF scale path: no SQL oracle (recall is probe-dependent); driver
-    // records rows-only. Exactness vs brute force is spec-tested.
+    // IVF scale path against the PERSISTED index (built once per sf dir):
+    // no SQL oracle (recall is probe-dependent); driver records rows-only.
+    // Exactness vs brute force is spec-tested.
     "sim_topk_cosine_ivf" -> ((s, d) => {
-      Similarity.topKCosineIvf(embs(s, d), "embedding", "vec_id",
-        queryVec(s, d), 10, nCentroids = 16, nProbe = 8)
+      Similarity.queryIvf(s, ivfIndex(s, d), "vec_id",
+        queryVec(s, d), 10, nProbe = 8)
     }),
 
     // probe=all configuration: every cell is scanned, so the result is
     // exact and shares the brute-force oracle — proves the whole IVF
-    // pipeline (centroid sample, broadcast assignment, cell filter) under
-    // the DuckDB hash-compare, not just rows-only.
+    // pipeline (centroid sample, broadcast assignment, persisted cell
+    // partitioning) under the DuckDB hash-compare, not just rows-only.
     "sim_topk_cosine_ivf_full" -> ((s, d) => {
-      Similarity.topKCosineIvf(embs(s, d), "embedding", "vec_id",
-        queryVec(s, d), 10, nCentroids = 16, nProbe = 16)
+      Similarity.queryIvf(s, ivfIndex(s, d), "vec_id",
+        queryVec(s, d), 10, nProbe = 16)
     }),
 
     // PII redaction: every 10th doc gets a planted email + phone appended;

@@ -88,27 +88,70 @@ class ExtSpec extends SparkSpec {
     assert(exact == planted) // sign-bucket recall is 1 for exact copies
   }
 
-  test("IVF top-k overlaps brute-force top-k (recall@10 ≥ 0.5 at nProbe=8/16)") {
+  test("IVF persisted index: build once, query many — query path scans ONLY index files") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.buildIvfIndex(embs, "embedding", "vec_id", nCentroids = 16, indexDir = dir)
     val q = embs.where(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
     val brute = Similarity.topKCosine(embs, "embedding", "vec_id", q, 10)
       .collect().map(_.getLong(0)).toSet
-    val ivf = Similarity.topKCosineIvf(embs, "embedding", "vec_id", q, 10, 16, 8)
-      .collect().map(_.getLong(0)).toSet
+    val ivfDf = Similarity.queryIvf(spark, dir, "vec_id", q, 10, nProbe = 8)
+    // the query never touches the corpus parquet and never re-derives
+    // centroids — every scanned file lives under the index dir
+    assert(ivfDf.inputFiles.nonEmpty && ivfDf.inputFiles.forall(_.contains("ivf-idx")),
+      ivfDf.inputFiles.mkString("\n"))
+    val ivf = ivfDf.collect().map(_.getLong(0)).toSet
+    // probe=8 of 16 cells ⇒ the cell-partitioned assignment scan is pruned
+    // at the FILE level (numFiles metric of the executed scan)
+    val allAssign = spark.read.parquet(s"$dir/assign").inputFiles.length
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val phys = ivfDf.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanned = phys.collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    assert(scanned > 0 && scanned < allAssign,
+      s"no partition pruning: $scanned of $allAssign assign files scanned")
     assert(ivf.intersect(brute).size >= 5,
       s"IVF recall too low: ${ivf.intersect(brute).size}/10")
     // query vector itself must be found (it sits in a probed cell by construction)
     assert(ivf.contains(0L))
+    // second query against the SAME index (different probe count) — exact
+    val full = Similarity.queryIvf(spark, dir, "vec_id", q, 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteScored = Similarity.topKCosine(embs, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == bruteScored) // every cell probed ⇒ exact
   }
 
   test("IVF works at nCentroids=1024 and probe=all equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-big").toString
+    // an index size the old SQL-literal centroid encoding could not reach
+    Similarity.buildIvfIndex(embs, "embedding", "vec_id", nCentroids = 1024, indexDir = dir)
     val q = embs.where(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
     val brute = Similarity.topKCosine(embs, "embedding", "vec_id", q, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // an index size the old SQL-literal centroid encoding could not reach
-    val full = Similarity.topKCosineIvf(embs, "embedding", "vec_id", q, 10,
-      nCentroids = 1024, nProbe = 1024)
+    val full = Similarity.queryIvf(spark, dir, "vec_id", q, 10, nProbe = 1024)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full == brute) // every cell probed ⇒ exact
+  }
+
+  test("IVF zero-norm vectors get a deterministic cell — probe=all matches brute force") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(spark.range(1).select(lit(999999L).as("vec_id"),
+        array_repeat(lit(0.0f), 64).as("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-zero").toString
+    Similarity.buildIvfIndex(corpus, "embedding", "vec_id", nCentroids = 8, indexDir = dir)
+    // every row must be assigned a real cell (NaN similarity ⇒ -1e308, not a drop)
+    assert(spark.read.parquet(s"$dir/assign").count() == corpus.count())
+    val q = embs.where(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
+    val brute = Similarity.topKCosine(corpus, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.queryIvf(spark, dir, "vec_id", q, 10, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    // identical ranking: the zero vector's cosine is NULL (try_divide, not
+    // an ANSI divide-by-zero error) and sorts below every real match
+    assert(full == brute && !full.contains(999999L))
   }
 
   test("clusterLabels: chains resolve transitively to the min id (k rounds, diameter k)") {
