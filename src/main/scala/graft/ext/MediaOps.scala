@@ -110,4 +110,39 @@ object MediaOps {
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.duration_ms"), lit(everyMs)))
           .as("frame_ts_ms"))
+
+  /** Duration-bucketed stats over time-based media (audio/video): bucket =
+    * `duration_ms div bucketMs` (integer div — exact past 2^53). Partial
+    * aggregation combines map-side; the shuffle carries (kind, bucket)
+    * keys only. */
+  def durationStats(media: DataFrame, bucketMs: Int): DataFrame =
+    media.where(col("kind").isin("audio", "video"))
+      .select(col("kind"),
+        expr(s"cast(meta.duration_ms div $bucketMs as bigint)").as("dur_bucket"),
+        col("meta.duration_ms").cast("long").as("_dur"))
+      .groupBy("kind", "dur_bucket")
+      .agg(count(lit(1)).as("n"), sum(col("_dur")).as("total_ms"))
+
+  /** COUNT-normalized frame sampling: every video yields exactly `nFrames`
+    * evenly-spaced timestamps `(i · duration) div nFrames` — the shape a
+    * training pipeline wants (fixed frames per clip regardless of length),
+    * vs [[frameSamplePlan]]'s fixed PERIOD (frame count scales with
+    * duration). Row-local explode, no shuffle; each frame's decode rides
+    * the same batched path. */
+  def frameSampleNormalized(media: DataFrame, nFrames: Int): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("meta.duration_ms").cast("long").as("_dur"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"cast((frame_idx * _dur) div $nFrames as bigint)").as("frame_ts_ms"))
+
+  /** Per-kind, per-dimension mean feature over the batched decoder output —
+    * the aggregation a corpus-QA dashboard runs per modality. posexplode
+    * keeps the dimension index; the shuffle carries (kind, dim) keys with
+    * map-side partial averages. */
+  def featureMeansByKind(media: DataFrame, dims: Int = 4): DataFrame =
+    decodeFeatures(media, dims)
+      .select(col("kind"), posexplode(col("features")).as(Seq("dim", "f")))
+      .groupBy("kind", "dim")
+      .agg(round(avg("f"), 4).as("avg_f"), count(lit(1)).as("n"))
 }

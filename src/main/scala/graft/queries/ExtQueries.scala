@@ -251,6 +251,13 @@ object ExtQueries {
       Curation.freqTerms(docs(s, d), "text", 20)
     }),
 
+    // bounded-memory heavy hitters: rows-only by design (the sketch's
+    // counts are capacity-dependent lower bounds with no exact SQL mirror);
+    // agreement with exact freq_terms is spec-gated
+    "sketch_freq_terms" -> ((s, d) => {
+      Curation.approxFreqTerms(docs(s, d), "text", 20)
+    }),
+
     "doc_fingerprint" -> ((s, d) => {
       docs(s, d)
         .withColumn("_toks", TextOps.tokens(col("text")))

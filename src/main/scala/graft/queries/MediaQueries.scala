@@ -38,6 +38,30 @@ object MediaQueries {
       MediaOps.frameSamplePlan(media, everyMs = 500)
         .agg(count(lit(1)).as("n_frames"),
           sum(col("frame_ts_ms").cast("long")).as("ts_checksum"))
+    }),
+
+    // duration-bucketed stats over the time-based modalities (5 s buckets)
+    "multimodal_duration_stats" -> ((s, d) => {
+      val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
+      MediaOps.durationStats(media, bucketMs = 5000)
+        .orderBy("kind", "dur_bucket")
+    }),
+
+    // count-normalized sampling: exactly 4 frames per video however long
+    "multimodal_frame_norm" -> ((s, d) => {
+      val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
+      MediaOps.frameSampleNormalized(media, nFrames = 4)
+        .agg(count(lit(1)).as("n_frames"),
+          sum("frame_ts_ms").as("ts_checksum"),
+          count_distinct(col("media_id")).as("n_videos"))
+    }),
+
+    // per-kind per-dimension mean of the (stub) decoded features — the
+    // full 4-dim generalization of multimodal_features' avg_f0
+    "multimodal_kind_features" -> ((s, d) => {
+      val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
+      MediaOps.featureMeansByKind(media, dims = 4)
+        .orderBy("kind", "dim")
     })
   )
 
@@ -63,6 +87,29 @@ object MediaQueries {
       """SELECT CAST(SUM(n) AS BIGINT) AS n_frames,
         |       CAST(SUM(500 * n * (n - 1) / 2) AS BIGINT) AS ts_checksum
         |FROM (SELECT n_chars * 40 // 500 + 1 AS n
-        |      FROM documents WHERE doc_id % 3 = 2)""".stripMargin
+        |      FROM documents WHERE doc_id % 3 = 2)""".stripMargin,
+
+    "multimodal_duration_stats" ->
+      s"""SELECT kind, CAST(dur // 5000 AS BIGINT) AS dur_bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dur) AS BIGINT) AS total_ms
+         |FROM (SELECT $kindSql AS kind, n_chars * 40 AS dur FROM documents)
+         |WHERE kind IN ('audio', 'video')
+         |GROUP BY kind, dur_bucket ORDER BY kind, dur_bucket""".stripMargin,
+
+    "multimodal_frame_norm" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM((f.i * d.dur) // 4) AS BIGINT) AS ts_checksum,
+        |       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_videos
+        |FROM (SELECT doc_id, n_chars * 40 AS dur FROM documents
+        |      WHERE doc_id % 3 = 2) d,
+        |     LATERAL unnest(range(0, 4)) AS f(i)""".stripMargin,
+
+    "multimodal_kind_features" ->
+      s"""SELECT $kindSql AS kind, CAST(j.j AS INTEGER) AS dim,
+         |  round(avg(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || text), 1, 15))::BIGINT
+         |            / 1152921504606846976.0), 4) AS avg_f,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents, LATERAL unnest(range(0, 4)) AS j(j)
+         |GROUP BY kind, dim ORDER BY kind, dim""".stripMargin
   )
 }

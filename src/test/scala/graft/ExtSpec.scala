@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Curation, Dedup, Similarity}
 
 /** Behavioral tests for the LLM-pipeline operators: the declared queries
   * prove Spark↔DuckDB equivalence; these prove the operators actually DO
@@ -152,6 +152,25 @@ class ExtSpec extends SparkSpec {
     // identical ranking: the zero vector's cosine is NULL (try_divide, not
     // an ANSI divide-by-zero error) and sorts below every real match
     assert(full == brute && !full.contains(999999L))
+  }
+
+  test("approxFreqTerms: capacity ≥ vocab ⇒ exact; tiny capacity still finds the heavy hitter") {
+    // sketch with slack capacity degrades to the exact answer
+    val exact = Curation.freqTerms(docs, "text", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val slack = Curation.approxFreqTerms(docs, "text", 20, capacity = 1 << 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(slack == exact)
+    // skewed stream under heavy eviction pressure: 5000 occurrences of one
+    // term among 5000 singletons, only 8 counters per partition — the heavy
+    // hitter must surface with a lower-bound estimate within the MG error
+    val skew = spark.range(10000).select(
+      when(col("id") % 2 === 0, lit("heavy"))
+        .otherwise(concat(lit("t"), col("id"))).as("text"))
+    val top = Curation.approxFreqTerms(skew, "text", 1, capacity = 8).head()
+    assert(top.getString(0) == "heavy", top.toString)
+    assert(top.getLong(1) <= 5000 && top.getLong(1) >= 5000 - 10000 / 8,
+      s"estimate ${top.getLong(1)} outside the Misra-Gries bound")
   }
 
   test("clusterLabels: chains resolve transitively to the min id (k rounds, diameter k)") {

@@ -49,4 +49,27 @@ class MediaSpec extends SparkSpec {
     val wrong = perVideo.where(expr("count != duration_ms div 500 + 1")).count()
     assert(wrong == 0)
   }
+
+  test("frameSampleNormalized: exactly nFrames per video, evenly spaced, in range") {
+    val frames = MediaOps.frameSampleNormalized(media, nFrames = 4)
+    val nVideos = media.where(col("kind") === "video").count()
+    assert(frames.count() == nVideos * 4)
+    // per video: 4 distinct indices 0..3, timestamps monotone and < duration
+    val bad = frames
+      .join(media.select(col("media_id"), col("meta.duration_ms").as("dur")), "media_id")
+      .where(expr("frame_ts_ms != (frame_idx * dur) div 4") ||
+        col("frame_ts_ms") >= col("dur") && col("dur") > 0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("durationStats: only time-based kinds, buckets partition the durations") {
+    val stats = MediaOps.durationStats(media, bucketMs = 5000)
+    assert(stats.where(col("kind") === "image").count() == 0)
+    // bucket totals reconcile with the raw durations
+    val total = stats.agg(sum("total_ms")).head().getLong(0)
+    val expected = media.where(col("kind").isin("audio", "video"))
+      .agg(sum(col("meta.duration_ms").cast("long"))).head().getLong(0)
+    assert(total == expected)
+  }
 }
