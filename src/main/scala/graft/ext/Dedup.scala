@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the smallest id per content hash. One shuffle on the
-    * 60-bit text hash. */
+    * 60-bit text hash. Returns `(<idCol> = survivor id, group_size = copies
+    * sharing the hash)` — `group_size` is public API (> 1 ⇔ duplicates). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val h = TextOps.hash60(col(textCol))
     df.select(col(idCol), h.as("_h"))
-      .groupBy("_h").agg(min(col(idCol)).as(idCol), count(lit(1)).as("_grp_sz"))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
+      .select(col(idCol), col("group_size"))
   }
 
   /** MinHash + LSH near-dup candidate pairs.
@@ -99,6 +101,15 @@ object Dedup {
     * run to fixpoint — O(log n) rounds with path doubling — each round one
     * equi-join + groupBy shuffle on the node id, no driver iteration over
     * data. Returns (id, lbl) where lbl = min id of the cluster.
+    *
+    * CONTRACT NOTE — eager, not lazy: the per-round `localCheckpoint()`
+    * runs the LSH pair pipeline and each round's join at CALL time, so
+    * building a query plan on top of this result executes jobs immediately
+    * (the declared `dedup_minhash_cluster`/`dedup_survivors` queries are
+    * eager for the same reason). localCheckpoint blocks live on executors
+    * and are lost on executor failure/decommission; on a real cluster use
+    * reliable `checkpoint()` against a fault-tolerant checkpoint dir for
+    * the same lineage truncation with recoverable blocks.
     */
   def clusterLabels(nodes: DataFrame, pairs: DataFrame, idCol: String,
                     iters: Int): DataFrame = {

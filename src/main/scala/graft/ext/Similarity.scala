@@ -152,7 +152,8 @@ object Similarity {
     * nearest cells only — a partition-pruned scan of the assignment table.
     * With `nProbe == nCentroids` every cell is probed and the result equals
     * exact brute force (the oracle-able configuration; zero-norm vectors
-    * rank by their NaN cosine exactly as [[topKCosine]] does). */
+    * get a NULL cosine from [[cosine]]'s `try_divide` and sort last in
+    * BOTH paths — spec-gated). */
   def queryIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                idCol: String, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
     val centRows = spark.read.parquet(s"$indexDir/centroids")

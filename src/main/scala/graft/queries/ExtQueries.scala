@@ -82,7 +82,7 @@ object ExtQueries {
       Dedup.exact(dupCorpus(s, d), "text", "doc_id")
         .agg(count(lit(1)).as("survivors"),
           sum(col("doc_id")).as("id_checksum"),
-          sum(when(col("_grp_sz") > 1, 1L).otherwise(0L)).as("dup_groups"))
+          sum(when(col("group_size") > 1, 1L).otherwise(0L)).as("dup_groups"))
     }),
 
     "dedup_minhash" -> ((s, d) => {

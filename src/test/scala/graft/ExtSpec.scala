@@ -21,7 +21,7 @@ class ExtSpec extends SparkSpec {
     val planted = base.where(col("doc_id") % 10 === 0).count()
     val survivors = Dedup.exact(corpus, "text", "doc_id")
     assert(survivors.count() == base.count()) // every dup collapsed
-    assert(survivors.where(col("_grp_sz") > 1).count() == planted)
+    assert(survivors.where(col("group_size") > 1).count() == planted)
     // kept ids are the originals, never the shifted copies
     assert(survivors.where(col("doc_id") >= 1000000L).count() == 0)
   }
