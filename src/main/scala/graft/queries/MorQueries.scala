@@ -195,6 +195,26 @@ object MorQueries {
         .orderBy("category")
     }),
 
+    // incremental append scan (Iceberg appendsBetween analog): S10 snapshots
+    // (2, 5] added gizmo ids 200..399 and widget/gadget/gizmo 400..999 —
+    // raw appended rows, deletes NOT applied, old files never opened
+    "incremental_append_scan" -> ((s, _) => {
+      MorReader.appendsBetween(s, s10(s), 2L, 5L)
+        .groupBy("category").agg(count(lit(1)).as("cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
+        .orderBy("category")
+    }),
+
+    // CDC changelog (2, 5]: inserts = in-range appends surviving the green
+    // eq-delete wave (seq-strict); deletes = pre-existing widget rows the
+    // wave killed (id%10=5 over ids 30..199)
+    "changelog_scan" -> ((s, _) => {
+      MorReader.changelogBetween(s, s10(s), 2L, 5L)
+        .groupBy("change_kind", "category").agg(count(lit(1)).as("cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
+        .orderBy("change_kind", "category")
+    }),
+
     // file-level metrics pruning (withMetrics analog): order_id ∈ [250, 449]
     // must open 3 of the 10 data files (per-file min/max from the log) and
     // still apply the eq-delete wave to the surviving rows
@@ -330,6 +350,32 @@ object MorQueries {
          |  AND NOT (id % 200 >= 100 AND seq < 6)
          |  AND NOT (id BETWEEN 50 AND 52)
          |GROUP BY category ORDER BY category""".stripMargin,
+
+    // raw appends of snapshots 3..5 (seq > 2), no delete predicates
+    "incremental_append_scan" ->
+      s"""$s10Rows
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM rows_ WHERE seq > 2
+         |GROUP BY category ORDER BY category""".stripMargin,
+
+    // inserts: in-range appends minus the green wave (visible to seq < 4);
+    // deletes: seq-1 widget survivors of the id<30 wave that the green
+    // wave (snap 4) killed
+    "changelog_scan" ->
+      s"""$s10Rows,
+         |ins AS (
+         |  SELECT 'insert' AS change_kind, category, id FROM rows_
+         |  WHERE seq > 2
+         |    AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)),
+         |del AS (
+         |  SELECT 'delete' AS change_kind, category, id FROM rows_
+         |  WHERE seq < 2 AND NOT (category = 'widget' AND id < 30)
+         |    AND category IN ('widget','gizmo') AND id % 10 = 5)
+         |SELECT change_kind, category, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+         |GROUP BY change_kind, category ORDER BY change_kind, category""".stripMargin,
 
     "metrics_file_prune" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,

@@ -113,6 +113,68 @@ object MorReader {
     withMeta(spark, st, st.schema, Map.empty)
   }
 
+  /** Incremental append scan (the `appendsBetween` API of an Iceberg
+    * `TableScan`): every row of every DATA file committed by a snapshot with
+    * id in `(fromExclusive, toInclusive]`, projected to the schema as of
+    * `toInclusive`. NO delete files are applied — this is the raw appended
+    * row set (the Iceberg incremental-append contract); use
+    * [[changelogBetween]] for the net insert/delete diff. Planning is pure
+    * metadata: only the in-range files are ever opened, so an incremental
+    * consumer of a million-file table plans against the handful of new
+    * files, never the full history. Compaction rewrites inside the range
+    * are honored via the snapshots' removed-file lists (rewritten content
+    * is not double-read). */
+  def appendsBetween(spark: SparkSession, tableDir: String,
+                     fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val st = SnapshotLog(tableDir).load().asOf(toInclusive)
+    val live = st.schema
+    val inc = st.copy(snapshots = st.snapshots.map { s =>
+      if (s.id > fromExclusive) s.copy(deleteFiles = Nil)
+      else s.copy(dataFiles = Nil, deleteFiles = Nil)
+    })
+    withMeta(spark, inc, live, Map.empty).select(live.names.map(col): _*)
+  }
+
+  /** CDC changelog between two snapshots: the net row-level diff of the
+    * live sets, as `change_kind ∈ {insert, delete}` plus the full row
+    * (schema as of `toInclusive`).
+    *
+    *   - `insert`: a row live at `to` that was not live at `from`. Because
+    *     delete files only accumulate, a row in a file that already existed
+    *     at `from` can never transition dead→live, so inserts are EXACTLY
+    *     the in-range appended rows that survive every delete visible at
+    *     `to` — computed metadata-only (scan of in-range files + the MoR
+    *     merge), no diff join at all.
+    *   - `delete`: a row live at `from` that is dead at `to` — an anti-join
+    *     on the `(file path, position)` row identity, with BOTH sides
+    *     restricted at plan time to files that existed at `from` (new files
+    *     cannot contain pre-`from` rows). The join cost scales with the
+    *     surviving old rows, not with the appends in range.
+    *
+    * At 100 TB the common incremental consumer (hourly sync) diffs a range
+    * holding a few files; both legs plan against those files plus the old
+    * live set, never twice the table. */
+  def changelogBetween(spark: SparkSession, tableDir: String,
+                       fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val st = SnapshotLog(tableDir).load()
+    val stTo = st.asOf(toInclusive)
+    val live = stTo.schema
+    val insState = stTo.copy(snapshots = stTo.snapshots.map { s =>
+      if (s.id > fromExclusive) s else s.copy(dataFiles = Nil, deleteFiles = Nil)
+    })
+    val oldAtTo = stTo.copy(snapshots = stTo.snapshots.map { s =>
+      if (s.id > fromExclusive) s.copy(dataFiles = Nil) else s
+    })
+    val inserts = withMeta(spark, insState, live, Map.empty)
+    val pre = withMeta(spark, st.asOf(fromExclusive), live, Map.empty)
+    val post = withMeta(spark, oldAtTo, live, Map.empty)
+    val deletes = pre.join(post.select(FilePathCol, PosCol),
+      Seq(FilePathCol, PosCol), "left_anti")
+    inserts.withColumn("change_kind", lit("insert"))
+      .unionByName(deletes.withColumn("change_kind", lit("delete")))
+      .select(col("change_kind") +: live.names.map(col): _*)
+  }
+
   private def matchesPartition(p: Map[String, String],
                                f: Map[String, Set[String]]): Boolean =
     f.forall { case (k, vs) => p.get(k).forall(vs.contains) }

@@ -260,6 +260,36 @@ class GraftTableSpec extends SparkSpec {
     assert(g.read.count() == 120)
   }
 
+  test("incremental: appendsBetween reads only in-range files; changelog diffs live sets") {
+    val g = new GraftTableGenerator(spark, wh, "incr_demo")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 2, 50).commit() // snap 1: ids 0..99
+      .append(Bundles.ordersUnpartitioned(), 2, 50).commit() // snap 2: ids 100..199
+      .equalityDelete(col("order_id") % 100 < 5, Seq("order_id")).commit() // snap 3
+    val dir = g.tableDir.toString
+
+    // raw appends of (1, 3]: snap-2 rows, the snap-3 delete NOT applied
+    val app = MorReader.appendsBetween(spark, dir, 1L, 3L)
+    assert(app.select("order_id").collect().map(_.getInt(0)).sorted.toSeq
+      == (100 until 200))
+    // plan gate: of the 4 data files on disk, only snap 2's two back the scan
+    val snap2Paths = graft.meta.SnapshotLog(dir).load()
+      .snapshots.find(_.id == 2L).get.dataFiles.map(_.path).toSet
+    val scanned = app.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(scanned == snap2Paths,
+      s"appendsBetween plans over $scanned, want exactly $snap2Paths")
+
+    // changelog (1, 3]: inserts = snap-2 rows surviving the delete
+    // (105..199); deletes = snap-1 rows it killed (0..4)
+    val ch = MorReader.changelogBetween(spark, dir, 1L, 3L)
+    val ins = ch.where(col("change_kind") === "insert")
+      .select("order_id").collect().map(_.getInt(0)).sorted
+    assert(ins.toSeq == (105 until 200))
+    val del = ch.where(col("change_kind") === "delete")
+      .select("order_id").collect().map(_.getInt(0)).sorted
+    assert(del.toSeq == (0 until 5))
+  }
+
   test("reopening a generator without create() fails fast (no snapshot-id reuse)") {
     Scenarios.createSmallOrders(spark, wh) // table exists on disk
     val reopened = new GraftTableGenerator(spark, wh, "orders")
