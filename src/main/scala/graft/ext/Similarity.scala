@@ -82,6 +82,78 @@ object Similarity {
         """transform(_v, x -> cast(if(_mx = _mn, 0,
           |  round((cast(x as double) - _mn) / (_mx - _mn) * 255)) as int))""".stripMargin))
 
+  /** Product quantization — the storage tier below [[quantizeInt8]]: the
+    * `dim`-dim vector splits into `nSub` subspaces of `dim/nSub` dims; each
+    * subspace quantizes to the 1-BASED index of the nearest (squared-L2) of
+    * `nCode` codewords, so a 64-dim float vector becomes `nSub` small ints
+    * (32× compression at 8×16) and ANN shortlists score against codebook
+    * distance tables instead of raw floats.
+    *
+    * Codebooks are the subspace slices of `nCode` deterministic hash-seeded
+    * sample vectors (no iterative k-means — same sampling as
+    * [[buildIvfIndex]], collected ONCE at O(nCode) driver cost) and travel
+    * as ONE broadcast data row; encoding is a pure per-row codegen'd
+    * expression — linear scan, no shuffle, no UDF. Ties break to the
+    * smallest code (strict `<` fold), which an oracle mirrors with
+    * `min_by(c, (dist, c))`.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               dim: Int, nSub: Int, nCode: Int): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val dsub = dim / nSub
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb: Seq[Seq[Double]] = df
+      .select(col(vecCol).as("_cv"), col(idCol).as("_cid"))
+      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
+      .limit(nCode)
+      .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
+    val cbRow = Seq(Tuple1(cb)).toDF("_cb")
+    df.crossJoin(broadcast(cbRow))
+      .withColumn("codes", expr(
+        s"""transform(sequence(1, $nSub), s ->
+           |  aggregate(
+           |    zip_with(_cb, sequence(1, $nCode), (cv, c) -> struct(c as c,
+           |      aggregate(
+           |        zip_with(slice($vecCol, (s - 1) * $dsub + 1, $dsub),
+           |                 slice(cv, (s - 1) * $dsub + 1, $dsub),
+           |          (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+           |        cast(0.0 as double), (a, v) -> a + v) as d)),
+           |    struct(cast(0 as int) as c, cast('Infinity' as double) as d),
+           |    (acc, e) -> if(e.d < acc.d, e, acc)).c)""".stripMargin))
+      .drop("_cb")
+  }
+
+  /** Decode [[pqEncode]] codes back to the codebook reconstruction (for
+    * error measurement / re-rank shortlists). Needs the same df the codes
+    * were built from only for the codebook sample — pass the codebook
+    * explicitly at scale. */
+  def pqReconError(encoded: DataFrame, original: DataFrame, vecCol: String,
+                   idCol: String, dim: Int, nSub: Int, nCode: Int): DataFrame = {
+    val dsub = dim / nSub
+    val spark = original.sparkSession
+    import spark.implicits._
+    val cb: Seq[Seq[Double]] = original
+      .select(col(vecCol).as("_cv"), col(idCol).as("_cid"))
+      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
+      .limit(nCode)
+      .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
+    val cbRow = Seq(Tuple1(cb)).toDF("_cb")
+    encoded.select(col(idCol), col("codes"))
+      .join(original.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("_err", expr(
+        s"""aggregate(transform(sequence(1, $nSub), s ->
+           |  aggregate(
+           |    zip_with(slice($vecCol, (s - 1) * $dsub + 1, $dsub),
+           |             slice(element_at(_cb, element_at(codes, s)),
+           |                   (s - 1) * $dsub + 1, $dsub),
+           |      (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+           |    cast(0.0 as double), (a, v) -> a + v)),
+           |  cast(0.0 as double), (a, v) -> a + v) / $dim""".stripMargin))
+      .drop("_cb")
+  }
+
   // ---- persisted IVF ANN index (build once, query many) -----------------
 
   private def cosDriver(a: Seq[Double], b: Seq[Double]): Double = {

@@ -59,6 +59,36 @@ object TextOps {
          |  (acc, h) -> zip_with(acc, h, (a, b) -> least(a, b)))""".stripMargin)
   }
 
+  /** Word n-grams over a tokens-array column, space-joined ("a b c").
+    * Empty when the doc has fewer than n tokens (guarded — Spark's
+    * `sequence(1, 0)` would otherwise count DOWN). Per-row expression:
+    * no shuffle, cost linear in document length. */
+  def wordNgrams(tokensColName: String, n: Int): Column = {
+    val t = tokensColName
+    expr(s"if(size($t) < $n, array()," +
+      s" transform(sequence(1, size($t) - ${n - 1})," +
+      s" i -> concat_ws(' ', slice($t, i, $n))))")
+  }
+
+  /** Gopher-style repetition signal #1: fraction of tokens that repeat an
+    * earlier token (1 − distinct/total). 0 for empty docs. */
+  def dupTokenRatio(tokensColName: String): Column = {
+    val t = tokensColName
+    expr(s"1.0d - size(array_distinct($t)) /" +
+      s" cast(greatest(size($t), 1) as double)")
+  }
+
+  /** Gopher-style repetition signal #2: frequency share of the single most
+    * common n-gram (boilerplate detector). NULL when the doc has no grams
+    * (mirrors SQL `list_max([])`; AVG skips it identically in both
+    * engines). Per-row O(distinct · total) — bounded by document length
+    * squared, no shuffle; fine for the sub-64k-token docs this targets. */
+  def topNgramShare(gramsColName: String): Column = {
+    val g = gramsColName
+    expr(s"array_max(transform(array_distinct($g), x -> size(filter($g, y -> y = x))))" +
+      s" / cast(greatest(size($g), 1) as double)")
+  }
+
   /** Token-hash array (materialize once; [[simhash16]] reads it 16×). */
   def tokenHashes(tokensColName: String): Column =
     expr(s"transform($tokensColName, x -> md5prefix64(cast(x as binary)))")

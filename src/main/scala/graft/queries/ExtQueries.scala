@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Similarity, TextOps}
+import graft.ext.{Contam, Curation, Dedup, Similarity, TextOps}
 import Q._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.9) as declared,
@@ -187,7 +187,45 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // product quantization: 64-dim float → 8 codes from 16-codeword
+    // hash-sampled codebooks — the FULL code assignment is oracle-checked
+    // (argmin over broadcast codebooks, ties to the smallest code)
+    "embed_pq" -> ((s, d) => {
+      Similarity.pqEncode(embs(s, d), "embedding", "vec_id",
+          dim = 64, nSub = 8, nCode = 16)
+        .select(col("vec_id"), col("codes"))
+        .orderBy("vec_id")
+    }),
+
     // ---- text analysis -------------------------------------------------
+    // benchmark decontamination: docs 0,50,100,… are the "benchmark"; the
+    // rest of the corpus is scored by word-3-gram overlap against it —
+    // top collisions surface for removal
+    "contam_ngram" -> ((s, d) => {
+      val all = docs(s, d)
+      Contam.ngramOverlap(
+          all.where(col("doc_id") % 50 =!= 0),
+          all.where(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3)
+        .orderBy(desc("contam"), col("doc_id")).limit(10)
+    }),
+
+    // Gopher-style repetition/boilerplate signals, rolled up per lang:
+    // duplicate-token share and the frequency share of the top bigram —
+    // pure per-row array expressions, no shuffle before the rollup
+    "repetition_stats" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("_t", TextOps.tokens(col("text")))
+        .withColumn("_bg", TextOps.wordNgrams("_t", 2))
+        .select(col("lang"), TextOps.dupTokenRatio("_t").as("dup"),
+          TextOps.topNgramShare("_bg").as("topbg"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("dup"), 4).as("avg_dup_ratio"),
+          round(avg("topbg"), 4).as("avg_top_bigram"))
+        .orderBy("lang")
+    }),
+
     "lang_id" -> ((s, d) => {
       docs(s, d)
         .withColumn("_toks", TextOps.tokens(col("text")))
@@ -475,6 +513,61 @@ object ExtQueries {
 
     // IVF with every cell probed is exact ⇒ same oracle as brute force
     "sim_topk_cosine_ivf_full" -> bruteTopkSql,
+
+    // PQ codes: same hash-seeded codebook sample (QUALIFY row_number ≤ 16
+    // over the h60 order), argmin via min_by with (distance, code) —
+    // the tie-break the Spark fold's strict `<` applies
+    "embed_pq" ->
+      s"""WITH cb AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) AS c, cv FROM
+         |    (SELECT ${h60("CAST(vec_id AS VARCHAR)")} AS h, vec_id,
+         |            embedding AS cv FROM embeddings)
+         |  QUALIFY c <= 16),
+         |dists AS (
+         |  SELECT e.vec_id, s.s, cb.c,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (CAST(e.embedding[(s.s - 1) * 8 + i] AS DOUBLE)
+         |              - CAST(cb.cv[(s.s - 1) * 8 + i] AS DOUBLE))
+         |         * (CAST(e.embedding[(s.s - 1) * 8 + i] AS DOUBLE)
+         |              - CAST(cb.cv[(s.s - 1) * 8 + i] AS DOUBLE)))) AS dist
+         |  FROM embeddings e, range(1, 9) AS s(s), cb),
+         |codes AS (
+         |  SELECT vec_id, s, c AS code FROM dists
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) = 1)
+         |SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY s) AS codes
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "contam_ngram" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(1, greatest(len(t) - 2, 0) + 1),
+         |        i -> array_to_string(t[i:i+2], ' '))) AS gs FROM d),
+         |bench AS (SELECT list_distinct(flatten(list(gs))) AS bg
+         |          FROM g WHERE doc_id % 50 = 0),
+         |c AS (SELECT doc_id, len(gs) AS n_grams,
+         |        len(list_filter(gs, x -> list_contains(bg, x))) AS n_hit
+         |      FROM g, bench WHERE doc_id % 50 <> 0 AND len(gs) > 0)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       round(n_hit / CAST(n_grams AS DOUBLE), 4) AS contam
+         |FROM c ORDER BY contam DESC, doc_id LIMIT 10""".stripMargin,
+
+    "repetition_stats" ->
+      s"""WITH d AS (SELECT lang, string_split($normSql, ' ') AS t FROM documents),
+         |g AS (SELECT lang, t, list_transform(
+         |        range(1, greatest(len(t) - 1, 0) + 1),
+         |        i -> array_to_string(t[i:i+1], ' ')) AS bg FROM d),
+         |m AS (SELECT lang,
+         |        1.0 - len(list_distinct(t)) /
+         |          CAST(greatest(len(t), 1) AS DOUBLE) AS dup,
+         |        list_max(list_transform(list_distinct(bg),
+         |            x -> len(list_filter(bg, y -> y = x)))) /
+         |          CAST(greatest(len(bg), 1) AS DOUBLE) AS topbg
+         |      FROM g)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       round(avg(dup), 4) AS avg_dup_ratio,
+         |       round(avg(topbg), 4) AS avg_top_bigram
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
 
     "lang_id" -> {
       def score(words: Seq[String]) =

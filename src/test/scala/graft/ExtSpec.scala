@@ -220,6 +220,61 @@ class ExtSpec extends SparkSpec {
     assert(q.count() == embs.count())
   }
 
+  test("contamination: planted benchmark copy scores 1.0, clean docs score lower") {
+    import spark.implicits._
+    import graft.ext.Contam
+    val bench = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    // corpus: the non-benchmark docs + one verbatim copy of a benchmark doc
+    val copy = bench.limit(1)
+      .select(lit(9999999L).as("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text")).unionByName(copy)
+    val out = Contam.ngramOverlap(corpus, bench, "text", "doc_id", 3)
+    val top = out.orderBy(desc("contam"), col("doc_id")).head()
+    assert(top.getAs[Long]("doc_id") == 9999999L)
+    assert(top.getAs[Double]("contam") == 1.0)
+    // the benchmark gram set is broadcast — never a shuffle of the corpus text
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // a short doc (< 3 tokens) is droppable, not a divide-by-zero
+    val tiny = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(Contam.ngramOverlap(tiny, bench, "text", "doc_id", 3).count() == 0)
+  }
+
+  test("repetition signals: dup-token ratio and top-bigram share on planted docs") {
+    import spark.implicits._
+    import graft.ext.TextOps
+    val df = Seq((1L, "spam spam spam spam eggs"), (2L, "all words are unique here"),
+        (3L, "x")).toDF("doc_id", "text")
+      .withColumn("_t", TextOps.tokens(col("text")))
+      .withColumn("_bg", TextOps.wordNgrams("_t", 2))
+      .select(col("doc_id"), TextOps.dupTokenRatio("_t").as("dup"),
+        TextOps.topNgramShare("_bg").as("topbg"))
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    assert(m(1L) == (0.6, 0.75))      // 5 tokens 2 distinct; "spam spam" 3 of 4
+    assert(m(2L) == (0.0, 0.25))      // no repeats; 4 bigrams, each share 1/4
+    assert(m(3L)._1 == 0.0 && m(3L)._2 == -1.0) // 1 token: no bigrams → NULL
+  }
+
+  test("PQ: codes in range, deterministic, reconstruction beats worst-case") {
+    val enc = Similarity.pqEncode(embs, "embedding", "vec_id", 64, 8, 16)
+    val codes = enc.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 1 && x <= 16)))
+    // deterministic rebuild
+    val codes2 = Similarity.pqEncode(embs, "embedding", "vec_id", 64, 8, 16)
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.toSeq == codes2.toSeq)
+    // mean squared reconstruction error per dim is below the data's own
+    // per-dim second moment (i.e. quantizing to the nearest of 16 sampled
+    // codewords beats quantizing everything to zero)
+    val err = Similarity.pqReconError(enc, embs, "embedding", "vec_id", 64, 8, 16)
+      .agg(avg(col("_err"))).head().getDouble(0)
+    val e2 = embs.select(explode(col("embedding")).as("x"))
+      .agg(avg(col("x") * col("x"))).head().getDouble(0)
+    assert(err > 0.0 && err < e2, s"recon err $err vs second moment $e2")
+  }
+
   test("hashSplit: disjoint, exhaustive, row-stable under corpus changes") {
     import graft.ext.Curation
     val bands = Seq(("train", 80), ("val", 90), ("test", 100))
