@@ -223,7 +223,22 @@ object MorQueries {
           Map("order_id" -> MorReader.ColRange(Some("250"), Some("449"))))
         .agg(count(lit(1)).as("cnt"), sum(col("order_id").cast("long")).as("id_sum"),
           min(col("order_id")).as("min_id"), max(col("order_id")).as("max_id"))
-    })
+    }),
+
+    // metadata tables (Iceberg `tbl.files`/`tbl.delete_files`/`tbl.snapshots`
+    // /`tbl.partitions` analog) over S10 — pure snapshot-log reads, zero
+    // data-file I/O; paths/seqs/counts are fixed by the scenario algebra
+    "meta_files" -> ((s, _) =>
+      graft.read.MetaTables.files(s, s10(s)).orderBy("file_path")),
+
+    "meta_delete_files" -> ((s, _) =>
+      graft.read.MetaTables.deleteFiles(s, s10(s)).orderBy("file_path")),
+
+    "meta_snapshots" -> ((s, _) =>
+      graft.read.MetaTables.snapshots(s, s10(s)).orderBy("snapshot_id")),
+
+    "meta_partitions" -> ((s, _) =>
+      graft.read.MetaTables.partitions(s, s10(s)).orderBy("partition"))
   )
 
   // SQL reconstruction shared by the S10-derived oracles
@@ -381,6 +396,57 @@ object MorQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))
-        |WHERE NOT (id % 10 = 7)""".stripMargin
+        |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    // one data file per (category, append-seq); file index = per-category
+    // rank of the append — the `%02d` probe-until-free naming
+    "meta_files" ->
+      s"""$s10Rows,
+         |g AS (SELECT category, seq, CAST(COUNT(*) AS BIGINT) AS record_count
+         |      FROM rows_ GROUP BY category, seq),
+         |f AS (SELECT category, seq, record_count,
+         |        ROW_NUMBER() OVER (PARTITION BY category ORDER BY seq) - 1 AS idx
+         |      FROM g)
+         |SELECT 'data/' || category || '/' || category || '-' ||
+         |         lpad(CAST(idx AS VARCHAR), 2, '0') || '.parquet' AS file_path,
+         |       'category=' || category AS "partition",
+         |       CAST(0 AS INTEGER) AS spec_id, CAST(seq AS BIGINT) AS seq,
+         |       record_count
+         |FROM f ORDER BY file_path""".stripMargin,
+
+    // golden manifest: 3 eq-delete waves (seq 2/4/6) + 1 pos wave (seq 7),
+    // one file per touched partition, probe-numbered within the partition
+    "meta_delete_files" ->
+      """SELECT * FROM (VALUES
+        |  ('data/gadget/eqdelete-gadget-00.parquet', 'category=gadget', 'eq', 'product_id', CAST(6 AS BIGINT)),
+        |  ('data/gizmo/eqdelete-gizmo-00.parquet',  'category=gizmo',  'eq', 'color',      CAST(4 AS BIGINT)),
+        |  ('data/gizmo/eqdelete-gizmo-01.parquet',  'category=gizmo',  'eq', 'product_id', CAST(6 AS BIGINT)),
+        |  ('data/widget/delete-widget-00.parquet',  'category=widget', 'pos', '',          CAST(7 AS BIGINT)),
+        |  ('data/widget/eqdelete-widget-00.parquet', 'category=widget', 'eq', 'product_id', CAST(2 AS BIGINT)),
+        |  ('data/widget/eqdelete-widget-01.parquet', 'category=widget', 'eq', 'color',      CAST(4 AS BIGINT)),
+        |  ('data/widget/eqdelete-widget-02.parquet', 'category=widget', 'eq', 'product_id', CAST(6 AS BIGINT))
+        |) AS t(file_path, "partition", kind, equality_cols, seq)
+        |ORDER BY file_path""".stripMargin,
+
+    // 7 commits: append/eq-del alternating, then the pos-delete wave
+    "meta_snapshots" ->
+      """SELECT CAST(id AS BIGINT) AS snapshot_id, CAST(id AS BIGINT) AS seq,
+        |       CAST(0 AS INTEGER) AS schema_v, CAST(0 AS INTEGER) AS spec_id,
+        |       CAST(adf AS BIGINT) AS added_data_files,
+        |       CAST(adl AS BIGINT) AS added_delete_files,
+        |       CAST(rows_ AS BIGINT) AS added_rows,
+        |       CAST(0 AS BIGINT) AS removed_data_files
+        |FROM (VALUES (1, 1, 0, 200), (2, 0, 1, 0), (3, 1, 0, 200),
+        |             (4, 0, 2, 0), (5, 3, 0, 600), (6, 0, 3, 0), (7, 0, 1, 0))
+        |  AS t(id, adf, adl, rows_)
+        |ORDER BY snapshot_id""".stripMargin,
+
+    // delete-unaware manifest rollup (Iceberg partitions-table semantics)
+    "meta_partitions" ->
+      s"""$s10Rows
+         |SELECT 'category=' || category AS "partition",
+         |       CAST(COUNT(DISTINCT seq) AS BIGINT) AS file_count,
+         |       CAST(COUNT(*) AS BIGINT) AS record_count
+         |FROM rows_ GROUP BY category ORDER BY "partition"""".stripMargin
   )
 }

@@ -1,0 +1,90 @@
+package graft.read
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.meta._
+
+/** Queryable metadata tables — the analog of Iceberg's `tbl.files`,
+  * `tbl.delete_files`, `tbl.snapshots` and `tbl.partitions` metadata
+  * tables, which are part of the user-visible surface of any table the
+  * reference generates (a reference user inspects their output with
+  * `SELECT * FROM db.tbl.files`; reference tables are standard Iceberg,
+  * `IcebergTableGenerator.java:96-117`).
+  *
+  * Everything derives from the snapshot log alone — zero data-file I/O.
+  * The log parse is the same driver-side metadata read the scan planner
+  * already performs ([[MorReader]]); results come back as DataFrames so
+  * downstream joins/aggregations stay distributed. At Iceberg scale the
+  * manifest list itself is read as a distributed scan; our single
+  * JSON-lines log is the SURVEY §7.4.6 single-writer design, and the
+  * row counts here are FILE counts (metadata-scale, millions at 100 TB
+  * — well within a DataFrame materialized from the driver).
+  *
+  * `record_count` is the DECLARED manifest count, exactly like Iceberg's
+  * metadata tables — `appendEmptyFile`'s lying `record_count=1`
+  * (reference `IcebergTableGenerator.java:168`) shows up here as 1, by
+  * design (metadata tables report the manifest, not the data).
+  */
+object MetaTables {
+
+  /** Path relative to the table root — stable across warehouses. */
+  private def rel(tableDir: String, p: String): String =
+    p.stripPrefix(tableDir).stripPrefix("/")
+
+  /** Canonical `k=v[/k=v...]` partition rendering (keys sorted). */
+  private def partStr(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  private def state(tableDir: String, asOf: Option[Long]): TableState = {
+    val st = SnapshotLog(tableDir).load()
+    asOf.map(st.asOf).getOrElse(st)
+  }
+
+  /** `tbl.files`: one row per LIVE data file at the (asOf) snapshot —
+    * compaction-removed files are gone, time travel resurrects them. */
+  def files(spark: SparkSession, tableDir: String,
+            asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    state(tableDir, asOf).dataFiles
+      .map(f => (rel(tableDir, f.path), partStr(f.partition), f.specId,
+        f.seq, f.recordCount))
+      .toDF("file_path", "partition", "spec_id", "seq", "record_count")
+  }
+
+  /** `tbl.delete_files`: one row per live delete file (pos + eq). */
+  def deleteFiles(spark: SparkSession, tableDir: String,
+                  asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    state(tableDir, asOf).deleteFiles
+      .map(f => (rel(tableDir, f.path), partStr(f.partition), f.kind,
+        f.equalityCols.mkString(","), f.seq))
+      .toDF("file_path", "partition", "kind", "equality_cols", "seq")
+  }
+
+  /** `tbl.snapshots`: one row per committed snapshot, with the files/rows
+    * ADDED by that commit (manifest-declared). */
+  def snapshots(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    state(tableDir, None).snapshots
+      .map(s => (s.id, s.seq, s.schemaV, s.specId,
+        s.dataFiles.size.toLong, s.deleteFiles.size.toLong,
+        s.dataFiles.map(_.recordCount).sum,
+        s.removedDataFiles.size.toLong))
+      .toDF("snapshot_id", "seq", "schema_v", "spec_id",
+        "added_data_files", "added_delete_files", "added_rows",
+        "removed_data_files")
+  }
+
+  /** `tbl.partitions`: live data files and manifest rows per partition
+    * (delete-unaware, exactly like Iceberg's partitions table — MoR
+    * deletes are accounted in `delete_files`, not subtracted here). */
+  def partitions(spark: SparkSession, tableDir: String,
+                 asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    state(tableDir, asOf).dataFiles
+      .groupBy(f => partStr(f.partition)).toSeq
+      .map { case (p, fs) => (p, fs.size.toLong, fs.map(_.recordCount).sum) }
+      .sortBy(_._1)
+      .toDF("partition", "file_count", "record_count")
+  }
+}

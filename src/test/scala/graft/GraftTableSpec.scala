@@ -453,6 +453,66 @@ class GraftTableSpec extends SparkSpec {
     assert(df.where(col("color") === "black").count() == 5)
   }
 
+  test("metadata tables mirror the S10 manifest (files/deletes/snapshots/partitions)") {
+    import graft.read.MetaTables
+    val dir = Scenarios.createProductsWithEqDeletes(spark, wh).tableDir.toString
+
+    val files = MetaTables.files(spark, dir).orderBy("file_path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(files.toSeq == Seq(
+      ("data/gadget/gadget-00.parquet", "category=gadget", 0, 5L, 200L),
+      ("data/gizmo/gizmo-00.parquet", "category=gizmo", 0, 3L, 200L),
+      ("data/gizmo/gizmo-01.parquet", "category=gizmo", 0, 5L, 200L),
+      ("data/widget/widget-00.parquet", "category=widget", 0, 1L, 200L),
+      ("data/widget/widget-01.parquet", "category=widget", 0, 5L, 200L)))
+
+    val dels = MetaTables.deleteFiles(spark, dir).orderBy("file_path").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(dels.toSeq == Seq(
+      ("data/gadget/eqdelete-gadget-00.parquet", "eq", "product_id", 6L),
+      ("data/gizmo/eqdelete-gizmo-00.parquet", "eq", "color", 4L),
+      ("data/gizmo/eqdelete-gizmo-01.parquet", "eq", "product_id", 6L),
+      ("data/widget/delete-widget-00.parquet", "pos", "", 7L),
+      ("data/widget/eqdelete-widget-00.parquet", "eq", "product_id", 2L),
+      ("data/widget/eqdelete-widget-01.parquet", "eq", "color", 4L),
+      ("data/widget/eqdelete-widget-02.parquet", "eq", "product_id", 6L)))
+
+    val snaps = MetaTables.snapshots(spark, dir).orderBy("snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(snaps.toSeq == Seq(
+      (1L, 1L, 1L, 0L, 200L), (2L, 2L, 0L, 1L, 0L), (3L, 3L, 1L, 0L, 200L),
+      (4L, 4L, 0L, 2L, 0L), (5L, 5L, 3L, 0L, 600L), (6L, 6L, 0L, 3L, 0L),
+      (7L, 7L, 0L, 1L, 0L)))
+
+    val parts = MetaTables.partitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.toSeq == Seq(
+      ("category=gadget", 1L, 200L), ("category=gizmo", 2L, 400L),
+      ("category=widget", 2L, 400L)))
+
+    // time travel: as of snapshot 5 the third eq-delete wave and pos wave
+    // haven't committed, and only the first four data files exist... plus
+    // the three seq-5 appends (snapshot 5 IS the third append)
+    assert(MetaTables.files(spark, dir, Some(4L)).count() == 2)
+    assert(MetaTables.deleteFiles(spark, dir, Some(4L)).count() == 3)
+  }
+
+  test("metadata tables reflect compaction: removed files leave, asOf resurrects") {
+    import graft.read.MetaTables
+    val g = new GraftTableGenerator(spark, wh, "meta_compact")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2020), Bundles.orders(), 2, 100).commit()
+      .positionalDelete(Seq(2020), col("order_id") % 2 === 0).commit()
+      .compact().commit()
+    val dir = g.tableDir.toString
+    val live = MetaTables.files(spark, dir).collect()
+    assert(live.length == 1) // compaction rewrote 2 files into 1
+    assert(MetaTables.deleteFiles(spark, dir).count() == 0)
+    // pre-compaction snapshot still sees the original manifest
+    assert(MetaTables.files(spark, dir, Some(2L)).count() == 2)
+    assert(MetaTables.deleteFiles(spark, dir, Some(2L)).count() == 1)
+  }
+
   test("positional-delete file ordering invariant (path, pos) strictly increasing") {
     val g = new GraftTableGenerator(spark, wh, "ordering")
     g.create(Scenarios.OrdersSchema, Seq("order_year"))
