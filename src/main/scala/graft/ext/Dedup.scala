@@ -24,6 +24,41 @@ object Dedup {
       .select(col(idCol), col("group_size"))
   }
 
+  /** Passage-level exact-substring dedup (the chunk-granular pass of
+    * RefinedWeb/CCNet-style pipelines: a page survives but its boilerplate
+    * chunks are removed when seen elsewhere): normalize, split into fixed
+    * `k`-word chunks, dedup chunks GLOBALLY keeping the first occurrence
+    * in (id, chunk_idx) order, report per-document survival as
+    * `(<idCol>, n_chunks, kept_chunks)`.
+    *
+    * Scale design: chunk text is hashed to 60 bits BEFORE the global
+    * groupBy, so shuffle width is constant regardless of chunk size (the
+    * [[exact]] design, chunk-granular); survivor counts return to
+    * documents by integer-decoding the packed order key — no join back
+    * against text. Two groupBy shuffles + one id equi-join. The packed
+    * key `id·2^20 + idx` requires idx < 2^20 (a million chunks = 8M+
+    * words per doc) and id < 2^43; both hold for any real corpus and are
+    * cheaper at 100 TB than a struct min over (id, idx).
+    */
+  def passages(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val exploded = df
+      .withColumn("_w", TextOps.tokens(col(textCol)))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil(size(_w) / $k.0) as int), 1) - 1)," +
+          s" i -> array_join(slice(_w, i * $k + 1, $k), ' '))"))
+        .as(Seq("_idx", "_chunk")))
+    val keyed = exploded.select(
+      TextOps.hash60(col("_chunk")).as("_h"),
+      (col(idCol).cast("long") * (1L << 20) + col("_idx")).as("_ord"))
+    val kept = keyed.groupBy("_h").agg(min("_ord").as("_keep"))
+      .select(floor(col("_keep") / (1L << 20)).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("_kept"))
+    exploded.groupBy(idCol).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("_kept"), lit(0L)).as("kept_chunks"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs.
     *
     * shingle(k, stride) → `numHashes` salted-minhash signature → bands of

@@ -90,6 +90,14 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // chunk-granular exact-substring dedup: duplicated docs (the +1e6
+    // copies) must keep ZERO chunks; originals keep all of theirs except
+    // chunks repeated verbatim inside/across docs
+    "dedup_passage" -> ((s, d) => {
+      Dedup.passages(dupCorpus(s, d), "text", "doc_id", 8)
+        .orderBy("doc_id")
+    }),
+
     // pairs → clusters: 3 rounds of min-label propagation, exactly the
     // algorithm the oracle mirrors in chained CTEs
     "dedup_minhash_cluster" -> ((s, d) => {
@@ -448,6 +456,24 @@ object ExtQueries {
     "dedup_minhash" ->
       s"""WITH $minhashCtes
          |SELECT id_a, id_b, est_jaccard FROM mp ORDER BY id_a, id_b""".stripMargin,
+
+    // same chunking algebra: k=8 word chunks of the normalized text,
+    // global first-occurrence keep by packed (doc_id, idx) order key
+    "dedup_passage" ->
+      s"""WITH corpus AS ($dupCorpusSql),
+         |w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM corpus),
+         |c AS (SELECT doc_id, i AS idx,
+         |        array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+         |      FROM w, UNNEST(range(greatest(CAST(ceil(len(ws)/8.0) AS INT), 1))) AS t(i)),
+         |keep AS (SELECT MIN(doc_id*1048576 + idx) AS ord FROM c GROUP BY md5(chunk)),
+         |kept AS (SELECT ord // 1048576 AS doc_id,
+         |                CAST(COUNT(*) AS BIGINT) AS kept_chunks
+         |         FROM keep GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |        FROM c GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chunks,
+         |       CAST(COALESCE(k.kept_chunks, 0) AS BIGINT) AS kept_chunks
+         |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // bounded min-label propagation: 3 rounds of the identical algorithm
     // the Spark operator runs, so the cluster assignment hash-matches

@@ -65,6 +65,27 @@ object MorQueries {
         .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
       g.tableDir.toString
     })
+  /** S10 rebuilt under another name, then history expired down to the last
+    * 2 snapshots — the retained window is rebased onto one baseline
+    * snapshot, orphaned files are deleted, and the live rows must stay
+    * IDENTICAL to s10's golden merge. */
+  private def s10x(spark: SparkSession): String =
+    built.computeIfAbsent("s10x", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_expired")
+      g.create(Scenarios.ProductsSchema, Seq("category"), Scenarios.TinyRowGroupProps)
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget"), col("product_id") < 30, Seq("product_id")).commit()
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget", "gizmo"), col("color") === "green", Seq("color")).commit()
+        .append(Seq("widget", "gadget", "gizmo"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget", "gadget", "gizmo"),
+          col("product_id") % 200 >= 100, Seq("product_id")).commit()
+        .positionalDelete(Seq("widget"),
+          col("product_id") >= 50 && col("product_id") < 53).commit()
+        .expireSnapshots(keepLast = 2)
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then compacted — same live rows. */
   private def s10c(spark: SparkSession): String =
     built.computeIfAbsent("s10c", _ => {
@@ -223,6 +244,14 @@ object MorQueries {
           Map("order_id" -> MorReader.ColRange(Some("250"), Some("449"))))
         .agg(count(lit(1)).as("cnt"), sum(col("order_id").cast("long")).as("id_sum"),
           min(col("order_id")).as("min_id"), max(col("order_id")).as("max_id"))
+    }),
+
+    // maintenance: snapshot expiry must not change the live merge — the
+    // retained window rebases onto a baseline snapshot, orphans deleted
+    "snapshot_expire_scan" -> ((s, _) => {
+      MorReader.read(s, s10x(s))
+        .groupBy("category").agg(count(lit(1)).as("cnt"))
+        .orderBy("category")
     }),
 
     // metadata tables (Iceberg `tbl.files`/`tbl.delete_files`/`tbl.snapshots`
@@ -397,6 +426,15 @@ object MorQueries {
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))
         |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    "snapshot_expire_scan" ->
+      s"""$s10Rows
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
+         |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |  AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |  AND NOT (id % 200 >= 100 AND seq < 6)
+         |  AND NOT (id BETWEEN 50 AND 52)
+         |GROUP BY category ORDER BY category""".stripMargin,
 
     // one data file per (category, append-seq); file index = per-category
     // rank of the append — the `%02d` probe-until-free naming

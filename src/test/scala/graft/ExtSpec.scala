@@ -26,6 +26,28 @@ class ExtSpec extends SparkSpec {
     assert(survivors.where(col("doc_id") >= 1000000L).count() == 0)
   }
 
+  test("passage dedup: duplicated docs keep zero chunks, originals keep theirs") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val out = Dedup.passages(corpus, "text", "doc_id", 8).cache()
+    // every chunk of a shifted copy already appeared in the original
+    assert(out.where(col("doc_id") >= 1000000L && col("kept_chunks") > 0).count() == 0)
+    // chunk accounting: kept <= total everywhere, one row per doc
+    assert(out.where(col("kept_chunks") > col("n_chunks")).count() == 0)
+    assert(out.count() == corpus.count())
+    // global conservation: kept chunks == distinct chunk count
+    val totalKept = out.agg(sum("kept_chunks")).head().getLong(0)
+    val distinctChunks = corpus
+      .withColumn("_w", graft.ext.TextOps.tokens(col("text")))
+      .select(explode(expr(
+        "transform(sequence(0, greatest(cast(ceil(size(_w) / 8.0) as int), 1) - 1)," +
+          " i -> array_join(slice(_w, i * 8 + 1, 8), ' '))")).as("c"))
+      .distinct().count()
+    assert(totalKept == distinctChunks)
+    out.unpersist()
+  }
+
   test("minhash LSH recovers planted near-duplicates with high recall") {
     val base = docs.select(col("doc_id"), col("text"))
     val perturbed = base.where(col("doc_id") % 20 === 0)

@@ -157,4 +157,18 @@ class PlanSpec extends SparkSpec {
     val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchange.contains("text"), s"text column reaches the shuffle:\n$exchange")
   }
+
+  test("dedup_passage shuffles hashes and packed keys — never chunk text") {
+    val p = plan("dedup_passage")
+    val exchange = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchange.contains("_chunk") && !exchange.contains("text"),
+      s"chunk/text column reaches a shuffle:\n$exchange")
+  }
+
+  test("metadata tables plan with zero data-file scans (log-only)") {
+    // a FileScan in the plan would mean the metadata table opened data
+    // files; it must materialize purely from the snapshot log
+    val p = plan("meta_files") + plan("meta_snapshots") + plan("meta_partitions")
+    assert(!p.contains("FileScan parquet"), p)
+  }
 }
