@@ -34,26 +34,33 @@ object Dedup {
     * Scale design: chunk text is hashed to 60 bits BEFORE the global
     * groupBy, so shuffle width is constant regardless of chunk size (the
     * [[exact]] design, chunk-granular); survivor counts return to
-    * documents by integer-decoding the packed order key — no join back
-    * against text. Two groupBy shuffles + one id equi-join. The packed
-    * key `id·2^20 + idx` requires idx < 2^20 (a million chunks = 8M+
-    * words per doc) and id < 2^43; both hold for any real corpus and are
+    * documents by integer-decoding (bit shift, exact past 2^53) the
+    * packed order key — no join back against text. Per-doc totals are a
+    * pure token-count projection, so only ONE pass materializes chunk
+    * strings. Two groupBy shuffles + one id equi-join. The packed key
+    * `id·2^20 + idx` requires idx < 2^20 (a million chunks = 8M+ words
+    * per doc) and id < 2^43; both hold for any real corpus and are
     * cheaper at 100 TB than a struct min over (id, idx).
     */
   def passages(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val exploded = df
-      .withColumn("_w", TextOps.tokens(col(textCol)))
+    val tokenized = df.withColumn("_w", TextOps.tokens(col(textCol)))
+    val keyed = tokenized
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, greatest(cast(ceil(size(_w) / $k.0) as int), 1) - 1)," +
           s" i -> array_join(slice(_w, i * $k + 1, $k), ' '))"))
         .as(Seq("_idx", "_chunk")))
-    val keyed = exploded.select(
-      TextOps.hash60(col("_chunk")).as("_h"),
-      (col(idCol).cast("long") * (1L << 20) + col("_idx")).as("_ord"))
+      .select(TextOps.hash60(col("_chunk")).as("_h"),
+        (col(idCol).cast("long") * (1L << 20) + col("_idx")).as("_ord"))
+    // integer shift, not double division: packed keys above 2^53 would
+    // round across id bands under float math (the oracle divides exactly)
     val kept = keyed.groupBy("_h").agg(min("_ord").as("_keep"))
-      .select(floor(col("_keep") / (1L << 20)).as(idCol))
+      .select(shiftright(col("_keep"), 20).as(idCol))
       .groupBy(idCol).agg(count(lit(1)).as("_kept"))
-    exploded.groupBy(idCol).agg(count(lit(1)).as("n_chunks"))
+    // per-doc totals come straight from the token count — no second
+    // explode, no second pass over the chunk strings
+    tokenized
+      .select(col(idCol), greatest(ceil(size(col("_w")) / k.toDouble), lit(1))
+        .cast("long").as("n_chunks"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_chunks"),
         coalesce(col("_kept"), lit(0L)).as("kept_chunks"))

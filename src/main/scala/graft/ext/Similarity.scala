@@ -97,10 +97,12 @@ object Similarity {
     * smallest code (strict `<` fold), which an oracle mirrors with
     * `min_by(c, (dist, c))`.
     */
-  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
-               dim: Int, nSub: Int, nCode: Int): DataFrame = {
-    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
-    val dsub = dim / nSub
+  /** Codebook = subspace slices of `nCode` deterministic hash-seeded
+    * sample vectors, as one single-row broadcastable frame (column `_cb`).
+    * Shared by [[pqEncode]] and [[pqReconError]] so the sample scan runs
+    * with one definition — and so the two paths can never drift. */
+  private def pqCodebook(df: DataFrame, vecCol: String, idCol: String,
+                         nCode: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cb: Seq[Seq[Double]] = df
@@ -108,7 +110,14 @@ object Similarity {
       .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
       .limit(nCode)
       .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
-    val cbRow = Seq(Tuple1(cb)).toDF("_cb")
+    Seq(Tuple1(cb)).toDF("_cb")
+  }
+
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               dim: Int, nSub: Int, nCode: Int): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val dsub = dim / nSub
+    val cbRow = pqCodebook(df, vecCol, idCol, nCode)
     df.crossJoin(broadcast(cbRow))
       .withColumn("codes", expr(
         s"""transform(sequence(1, $nSub), s ->
@@ -130,15 +139,9 @@ object Similarity {
     * explicitly at scale. */
   def pqReconError(encoded: DataFrame, original: DataFrame, vecCol: String,
                    idCol: String, dim: Int, nSub: Int, nCode: Int): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val dsub = dim / nSub
-    val spark = original.sparkSession
-    import spark.implicits._
-    val cb: Seq[Seq[Double]] = original
-      .select(col(vecCol).as("_cv"), col(idCol).as("_cid"))
-      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
-      .limit(nCode)
-      .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
-    val cbRow = Seq(Tuple1(cb)).toDF("_cb")
+    val cbRow = pqCodebook(original, vecCol, idCol, nCode)
     encoded.select(col(idCol), col("codes"))
       .join(original.select(col(idCol), col(vecCol)), Seq(idCol))
       .crossJoin(broadcast(cbRow))

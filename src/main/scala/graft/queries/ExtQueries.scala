@@ -62,15 +62,29 @@ object ExtQueries {
 
   /** IVF index built ONCE per sf dir and reused by every query invocation
     * (build-once/query-many — the round-2 per-query centroid rebuild is
-    * gone; a spec pins that the query path scans only index files). */
+    * gone; a spec pins that the query path scans only index files). The
+    * cache key includes the source parquet's mtime, so regenerating the
+    * dataset in-process invalidates the index instead of silently serving
+    * stale cells; index temp dirs are removed on JVM exit. */
   private val ivfIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfIndex(s: SparkSession, d: String): String =
-    ivfIndexes.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+  private def ivfIndex(s: SparkSession, d: String): String = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      else 0L
+    ivfIndexes.computeIfAbsent(s"$d@$stamp", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))))
       Similarity.buildIvfIndex(embs(s, d), "embedding", "vec_id",
-        nCentroids = 16, indexDir = dir)
-      dir
+        nCentroids = 16, indexDir = dir.toString)
+      dir.toString
     })
+  }
 
   private def probeNorm(s: SparkSession, d: String): String =
     docs(s, d).where(col("doc_id") === 0).head().getString(1)

@@ -23,7 +23,11 @@ import graft.meta._
   * `record_count` is the DECLARED manifest count, exactly like Iceberg's
   * metadata tables — `appendEmptyFile`'s lying `record_count=1`
   * (reference `IcebergTableGenerator.java:168`) shows up here as 1, by
-  * design (metadata tables report the manifest, not the data).
+  * design (metadata tables report the manifest, not the data). The
+  * distributed bulk-append path stages a `-1` sentinel instead of a
+  * count (no driver-side count job); that renders as NULL here and is
+  * excluded from the partition/snapshot rollups — a sentinel must never
+  * surface as a row count.
   */
 object MetaTables {
 
@@ -47,7 +51,7 @@ object MetaTables {
     import spark.implicits._
     state(tableDir, asOf).dataFiles
       .map(f => (rel(tableDir, f.path), partStr(f.partition), f.specId,
-        f.seq, f.recordCount))
+        f.seq, if (f.recordCount < 0) None else Some(f.recordCount)))
       .toDF("file_path", "partition", "spec_id", "seq", "record_count")
   }
 
@@ -68,7 +72,7 @@ object MetaTables {
     state(tableDir, None).snapshots
       .map(s => (s.id, s.seq, s.schemaV, s.specId,
         s.dataFiles.size.toLong, s.deleteFiles.size.toLong,
-        s.dataFiles.map(_.recordCount).sum,
+        s.dataFiles.map(_.recordCount).filter(_ >= 0).sum,
         s.removedDataFiles.size.toLong))
       .toDF("snapshot_id", "seq", "schema_v", "spec_id",
         "added_data_files", "added_delete_files", "added_rows",
@@ -83,7 +87,8 @@ object MetaTables {
     import spark.implicits._
     state(tableDir, asOf).dataFiles
       .groupBy(f => partStr(f.partition)).toSeq
-      .map { case (p, fs) => (p, fs.size.toLong, fs.map(_.recordCount).sum) }
+      .map { case (p, fs) =>
+        (p, fs.size.toLong, fs.map(_.recordCount).filter(_ >= 0).sum) }
       .sortBy(_._1)
       .toDF("partition", "file_count", "record_count")
   }

@@ -100,7 +100,8 @@ object MorReader {
       case (k, r) if live.names.contains(k) =>
         val dt = live.fields.find(_.name == k).get.dataType
         (r.lo.map(lo => col(k) >= lit(lo).cast(dt)) ++
-          r.hi.map(hi => col(k) <= lit(hi).cast(dt))).reduce(_ && _)
+          r.hi.map(hi => col(k) <= lit(hi).cast(dt)))
+          .reduceOption(_ && _).getOrElse(lit(true)) // ColRange() = unbounded
     }.foldLeft(lit(true))(_ && _)
     withMeta(spark, st, live, partitionFilter, ranges)
       .where(partPred && rangePred)
@@ -121,16 +122,24 @@ object MorReader {
     * [[changelogBetween]] for the net insert/delete diff. Planning is pure
     * metadata: only the in-range files are ever opened, so an incremental
     * consumer of a million-file table plans against the handful of new
-    * files, never the full history. Compaction rewrites inside the range
-    * are honored via the snapshots' removed-file lists (rewritten content
-    * is not double-read). */
+    * files, never the full history. REWRITE snapshots (compaction — they
+    * carry removed-file lists) are skipped entirely, exactly like Iceberg's
+    * incremental append scan: their added files re-express pre-existing
+    * rows, not appends. Appended files a later in-range compaction
+    * rewrote are still read from their ORIGINAL paths (compaction keeps
+    * them on disk for time travel; [[graft.table.GraftTableGenerator
+    * .expireSnapshots]] is the operation that finally deletes them, and
+    * with them the expired incremental window — Iceberg semantics). */
   def appendsBetween(spark: SparkSession, tableDir: String,
                      fromExclusive: Long, toInclusive: Long): DataFrame = {
     val st = SnapshotLog(tableDir).load().asOf(toInclusive)
     val live = st.schema
     val inc = st.copy(snapshots = st.snapshots.map { s =>
-      if (s.id > fromExclusive) s.copy(deleteFiles = Nil)
-      else s.copy(dataFiles = Nil, deleteFiles = Nil)
+      val rewrite = s.removedDataFiles.nonEmpty || s.removedDeleteFiles.nonEmpty
+      if (s.id > fromExclusive && !rewrite)
+        s.copy(deleteFiles = Nil, removedDataFiles = Nil, removedDeleteFiles = Nil)
+      else s.copy(dataFiles = Nil, deleteFiles = Nil,
+        removedDataFiles = Nil, removedDeleteFiles = Nil)
     })
     withMeta(spark, inc, live, Map.empty).select(live.names.map(col): _*)
   }
@@ -153,17 +162,30 @@ object MorReader {
     *
     * At 100 TB the common incremental consumer (hourly sync) diffs a range
     * holding a few files; both legs plan against those files plus the old
-    * live set, never twice the table. */
+    * live set, never twice the table.
+    *
+    * REWRITE snapshots (compaction) inside the range are logical no-ops
+    * and produce NO changelog events (Iceberg's changelog contract): their
+    * added files are excluded from the insert leg, and their removed-file
+    * lists are ignored on both legs so pre-existing rows keep their
+    * original (path, pos) identity — original files stay on disk until
+    * snapshot expiry, which also expires the changelog window. */
   def changelogBetween(spark: SparkSession, tableDir: String,
                        fromExclusive: Long, toInclusive: Long): DataFrame = {
     val st = SnapshotLog(tableDir).load()
     val stTo = st.asOf(toInclusive)
     val live = stTo.schema
     val insState = stTo.copy(snapshots = stTo.snapshots.map { s =>
-      if (s.id > fromExclusive) s else s.copy(dataFiles = Nil, deleteFiles = Nil)
+      val rewrite = s.removedDataFiles.nonEmpty || s.removedDeleteFiles.nonEmpty
+      if (s.id <= fromExclusive) s.copy(dataFiles = Nil)
+      else if (rewrite) s.copy(dataFiles = Nil,
+        removedDataFiles = Nil, removedDeleteFiles = Nil)
+      else s
     })
     val oldAtTo = stTo.copy(snapshots = stTo.snapshots.map { s =>
-      if (s.id > fromExclusive) s.copy(dataFiles = Nil) else s
+      if (s.id > fromExclusive) s.copy(dataFiles = Nil,
+        removedDataFiles = Nil, removedDeleteFiles = Nil)
+      else s
     })
     val inserts = withMeta(spark, insState, live, Map.empty)
     val pre = withMeta(spark, st.asOf(fromExclusive), live, Map.empty)
@@ -183,10 +205,15 @@ object MorReader {
     * BigDecimal (so "1.0E-4" vs "0.01" compares right), everything else
     * lexically (ISO dates, fixed-format timestamps, booleans all sort
     * correctly as strings). */
-  private def cmpMetric(dt: DataType, a: String, b: String): Int = dt match {
+  /** Numeric compare via BigDecimal; `None` when either side is not a
+    * plain decimal rendering (NaN/Infinity from a float column — Spark
+    * casts them to those literal strings). Callers must treat None as
+    * "cannot prune" — skipping a file on an unparseable stat is unsound. */
+  private def cmpMetric(dt: DataType, a: String, b: String): Option[Int] = dt match {
     case _: NumericType =>
-      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b)
+      try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+    case _ => Some(a.compareTo(b))
   }
 
   /** May any row of file `f` satisfy every range? Missing stats keep the
@@ -199,8 +226,8 @@ object MorReader {
         f.metrics.get(field.id).forall { m =>
           (m.min, m.max) match {
             case (Some(mn), Some(mx)) =>
-              r.lo.forall(lo => cmpMetric(field.dataType, mx, lo) >= 0) &&
-                r.hi.forall(hi => cmpMetric(field.dataType, mn, hi) <= 0)
+              r.lo.forall(lo => cmpMetric(field.dataType, mx, lo).forall(_ >= 0)) &&
+                r.hi.forall(hi => cmpMetric(field.dataType, mn, hi).forall(_ <= 0))
             case _ => false
           }
         }

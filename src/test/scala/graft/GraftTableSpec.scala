@@ -290,6 +290,43 @@ class GraftTableSpec extends SparkSpec {
     assert(del.toSeq == (0 until 5))
   }
 
+  test("incremental scans skip rewrite snapshots: compaction is not an append or a change") {
+    val g = new GraftTableGenerator(spark, wh, "incr_compact")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 2, 50).commit() // snap 1: ids 0..99
+      .positionalDelete(col("order_id") % 10 === 0).commit() // snap 2: kills 10
+      .append(Bundles.ordersUnpartitioned(), 1, 50).commit() // snap 3: ids 100..149
+      .compact().commit()                                    // snap 4: pure rewrite
+    val dir = g.tableDir.toString
+
+    // a pure-maintenance range produces nothing
+    assert(MorReader.appendsBetween(spark, dir, 3L, 4L).count() == 0)
+    assert(MorReader.changelogBetween(spark, dir, 3L, 4L).count() == 0)
+
+    // a range that contains the compaction still reports the REAL changes:
+    // appends of snap 3 (raw, from their original still-on-disk files)
+    val app = MorReader.appendsBetween(spark, dir, 2L, 4L)
+    assert(app.select("order_id").collect().map(_.getInt(0)).sorted.toSeq
+      == (100 until 150))
+    // changelog (1, 4]: deletes = snap-2 victims; inserts = snap-3 appends
+    val ch = MorReader.changelogBetween(spark, dir, 1L, 4L)
+    val del = ch.where(col("change_kind") === "delete")
+      .select("order_id").collect().map(_.getInt(0)).sorted
+    assert(del.toSeq == (0 until 100 by 10))
+    val ins = ch.where(col("change_kind") === "insert")
+      .select("order_id").collect().map(_.getInt(0)).sorted
+    assert(ins.toSeq == (100 until 150))
+  }
+
+  test("readRange with an unbounded ColRange is a full read, not a crash") {
+    val g = new GraftTableGenerator(spark, wh, "unbounded_range")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 1, 40).commit()
+    val df = MorReader.readRange(spark, g.tableDir.toString,
+      Map("order_id" -> MorReader.ColRange()))
+    assert(df.count() == 40)
+  }
+
   test("reopening a generator without create() fails fast (no snapshot-id reuse)") {
     Scenarios.createSmallOrders(spark, wh) // table exists on disk
     val reopened = new GraftTableGenerator(spark, wh, "orders")
