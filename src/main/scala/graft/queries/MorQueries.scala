@@ -86,6 +86,21 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** 10 widget files whose color column (= COLORS[id % 10]) interleaves
+    * across EVERY file — metrics pruning on color is useless — then one
+    * eq-delete wave and a SORTED compaction by color: the rewritten files
+    * carry disjoint color ranges, so a color range-read must open only
+    * the intersecting files. */
+  private def sortedTable(spark: SparkSession): String =
+    built.computeIfAbsent("sorted_compact", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_sorted")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 10, 100).commit()
+        .equalityDelete(Seq("widget"), col("color") === "red", Seq("color")).commit()
+        .compactSorted("color", 200, Some(Seq("widget"))).commit()
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then compacted — same live rows. */
   private def s10c(spark: SparkSession): String =
     built.computeIfAbsent("s10c", _ => {
@@ -244,6 +259,17 @@ object MorQueries {
           Map("order_id" -> MorReader.ColRange(Some("250"), Some("449"))))
         .agg(count(lit(1)).as("cnt"), sum(col("order_id").cast("long")).as("id_sum"),
           min(col("order_id")).as("min_id"), max(col("order_id")).as("max_id"))
+    }),
+
+    // sorted compaction: disjoint per-file color ranges ⇒ the range read
+    // opens 2 of 5 rewritten files (spec-gated) and the eq-delete wave is
+    // already merged into the rewrite
+    "metrics_prune_sorted" -> ((s, _) => {
+      MorReader.readRange(s, sortedTable(s),
+          Map("color" -> MorReader.ColRange(Some("blue"), Some("gray"))))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"),
+          min(col("color")).as("min_color"), max(col("color")).as("max_color"))
     }),
 
     // maintenance: snapshot expiry must not change the live merge — the
@@ -426,6 +452,16 @@ object MorQueries {
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))
         |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    "metrics_prune_sorted" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 1000)),
+        |r AS (SELECT id, (['black','white','red','orange','yellow','green',
+        |                  'blue','purple','brown','gray'])[CAST(id % 10 AS INTEGER) + 1]
+        |               AS color
+        |      FROM ids)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       MIN(color) AS min_color, MAX(color) AS max_color
+        |FROM r WHERE color <> 'red' AND color >= 'blue' AND color <= 'gray'""".stripMargin,
 
     "snapshot_expire_scan" ->
       s"""$s10Rows

@@ -441,6 +441,59 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Sorted compaction (the Iceberg `rewrite_data_files` with a sort
+    * order): per selected partition, materialize the MoR-merged live rows
+    * SORTED by `sortCol` and split into files of `rowsPerFile` contiguous
+    * rows. Because each rewritten file covers a disjoint `sortCol` range,
+    * the per-file min/max metrics in the snapshot log become
+    * non-overlapping — a later `readRange` on that column opens exactly
+    * the files whose range intersects the predicate, the layout that
+    * makes metrics pruning maximally effective at 100 TB.
+    *
+    * The global order comes from [[graft.operators.Ops.withGlobalIndex]]
+    * (sampled range exchange + per-partition offsets — never a
+    * single-partition window); the per-file write loop mirrors the
+    * reference's exact-file-count contract (a production rewrite would
+    * `repartitionByRange(n)` and emit all files in one job).
+    */
+  def compactSorted(sortCol: String, rowsPerFile: Int,
+                    partitionValues: Option[Seq[Any]] = None): this.type = {
+    val opSeq = nextOpSeq()
+    val st = log.load()
+    for ((partition, files) <- plannedPartitions(partitionValues)) {
+      val groupPaths = files.map(_.path).toSet
+      val restricted = st.copy(snapshots = st.snapshots.map(s =>
+        s.copy(dataFiles = s.dataFiles.filter(f => groupPaths(f.path)))))
+      val merged = MorReader.withMeta(spark, restricted, schema, Map.empty)
+        .select(schema.names.map(col): _*)
+      val indexed = graft.operators.Ops
+        .withGlobalIndex(merged, Seq(col(sortCol)), "_cidx")
+        .localCheckpoint() // one materialization; N slice filters below
+      val rows = indexed.count()
+      val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+      val partitionString = partitionDirName(partition)
+      for (i <- 0 until nFiles) {
+        val slice = indexed
+          .where(col("_cidx") >= i.toLong * rowsPerFile &&
+            col("_cidx") < (i + 1).toLong * rowsPerFile)
+          .sortWithinPartitions("_cidx")
+        val target =
+          if (partitionString.nonEmpty)
+            uniqueNumberedFile(dataDir.resolve(partitionString),
+              s"$partitionString-%02d.parquet")
+          else uniqueNumberedFile(dataDir, "%02d.parquet")
+        val sliceRows = math.min(rows - i.toLong * rowsPerFile, rowsPerFile.toLong)
+        writeSingleFile(slice.select(schema.names.map(col): _*), target)
+        stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
+          opSeq, sliceRows, metrics = fileMetrics(target))
+      }
+      stagedRemovedData ++= files.map(_.path)
+      stagedRemovedDeletes ++=
+        st.deleteFiles.filter(_.partition == partition).map(_.path)
+    }
+    this
+  }
+
   /** Snapshot expiry (the remaining Iceberg maintenance op): drop history
     * older than `keepLast` snapshots and DELETE files that are no longer
     * reachable from any retained snapshot (compaction leftovers). Retained

@@ -327,6 +327,36 @@ class GraftTableSpec extends SparkSpec {
     assert(df.count() == 40)
   }
 
+  test("compactSorted: disjoint file ranges, range read opens only intersecting files") {
+    import graft.read.MorReader
+    val g = new GraftTableGenerator(spark, wh, "sorted_compact_spec")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), Bundles.products(), 10, 100).commit() // ids 0..999
+      .equalityDelete(Seq("widget"), col("color") === "red", Seq("color")).commit()
+      .compactSorted("color", 200, Some(Seq("widget"))).commit()
+    val dir = g.tableDir.toString
+
+    // rewrite: 900 live rows → 5 files (4×200 + 100), old 10 files gone
+    val st = graft.meta.SnapshotLog(dir).load()
+    assert(st.dataFiles.size == 5)
+    assert(st.dataFiles.map(_.recordCount).sorted.toSeq == Seq(100L, 200L, 200L, 200L, 200L))
+    assert(st.deleteFiles.isEmpty) // eq-delete merged into the rewrite
+    assert(g.read.count() == 900)
+
+    // sorted color blocks (100 rows each, red deleted):
+    // [black blue][brown gray][green orange][purple white][yellow]
+    // ⇒ [blue..gray] intersects exactly the first two files
+    val df = MorReader.readRange(spark, dir,
+      Map("color" -> MorReader.ColRange(Some("blue"), Some("gray"))))
+    assert(df.inputFiles.length == 2,
+      s"want 2 files opened, got ${df.inputFiles.length}: ${df.inputFiles.mkString(",")}")
+    val r = df.agg(count(lit(1)), sum(col("product_id").cast("long"))).head()
+    assert(r.getLong(0) == 300) // blue(6), brown(8), gray(9) ⇒ 100 each
+    // Σ ids ≡ 6,8,9 (mod 10) over 0..999
+    val expect = (0 until 1000).filter(i => Set(6, 8, 9)(i % 10)).map(_.toLong).sum
+    assert(r.getLong(1) == expect)
+  }
+
   test("reopening a generator without create() fails fast (no snapshot-id reuse)") {
     Scenarios.createSmallOrders(spark, wh) // table exists on disk
     val reopened = new GraftTableGenerator(spark, wh, "orders")
