@@ -181,6 +181,38 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("foreachBatch upsert sink: one snapshot per batch, key-unique live rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val wh = java.nio.file.Files.createTempDirectory("stream-upsert").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "stream_upsert")
+    g.create(graft.schema.GraftSchema.of(
+      "k" -> IntegerType, "v" -> StringType, "ver" -> IntegerType), Nil)
+    val stream = MemoryStream[(Int, String, Int)]
+    val sq = graft.streaming.EventUpsert.start(
+      stream.toDS().toDF("k", "v", "ver"), g, Seq("k"), "ver",
+      java.nio.file.Files.createTempDirectory("upsert-ckpt").toString)
+    try {
+      // batch 1 carries TWO versions of k=1 — must collapse to ver 2
+      stream.addData((1, "a", 1), (2, "b", 1), (1, "a2", 2))
+      sq.processAllAvailable()
+      // batch 2 replaces k=2, inserts k=3
+      stream.addData((2, "c", 3), (3, "d", 1))
+      sq.processAllAvailable()
+      val live = g.read.collect()
+        .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(live == Map(1 -> ("a2", 2), 2 -> ("c", 3), 3 -> ("d", 1)))
+      // one snapshot per micro-batch; time travel sees batch-1 state
+      val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+      assert(st.snapshots.size == 2)
+      val atBatch1 = graft.read.MorReader
+        .readAt(spark, g.tableDir.toString, st.snapshots.head.id)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(atBatch1 == Map(1 -> "a2", 2 -> "b"))
+    } finally sq.stop()
+  }
+
   test("streaming result is batch-split invariant (one batch vs many)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
