@@ -130,4 +130,35 @@ object Curation {
       .orderBy(desc("cnt_est"), col("term"))
       .limit(k)
   }
+
+  /** Data-mixture reweighting: per-source sampling weights that reshape
+    * the corpus's ACTUAL token share toward a TARGET share — the mixture
+    * step of LLM pre-training (upweight curated sources, downweight
+    * crawl). `weight = targetShare / actualTokenShare`, so the expected
+    * token mass of a source after weight-proportional sampling is exactly
+    * its target share (`weight · tokens = target · totalTokens`).
+    *
+    * Returns `(srcCol, n_docs, tokens, token_share, target_share,
+    * weight)`. Sources missing from `targets` get weight 0 (excluded from
+    * the mixture — make the exclusion explicit, never silent).
+    *
+    * Scale: ONE groupBy shuffle carrying (source, count, token-sum); the
+    * share normalization is a window over the AGGREGATED frame —
+    * |sources| rows, thousands at most, metadata-scale by construction.
+    */
+  def mixWeights(df: DataFrame, textCol: String, srcCol: String,
+                 targets: Map[String, Double]): DataFrame = {
+    val per = df
+      .select(col(srcCol), size(TextOps.tokens(col(textCol))).cast("long").as("_t"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"), sum("_t").as("tokens"))
+    val tgt = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, v)) => when(col(srcCol) === k, lit(v)).otherwise(acc)
+    }
+    per
+      .withColumn("token_share", col("tokens") /
+        sum(col("tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("target_share", tgt)
+      .withColumn("weight", col("target_share") / col("token_share"))
+  }
 }

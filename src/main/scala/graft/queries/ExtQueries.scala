@@ -311,6 +311,20 @@ object ExtQueries {
       Curation.freqTerms(docs(s, d), "text", 20)
     }),
 
+    // mixture reweighting: src0..src4 target 10% of tokens each, the
+    // other 15 sources split the remaining half — weight·tokens lands
+    // every source exactly on its target share
+    "mix_weights" -> ((s, d) => {
+      val targets = ((0 until 5).map(i => s"src$i" -> 0.1) ++
+        (5 until 20).map(i => s"src$i" -> 0.5 / 15)).toMap
+      Curation.mixWeights(docs(s, d), "text", "source", targets)
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(col("token_share"), 6).as("token_share"),
+          round(col("target_share"), 6).as("target_share"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("source")
+    }),
+
     // bounded-memory heavy hitters: rows-only by design (the sketch's
     // counts are capacity-dependent lower bounds with no exact SQL mirror);
     // agreement with exact freq_terms is spec-gated
@@ -739,6 +753,22 @@ object ExtQueries {
          |      FROM documents)
          |WHERE term <> ''
          |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "mix_weights" ->
+      s"""WITH d AS (SELECT source, len(string_split($normSql, ' ')) AS t
+         |           FROM documents),
+         |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |               CAST(SUM(t) AS BIGINT) AS tokens
+         |        FROM d GROUP BY source),
+         |tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS total FROM per),
+         |w AS (SELECT source, n_docs, tokens,
+         |        tokens / total AS ts,
+         |        CAST(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5
+         |             THEN 0.1 ELSE 0.5 / 15 END AS DOUBLE) AS tg
+         |      FROM per, tot)
+         |SELECT source, n_docs, tokens, round(ts, 6) AS token_share,
+         |       round(tg, 6) AS target_share, round(tg / ts, 6) AS weight
+         |FROM w ORDER BY source""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split($normSql, ' ') AS toks

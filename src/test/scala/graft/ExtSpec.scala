@@ -48,6 +48,23 @@ class ExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("mixWeights: weighted token mass lands each source exactly on its target share") {
+    val targets = ((0 until 5).map(i => s"src$i" -> 0.1) ++
+      (5 until 20).map(i => s"src$i" -> 0.5 / 15)).toMap
+    val w = Curation.mixWeights(docs, "text", "source", targets)
+    val rows = w.collect().map(r => (r.getString(0), r.getAs[Long]("tokens"),
+      r.getAs[Double]("weight"))).toSeq
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (src, toks, weight) =>
+      // weight·tokens / total == target share, by construction
+      assert(math.abs(weight * toks / total - targets(src)) < 1e-9,
+        s"$src off target: ${weight * toks / total} vs ${targets(src)}")
+    }
+    // a source absent from the target map is excluded, not silently kept
+    val w2 = Curation.mixWeights(docs, "text", "source", targets - "src0")
+    assert(w2.where(col("source") === "src0").head().getAs[Double]("weight") == 0.0)
+  }
+
   test("minhash LSH recovers planted near-duplicates with high recall") {
     val base = docs.select(col("doc_id"), col("text"))
     val perturbed = base.where(col("doc_id") % 20 === 0)
