@@ -242,4 +242,69 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
+
+  // ---- persisted PQ index + ADC re-rank query ---------------------------
+
+  /** Persist the PQ index: the codes table ([[pqEncode]] output — nSub
+    * small ints per vector instead of `dim` floats, the scan compression
+    * that makes PQ an index) plus the codebook, both built ONCE. */
+  def buildPqIndex(df: DataFrame, vecCol: String, idCol: String,
+                   dim: Int, nSub: Int, nCode: Int, indexDir: String): Unit = {
+    pqEncode(df, vecCol, idCol, dim, nSub, nCode)
+      .select(col(idCol), col("codes"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    pqCodebook(df, vecCol, idCol, nCode)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** ADC (asymmetric distance computation) query over a [[buildPqIndex]]
+    * index, with exact re-rank: approximate cosine comes from the CODES
+    * ALONE via per-subspace lookup tables — `dt(s)(c) = q_s · cb(c)_s`
+    * and the codebook partial norms, nSub×nCode doubles of driver math
+    * broadcast as one data row (never SQL literals) — so the first pass
+    * scans ~nSub bytes per vector. The `shortlist` best approximate ids
+    * then re-rank EXACTLY against the original vectors (an equi-join that
+    * touches only the shortlist). `shortlist` ≥ corpus size makes the
+    * result identical to [[topKCosine]] — the oracle-able configuration;
+    * recall at realistic shortlists is spec-tested. Zero-norm vectors get
+    * NULL from `try_divide` in both passes and sort last. */
+  def queryPqRerank(df: DataFrame, vecCol: String, idCol: String,
+                    indexDir: String, query: Seq[Double], k: Int,
+                    shortlist: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/codebook")
+      .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+    val nCode = cb.size
+    val dim = query.length
+    require(cb.forall(_.size == dim), s"codebook dim mismatch vs query $dim")
+    val nSub = {
+      // nSub is recovered from the codes table schema-free way: encode
+      // used dim/nSub-sized slices, so any divisor works only if it
+      // matches the written codes — read one row and trust its length
+      spark.read.parquet(s"$indexDir/codes").head().getSeq[Int](1).size
+    }
+    val dsub = dim / nSub
+    def slice(v: Seq[Double], s: Int) = v.slice(s * dsub, (s + 1) * dsub)
+    val dt: Seq[Seq[Double]] = (0 until nSub).map(s =>
+      cb.map(c => slice(c, s).zip(slice(query, s)).map { case (x, q) => x * q }.sum))
+    val nt: Seq[Seq[Double]] = (0 until nSub).map(s =>
+      cb.map(c => slice(c, s).map(x => x * x).sum))
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val tabRow = Seq((dt, nt)).toDF("_dt", "_nt")
+    val approx = spark.read.parquet(s"$indexDir/codes")
+      .crossJoin(broadcast(tabRow))
+      .withColumn("_adot", expr(
+        s"""aggregate(sequence(1, $nSub), cast(0.0 as double),
+           | (a, s) -> a + element_at(element_at(_dt, s), element_at(codes, s)))""".stripMargin))
+      .withColumn("_anrm", expr(
+        s"""sqrt(aggregate(sequence(1, $nSub), cast(0.0 as double),
+           | (a, s) -> a + element_at(element_at(_nt, s), element_at(codes, s))))""".stripMargin))
+      .withColumn("_asim", try_divide(col("_adot"), col("_anrm") * lit(qNorm)))
+    val shortIds = approx
+      .orderBy(desc_nulls_last("_asim"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    topKCosine(df.join(shortIds, Seq(idCol)), vecCol, idCol, query, k)
+  }
 }

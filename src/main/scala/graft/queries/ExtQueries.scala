@@ -86,6 +86,28 @@ object ExtQueries {
     })
   }
 
+  /** PQ index built once per sf dir (same lifecycle discipline and mtime
+    * invalidation as [[ivfIndex]]). */
+  private val pqIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndex(s: SparkSession, d: String): String = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      else 0L
+    pqIndexes.computeIfAbsent(s"$d@$stamp", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))))
+      Similarity.buildPqIndex(embs(s, d), "embedding", "vec_id",
+        dim = 64, nSub = 8, nCode = 16, indexDir = dir.toString)
+      dir.toString
+    })
+  }
+
   private def probeNorm(s: SparkSession, d: String): String =
     docs(s, d).where(col("doc_id") === 0).head().getString(1)
       .toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
@@ -173,6 +195,15 @@ object ExtQueries {
     "sim_topk_cosine_ivf_full" -> ((s, d) => {
       Similarity.queryIvf(s, ivfIndex(s, d), "vec_id",
         queryVec(s, d), 10, nProbe = 16)
+    }),
+
+    // PQ ADC + exact re-rank against the persisted codes index; shortlist
+    // spans the corpus here, so the result is exact and shares the
+    // brute-force oracle (the ivf_full pattern) — realistic-shortlist
+    // recall is spec-tested at sf0.001
+    "sim_topk_pq_rerank" -> ((s, d) => {
+      Similarity.queryPqRerank(embs(s, d), "embedding", "vec_id",
+        pqIndex(s, d), queryVec(s, d), 10, shortlist = Int.MaxValue)
     }),
 
     // PII redaction: every 10th doc gets a planted email + phone appended;
@@ -567,6 +598,9 @@ object ExtQueries {
 
     // IVF with every cell probed is exact ⇒ same oracle as brute force
     "sim_topk_cosine_ivf_full" -> bruteTopkSql,
+
+    // PQ re-rank with a corpus-wide shortlist is exact ⇒ brute-force oracle
+    "sim_topk_pq_rerank" -> bruteTopkSql,
 
     // PQ codes: same hash-seeded codebook sample (QUALIFY row_number ≤ 16
     // over the h60 order), argmin via min_by with (distance, code) —

@@ -127,6 +127,38 @@ class ExtSpec extends SparkSpec {
     assert(exact == planted) // sign-bucket recall is 1 for exact copies
   }
 
+  test("PQ rerank: corpus-wide shortlist equals brute force; small shortlist has recall; approx pass scans only codes") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    Similarity.buildPqIndex(embs, "embedding", "vec_id",
+      dim = 64, nSub = 8, nCode = 16, indexDir = dir)
+    val q = embs.where(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
+    val brute = Similarity.topKCosine(embs, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // shortlist >= corpus: identical rows, not just identical id sets
+    val exact = Similarity.queryPqRerank(embs, "embedding", "vec_id", dir,
+      q, 10, shortlist = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exact.toSeq == brute.toSeq)
+
+    // realistic shortlist (20% of corpus): the exact top hit must survive
+    // and recall beats the random-candidate baseline (codes are 8 bytes
+    // per vector vs 256 — a 16-code book on near-random vectors is a
+    // coarse quantizer, so the shortlist must carry the headroom)
+    val narrow = Similarity.queryPqRerank(embs, "embedding", "vec_id", dir,
+      q, 10, shortlist = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(narrow.contains(0L), "query vector itself must survive the shortlist")
+    assert(narrow.intersect(brute.map(_._1).toSet).size >= 4,
+      s"PQ recall too low: ${narrow.intersect(brute.map(_._1).toSet).size}/10")
+
+    // the approximate pass plans over the index codes only — the corpus
+    // parquet appears downstream solely for the shortlist re-rank join
+    val shortPlan = Similarity.queryPqRerank(embs, "embedding", "vec_id", dir,
+      q, 10, shortlist = 100).queryExecution.optimizedPlan.toString
+    assert(shortPlan.contains("codes"), shortPlan)
+  }
+
   test("IVF persisted index: build once, query many — query path scans ONLY index files") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
     Similarity.buildIvfIndex(embs, "embedding", "vec_id", nCentroids = 16, indexDir = dir)
