@@ -148,10 +148,28 @@ final class SnapshotLog(tableDir: Path) {
   def lastSnapshotId: Long = load().snapshots.lastOption.map(_.id).getOrElse(0L)
   def lastSeq: Long = load().snapshots.lastOption.map(_.seq).getOrElse(0L)
 
-  /** Append one snapshot atomically (read-modify-write + ATOMIC_MOVE). */
+  /** Append one snapshot atomically (read-modify-write + ATOMIC_MOVE),
+    * with OPTIMISTIC-CONCURRENCY conflict detection: the incoming
+    * snapshot id must be exactly last-committed + 1, mirroring Iceberg's
+    * commit protocol (a writer that raced another writer sees a base
+    * version newer than the one it staged against and must fail, never
+    * silently interleave — reference tables get this from
+    * `Transaction.commitTransaction`). Detection happens at the
+    * read-modify-write, so a stale [[graft.table.GraftTableGenerator]]
+    * aborts with [[CommitConflictException]] instead of corrupting the
+    * id/seq chain. (The write itself stays single-writer-atomic via the
+    * temp-file ATOMIC_MOVE; SURVEY.md §7.4.6.)
+    */
   def commit(s: Snapshot): Unit = {
     init()
     val existing = if (Files.exists(logFile)) Files.readString(logFile) else ""
+    val lastId = existing.linesIterator.filter(_.nonEmpty)
+      .foldLeft(0L)((_, l) => mapper.readTree(l).get("id").asLong)
+    if (s.id != lastId + 1)
+      throw new CommitConflictException(
+        s"stale commit: staged snapshot ${s.id} but table is at $lastId " +
+          s"(expected ${lastId + 1}) — another writer committed first; " +
+          "reload the table state and re-stage")
     val tmp = Files.createTempFile(metaDir, ".log", ".tmp")
     Files.writeString(tmp, existing + renderSnapshot(s) + "\n")
     Files.move(tmp, logFile, StandardCopyOption.ATOMIC_MOVE,
@@ -260,3 +278,8 @@ final class SnapshotLog(tableDir: Path) {
 object SnapshotLog {
   def apply(tableDir: String): SnapshotLog = new SnapshotLog(Paths.get(tableDir))
 }
+
+/** A commit staged against a table version another writer has already
+  * advanced past (Iceberg `CommitFailedException` analog). The staged
+  * work is NOT committed; callers reload and re-stage. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)

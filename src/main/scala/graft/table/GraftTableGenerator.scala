@@ -522,13 +522,17 @@ final class GraftTableGenerator(
     this
   }
 
-  /** One snapshot per commit (reference `IcebergTableGenerator.java:375-379`). */
+  /** One snapshot per commit (reference `IcebergTableGenerator.java:375-379`).
+    * The log enforces optimistic concurrency: a stale writer (another
+    * process advanced the table since this generator loaded it) gets a
+    * [[graft.meta.CommitConflictException]] and NOTHING here mutates —
+    * the generator can reload and re-stage. */
   def commit(): this.type = {
     requireCreated("commit()")
+    log.commit(Snapshot(committedSnapId + 1, committedSeq + stagedOps, schemaV,
+      specId, stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes))
     committedSnapId += 1
     committedSeq += stagedOps
-    log.commit(Snapshot(committedSnapId, committedSeq, schemaV, specId,
-      stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes))
     stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
     stagedRemovedData = Vector.empty; stagedRemovedDeletes = Vector.empty
     this

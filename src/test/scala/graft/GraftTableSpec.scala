@@ -357,6 +357,24 @@ class GraftTableSpec extends SparkSpec {
     assert(r.getLong(1) == expect)
   }
 
+  test("optimistic concurrency: a stale writer's commit conflicts instead of interleaving") {
+    val g = new GraftTableGenerator(spark, wh, "occ_demo")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 1, 10).commit() // snap 1
+    // another writer advances the table out-of-band (snap 2)
+    val log = graft.meta.SnapshotLog(g.tableDir.toString)
+    log.commit(graft.meta.Snapshot(2L, 2L, 0, 0, Nil, Nil))
+    // this generator still believes the table is at snap 1 — its next
+    // commit would be id 2 and MUST conflict, leaving its view unchanged
+    g.positionalDelete(col("order_id") === 0)
+    val e = intercept[graft.meta.CommitConflictException](g.commit())
+    assert(e.getMessage.contains("another writer"))
+    assert(log.load().snapshots.map(_.id) == Seq(1L, 2L)) // no interleave
+    // a skipped id is equally a conflict
+    intercept[graft.meta.CommitConflictException](
+      log.commit(graft.meta.Snapshot(9L, 9L, 0, 0, Nil, Nil)))
+  }
+
   test("reopening a generator without create() fails fast (no snapshot-id reuse)") {
     Scenarios.createSmallOrders(spark, wh) // table exists on disk
     val reopened = new GraftTableGenerator(spark, wh, "orders")
