@@ -112,4 +112,31 @@ object Ops {
           salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }
+
+  /** EXACT top-k rows per group WITHOUT a per-group single-task window.
+    *
+    * `Window.partitionBy(group)` moves each group through ONE task — with
+    * few/skewed groups (3 return flags over 100 TB) that is a handful of
+    * tasks sorting a third of the table each. Two-level decomposition
+    * instead: rank within (group, input-partition) first — parallelism =
+    * number of data partitions, each sort is partition-local and
+    * spill-safe — keep k candidates per (group, partition), then a final
+    * rank over candidates only (k × partitions rows per group, metadata
+    * scale). Results are identical to the one-window formulation for any
+    * TOTAL `sortCols` order (ties must be broken — a non-total order
+    * makes both formulations nondeterministic).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   sortCols: Seq[Column], k: Int): DataFrame = {
+    val local = Window
+      .partitionBy((groupCols.map(col) :+ col("_pid")): _*)
+      .orderBy(sortCols: _*)
+    val global = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+    df.withColumn("_pid", spark_partition_id())
+      .withColumn("_lrk", row_number().over(local))
+      .where(col("_lrk") <= k)
+      .withColumn("rk", row_number().over(global))
+      .where(col("rk") <= k)
+      .drop("_pid", "_lrk")
+  }
 }

@@ -79,6 +79,18 @@ object BreadthQueries {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // skew-safe exact top-k per group: lineitem has only 3 return flags,
+    // so the one-window formulation pushes a third of the table through
+    // each of 3 tasks; Ops.topKPerGroup pre-ranks per input partition
+    "window_topk_group" -> ((s, d) => {
+      graft.operators.Ops.topKPerGroup(tbl(s, d, "lineitem"),
+          Seq("l_returnflag"),
+          Seq(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 3)
+        .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+          col("l_linenumber"), cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("l_returnflag", "rk")
+    }),
+
     "window_running" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -277,6 +289,16 @@ object BreadthQueries {
         |  FROM customer
         |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "window_topk_group" ->
+      """SELECT l_returnflag, CAST(rk AS INTEGER) AS rk, l_orderkey,
+        |       l_linenumber, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem)
+        |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin,
 
     "window_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -165,6 +165,15 @@ class PlanSpec extends SparkSpec {
       s"chunk/text column reaches a shuffle:\n$exchange")
   }
 
+  test("window_topk_group pre-ranks per input partition before the per-group window") {
+    val p = plan("window_topk_group")
+    // the fine-grained window must partition on (_group, _pid) — that is
+    // the stage that keeps a 3-group 100 TB table off 3 single tasks
+    assert(p.contains("_pid"), p)
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows >= 2, s"expected local+global Window nodes:\n$p")
+  }
+
   test("metadata tables plan with zero data-file scans (log-only)") {
     // a FileScan in the plan would mean the metadata table opened data
     // files; it must materialize purely from the snapshot log
