@@ -244,9 +244,11 @@ object ExtQueries {
     // hash-sampled codebooks — the FULL code assignment is oracle-checked
     // (argmin over broadcast codebooks, ties to the smallest code)
     "embed_pq" -> ((s, d) => {
+      // codes projected as a '-'-joined string: the driver compare loads
+      // both sides into pandas, which cannot hash a raw array<int> column
       Similarity.pqEncode(embs(s, d), "embedding", "vec_id",
           dim = 64, nSub = 8, nCode = 16)
-        .select(col("vec_id"), col("codes"))
+        .select(col("vec_id"), array_join(col("codes"), "-").as("codes_str"))
         .orderBy("vec_id")
     }),
 
@@ -622,7 +624,8 @@ object ExtQueries {
          |codes AS (
          |  SELECT vec_id, s, c AS code FROM dists
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) = 1)
-         |SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY s) AS codes
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(code AS INTEGER) ORDER BY s), '-') AS codes_str
          |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "contam_ngram" ->
