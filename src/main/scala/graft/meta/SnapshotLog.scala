@@ -70,6 +70,16 @@ final case class DeleteFileEntry(
   * `removedDataFiles`/`removedDeleteFiles` record compaction rewrites:
   * the paths leave the live file set but stay on disk, so time travel to
   * pre-compaction snapshots keeps working.
+  *
+  * `timestampMs` is the commit wall-clock stamp (Iceberg `timestamp-ms` —
+  * every snapshot the reference commits through `Transaction
+  * .commitTransaction` carries one); 0 on entries from logs predating the
+  * field. `operation` is the EXPLICIT commit kind, Iceberg-style:
+  * `append` (data files only), `delete` (delete files only), `overwrite`
+  * (both — upsert), `replace` (compaction/expiry rebase: added files
+  * re-express rows that already existed). Incremental scans branch on it
+  * rather than inferring from removed-file lists, so a mixed snapshot can
+  * never be silently misclassified ([[graft.read.MorReader.appendsBetween]]).
   */
 final case class Snapshot(
     id: Long,
@@ -79,7 +89,9 @@ final case class Snapshot(
     dataFiles: Seq[DataFileEntry],
     deleteFiles: Seq[DeleteFileEntry],
     removedDataFiles: Seq[String] = Nil,
-    removedDeleteFiles: Seq[String] = Nil)
+    removedDeleteFiles: Seq[String] = Nil,
+    timestampMs: Long = 0L,
+    operation: String = "append")
 
 /** Loaded table state as of a snapshot. */
 final case class TableState(
@@ -90,30 +102,77 @@ final case class TableState(
   def currentSpecId: Int = snapshots.lastOption.map(_.specId).getOrElse(0)
   def schema: GraftSchema = schemas(currentSchemaV)
   def partitionCols: Seq[String] = specs(currentSpecId)
+  // distinctBy(path): a reader racing snapshot expiry can transiently see
+  // both the rebased baseline and a not-yet-deleted pre-horizon snapshot
+  // listing the same file — identical entries, deduped here so the scan
+  // never double-reads a path
   def dataFiles: Seq[DataFileEntry] = {
     val removed = snapshots.flatMap(_.removedDataFiles).toSet
-    snapshots.flatMap(_.dataFiles).filterNot(f => removed(f.path))
+    snapshots.flatMap(_.dataFiles).filterNot(f => removed(f.path)).distinctBy(_.path)
   }
   def deleteFiles: Seq[DeleteFileEntry] = {
     val removed = snapshots.flatMap(_.removedDeleteFiles).toSet
-    snapshots.flatMap(_.deleteFiles).filterNot(f => removed(f.path))
+    snapshots.flatMap(_.deleteFiles).filterNot(f => removed(f.path)).distinctBy(_.path)
   }
   def asOf(snapshotId: Long): TableState =
     copy(snapshots = snapshots.filter(_.id <= snapshotId))
+  /** State as of a wall-clock time: every snapshot committed at or before
+    * `tsMs` (Iceberg `FOR TIMESTAMP AS OF`). Errors if the table has no
+    * snapshot that old — same contract as Iceberg's timestamp resolution. */
+  def asOfTime(tsMs: Long): TableState = {
+    val upTo = snapshots.filter(_.timestampMs <= tsMs)
+    require(upTo.nonEmpty,
+      s"no snapshot committed at or before $tsMs (oldest: " +
+        s"${snapshots.headOption.map(_.timestampMs).getOrElse("none")})")
+    copy(snapshots = upTo)
+  }
 }
 
-/** Append-only JSON-lines snapshot log under `<table>/metadata/`.
+/** Append-only snapshot log under `<table>/metadata/`.
   *
-  * Layout: `metadata/log.jsonl` (one snapshot per line), `metadata/
-  * schema-<v>.json`, `metadata/spec-<id>.json`. Commit atomicity mirrors
-  * HadoopCatalog's version-hint protocol (reference delegates to Iceberg's
-  * `Transaction.commitTransaction`, `IcebergTableGenerator.java:375-379`):
-  * write-temp + ATOMIC_MOVE, single-writer assumption (SURVEY.md §7.4.6).
+  * Layout: one `metadata/snap-<id>.json` PER SNAPSHOT, plus
+  * `metadata/schema-<v>.json`, `metadata/spec-<id>.json`, and optional
+  * `metadata/refs.json` (named refs / tags). A legacy single-file
+  * `metadata/log.jsonl` (one snapshot per line) is still read — per-file
+  * snapshots are the round-4 commit-protocol upgrade.
+  *
+  * Commit atomicity mirrors HadoopCatalog's version-file protocol
+  * (reference delegates to Iceberg's `Transaction.commitTransaction`,
+  * `IcebergTableGenerator.java:375-379`): the snapshot content is written
+  * to a temp file and PUBLISHED by hard-linking it to its final
+  * `snap-<id>.json` name — link creation is atomic and FAILS if the name
+  * exists, so of two writers racing the same version exactly one wins and
+  * the loser gets [[CommitConflictException]]. A plain rename would
+  * silently overwrite on POSIX (lost update); the link is what turns the
+  * race into a detected conflict. No lock, no check-then-act window.
   */
 final class SnapshotLog(tableDir: Path) {
   private val metaDir = tableDir.resolve("metadata")
   private val logFile = metaDir.resolve("log.jsonl")
+  private val refsFile = metaDir.resolve("refs.json")
   private val mapper = new ObjectMapper()
+
+  private def snapFile(id: Long): Path = metaDir.resolve(s"snap-$id.json")
+
+  /** Committed snapshot ids, from the `snap-*.json` listing alone — no
+    * JSON parse (the legacy `log.jsonl`, if present, contributes its last
+    * line only, parsed once). */
+  private def committedIds(): Seq[Long] = {
+    val fromFiles =
+      if (!Files.exists(metaDir)) Seq.empty
+      else {
+        val s = Files.list(metaDir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+          .map(_.stripPrefix("snap-").stripSuffix(".json").toLong).toSeq
+        finally s.close()
+      }
+    val legacyLast =
+      if (!Files.exists(logFile)) Seq.empty
+      else Files.readAllLines(logFile).asScala.filter(_.nonEmpty).lastOption
+        .map(l => mapper.readTree(l).get("id").asLong).toSeq
+    (fromFiles ++ legacyLast).sorted
+  }
 
   def init(): Unit = Files.createDirectories(metaDir)
 
@@ -138,52 +197,124 @@ final class SnapshotLog(tableDir: Path) {
       val node = mapper.readTree(Files.readString(p))
       v -> node.get("partitionCols").elements().asScala.map(_.asText).toSeq
     }.toMap
-    val snapshots =
+    val legacy =
       if (!Files.exists(logFile)) Seq.empty
       else Files.readAllLines(logFile).asScala.filter(_.nonEmpty)
         .map(l => parseSnapshot(mapper.readTree(l))).toSeq
+    val perFile = listSnapFiles()
+      .map(p => parseSnapshot(mapper.readTree(Files.readString(p))))
+    // legacy lines and per-file snapshots may transiently overlap while a
+    // rewrite migrates formats — per-file wins, then order by id
+    val perFileIds = perFile.map(_.id).toSet
+    val snapshots = (legacy.filterNot(s => perFileIds(s.id)) ++ perFile).sortBy(_.id)
     TableState(schemas, specs, snapshots)
   }
 
-  def lastSnapshotId: Long = load().snapshots.lastOption.map(_.id).getOrElse(0L)
+  def lastSnapshotId: Long = committedIds().lastOption.getOrElse(0L)
   def lastSeq: Long = load().snapshots.lastOption.map(_.seq).getOrElse(0L)
 
-  /** Append one snapshot atomically (read-modify-write + ATOMIC_MOVE),
-    * with OPTIMISTIC-CONCURRENCY conflict detection: the incoming
-    * snapshot id must be exactly last-committed + 1, mirroring Iceberg's
-    * commit protocol (a writer that raced another writer sees a base
-    * version newer than the one it staged against and must fail, never
-    * silently interleave — reference tables get this from
-    * `Transaction.commitTransaction`). Detection happens at the
-    * read-modify-write, so a stale [[graft.table.GraftTableGenerator]]
-    * aborts with [[CommitConflictException]] instead of corrupting the
-    * id/seq chain. (The write itself stays single-writer-atomic via the
-    * temp-file ATOMIC_MOVE; SURVEY.md §7.4.6.)
+  /** Publish one snapshot with OPTIMISTIC-CONCURRENCY conflict detection:
+    * the incoming id must be exactly last-committed + 1 (fast pre-check
+    * from the file listing), and the final arbiter is the atomic
+    * hard-link creation of `snap-<id>.json` — it throws for every writer
+    * but the first, so two writers racing the same version can never both
+    * "succeed" (no lost update, no check-then-act window). A stale
+    * [[graft.table.GraftTableGenerator]] aborts with
+    * [[CommitConflictException]] and can `refresh()` + re-stage.
     */
   def commit(s: Snapshot): Unit = {
     init()
-    val existing = if (Files.exists(logFile)) Files.readString(logFile) else ""
-    val lastId = existing.linesIterator.filter(_.nonEmpty)
-      .foldLeft(0L)((_, l) => mapper.readTree(l).get("id").asLong)
+    val lastId = committedIds().lastOption.getOrElse(0L)
     if (s.id != lastId + 1)
       throw new CommitConflictException(
         s"stale commit: staged snapshot ${s.id} but table is at $lastId " +
           s"(expected ${lastId + 1}) — another writer committed first; " +
           "reload the table state and re-stage")
-    val tmp = Files.createTempFile(metaDir, ".log", ".tmp")
-    Files.writeString(tmp, existing + renderSnapshot(s) + "\n")
-    Files.move(tmp, logFile, StandardCopyOption.ATOMIC_MOVE,
+    val tmp = Files.createTempFile(metaDir, ".snap", ".tmp")
+    try {
+      Files.writeString(tmp, renderSnapshot(s))
+      try Files.createLink(snapFile(s.id), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"stale commit: snapshot ${s.id} was committed by another writer " +
+            "during this commit; reload the table state and re-stage")
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Replace the whole history (snapshot expiry). Kept snapshots are
+    * (re)written first — each file-atomic — then stale snapshot files and
+    * any legacy `log.jsonl` are removed; a reader racing the rewrite sees
+    * a superset of the kept history at worst (file-path dedup in
+    * [[TableState]] covers the overlap window). */
+  def rewrite(snapshots: Seq[Snapshot]): Unit = {
+    init()
+    val keep = snapshots.map(_.id).toSet
+    snapshots.foreach { s =>
+      val tmp = Files.createTempFile(metaDir, ".snap", ".tmp")
+      Files.writeString(tmp, renderSnapshot(s))
+      Files.move(tmp, snapFile(s.id), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    listSnapFiles()
+      .filterNot(p => keep(p.getFileName.toString
+        .stripPrefix("snap-").stripSuffix(".json").toLong))
+      .foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(logFile)
+  }
+
+  private def listSnapFiles(): Seq[Path] =
+    if (!Files.exists(metaDir)) Seq.empty
+    else {
+      val s = Files.list(metaDir)
+      try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("snap-") && n.endsWith(".json")
+        }.toSeq.sortBy(p => p.getFileName.toString
+          .stripPrefix("snap-").stripSuffix(".json").toLong)
+      finally s.close()
+    }
+
+  // ---- named refs (Iceberg branch/tag surface: tag → snapshot id) ------
+
+  /** All named refs. */
+  def refs: Map[String, Long] =
+    if (!Files.exists(refsFile)) Map.empty
+    else {
+      val node = mapper.readTree(Files.readString(refsFile))
+      node.asInstanceOf[ObjectNode].properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap
+    }
+
+  /** Create/update a named ref (tag) pointing at a committed snapshot.
+    * Atomic replace of the refs file (read-modify-write; tags are
+    * metadata-scale and ref updates are rare — maintenance ops, not the
+    * data path). */
+  def setRef(name: String, snapshotId: Long): Unit = {
+    init()
+    require(committedIds().contains(snapshotId) ||
+      load().snapshots.exists(_.id == snapshotId),
+      s"ref $name: snapshot $snapshotId is not committed")
+    val root = mapper.createObjectNode()
+    (refs + (name -> snapshotId)).toSeq.sortBy(_._1)
+      .foreach { case (k, v) => root.put(k, v) }
+    val tmp = Files.createTempFile(metaDir, ".refs", ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    Files.move(tmp, refsFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Atomically replace the whole history (snapshot expiry). */
-  def rewrite(snapshots: Seq[Snapshot]): Unit = {
-    init()
-    val tmp = Files.createTempFile(metaDir, ".log", ".tmp")
-    Files.writeString(tmp, snapshots.map(renderSnapshot).mkString("", "\n", "\n"))
-    Files.move(tmp, logFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Drop a named ref (no-op if absent). */
+  def removeRef(name: String): Unit =
+    if (refs.contains(name)) {
+      val root = mapper.createObjectNode()
+      (refs - name).toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+      val tmp = Files.createTempFile(metaDir, ".refs", ".tmp")
+      Files.writeString(tmp, mapper.writeValueAsString(root))
+      Files.move(tmp, refsFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
 
   // ---- json ----
 
@@ -207,6 +338,7 @@ final class SnapshotLog(tableDir: Path) {
     val root = mapper.createObjectNode()
     root.put("id", s.id); root.put("seq", s.seq)
     root.put("schemaV", s.schemaV); root.put("specId", s.specId)
+    root.put("timestampMs", s.timestampMs); root.put("operation", s.operation)
     val dfs = root.putArray("dataFiles")
     s.dataFiles.foreach { f =>
       val o = dfs.addObject()
@@ -269,9 +401,20 @@ final class SnapshotLog(tableDir: Path) {
     }.toSeq
     def strArr(field: String): Seq[String] = Option(n.get(field))
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val removedData = strArr("removedDataFiles")
+    val removedDeletes = strArr("removedDeleteFiles")
+    // legacy logs predate the explicit operation field: infer it exactly
+    // the way the old incremental-scan classifier did, so their behavior
+    // is unchanged — new logs always carry the field
+    val op = Option(n.get("operation")).map(_.asText).getOrElse {
+      if (removedData.nonEmpty || removedDeletes.nonEmpty) "replace"
+      else if (dels.nonEmpty && dfs.nonEmpty) "overwrite"
+      else if (dels.nonEmpty) "delete"
+      else "append"
+    }
     Snapshot(n.get("id").asLong, n.get("seq").asLong, n.get("schemaV").asInt,
-      n.get("specId").asInt, dfs, dels,
-      strArr("removedDataFiles"), strArr("removedDeleteFiles"))
+      n.get("specId").asInt, dfs, dels, removedData, removedDeletes,
+      Option(n.get("timestampMs")).map(_.asLong).getOrElse(0L), op)
   }
 }
 

@@ -36,7 +36,8 @@ final class GraftTableGenerator(
     spark: SparkSession,
     warehouse: String,
     name: String,
-    seed: Long = ValueGen.DefaultSeed) {
+    seed: Long = ValueGen.DefaultSeed,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   val tableDir: Path = Paths.get(warehouse, name)
   private val dataDir: Path = tableDir.resolve("data")
@@ -57,6 +58,12 @@ final class GraftTableGenerator(
   private var stagedDeletes: Vector[DeleteFileEntry] = Vector.empty
   private var stagedRemovedData: Vector[String] = Vector.empty
   private var stagedRemovedDeletes: Vector[String] = Vector.empty
+  // one snapshot has exactly ONE operation: user writes (append/delete/
+  // upsert) and rewrites (compaction) may not share a transaction — a
+  // mixed snapshot would make incremental scans silently drop the
+  // genuine appends (an Iceberg snapshot likewise carries one operation)
+  private var stagedHasUserWrite = false
+  private var stagedHasRewrite = false
 
   private var created = false
 
@@ -69,8 +76,12 @@ final class GraftTableGenerator(
     require(created, s"table $name: create() must run before $op — " +
       "reopening an existing table would corrupt snapshot ids and id monotonicity")
 
-  private def nextOpSeq(): Long = {
+  private def nextOpSeq(rewrite: Boolean = false): Long = {
     requireCreated("staging ops")
+    if (rewrite) stagedHasRewrite = true else stagedHasUserWrite = true
+    require(!(stagedHasRewrite && stagedHasUserWrite),
+      "cannot mix compaction with appends/deletes in one transaction — " +
+        "a snapshot has exactly one operation; commit() between them")
     stagedOps += 1; committedSeq + stagedOps
   }
 
@@ -89,6 +100,7 @@ final class GraftTableGenerator(
     this.nextId = 0; this.committedSeq = 0; this.committedSnapId = 0
     this.stagedOps = 0; this.stagedData = Vector.empty; this.stagedDeletes = Vector.empty
     this.stagedRemovedData = Vector.empty; this.stagedRemovedDeletes = Vector.empty
+    this.stagedHasUserWrite = false; this.stagedHasRewrite = false
     this.created = true
     log.init()
     log.writeSchema(0, schema)
@@ -413,7 +425,7 @@ final class GraftTableGenerator(
     * the operation that caps delete-file fan-in on the read path.
     */
   def compact(partitionValues: Option[Seq[Any]] = None): this.type = {
-    val opSeq = nextOpSeq()
+    val opSeq = nextOpSeq(rewrite = true)
     val st = log.load()
     for ((partition, files) <- plannedPartitions(partitionValues)) {
       // merge EXACTLY this group's files (a partition-map filter would also
@@ -458,7 +470,7 @@ final class GraftTableGenerator(
     */
   def compactSorted(sortCol: String, rowsPerFile: Int,
                     partitionValues: Option[Seq[Any]] = None): this.type = {
-    val opSeq = nextOpSeq()
+    val opSeq = nextOpSeq(rewrite = true)
     val st = log.load()
     for ((partition, files) <- plannedPartitions(partitionValues)) {
       val groupPaths = files.map(_.path).toSet
