@@ -242,14 +242,24 @@ final class SnapshotLog(tableDir: Path) {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Replace the whole history (snapshot expiry). Kept snapshots are
-    * (re)written first — each file-atomic — then stale snapshot files and
-    * any legacy `log.jsonl` are removed; a reader racing the rewrite sees
-    * a superset of the kept history at worst (file-path dedup in
-    * [[TableState]] covers the overlap window). */
+  /** Replace the whole history (snapshot expiry). A legacy `log.jsonl` is
+    * first atomically REWRITTEN to the kept set — deleting it last would
+    * leave a crash window where already-deleted stale snapshot files
+    * resurrect from the old log on the next load (per-file-wins dedup only
+    * covers overlapping ids). Then kept snapshots are (re)written — each
+    * file-atomic — then stale snapshot files and the log are removed; a
+    * reader racing the rewrite sees a superset of the kept history at
+    * worst, and a crash at ANY point leaves either the old history intact
+    * or the kept history (possibly stored twice), never a mix. */
   def rewrite(snapshots: Seq[Snapshot]): Unit = {
     init()
     val keep = snapshots.map(_.id).toSet
+    if (Files.exists(logFile)) {
+      val tmp = Files.createTempFile(metaDir, ".log", ".tmp")
+      Files.writeString(tmp, snapshots.map(renderSnapshot).mkString("", "\n", "\n"))
+      Files.move(tmp, logFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     snapshots.foreach { s =>
       val tmp = Files.createTempFile(metaDir, ".snap", ".tmp")
       Files.writeString(tmp, renderSnapshot(s))

@@ -134,8 +134,12 @@ object MorReader {
                      fromExclusive: Long, toInclusive: Long): DataFrame = {
     val st = SnapshotLog(tableDir).load().asOf(toInclusive)
     val live = st.schema
+    // rewrites are identified by the snapshot's EXPLICIT operation (the
+    // writer stamps it at commit; legacy logs without the field get it
+    // inferred once at parse time) — never by sniffing removed-file lists,
+    // so a rewrite that happened to remove nothing still classifies right
     val inc = st.copy(snapshots = st.snapshots.map { s =>
-      val rewrite = s.removedDataFiles.nonEmpty || s.removedDeleteFiles.nonEmpty
+      val rewrite = s.operation == "replace"
       if (s.id > fromExclusive && !rewrite)
         s.copy(deleteFiles = Nil, removedDataFiles = Nil, removedDeleteFiles = Nil)
       else s.copy(dataFiles = Nil, deleteFiles = Nil,
@@ -176,7 +180,7 @@ object MorReader {
     val stTo = st.asOf(toInclusive)
     val live = stTo.schema
     val insState = stTo.copy(snapshots = stTo.snapshots.map { s =>
-      val rewrite = s.removedDataFiles.nonEmpty || s.removedDeleteFiles.nonEmpty
+      val rewrite = s.operation == "replace" // explicit, writer-stamped
       if (s.id <= fromExclusive) s.copy(dataFiles = Nil)
       else if (rewrite) s.copy(dataFiles = Nil,
         removedDataFiles = Nil, removedDeleteFiles = Nil)

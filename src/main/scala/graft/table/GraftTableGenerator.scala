@@ -526,8 +526,12 @@ final class GraftTableGenerator(
     val orphaned = (base.snapshots.flatMap(_.dataFiles).map(_.path) ++
       base.snapshots.flatMap(_.deleteFiles).map(_.path))
       .filterNot(livePaths).distinct
+    // the rebased baseline re-expresses rows that already existed →
+    // "replace"; it inherits the horizon snapshot's commit timestamp so
+    // asOfTime() within the retained window resolves exactly as before
     val baseline = Snapshot(horizon, base.snapshots.last.seq,
-      base.currentSchemaV, base.currentSpecId, liveData, liveDeletes)
+      base.currentSchemaV, base.currentSpecId, liveData, liveDeletes,
+      timestampMs = base.snapshots.last.timestampMs, operation = "replace")
     val tail = st.snapshots.drop(st.snapshots.size - keepLast)
     log.rewrite(baseline +: tail)
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
@@ -541,12 +545,22 @@ final class GraftTableGenerator(
     * the generator can reload and re-stage. */
   def commit(): this.type = {
     requireCreated("commit()")
+    // one snapshot = one operation, derived from what was staged (Iceberg
+    // operation kinds): a rewrite re-expresses existing rows ("replace");
+    // data+deletes together is an upsert ("overwrite")
+    val operation =
+      if (stagedHasRewrite) "replace"
+      else if (stagedData.nonEmpty && stagedDeletes.nonEmpty) "overwrite"
+      else if (stagedDeletes.nonEmpty) "delete"
+      else "append"
     log.commit(Snapshot(committedSnapId + 1, committedSeq + stagedOps, schemaV,
-      specId, stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes))
+      specId, stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes,
+      timestampMs = clock(), operation = operation))
     committedSnapId += 1
     committedSeq += stagedOps
     stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
     stagedRemovedData = Vector.empty; stagedRemovedDeletes = Vector.empty
+    stagedHasUserWrite = false; stagedHasRewrite = false
     this
   }
 

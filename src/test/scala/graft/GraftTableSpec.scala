@@ -407,9 +407,14 @@ class GraftTableSpec extends SparkSpec {
     val rewritten = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
       .find(_.getFileName.toString.endsWith(".parquet")).get
     JFiles.copy(rewritten, delFile, StandardCopyOption.REPLACE_EXISTING)
-    val logFile = Paths.get(s"$wh/legacy_eq/metadata/log.jsonl")
-    JFiles.writeString(logFile, JFiles.readString(logFile)
-      .replaceAll(""","keyColsWritten":\[[^\]]*\]""", ""))
+    // the current writer stores one snap-<id>.json per snapshot; a legacy
+    // writer never wrote keyColsWritten, so strip it from every snapshot file
+    val metaDir = Paths.get(s"$wh/legacy_eq/metadata")
+    val snapFiles = JFiles.list(metaDir).iterator()
+    Iterator.continually(snapFiles).takeWhile(_.hasNext).map(_.next())
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .foreach(p => JFiles.writeString(p, JFiles.readString(p)
+        .replaceAll(""","keyColsWritten":\[[^\]]*\]""", "")))
     // stripped file has no _dk columns, yet the deletes must still apply —
     // via the footer-probe fallback, which must fire for the legacy entry
     assert(!spark.read.parquet(delFile.toString).columns.exists(_.startsWith("_dk")))
