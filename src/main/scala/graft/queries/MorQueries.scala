@@ -101,6 +101,29 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** S10 rebuilt with a DETERMINISTIC commit clock (snapshot n commits at
+    * n*1000 epoch-ms) and a tag at snapshot 6 — the timestamp-time-travel /
+    * named-ref / snapshots-metadata fixture. Same golden row algebra as
+    * s10; only the snapshot-log v2 fields differ (and are reproducible). */
+  private def s10ts(spark: SparkSession): String =
+    built.computeIfAbsent("s10ts", _ => {
+      var t = 0L
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_ts",
+        clock = () => { t += 1000; t })
+      g.create(Scenarios.ProductsSchema, Seq("category"), Scenarios.TinyRowGroupProps)
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget"), col("product_id") < 30, Seq("product_id")).commit()
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget", "gizmo"), col("color") === "green", Seq("color")).commit()
+        .append(Seq("widget", "gadget", "gizmo"), graft.gen.Bundles.products(), 1, 200).commit()
+        .equalityDelete(Seq("widget", "gadget", "gizmo"),
+          col("product_id") % 200 >= 100, Seq("product_id")).commit()
+        .tag("before_pos_deletes") // snapshot 6: 453 live rows
+        .positionalDelete(Seq("widget"),
+          col("product_id") >= 50 && col("product_id") < 53).commit()
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then compacted — same live rows. */
   private def s10c(spark: SparkSession): String =
     built.computeIfAbsent("s10c", _ => {
@@ -132,6 +155,24 @@ object MorQueries {
     "snapshot_scan" -> ((s, _) => {
       MorReader.readAt(s, s10(s), 5L)
         .groupBy("category").agg(count(lit(1)).as("cnt"))
+        .orderBy("category")
+    }),
+
+    // TIMESTAMP time travel (FOR TIMESTAMP AS OF): ts=5500 between the
+    // snapshot-5 commit (t=5000) and snapshot 6 (t=6000) resolves to
+    // snapshot 5 — identical state to snapshot_scan, reached by timestamp
+    "snapshot_ts_scan" -> ((s, _) => {
+      MorReader.readAtTime(s, s10ts(s), 5500L)
+        .groupBy("category").agg(count(lit(1)).as("cnt"))
+        .orderBy("category")
+    }),
+
+    // named ref (VERSION AS OF 'tag'): the fixture tags snapshot 6 (all
+    // three eq-delete waves applied, pos-delete wave not yet) = 453 rows
+    "tag_scan" -> ((s, _) => {
+      MorReader.readRef(s, s10ts(s), "before_pos_deletes")
+        .groupBy("category").agg(count(lit(1)).as("cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
         .orderBy("category")
     }),
 
@@ -289,8 +330,10 @@ object MorQueries {
     "meta_delete_files" -> ((s, _) =>
       graft.read.MetaTables.deleteFiles(s, s10(s)).orderBy("file_path")),
 
+    // snapshots metadata incl. the v2 fields: writer-stamped committed_at
+    // (deterministic-clock fixture: id*1000) and explicit operation kind
     "meta_snapshots" -> ((s, _) =>
-      graft.read.MetaTables.snapshots(s, s10(s)).orderBy("snapshot_id")),
+      graft.read.MetaTables.snapshots(s, s10ts(s)).orderBy("snapshot_id")),
 
     "meta_partitions" -> ((s, _) =>
       graft.read.MetaTables.partitions(s, s10(s)).orderBy("partition"))
@@ -502,18 +545,43 @@ object MorQueries {
         |) AS t(file_path, "partition", kind, equality_cols, seq)
         |ORDER BY file_path""".stripMargin,
 
-    // 7 commits: append/eq-del alternating, then the pos-delete wave
+    // 7 commits: append/eq-del alternating, then the pos-delete wave;
+    // committed_at = id*1000 (deterministic fixture clock), operation
+    // derived by the writer from the staged state
     "meta_snapshots" ->
       """SELECT CAST(id AS BIGINT) AS snapshot_id, CAST(id AS BIGINT) AS seq,
         |       CAST(0 AS INTEGER) AS schema_v, CAST(0 AS INTEGER) AS spec_id,
         |       CAST(adf AS BIGINT) AS added_data_files,
         |       CAST(adl AS BIGINT) AS added_delete_files,
         |       CAST(rows_ AS BIGINT) AS added_rows,
-        |       CAST(0 AS BIGINT) AS removed_data_files
-        |FROM (VALUES (1, 1, 0, 200), (2, 0, 1, 0), (3, 1, 0, 200),
-        |             (4, 0, 2, 0), (5, 3, 0, 600), (6, 0, 3, 0), (7, 0, 1, 0))
-        |  AS t(id, adf, adl, rows_)
+        |       CAST(0 AS BIGINT) AS removed_data_files,
+        |       CAST(id * 1000 AS BIGINT) AS committed_at,
+        |       op AS operation
+        |FROM (VALUES (1, 1, 0, 200, 'append'), (2, 0, 1, 0, 'delete'),
+        |             (3, 1, 0, 200, 'append'), (4, 0, 2, 0, 'delete'),
+        |             (5, 3, 0, 600, 'append'), (6, 0, 3, 0, 'delete'),
+        |             (7, 0, 1, 0, 'delete'))
+        |  AS t(id, adf, adl, rows_, op)
         |ORDER BY snapshot_id""".stripMargin,
+
+    // identical state to snapshot_scan, reached by timestamp instead of id
+    "snapshot_ts_scan" ->
+      s"""$s10Rows
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
+         |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |  AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |GROUP BY category ORDER BY category""".stripMargin,
+
+    // snapshot 6 = all three eq-delete waves applied, pos deletes not yet
+    "tag_scan" ->
+      s"""$s10Rows
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM rows_
+         |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |  AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |  AND NOT (id % 200 >= 100 AND seq < 6)
+         |GROUP BY category ORDER BY category""".stripMargin,
 
     // delete-unaware manifest rollup (Iceberg partitions-table semantics)
     "meta_partitions" ->

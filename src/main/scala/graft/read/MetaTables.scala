@@ -66,17 +66,19 @@ object MetaTables {
   }
 
   /** `tbl.snapshots`: one row per committed snapshot, with the files/rows
-    * ADDED by that commit (manifest-declared). */
+    * ADDED by that commit (manifest-declared), the writer-stamped commit
+    * wall-clock (`committed_at`, epoch millis — Iceberg `committed_at`)
+    * and the explicit operation kind (Iceberg `operation`). */
   def snapshots(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     state(tableDir, None).snapshots
       .map(s => (s.id, s.seq, s.schemaV, s.specId,
         s.dataFiles.size.toLong, s.deleteFiles.size.toLong,
         s.dataFiles.map(_.recordCount).filter(_ >= 0).sum,
-        s.removedDataFiles.size.toLong))
+        s.removedDataFiles.size.toLong, s.timestampMs, s.operation))
       .toDF("snapshot_id", "seq", "schema_v", "spec_id",
         "added_data_files", "added_delete_files", "added_rows",
-        "removed_data_files")
+        "removed_data_files", "committed_at", "operation")
   }
 
   /** `tbl.partitions`: live data files and manifest rows per partition

@@ -60,6 +60,26 @@ object MorReader {
   def readAt(spark: SparkSession, tableDir: String, snapshotId: Long): DataFrame =
     read(spark, tableDir, Some(snapshotId), Map.empty)
 
+  /** Timestamp time travel (Iceberg `FOR TIMESTAMP AS OF`): the state as of
+    * the newest snapshot whose writer-stamped `timestampMs` is <= `tsMs`.
+    * Errors if the table has no snapshot that old — same contract as
+    * Iceberg's timestamp resolution ([[graft.meta.TableState.asOfTime]]). */
+  def readAtTime(spark: SparkSession, tableDir: String, tsMs: Long): DataFrame = {
+    val st = SnapshotLog(tableDir).load().asOfTime(tsMs)
+    val live = st.schema
+    withMeta(spark, st, live, Map.empty).select(live.names.map(col): _*)
+  }
+
+  /** Read at a named ref — Iceberg `VERSION AS OF 'tag'`. The ref resolves
+    * to its snapshot id through the refs file (metadata-scale), then the
+    * scan is an ordinary snapshot read. */
+  def readRef(spark: SparkSession, tableDir: String, ref: String): DataFrame = {
+    val refs = SnapshotLog(tableDir).refs
+    require(refs.contains(ref),
+      s"unknown ref '$ref' (known: ${refs.keys.toSeq.sorted.mkString(", ")})")
+    readAt(spark, tableDir, refs(ref))
+  }
+
   /** Range/equality-predicate read with FILE-LEVEL pruning from the
     * snapshot log's per-column min/max metrics (the manifest-metrics
     * pruning an Iceberg reader gets from `withMetrics`, reference

@@ -569,6 +569,19 @@ final class GraftTableGenerator(
   def readAt(snapshotId: Long): DataFrame =
     MorReader.readAt(spark, tableDir.toString, snapshotId)
 
+  // ---- named refs (Iceberg tag surface) --------------------------------
+
+  /** Tag a committed snapshot (default: the current one) with a stable
+    * name — the Iceberg tag analog. Reads resolve it via
+    * [[graft.read.MorReader.readRef]]. */
+  def tag(name: String, snapshotId: Long = -1L): this.type = {
+    requireCreated("tag()")
+    log.setRef(name, if (snapshotId < 0) committedSnapId else snapshotId)
+    this
+  }
+  def removeTag(name: String): this.type = { log.removeRef(name); this }
+  def tags: Map[String, Long] = log.refs
+
   // ---- internals -------------------------------------------------------
 
   /** Committed data files matching the partition filter, grouped by

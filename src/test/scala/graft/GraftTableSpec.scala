@@ -603,6 +603,66 @@ class GraftTableSpec extends SparkSpec {
     assert(MetaTables.deleteFiles(spark, dir, Some(2L)).count() == 1)
   }
 
+  test("commit stamps the v2 snapshot fields: operation kind + commit timestamp") {
+    import graft.meta.SnapshotLog
+    var t = 0L
+    val g = new GraftTableGenerator(spark, wh, "v2_fields",
+      clock = () => { t += 1000; t })
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), Bundles.products(), 1, 100).commit()       // append
+      .equalityDelete(Seq("widget"), col("product_id") < 10, Seq("product_id"))
+      .commit()                                                          // delete
+    val incoming = Bundles.products()
+      .frame(spark, 50, 100, Some("widget"), Scenarios.ProductsSchema)
+    g.upsert(incoming, Seq("product_id")).commit()                       // overwrite
+      .compact().commit()                                                // replace
+    val snaps = SnapshotLog(g.tableDir.toString).load().snapshots
+    assert(snaps.map(_.operation) == Seq("append", "delete", "overwrite", "replace"))
+    // one clock() call per commit, monotonic, never the 0 default
+    assert(snaps.map(_.timestampMs) == Seq(1000L, 2000L, 3000L, 4000L))
+    // expiry's rebased baseline: replace + the horizon snapshot's timestamp
+    g.expireSnapshots(keepLast = 1)
+    val after = SnapshotLog(g.tableDir.toString).load().snapshots
+    assert(after.head.operation == "replace")
+    assert(after.head.timestampMs == 3000L) // horizon = snapshot 3
+  }
+
+  test("asOfTime resolves by writer-stamped timestamp; pre-history errors") {
+    var t = 0L
+    val g = new GraftTableGenerator(spark, wh, "ts_travel",
+      clock = () => { t += 1000; t })
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 1, 100).commit()  // t=1000
+      .append(Seq(2020), Bundles.orders(), 1, 100).commit()  // t=2000
+      .append(Seq(2021), Bundles.orders(), 1, 100).commit()  // t=3000
+    val dir = g.tableDir.toString
+    assert(MorReader.readAtTime(spark, dir, 1500L).count() == 100) // between commits
+    assert(MorReader.readAtTime(spark, dir, 2000L).count() == 200) // inclusive
+    assert(MorReader.readAtTime(spark, dir, 999999L).count() == 300) // after all
+    val e = intercept[IllegalArgumentException](
+      MorReader.readAtTime(spark, dir, 999L))
+    assert(e.getMessage.contains("no snapshot committed at or before"))
+  }
+
+  test("named refs: tag, read at tag, retarget, remove; invalid targets fail") {
+    val g = new GraftTableGenerator(spark, wh, "tagged")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 1, 100).commit()
+      .tag("v1") // defaults to current snapshot (1)
+      .append(Seq(2020), Bundles.orders(), 1, 100).commit()
+    val dir = g.tableDir.toString
+    assert(g.tags == Map("v1" -> 1L))
+    assert(MorReader.readRef(spark, dir, "v1").count() == 100)
+    assert(g.read.count() == 200)
+    g.tag("v1", 2L) // retarget
+    assert(MorReader.readRef(spark, dir, "v1").count() == 200)
+    intercept[IllegalArgumentException](g.tag("broken", 99L)) // uncommitted id
+    g.removeTag("v1")
+    assert(g.tags.isEmpty)
+    val e = intercept[IllegalArgumentException](MorReader.readRef(spark, dir, "v1"))
+    assert(e.getMessage.contains("unknown ref"))
+  }
+
   test("positional-delete file ordering invariant (path, pos) strictly increasing") {
     val g = new GraftTableGenerator(spark, wh, "ordering")
     g.create(Scenarios.OrdersSchema, Seq("order_year"))
