@@ -38,12 +38,16 @@ object EventUpsert {
       .select(col("_m.*"))
   }
 
+  /** Each micro-batch commits through the optimistic-concurrency retry
+    * loop: a maintenance writer (compaction / snapshot expiry) racing the
+    * ingester costs a refresh + re-stage, never a lost batch or an
+    * interleaved snapshot. */
   def start(upserts: DataFrame, gen: GraftTableGenerator, keyCols: Seq[String],
             verCol: String, checkpointDir: String): StreamingQuery =
     upserts.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val latest = latestPerKey(batch, keyCols, verCol)
-        if (!latest.isEmpty) { gen.upsert(latest, keyCols).commit(); () }
+        if (!latest.isEmpty) { gen.commitWithRetry()(_.upsert(latest, keyCols)); () }
       }
       .option("checkpointLocation", checkpointDir)
       .start()

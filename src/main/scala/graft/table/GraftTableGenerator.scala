@@ -76,6 +76,17 @@ final class GraftTableGenerator(
     require(created, s"table $name: create() must run before $op — " +
       "reopening an existing table would corrupt snapshot ids and id monotonicity")
 
+  /** Claim `n` generator row ids. Disabled on [[open]]ed generators: the
+    * log does not persist the id counter, so a second writer minting ids
+    * would restart at 0 and break the reference's id-monotonicity
+    * contract. */
+  private def claimIds(n: Int): Long = {
+    require(nextId >= 0, s"table $name: generated-id appends require the " +
+      "creating generator — an open()ed writer supports DataFrame writes " +
+      "and maintenance only (row-id counter is not persisted)")
+    val start = nextId; nextId += n; start
+  }
+
   private def nextOpSeq(rewrite: Boolean = false): Long = {
     requireCreated("staging ops")
     if (rewrite) stagedHasRewrite = true else stagedHasUserWrite = true
@@ -123,8 +134,7 @@ final class GraftTableGenerator(
     require(partitionCols.size == 1, "reference appends target single-col specs")
     val opSeq = nextOpSeq()
     for (pv <- partitionValues; _ <- 0 until filesPerPartition) {
-      val df = bundle.frame(spark, nextId, rowsPerFile, Some(pv), schema)
-      nextId += rowsPerFile
+      val df = bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, Some(pv), schema)
       val pdir = dataDir.resolve(pv.toString)
       val target = uniqueNumberedFile(pdir, s"$pv-%02d.parquet")
       writeSingleFile(df, target)
@@ -139,8 +149,7 @@ final class GraftTableGenerator(
   def append(bundle: RecordBundle, numFiles: Int, rowsPerFile: Int): this.type = {
     val opSeq = nextOpSeq()
     for (_ <- 0 until numFiles) {
-      val df = bundle.frame(spark, nextId, rowsPerFile, None, schema)
-      nextId += rowsPerFile
+      val df = bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, None, schema)
       val target = uniqueNumberedFile(dataDir, "%02d.parquet")
       writeSingleFile(df, target)
       stagedData :+= DataFileEntry(target.toString, Map.empty, specId, schemaV,
@@ -561,6 +570,73 @@ final class GraftTableGenerator(
     stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
     stagedRemovedData = Vector.empty; stagedRemovedDeletes = Vector.empty
     stagedHasUserWrite = false; stagedHasRewrite = false
+    this
+  }
+
+  /** Attach to an EXISTING table as a second writer (the maintenance
+    * shape: a compaction/expiry job running beside a streaming ingester).
+    * Loads schema / partition spec / snapshot position from the log.
+    * Generated-bundle appends stay DISABLED on an opened generator — the
+    * log does not record the row-id counter, so re-generating ids would
+    * restart at 0 and corrupt id monotonicity (the reason a bare reopen
+    * fails fast). DataFrame writes (upsert, deletes, appendBulk),
+    * compaction, expiry, and tags — none of which mint generator ids —
+    * are the opened surface. Conflicts with the other writer surface as
+    * [[graft.meta.CommitConflictException]] at commit; see [[refresh]].
+    */
+  def open(): this.type = {
+    require(!created, s"table $name: open() on an already-active generator")
+    require(Files.exists(tableDir.resolve("metadata")),
+      s"table $name does not exist — open() attaches to committed tables only")
+    nextId = -1L // poison generated-id appends (claimIds)
+    created = true
+    refresh()
+  }
+
+  /** Re-sync with the table's committed state after another writer
+    * advanced it — the [[graft.meta.CommitConflictException]] recovery
+    * path the commit() contract promises. Discards ALL staged work (it
+    * was built against the stale state: its sequence numbers are wrong
+    * under the new history — already-written staged files stay on disk
+    * as unreferenced orphans, exactly like an aborted Iceberg commit)
+    * and reloads snapshot id / sequence / schema / partition spec from
+    * the log. Uncommitted updateSchema/updateSpec calls are likewise
+    * discarded and must be re-applied. */
+  def refresh(): this.type = {
+    requireCreated("refresh()")
+    val st = log.load()
+    if (st.snapshots.nonEmpty || st.schemas.nonEmpty) {
+      schemaV = st.currentSchemaV
+      schema = st.schemas(schemaV)
+      specId = st.currentSpecId
+      partitionCols = st.specs.getOrElse(specId, Nil)
+    }
+    committedSnapId = st.snapshots.lastOption.map(_.id).getOrElse(0L)
+    committedSeq = st.snapshots.lastOption.map(_.seq).getOrElse(0L)
+    stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
+    stagedRemovedData = Vector.empty; stagedRemovedDeletes = Vector.empty
+    stagedHasUserWrite = false; stagedHasRewrite = false
+    this
+  }
+
+  /** Stage-and-commit with optimistic-concurrency retry: `stage` runs
+    * against the generator's current view, commit() publishes; on a
+    * [[graft.meta.CommitConflictException]] the staged attempt is
+    * discarded ([[refresh]]) and `stage` re-runs against the refreshed
+    * state — the Iceberg commit-retry loop. `stage` must therefore be
+    * re-runnable (pure staging calls; the engine's write ops all are). */
+  def commitWithRetry(maxAttempts: Int = 5)(stage: GraftTableGenerator => Unit): this.type = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      stage(this)
+      try { commit(); return this }
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          refresh()
+      }
+    }
     this
   }
 

@@ -603,6 +603,45 @@ class GraftTableSpec extends SparkSpec {
     assert(MetaTables.deleteFiles(spark, dir, Some(2L)).count() == 1)
   }
 
+  test("open() attaches a maintenance writer; generated-id appends stay disabled") {
+    val g = new GraftTableGenerator(spark, wh, "opened")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 2, 100).commit()
+      .positionalDelete(Seq(2019), col("order_id") % 2 === 0).commit()
+    val m = new GraftTableGenerator(spark, wh, "opened").open()
+    m.compact().commit() // maintenance through the second writer
+    assert(g.read.count() == 100) // live rows unchanged by the rewrite
+    assert(graft.read.MetaTables.files(spark, g.tableDir.toString).count() == 1)
+    // the id counter is not persisted — minting ids from the opened
+    // writer would restart at 0, so it must refuse
+    val e = intercept[IllegalArgumentException](
+      m.append(Seq(2020), Bundles.orders(), 1, 100))
+    assert(e.getMessage.contains("DataFrame writes"))
+    intercept[IllegalArgumentException](
+      new GraftTableGenerator(spark, wh, "no_such_table").open())
+  }
+
+  test("commitWithRetry: a stale writer refreshes and re-stages instead of failing") {
+    val g = new GraftTableGenerator(spark, wh, "occ_retry")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 1, 10).commit() // snap 1
+    // another writer advances the table out-of-band → g is stale
+    val log = graft.meta.SnapshotLog(g.tableDir.toString)
+    log.commit(graft.meta.Snapshot(2L, 2L, 0, 0, Nil, Nil))
+    var attempts = 0
+    g.commitWithRetry() { w =>
+      attempts += 1
+      w.positionalDelete(col("order_id") === 0)
+    }
+    assert(attempts == 2) // staged once stale (conflict), once refreshed
+    assert(log.load().snapshots.map(_.id) == Seq(1L, 2L, 3L))
+    assert(g.read.count() == 9)
+    // plain commit() after refresh also works (manual recovery path)
+    g.positionalDelete(col("order_id") === 1)
+    g.commit()
+    assert(g.read.count() == 8)
+  }
+
   test("commit stamps the v2 snapshot fields: operation kind + commit timestamp") {
     import graft.meta.SnapshotLog
     var t = 0L

@@ -213,6 +213,40 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("maintenance writer races the streaming ingester: conflicts refresh + re-stage") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val wh = java.nio.file.Files.createTempDirectory("stream-race").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "stream_race")
+    g.create(graft.schema.GraftSchema.of(
+      "k" -> IntegerType, "v" -> StringType, "ver" -> IntegerType), Nil)
+    val stream = MemoryStream[(Int, String, Int)]
+    val sq = graft.streaming.EventUpsert.start(
+      stream.toDS().toDF("k", "v", "ver"), g, Seq("k"), "ver",
+      java.nio.file.Files.createTempDirectory("race-ckpt").toString)
+    try {
+      stream.addData((1, "a", 1), (2, "b", 1))
+      sq.processAllAvailable()
+      // a second writer attaches and compacts — the table advances BEHIND
+      // the ingester's back, so the ingester's next commit is stale
+      val m = new graft.table.GraftTableGenerator(spark, wh, "stream_race").open()
+      m.commitWithRetry()(_.compact())
+      stream.addData((2, "c", 2), (3, "d", 1)) // conflicts once, retries, lands
+      sq.processAllAvailable()
+      // maintenance pair again: compact + expire under continuous ingest
+      m.refresh()
+      m.commitWithRetry()(_.compact())
+      m.expireSnapshots(keepLast = 2)
+      stream.addData((1, "e", 3), (4, "f", 1))
+      sq.processAllAvailable()
+      val live = g.read.collect()
+        .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(live == Map(1 -> ("e", 3), 2 -> ("c", 2), 3 -> ("d", 1), 4 -> ("f", 1)))
+      assert(g.read.count() == 4) // key-unique: the map didn't hide dupes
+    } finally sq.stop()
+  }
+
   test("streaming result is batch-split invariant (one batch vs many)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
