@@ -55,6 +55,16 @@ final case class DataFileEntry(
   * plans a single multi-path scan with zero Parquet footer probes. Empty on
   * entries from logs predating the field (or pos deletes); only those
   * legacy entries pay a driver-side footer check at plan time.
+  *
+  * `metrics` is the delete-file analog of [[DataFileEntry.metrics]]
+  * (Iceberg stores the same bounds on delete manifest entries): for eq
+  * deletes, min/max/null-count of each equality KEY (by field id); for pos
+  * deletes, min/max of the referenced `file_path` column under the
+  * reserved [[DeleteFileEntry.PathFieldId]]. It lets the scan planner skip
+  * delete files that cannot intersect the pruned data files — on an
+  * S9-shaped table (100 delete files) a pruned scan then applies one or
+  * two delete files instead of all 100 ([[graft.read.MorReader]]). Empty
+  * on entries from logs predating the field → never pruned (sound).
   */
 final case class DeleteFileEntry(
     path: String,
@@ -63,7 +73,15 @@ final case class DeleteFileEntry(
     equalityCols: Seq[String],
     equalityIds: Seq[Int],
     seq: Long,
-    keyColsWritten: Seq[String] = Nil)
+    keyColsWritten: Seq[String] = Nil,
+    metrics: Map[Int, ColMetrics] = Map.empty)
+
+object DeleteFileEntry {
+  /** Reserved metrics key for a pos-delete file's referenced-path bounds
+    * (Iceberg's `DELETE_FILE_PATH` field id, `Integer.MAX_VALUE - 101` —
+    * can never collide with real schema field ids, which are small). */
+  val PathFieldId: Int = Int.MaxValue - 101
+}
 
 /** One committed transaction = one snapshot (reference
   * `IcebergTableGenerator.java:367-379`: N buffered ops, one commit).
@@ -344,6 +362,26 @@ final class SnapshotLog(tableDir: Path) {
     partition.foreach { case (k, v) => p.put(k, v) }
   }
 
+  private def putMetrics(o: ObjectNode, metrics: Map[Int, ColMetrics]): Unit =
+    if (metrics.nonEmpty) {
+      val m = o.putObject("metrics")
+      metrics.toSeq.sortBy(_._1).foreach { case (fid, cm) =>
+        val e = m.putObject(fid.toString)
+        cm.min.foreach(e.put("min", _)); cm.max.foreach(e.put("max", _))
+        e.put("nulls", cm.nullCount)
+      }
+    }
+
+  private def metricsOf(n: JsonNode): Map[Int, ColMetrics] =
+    Option(n.get("metrics")).map { m =>
+      m.asInstanceOf[ObjectNode].properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey.toInt -> ColMetrics(
+          Option(v.get("min")).map(_.asText), Option(v.get("max")).map(_.asText),
+          Option(v.get("nulls")).map(_.asLong).getOrElse(0L))
+      }.toMap
+    }.getOrElse(Map.empty[Int, ColMetrics])
+
   private def renderSnapshot(s: Snapshot): String = {
     val root = mapper.createObjectNode()
     root.put("id", s.id); root.put("seq", s.seq)
@@ -355,14 +393,7 @@ final class SnapshotLog(tableDir: Path) {
       o.put("path", f.path); o.put("specId", f.specId); o.put("schemaV", f.schemaV)
       o.put("seq", f.seq); o.put("recordCount", f.recordCount)
       putPartition(o, f.partition)
-      if (f.metrics.nonEmpty) {
-        val m = o.putObject("metrics")
-        f.metrics.toSeq.sortBy(_._1).foreach { case (fid, cm) =>
-          val e = m.putObject(fid.toString)
-          cm.min.foreach(e.put("min", _)); cm.max.foreach(e.put("max", _))
-          e.put("nulls", cm.nullCount)
-        }
-      }
+      putMetrics(o, f.metrics)
     }
     val dels = root.putArray("deleteFiles")
     s.deleteFiles.foreach { f =>
@@ -374,6 +405,7 @@ final class SnapshotLog(tableDir: Path) {
         val kw = o.putArray("keyColsWritten"); f.keyColsWritten.foreach(kw.add)
       }
       putPartition(o, f.partition)
+      putMetrics(o, f.metrics)
     }
     val rdf = root.putArray("removedDataFiles")
     s.removedDataFiles.foreach(rdf.add)
@@ -389,17 +421,9 @@ final class SnapshotLog(tableDir: Path) {
 
   private def parseSnapshot(n: JsonNode): Snapshot = {
     val dfs = n.get("dataFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
-      val metrics = Option(o.get("metrics")).map { m =>
-        m.asInstanceOf[ObjectNode].properties().asScala.map { e =>
-          val v = e.getValue
-          e.getKey.toInt -> ColMetrics(
-            Option(v.get("min")).map(_.asText), Option(v.get("max")).map(_.asText),
-            Option(v.get("nulls")).map(_.asLong).getOrElse(0L))
-        }.toMap
-      }.getOrElse(Map.empty[Int, ColMetrics])
       DataFileEntry(o.get("path").asText, partitionOf(o), o.get("specId").asInt,
         o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong,
-        metrics)
+        metricsOf(o))
     }.toSeq
     val dels = n.get("deleteFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
       DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,
@@ -407,7 +431,8 @@ final class SnapshotLog(tableDir: Path) {
         o.get("equalityIds").elements().asScala.map(_.asInt).toSeq,
         o.get("seq").asLong,
         Option(o.get("keyColsWritten")) // absent on pre-field (legacy) logs
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        metricsOf(o)) // absent on legacy logs → never pruned
     }.toSeq
     def strArr(field: String): Seq[String] = Option(n.get(field))
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)

@@ -48,6 +48,10 @@ object MorReader {
     * counter exists so specs can pin that invariant). */
   private[graft] val footerProbes = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Delete files that SURVIVED plan-time pruning, cumulative across scans
+    * (specs read the delta around one scan to pin the pruning invariant). */
+  private[graft] val deleteFilesPlanned = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Inclusive bounds (equality when `lo == hi`) over one column, rendered
     * as canonical strings — the same representation [[graft.meta.ColMetrics]]
     * stores, so file pruning compares without opening anything. */
@@ -270,7 +274,96 @@ object MorReader {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
 
-    val deleteFiles = st.deleteFiles.filter(f => matchesPartition(f.partition, partitionFilter))
+    // ---- delete-file pruning (the delete-manifest analog of data-file
+    // metrics pruning): sound skips only — a file without stats is kept.
+    // On an S9-shaped table (100 delete commits) a pruned scan applies the
+    // one or two delete files that can intersect it, not all 100.
+    def fieldTypeById(fid: Int): DataType =
+      live.fields.find(_.id == fid).map(_.dataType)
+        .orElse(st.schemas.toSeq.sortBy(-_._1)
+          .flatMap(_._2.fieldById(fid)).headOption.map(_.dataType))
+        .getOrElse(StringType)
+    val minDataSeq = dataFiles.map(_.seq).min
+    val dataPathsSorted = dataFiles.map(_.path).sorted.toIndexedSeq
+    def anyDataPathIn(lo: String, hi: String): Boolean = {
+      import scala.collection.Searching._
+      val i = dataPathsSorted.search(lo) match {
+        case Found(j) => j
+        case InsertionPoint(j) => j
+      }
+      i < dataPathsSorted.length && dataPathsSorted(i) <= hi
+    }
+    // [aLo, aHi] provably outside [bLo, bHi] (None = unbounded / unknown)?
+    def disjoint(dt: DataType, aLo: String, aHi: String,
+                 bLo: Option[String], bHi: Option[String]): Boolean =
+      bHi.exists(h => cmpMetric(dt, aLo, h).exists(_ > 0)) ||
+        bLo.exists(l => cmpMetric(dt, aHi, l).exists(_ < 0))
+    // Union of the surviving files' recorded bounds for a field:
+    // None = unknown (some file lacks the stat — cannot prune on it);
+    // Some(None) = every surviving file is ALL NULL on the field (no row
+    // can match a non-null equality key); Some(Some((lo, hi))) = bounds.
+    def dataEnvelope(fid: Int, dt: DataType): Option[Option[(String, String)]] = {
+      val ms = dataFiles.map(_.metrics.get(fid))
+      if (ms.exists(_.isEmpty)) return None
+      val bounds = ms.flatten.flatMap(m => m.min.zip(m.max))
+      if (bounds.isEmpty) return Some(None)
+      var (lo, hi) = bounds.head
+      for ((l, h) <- bounds.tail) {
+        cmpMetric(dt, l, lo) match {
+          case Some(c) => if (c < 0) lo = l
+          case None => return None // unparseable stat (NaN) → unknown
+        }
+        cmpMetric(dt, h, hi) match {
+          case Some(c) => if (c > 0) hi = h
+          case None => return None
+        }
+      }
+      Some(Some((lo, hi)))
+    }
+    // An eq-delete file is skippable if ANY key field proves no scanned
+    // row can match: keys all null, or the file's recorded key range is
+    // disjoint from the scan's range predicate on that column or from the
+    // surviving files' recorded bounds.
+    def eqFilePrunable(f: DeleteFileEntry): Boolean =
+      f.equalityIds.exists { fid =>
+        f.metrics.get(fid).exists { m =>
+          (m.min, m.max) match {
+            case (Some(dlo), Some(dhi)) =>
+              val dt = fieldTypeById(fid)
+              val vsRange = live.fields.find(_.id == fid).map(_.name)
+                .flatMap(ranges.get)
+                .exists(r => disjoint(dt, dlo, dhi, r.lo, r.hi))
+              val vsEnvelope = dataEnvelope(fid, dt) match {
+                case Some(None) => true
+                case Some(Some((elo, ehi))) =>
+                  disjoint(dt, dlo, dhi, Some(elo), Some(ehi))
+                case None => false
+              }
+              vsRange || vsEnvelope
+            case _ => true // delete keys ALL NULL: equality matches nothing
+          }
+        }
+      }
+    // A pos-delete file is skippable if its referenced-path bounds touch
+    // none of the surviving data files (binary search over sorted paths).
+    def posFilePrunable(f: DeleteFileEntry): Boolean =
+      f.metrics.get(DeleteFileEntry.PathFieldId).exists { m =>
+        (m.min, m.max) match {
+          case (Some(lo), Some(hi)) => !anyDataPathIn(lo, hi)
+          case _ => true // empty delete file references nothing
+        }
+      }
+    val deleteFiles = st.deleteFiles
+      .filter(f => matchesPartition(f.partition, partitionFilter))
+      .filterNot { f =>
+        if (f.kind == "eq")
+          f.seq <= minDataSeq || // strict visibility: needs seq > some data seq
+            eqFilePrunable(f)
+        else
+          f.seq < minDataSeq || // pos deletes apply to data.seq <= delete.seq
+            posFilePrunable(f)
+      }
+    deleteFilesPlanned.addAndGet(deleteFiles.size)
 
     // Equality-delete keys resolve by FIELD ID; a key field dropped from the
     // live schema (S11) is still projected — under a synthetic name — so the
@@ -338,10 +431,7 @@ object MorReader {
     // are 1 FileScan, not 100 plan branches. Each delete row learns its
     // file's sequence number and partition scope from a broadcast
     // path→(seq, partition) map — the exact shape of the pos-delete path.
-    def keyDataType(kid: Int): DataType =
-      live.fields.find(_.id == kid).map(_.dataType)
-        .orElse(extraKeyFields.collectFirst { case (`kid`, f) => f.dataType })
-        .getOrElse(StringType)
+    def keyDataType(kid: Int): DataType = fieldTypeById(kid)
     val eqFiles = deleteFiles.filter(_.kind == "eq")
     eqFiles.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._1.mkString(",")).foreach {
       case (keyIds, fs) =>

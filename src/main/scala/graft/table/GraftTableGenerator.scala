@@ -293,7 +293,9 @@ final class GraftTableGenerator(
 
       val target = deleteFileTarget("delete", partition)
       writeSingleFile(matches.repartition(1).sortWithinPartitions("file_path", "pos"), target)
-      stagedDeletes :+= DeleteFileEntry(target.toString, partition, "pos", Nil, Nil, opSeq)
+      stagedDeletes :+= DeleteFileEntry(target.toString, partition, "pos", Nil, Nil, opSeq,
+        metrics = deleteColMetrics(target,
+          Seq(DeleteFileEntry.PathFieldId -> "file_path")))
     }
     this
   }
@@ -332,7 +334,9 @@ final class GraftTableGenerator(
       writeSingleFile(matches, target)
       stagedDeletes :+= DeleteFileEntry(target.toString, partition, "eq", keyCols,
         keyCols.map(schema.fieldId), opSeq,
-        keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"))
+        keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"),
+        metrics = deleteColMetrics(target,
+          keyCols.map(k => schema.fieldId(k) -> s"_dk${schema.fieldId(k)}")))
     }
     this
   }
@@ -394,7 +398,9 @@ final class GraftTableGenerator(
     writeSingleFile(df.select(schema.names.map(col) ++ canonicalKeys: _*), target)
     stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "eq", keyCols,
       keyCols.map(schema.fieldId), delSeq,
-      keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"))
+      keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"),
+      metrics = deleteColMetrics(target,
+        keyCols.map(k => schema.fieldId(k) -> s"_dk${schema.fieldId(k)}")))
     appendSlices(slices)
     this
   }
@@ -739,6 +745,31 @@ final class GraftTableGenerator(
     val df = spark.read.schema(schema.struct).parquet(target.toString)
     val aggs = metricAggs(fields)
     rowToMetrics(fields, df.agg(aggs.head, aggs.tail: _*).head())
+  }
+
+  /** Min/max/null-count of selected columns of a delete file JUST written
+    * (keyed by caller-chosen metric ids: equality-key field ids for eq
+    * deletes, [[DeleteFileEntry.PathFieldId]] for a pos file's referenced
+    * paths) — the stats that let the scan planner skip delete files that
+    * cannot intersect a pruned scan. Same honest-content contract as
+    * [[fileMetrics]]. */
+  private def deleteColMetrics(target: Path,
+                               idCols: Seq[(Int, String)]): Map[Int, ColMetrics] = {
+    if (idCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(target.toString)
+    val aggs = idCols.flatMap { case (fid, c) => Seq(
+      min(col(c)).cast("string").as(s"_mn_$fid"),
+      max(col(c)).cast("string").as(s"_mx_$fid"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"_nc_$fid"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    idCols.map { case (fid, _) =>
+      fid -> ColMetrics(
+        Option(r.getAs[String](s"_mn_$fid")),
+        Option(r.getAs[String](s"_mx_$fid")),
+        r.getAs[Long](s"_nc_$fid"))
+    }.toMap
   }
 
   /** Metrics for every part file in a staging dir in ONE Spark job

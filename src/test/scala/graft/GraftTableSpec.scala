@@ -603,6 +603,32 @@ class GraftTableSpec extends SparkSpec {
     assert(MetaTables.deleteFiles(spark, dir, Some(2L)).count() == 1)
   }
 
+  test("delete-file pruning: a pruned scan applies only intersecting delete files") {
+    val g = new GraftTableGenerator(spark, wh, "del_prune")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 10, 100).commit() // files [k*100,(k+1)*100)
+    for (k <- 0 until 10) // one eq wave per file-range: ids k*100+7..+9
+      g.equalityDelete(col("order_id") >= k * 100 + 7 && col("order_id") <= k * 100 + 9,
+        Seq("order_id")).commit()
+    g.positionalDelete(col("order_id") < 5).commit() // references file 0 only
+    val dir = g.tableDir.toString
+    // full read: all 11 delete files apply → 1000 − 30 eq − 5 pos
+    assert(MorReader.read(spark, dir).count() == 965)
+    // range read [250,449]: files 2..4 survive (envelope [200,499]); the
+    // range predicate kills eq waves outside [250,449] and the pos file's
+    // referenced-path bounds miss every surviving file → 2 of 11 planned
+    val before = MorReader.deleteFilesPlanned.get()
+    val res = MorReader.readRange(spark, dir,
+      Map("order_id" -> MorReader.ColRange(Some("250"), Some("449"))))
+    val cnt = res.count()
+    val planned = MorReader.deleteFilesPlanned.get() - before
+    assert(cnt == 194, s"expected 194 live rows in range, got $cnt") // 200 − {307..309, 407..409}
+    assert(planned == 2, s"expected 2 surviving delete files, planned $planned")
+    // correctness at the boundary: 307 dead, 310 alive
+    assert(res.where(col("order_id") === 307).count() == 0)
+    assert(res.where(col("order_id") === 310).count() == 1)
+  }
+
   test("open() attaches a maintenance writer; generated-id appends stay disabled") {
     val g = new GraftTableGenerator(spark, wh, "opened")
     g.create(Scenarios.OrdersSchema, Seq("order_year"))
