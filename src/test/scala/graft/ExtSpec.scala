@@ -195,6 +195,42 @@ class ExtSpec extends SparkSpec {
     assert(full == bruteScored) // every cell probed ⇒ exact
   }
 
+  test("IVF incremental refresh: delta-only assignment against existing centroids") {
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("ivf-refresh-wh").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "emb_tbl")
+    g.create(graft.schema.GraftSchema.of(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType)), Nil)
+    g.appendData(embs.where(col("vec_id") < 400).select("vec_id", "embedding")).commit()
+    val tdir = g.tableDir.toString
+    val idx = java.nio.file.Files.createTempDirectory("ivf-refresh-idx").toString
+    Similarity.buildIvfIndexForTable(spark, tdir, "embedding", "vec_id", 16, idx)
+    assert(spark.read.parquet(s"$idx/assign").count() == 400)
+    // ingest continues: 100 new vectors land in snapshot 2
+    g.appendData(embs.where(col("vec_id") >= 400 && col("vec_id") < 500)
+      .select("vec_id", "embedding")).commit()
+    Similarity.refreshIvfIndex(spark, tdir, "embedding", "vec_id", idx)
+    val assign = spark.read.parquet(s"$idx/assign")
+    assert(assign.count() == 500)
+    assert(assign.select("vec_id").distinct().count() == 500) // nothing re-indexed
+    // the refresh's delta is appendsBetween(watermark, head): its plan
+    // reads ONLY the snapshot-2 files, never the indexed history
+    val snap2 = graft.meta.SnapshotLog(tdir).load().snapshots
+      .find(_.id == 2L).get.dataFiles.map(_.path).toSet
+    val scanned = graft.read.MorReader.appendsBetween(spark, tdir, 1L, 2L)
+      .inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(scanned == snap2, s"delta planned over $scanned, want $snap2")
+    // a query finds a refreshed vector: all cells probed ⇒ exact, and the
+    // new vector's own direction must rank it first
+    val q = embs.where(col("vec_id") === 450).head().getSeq[Float](1).map(_.toDouble)
+    val hits = Similarity.queryIvf(spark, idx, "vec_id", q, 10, nProbe = 16)
+      .collect().map(_.getLong(0))
+    assert(hits.head == 450L, s"refreshed vector not found: ${hits.mkString(",")}")
+    // watermark caught up — a second refresh is a no-op
+    Similarity.refreshIvfIndex(spark, tdir, "embedding", "vec_id", idx)
+    assert(spark.read.parquet(s"$idx/assign").count() == 500)
+  }
+
   test("IVF works at nCentroids=1024 and probe=all equals brute force") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-big").toString
     // an index size the old SQL-literal centroid encoding could not reach
