@@ -113,11 +113,75 @@ object Similarity {
     Seq(Tuple1(cb)).toDF("_cb")
   }
 
-  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
-               dim: Int, nSub: Int, nCode: Int): DataFrame = {
+  /** Lloyd-trained PQ codebook: start from the deterministic hash-sample
+    * ([[pqCodebook]]) and run `iters` k-means rounds INDEPENDENTLY per
+    * subspace — assign each training slice to its nearest codeword
+    * (squared L2, the [[pqEncode]] distance), recompute codewords as the
+    * element-wise mean of their assigned slices (one groupBy shuffle per
+    * round), keep the previous codeword for empty clusters. Training runs
+    * over the `trainRows` smallest-id-hash rows, so the per-round cost is
+    * bounded at ANY corpus size — the train-on-sample contract every
+    * production PQ implementation uses; the driver only ever holds
+    * nSub×nCode×(dim/nSub) doubles. Returns the same one-row `_cb` frame
+    * as the untrained codebook, so every consumer works unchanged. */
+  def pqTrainCodebook(df: DataFrame, vecCol: String, idCol: String,
+                      dim: Int, nSub: Int, nCode: Int, iters: Int = 2,
+                      trainRows: Int = 65536): DataFrame = {
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val dsub = dim / nSub
-    val cbRow = pqCodebook(df, vecCol, idCol, nCode)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cb: Seq[Seq[Double]] = df
+      .select(col(vecCol).as("_cv"), col(idCol).as("_cid"))
+      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
+      .limit(nCode)
+      .collect().toSeq.map(_.getSeq[Float](0).map(_.toDouble))
+    val slices = df
+      .select(col(vecCol).as("_tv"), col(idCol).as("_tid"))
+      .orderBy(TextOps.hash60(col("_tid").cast("string")), col("_tid"))
+      .limit(trainRows)
+      .select(explode(expr(
+        s"""transform(sequence(1, $nSub), s -> struct(s as s,
+           |  transform(slice(_tv, (s - 1) * $dsub + 1, $dsub),
+           |    x -> cast(x as double)) as sl))""".stripMargin)).as("_e"))
+      .select(col("_e.s").as("s"), col("_e.sl").as("sl"))
+      .cache()
+    try {
+      for (_ <- 0 until iters) {
+        val cbRow = Seq(Tuple1(cb)).toDF("_cb")
+        val means = slices.crossJoin(broadcast(cbRow))
+          .withColumn("c", expr(
+            s"""aggregate(
+               |  zip_with(_cb, sequence(1, $nCode), (cv, c) -> struct(c as c,
+               |    aggregate(zip_with(sl, slice(cv, (s - 1) * $dsub + 1, $dsub),
+               |      (x, y) -> (x - y) * (x - y)),
+               |      cast(0.0 as double), (a, v) -> a + v) as d)),
+               |  struct(cast(0 as int) as c, cast('Infinity' as double) as d),
+               |  (acc, e) -> if(e.d < acc.d, e, acc)).c""".stripMargin))
+          .select(col("s"), col("c"), posexplode(col("sl")).as(Seq("pos", "x")))
+          .groupBy("s", "c", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+          .toMap
+        cb = cb.zipWithIndex.map { case (cw, ci) =>
+          val c = ci + 1 // codes are 1-based
+          (0 until nSub).flatMap { si =>
+            val s = si + 1
+            if (means.contains((s, c, 0))) (0 until dsub).map(p => means((s, c, p)))
+            else cw.slice(si * dsub, (si + 1) * dsub) // empty cluster: keep
+          }
+        }
+      }
+    } finally { slices.unpersist(); () }
+    Seq(Tuple1(cb)).toDF("_cb")
+  }
+
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               dim: Int, nSub: Int, nCode: Int,
+               codebook: Option[DataFrame] = None): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val dsub = dim / nSub
+    val cbRow = codebook.getOrElse(pqCodebook(df, vecCol, idCol, nCode))
     df.crossJoin(broadcast(cbRow))
       .withColumn("codes", expr(
         s"""transform(sequence(1, $nSub), s ->
@@ -138,10 +202,11 @@ object Similarity {
     * were built from only for the codebook sample — pass the codebook
     * explicitly at scale. */
   def pqReconError(encoded: DataFrame, original: DataFrame, vecCol: String,
-                   idCol: String, dim: Int, nSub: Int, nCode: Int): DataFrame = {
+                   idCol: String, dim: Int, nSub: Int, nCode: Int,
+                   codebook: Option[DataFrame] = None): DataFrame = {
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val dsub = dim / nSub
-    val cbRow = pqCodebook(original, vecCol, idCol, nCode)
+    val cbRow = codebook.getOrElse(pqCodebook(original, vecCol, idCol, nCode))
     encoded.select(col(idCol), col("codes"))
       .join(original.select(col(idCol), col(vecCol)), Seq(idCol))
       .crossJoin(broadcast(cbRow))
@@ -296,14 +361,22 @@ object Similarity {
 
   /** Persist the PQ index: the codes table ([[pqEncode]] output — nSub
     * small ints per vector instead of `dim` floats, the scan compression
-    * that makes PQ an index) plus the codebook, both built ONCE. */
+    * that makes PQ an index) plus the codebook, both built ONCE. The
+    * codebook is Lloyd-TRAINED ([[pqTrainCodebook]], `trainIters` rounds)
+    * by default — measurably tighter quantization cells than the raw
+    * hash-sample, which is what shortlist recall at realistic sizes rides
+    * on; `trainIters = 0` keeps the untrained sample. */
   def buildPqIndex(df: DataFrame, vecCol: String, idCol: String,
-                   dim: Int, nSub: Int, nCode: Int, indexDir: String): Unit = {
-    pqEncode(df, vecCol, idCol, dim, nSub, nCode)
+                   dim: Int, nSub: Int, nCode: Int, indexDir: String,
+                   trainIters: Int = 2): Unit = {
+    val cb =
+      if (trainIters > 0)
+        pqTrainCodebook(df, vecCol, idCol, dim, nSub, nCode, trainIters)
+      else pqCodebook(df, vecCol, idCol, nCode)
+    pqEncode(df, vecCol, idCol, dim, nSub, nCode, Some(cb))
       .select(col(idCol), col("codes"))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
-    pqCodebook(df, vecCol, idCol, nCode)
-      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
   /** ADC (asymmetric distance computation) query over a [[buildPqIndex]]

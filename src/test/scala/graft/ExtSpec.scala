@@ -364,6 +364,25 @@ class ExtSpec extends SparkSpec {
     assert(m(3L)._1 == 0.0 && m(3L)._2 == -1.0) // 1 token: no bigrams → NULL
   }
 
+  test("trained PQ codebook: Lloyd rounds strictly beat the hash-sample codebook") {
+    val errUntrained = Similarity.pqReconError(
+      Similarity.pqEncode(embs, "embedding", "vec_id", 64, 8, 16),
+      embs, "embedding", "vec_id", 64, 8, 16)
+      .agg(avg(col("_err"))).head().getDouble(0)
+    val cb = Similarity.pqTrainCodebook(embs, "embedding", "vec_id", 64, 8, 16, iters = 3)
+    val errTrained = Similarity.pqReconError(
+      Similarity.pqEncode(embs, "embedding", "vec_id", 64, 8, 16, Some(cb)),
+      embs, "embedding", "vec_id", 64, 8, 16, Some(cb))
+      .agg(avg(col("_err"))).head().getDouble(0)
+    // same (nSub, nCode): training must strictly tighten the cells
+    assert(errTrained < errUntrained,
+      s"trained recon error $errTrained not below hash-sample $errUntrained")
+    // training is deterministic (hash-ordered sample, mean updates)
+    val cb2 = Similarity.pqTrainCodebook(embs, "embedding", "vec_id", 64, 8, 16, iters = 3)
+    assert(cb.head().getSeq[scala.collection.Seq[Double]](0)
+      == cb2.head().getSeq[scala.collection.Seq[Double]](0))
+  }
+
   test("PQ: codes in range, deterministic, reconstruction beats worst-case") {
     val enc = Similarity.pqEncode(embs, "embedding", "vec_id", 64, 8, 16)
     val codes = enc.select("codes").collect().map(_.getSeq[Int](0))
