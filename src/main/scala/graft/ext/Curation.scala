@@ -89,44 +89,22 @@ object Curation {
   /** Bounded-memory approximate top-k terms — the 100 TB sibling of
     * [[freqTerms]]: at web-corpus scale the distinct vocabulary itself is
     * huge, so even a map-side-combined exact top-k shuffles billions of
-    * (term, count) rows. Here each partition keeps a Misra–Gries summary of
-    * at most `capacity` counters (on overflow every counter decrements and
-    * zeros drop — amortized O(1) per token, undercounting any term by at
-    * most partitionTokens / capacity) and emits ≤ `capacity` rows; the
-    * merge shuffles ≤ capacity × partitions rows INDEPENDENT of vocabulary
-    * size, summed estimates remain lower bounds with the summed error
-    * bound, and the top-k is `TakeOrderedAndProject`. A true heavy hitter
-    * (frequency > totalTokens / capacity) can never be evicted everywhere,
-    * so it always surfaces. With `capacity` ≥ the partition vocabulary the
-    * sketch degrades to exact — the spec-gated configuration; skewed-vs-
-    * tiny-capacity behavior is spec-gated separately. */
+    * (term, count) rows. Implemented on the NATIVE Misra–Gries aggregate
+    * ([[graft.functions.MisraGriesAgg]], SQL `misra_gries`): Spark runs it
+    * with map-side partial aggregation and the shuffle carries one
+    * ≤`capacity`-entry SERIALIZED SKETCH per map task — independent of
+    * vocabulary size, and composable with `groupBy` keys (per-source heavy
+    * hitters in the same pass). Counts are lower bounds; a true heavy
+    * hitter (frequency > totalTokens / capacity) always surfaces, and
+    * `capacity` ≥ the vocabulary degrades to exact — both spec-gated. */
   def approxFreqTerms(df: DataFrame, textCol: String, k: Int,
                       capacity: Int = 4096): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val summaries = df
-      .select(explode(TextOps.tokens(col(textCol))).as("term"))
-      .where(col("term") =!= "").as[String]
-      .mapPartitions { it =>
-        val counts = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { t =>
-          counts.get(t) match {
-            case Some(c) => counts.update(t, c + 1)
-            case None if counts.size < capacity => counts.update(t, 1L)
-            case None => // Misra–Gries decrement step (pays for past inserts)
-              val ks = counts.keysIterator.toArray
-              var i = 0
-              while (i < ks.length) {
-                val c = counts(ks(i)) - 1
-                if (c == 0) counts.remove(ks(i)) else counts.update(ks(i), c)
-                i += 1
-              }
-          }
-        }
-        counts.iterator
-      }
-    summaries.toDF("term", "cnt_lb")
-      .groupBy("term").agg(sum("cnt_lb").as("cnt_est"))
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .agg(call_function("misra_gries", col("term"), lit(capacity)).as("_sk"))
+      .select(explode(col("_sk")).as("_e"))
+      .select(col("_e.term").as("term"), col("_e.cnt_lb").as("cnt_est"))
       .orderBy(desc("cnt_est"), col("term"))
       .limit(k)
   }

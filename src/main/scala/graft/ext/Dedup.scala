@@ -50,7 +50,18 @@ object Dedup {
           s" i -> array_join(slice(_w, i * $k + 1, $k), ' '))"))
         .as(Seq("_idx", "_chunk")))
       .select(TextOps.hash60(col("_chunk")).as("_h"),
-        (col(idCol).cast("long") * (1L << 20) + col("_idx")).as("_ord"))
+        // packed-key preconditions enforced in-row (codegen'd compares,
+        // no extra pass): a violating id/chunk-index fails loudly instead
+        // of silently corrupting the min-ordinal winner across id bands
+        (when(col(idCol).cast("long").between(0L, (1L << 43) - 1),
+            col(idCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"passages: $idCol out of packed range [0, 2^43): "),
+            col(idCol).cast("string")))) * (1L << 20) +
+          when(col("_idx") < (1 << 20), col("_idx"))
+            .otherwise(raise_error(concat(
+              lit("passages: chunk index exceeds 2^20 for id "),
+              col(idCol).cast("string"))))).as("_ord"))
     // integer shift, not double division: packed keys above 2^53 would
     // round across id bands under float math (the oracle divides exactly)
     val kept = keyed.groupBy("_h").agg(min("_ord").as("_keep"))

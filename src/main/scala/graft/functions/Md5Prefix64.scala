@@ -127,7 +127,10 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => NgramStats(exprs(0), exprs(1), exprs(2))),
       (FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-        (exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1), exprs(2), exprs(3))))
+        (exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1), exprs(2), exprs(3))),
+      (FunctionIdentifier("misra_gries"),
+        new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+        (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), exprs(1))))
 
   /** Idempotently register graft's native functions on a session (SQL name
     * `md5prefix64`). Called from every entry point AND defensively from

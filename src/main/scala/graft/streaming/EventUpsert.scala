@@ -29,12 +29,18 @@ import graft.table.GraftTableGenerator
   */
 object EventUpsert {
 
-  /** Latest row per key (greatest `verCol`) — the per-batch collapse. */
+  /** Latest row per key (greatest `verCol`) — the per-batch collapse.
+    * Ties on `verCol` break deterministically by the remaining columns
+    * (struct comparison is lexicographic by field), so a replayed batch
+    * always elects the same winner — without this, replay after failure
+    * could flip a tied key between runs. */
   def latestPerKey(batch: DataFrame, keyCols: Seq[String],
                    verCol: String): DataFrame = {
     val all = struct(batch.columns.map(col): _*)
+    val order = struct(col(verCol) +:
+      batch.columns.filterNot(_ == verCol).map(col): _*)
     batch.groupBy(keyCols.map(col): _*)
-      .agg(max_by(all, col(verCol)).as("_m"))
+      .agg(max_by(all, order).as("_m"))
       .select(col("_m.*"))
   }
 

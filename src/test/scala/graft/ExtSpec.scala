@@ -261,6 +261,27 @@ class ExtSpec extends SparkSpec {
     assert(full == brute && !full.contains(999999L))
   }
 
+  test("misra_gries is a native aggregate: partial map-side phase, composes with groupBy") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val terms = docs.select(col("source"),
+      explode(graft.ext.TextOps.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+    val perSource = terms.groupBy("source")
+      .agg(call_function("misra_gries", col("term"), lit(1 << 16)).as("sk"))
+    // the sketch shuffles SERIALIZED BUFFERS via ObjectHashAggregate with a
+    // map-side partial phase — never capacity×partitions rows
+    val plan = perSource.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_misra_gries"), plan)
+    // slack capacity ⇒ exact per group: equals the exact per-source counts
+    val fromSketch = perSource.select(col("source"), explode(col("sk")).as("e"))
+      .select(col("source"), col("e.term"), col("e.cnt_lb"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = terms.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fromSketch == exact)
+  }
+
   test("approxFreqTerms: capacity ≥ vocab ⇒ exact; tiny capacity still finds the heavy hitter") {
     // sketch with slack capacity degrades to the exact answer
     val exact = Curation.freqTerms(docs, "text", 20)

@@ -96,7 +96,8 @@ class FunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext) // must accept every descriptor
     assert(graft.functions.GraftFunctions.descriptors.map(_._1.funcName).toSet ==
-      Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig"))
+      Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig",
+        "misra_gries"))
   }
 
   test("optimizer rule rewrites built-in chains to native expressions in user SQL") {

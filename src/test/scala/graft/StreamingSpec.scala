@@ -213,6 +213,18 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("upsert per-batch collapse breaks version ties deterministically") {
+    import spark.implicits._
+    // two rows tie on (k=1, ver=1) — the winner must be the same on every
+    // evaluation (replay safety), decided by the remaining columns
+    val batch = Seq((1, "a", 1), (1, "b", 1), (2, "x", 2)).toDF("k", "v", "ver")
+    def run() = graft.streaming.EventUpsert.latestPerKey(batch, Seq("k"), "ver")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    val first = run()
+    assert(first == Map(1 -> ("b", 1), 2 -> ("x", 2))) // lexicographically greatest row
+    assert((1 to 5).forall(_ => run() == first))
+  }
+
   test("maintenance writer races the streaming ingester: conflicts refresh + re-stage") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
