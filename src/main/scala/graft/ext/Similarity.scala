@@ -379,6 +379,42 @@ object Similarity {
     cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
+  /** [[buildPqIndex]] bound to a graft TABLE, with a snapshot watermark
+    * (`<indexDir>/watermark.txt`) for [[refreshPqIndex]] — same contract
+    * as [[buildIvfIndexForTable]]. */
+  def buildPqIndexForTable(spark: org.apache.spark.sql.SparkSession,
+                           tableDir: String, vecCol: String, idCol: String,
+                           dim: Int, nSub: Int, nCode: Int, indexDir: String,
+                           trainIters: Int = 2): Unit = {
+    val snap = graft.meta.SnapshotLog(tableDir).lastSnapshotId
+    buildPqIndex(graft.read.MorReader.readAt(spark, tableDir, snap),
+      vecCol, idCol, dim, nSub, nCode, indexDir, trainIters)
+    java.nio.file.Files.writeString(watermarkFile(indexDir), snap.toString)
+  }
+
+  /** Incremental PQ maintenance: encode ONLY the rows appended since the
+    * watermark against the PERSISTED codebook (codebooks are trained once;
+    * retraining would re-encode the corpus — the rebuild path), append
+    * their codes, advance the watermark. O(delta) per refresh, same
+    * staleness contract as [[refreshIvfIndex]]. */
+  def refreshPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     tableDir: String, vecCol: String, idCol: String,
+                     dim: Int, nSub: Int, indexDir: String): Unit = {
+    val wm = watermarkFile(indexDir)
+    require(java.nio.file.Files.exists(wm),
+      s"$indexDir has no watermark — build with buildPqIndexForTable first")
+    val from = java.nio.file.Files.readString(wm).trim.toLong
+    val to = graft.meta.SnapshotLog(tableDir).lastSnapshotId
+    if (to == from) return
+    val delta = graft.read.MorReader.appendsBetween(spark, tableDir, from, to)
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val nCode = cb.head().getSeq[scala.collection.Seq[Double]](0).size
+    pqEncode(delta, vecCol, idCol, dim, nSub, nCode, Some(cb))
+      .select(col(idCol), col("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+    java.nio.file.Files.writeString(wm, to.toString)
+  }
+
   /** ADC (asymmetric distance computation) query over a [[buildPqIndex]]
     * index, with exact re-rank: approximate cosine comes from the CODES
     * ALONE via per-subspace lookup tables — `dt(s)(c) = q_s · cb(c)_s`

@@ -231,6 +231,37 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/assign").count() == 500)
   }
 
+  test("PQ incremental refresh: delta-only encode against the persisted codebook") {
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("pq-refresh-wh").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "emb_pq_tbl")
+    g.create(graft.schema.GraftSchema.of(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType)), Nil)
+    g.appendData(embs.where(col("vec_id") < 400).select("vec_id", "embedding")).commit()
+    val tdir = g.tableDir.toString
+    val idx = java.nio.file.Files.createTempDirectory("pq-refresh-idx").toString
+    Similarity.buildPqIndexForTable(spark, tdir, "embedding", "vec_id",
+      dim = 64, nSub = 8, nCode = 16, indexDir = idx)
+    g.appendData(embs.where(col("vec_id") >= 400 && col("vec_id") < 500)
+      .select("vec_id", "embedding")).commit()
+    Similarity.refreshPqIndex(spark, tdir, "embedding", "vec_id", 64, 8, idx)
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == 500)
+    assert(codes.select("vec_id").distinct().count() == 500) // nothing re-encoded
+    // corpus-wide shortlist over the refreshed index == brute force over
+    // the LIVE table, so a query can rank a post-build vector first
+    val q = embs.where(col("vec_id") === 450).head().getSeq[Float](1).map(_.toDouble)
+    val exact = Similarity.queryPqRerank(g.read, "embedding", "vec_id", idx,
+      q, 10, shortlist = Int.MaxValue).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topKCosine(g.read, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == brute)
+    assert(exact.head == 450L)
+    // watermark caught up — a second refresh is a no-op
+    Similarity.refreshPqIndex(spark, tdir, "embedding", "vec_id", 64, 8, idx)
+    assert(spark.read.parquet(s"$idx/codes").count() == 500)
+  }
+
   test("IVF works at nCentroids=1024 and probe=all equals brute force") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-big").toString
     // an index size the old SQL-literal centroid encoding could not reach
