@@ -336,7 +336,11 @@ object MorQueries {
       graft.read.MetaTables.snapshots(s, s10ts(s)).orderBy("snapshot_id")),
 
     "meta_partitions" -> ((s, _) =>
-      graft.read.MetaTables.partitions(s, s10(s)).orderBy("partition"))
+      graft.read.MetaTables.partitions(s, s10(s)).orderBy("partition")),
+
+    // refs metadata table: the s10ts fixture tags snapshot 6
+    "meta_refs" -> ((s, _) =>
+      graft.read.MetaTables.refs(s, s10ts(s)).orderBy("name"))
   )
 
   // SQL reconstruction shared by the S10-derived oracles
@@ -582,6 +586,10 @@ object MorQueries {
          |  AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
          |  AND NOT (id % 200 >= 100 AND seq < 6)
          |GROUP BY category ORDER BY category""".stripMargin,
+
+    "meta_refs" ->
+      """SELECT 'before_pos_deletes' AS name, 'tag' AS type,
+        |       CAST(6 AS BIGINT) AS snapshot_id""".stripMargin,
 
     // delete-unaware manifest rollup (Iceberg partitions-table semantics)
     "meta_partitions" ->

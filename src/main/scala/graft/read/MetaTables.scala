@@ -81,6 +81,15 @@ object MetaTables {
         "removed_data_files", "committed_at", "operation")
   }
 
+  /** `tbl.refs`: one row per named ref (the Iceberg refs metadata table;
+    * all graft refs are tags — retained snapshots pinned by name). */
+  def refs(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    SnapshotLog(tableDir).refs.toSeq.sortBy(_._1)
+      .map { case (n, id) => (n, "tag", id) }
+      .toDF("name", "type", "snapshot_id")
+  }
+
   /** `tbl.partitions`: live data files and manifest rows per partition
     * (delete-unaware, exactly like Iceberg's partitions table — MoR
     * deletes are accounted in `delete_files`, not subtracted here). */
