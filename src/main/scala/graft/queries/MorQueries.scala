@@ -124,6 +124,19 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** 10 sequential files + one eq-delete wave, rewritten along the
+    * z-curve over (order_id, source_id) — the multi-dimensional layout:
+    * range reads on either column prune files (spec-gated). */
+  private def zorderTable(spark: SparkSession): String =
+    built.computeIfAbsent("zorder_compact", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_zorder")
+      g.create(Scenarios.OrdersSchema, Nil)
+        .append(graft.gen.Bundles.ordersUnpartitioned(), 10, 100).commit()
+        .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
+        .compactZOrder(Seq("order_id", "source_id"), 100).commit()
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then compacted — same live rows. */
   private def s10c(spark: SparkSession): String =
     built.computeIfAbsent("s10c", _ => {
@@ -313,6 +326,16 @@ object MorQueries {
           min(col("color")).as("min_color"), max(col("color")).as("max_color"))
     }),
 
+    // z-order rewrite: the eq-delete wave is merged into the curve-ordered
+    // files and a range read stays correct (file pruning is spec-gated)
+    "mor_compact_zorder" -> ((s, _) => {
+      MorReader.readRange(s, zorderTable(s),
+          Map("order_id" -> MorReader.ColRange(Some("250"), Some("449"))))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("order_id").cast("long")).as("id_sum"),
+          min(col("order_id")).as("min_id"), max(col("order_id")).as("max_id"))
+    }),
+
     // maintenance: snapshot expiry must not change the live merge — the
     // retained window rebases onto a baseline snapshot, orphans deleted
     "snapshot_expire_scan" -> ((s, _) => {
@@ -495,6 +518,12 @@ object MorQueries {
          |GROUP BY change_kind, category ORDER BY change_kind, category""".stripMargin,
 
     "metrics_file_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
+        |FROM (SELECT range AS id FROM range(250, 450))
+        |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    "mor_compact_zorder" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))

@@ -486,6 +486,71 @@ final class GraftTableGenerator(
   def compactSorted(sortCol: String, rowsPerFile: Int,
                     partitionValues: Option[Seq[Any]] = None): this.type = {
     val opSeq = nextOpSeq(rewrite = true)
+    rewriteOrdered(_ => col(sortCol), rowsPerFile, partitionValues, opSeq)
+    this
+  }
+
+  /** Z-ORDER compaction (the Iceberg/Delta `zorder` rewrite): the merged
+    * live rows are laid out along a space-filling curve over SEVERAL
+    * columns, so range/equality reads on ANY of them prune files from the
+    * log's per-file metrics — the multi-dimensional generalization of
+    * [[compactSorted]], and at 100 TB the layout that serves mixed query
+    * patterns without duplicating the data per sort key.
+    *
+    * The curve value interleaves the bits of each column's QUANTILE-BUCKET
+    * rank: per column, `2^bits − 1` approximate-quantile boundaries
+    * (driver-side metadata math — the sampling pass every production
+    * z-order pays) turn the value into a rank ∈ [0, 2^bits) via a
+    * codegen'd boundary-count expression; ranks interleave bit-by-bit into
+    * one long, and the rewrite orders by it through the same sampled range
+    * exchange as the sorted rewrite (never a single-partition window).
+    * Quantile ranks (not raw bits) keep the curve balanced under ANY value
+    * distribution — skewed columns still split evenly. NULLs rank 0. */
+  def compactZOrder(zCols: Seq[String], rowsPerFile: Int,
+                    partitionValues: Option[Seq[Any]] = None,
+                    bits: Int = 8): this.type = {
+    require(zCols.size >= 2, "z-order needs >= 2 columns (compactSorted for 1)")
+    require(zCols.size * bits <= 62, s"zCols*bits must fit a long, got ${zCols.size}*$bits")
+    zCols.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.nonEmpty, s"no column $c")
+      require(f.get.dataType.isInstanceOf[NumericType],
+        s"z-order column $c must be numeric (quantile-rank interleave)")
+    }
+    val opSeq = nextOpSeq(rewrite = true)
+    val nB = (1 << bits) - 1
+    val probs = (1 to nB).map(_.toDouble / (1 << bits)).toArray
+    rewriteOrdered({ merged =>
+      zCols.zipWithIndex.map { case (c, j) =>
+        // boundaries are deliberately NOT distinct-ed: a low-cardinality
+        // column repeats boundary values, and counting the duplicates is
+        // what stretches its rank over the full [0, 2^bits) width so its
+        // high bits still participate in the interleave (distinct-ing
+        // them once collapsed a 5-value column to ranks 1..5 — invisible
+        // next to a full-range sibling, spec-caught)
+        val bnds = merged.stat.approxQuantile(c, probs, 0.001)
+        // rank = number of boundaries <= value (NULL compares null → 0)
+        val bucket = aggregate(array(bnds.map(lit): _*), lit(0),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        (0 until bits).map(i =>
+          shiftright(bucket, i).bitwiseAND(lit(1)).cast("long") *
+            lit(1L << (i * zCols.size + j)))
+          .reduce(_ + _)
+      }.reduce(_ + _)
+    }, rowsPerFile, partitionValues, opSeq)
+    this
+  }
+
+  /** Shared core of the ordered rewrites: per selected partition,
+    * materialize the MoR-merged live rows ONCE (localCheckpoint — the
+    * order expression may run stats passes over it, and the range
+    * exchange samples it), globally index them by `orderOf`'s column via
+    * [[graft.operators.Ops.withGlobalIndex]], and emit `rowsPerFile`
+    * contiguous rows per file so per-file metrics cover disjoint order
+    * ranges. */
+  private def rewriteOrdered(orderOf: DataFrame => Column, rowsPerFile: Int,
+                             partitionValues: Option[Seq[Any]],
+                             opSeq: Long): Unit = {
     val st = log.load()
     for ((partition, files) <- plannedPartitions(partitionValues)) {
       val groupPaths = files.map(_.path).toSet
@@ -493,8 +558,9 @@ final class GraftTableGenerator(
         s.copy(dataFiles = s.dataFiles.filter(f => groupPaths(f.path)))))
       val merged = MorReader.withMeta(spark, restricted, schema, Map.empty)
         .select(schema.names.map(col): _*)
+        .localCheckpoint()
       val indexed = graft.operators.Ops
-        .withGlobalIndex(merged, Seq(col(sortCol)), "_cidx")
+        .withGlobalIndex(merged, Seq(orderOf(merged)), "_cidx")
         .localCheckpoint() // one materialization; N slice filters below
       val rows = indexed.count()
       val nFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
@@ -518,7 +584,6 @@ final class GraftTableGenerator(
       stagedRemovedDeletes ++=
         st.deleteFiles.filter(_.partition == partition).map(_.path)
     }
-    this
   }
 
   /** Snapshot expiry (the remaining Iceberg maintenance op): drop history

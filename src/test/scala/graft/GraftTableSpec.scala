@@ -357,6 +357,37 @@ class GraftTableSpec extends SparkSpec {
     assert(r.getLong(1) == expect)
   }
 
+  test("compactZOrder: range reads on EITHER z column open a strict file subset") {
+    val g = new GraftTableGenerator(spark, wh, "zorder")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 10, 100).commit()
+      .compactZOrder(Seq("order_id", "source_id"), 100).commit()
+    val dir = g.tableDir.toString
+    val full = MorReader.read(spark, dir)
+    assert(full.count() == 1000) // lossless rewrite
+    assert(full.select("order_id").distinct().count() == 1000)
+    val allFiles = full.inputFiles.length
+    assert(allFiles == 10)
+    // order_id was file-contiguous before; after interleaving with
+    // source_id a tight order_id range must still prune
+    val byId = MorReader.readRange(spark, dir,
+      Map("order_id" -> MorReader.ColRange(Some("0"), Some("49"))))
+    assert(byId.count() == 50)
+    assert(byId.inputFiles.length < allFiles,
+      s"order_id range opened all $allFiles files")
+    // ...and source_id (random per row — UNPRUNABLE before the rewrite)
+    // must now ALSO prune: that's the property z-order buys
+    val srcVals = full.select("source_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val (lo, hi) = (srcVals.head, srcVals(srcVals.length / 8))
+    val bySrc = MorReader.readRange(spark, dir,
+      Map("source_id" -> MorReader.ColRange(Some(lo.toString), Some(hi.toString))))
+    val expected = full.where(col("source_id") >= lo && col("source_id") <= hi).count()
+    assert(bySrc.count() == expected)
+    assert(bySrc.inputFiles.length < allFiles,
+      s"source_id range opened all $allFiles files")
+  }
+
   test("optimistic concurrency: a stale writer's commit conflicts instead of interleaving") {
     val g = new GraftTableGenerator(spark, wh, "occ_demo")
     g.create(Scenarios.OrdersSchema, Nil)
@@ -601,6 +632,42 @@ class GraftTableSpec extends SparkSpec {
     // pre-compaction snapshot still sees the original manifest
     assert(MetaTables.files(spark, dir, Some(2L)).count() == 2)
     assert(MetaTables.deleteFiles(spark, dir, Some(2L)).count() == 1)
+  }
+
+  test("legacy single-file log.jsonl tables load, read, and migrate on expiry") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val g = new GraftTableGenerator(spark, wh, "legacy_log")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 1, 100).commit()
+      .positionalDelete(Seq(2019), col("order_id") % 10 === 0).commit()
+      .append(Seq(2020), Bundles.orders(), 1, 100).commit()
+    // convert to the pre-round-4 format: all snapshots as log.jsonl lines,
+    // per-file snap-*.json gone (exactly what an old writer left behind)
+    val metaDir = Paths.get(s"$wh/legacy_log/metadata")
+    val snapFiles = {
+      val s = JFiles.list(metaDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.startsWith("snap-"))
+          .toSeq.sortBy(_.getFileName.toString.stripPrefix("snap-")
+            .stripSuffix(".json").toLong)
+      } finally s.close()
+    }
+    val lines = snapFiles.map(JFiles.readString(_)).mkString("", "\n", "\n")
+    JFiles.writeString(metaDir.resolve("log.jsonl"), lines)
+    snapFiles.foreach(JFiles.deleteIfExists(_))
+    // the legacy table loads and merges identically
+    assert(graft.meta.SnapshotLog(g.tableDir.toString).load().snapshots.size == 3)
+    assert(MorReader.read(spark, g.tableDir.toString).count() == 190)
+    assert(MorReader.readAt(spark, g.tableDir.toString, 1L).count() == 100)
+    // expiry on a legacy table migrates to per-file format and must not
+    // resurrect expired history from the old log (crash-order fix)
+    val m = new GraftTableGenerator(spark, wh, "legacy_log").open()
+    m.expireSnapshots(keepLast = 1)
+    assert(!JFiles.exists(metaDir.resolve("log.jsonl")))
+    val after = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    assert(after.snapshots.size == 2) // baseline + kept tail
+    assert(MorReader.read(spark, g.tableDir.toString).count() == 190)
   }
 
   test("delete-file pruning: a pruned scan applies only intersecting delete files") {
