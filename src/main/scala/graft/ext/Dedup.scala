@@ -24,6 +24,50 @@ object Dedup {
       .select(col(idCol), col("group_size"))
   }
 
+  /** INCREMENTAL exact dedup against a persisted fingerprint store — the
+    * continuous-ingest shape of [[exact]]: a crawl delivers batches
+    * forever, and each batch must dedup against EVERYTHING already
+    * accepted without rescanning the corpus. The store is a graft TABLE
+    * of 60-bit content hashes (one row per accepted fingerprint), so it
+    * gets snapshot history, time travel, compaction, and concurrent-
+    * writer safety for free, and the per-batch cost is
+    * O(batch + store-join) — never O(corpus text).
+    *
+    * Per batch: (1) in-batch collapse to the smallest id per hash (the
+    * [[exact]] rule); (2) anti-join the store on the hash — an equi-join
+    * on a single long, broadcast/shuffle-hash under AQE; (3) the novel
+    * rows' fingerprints are appended to the store as ONE snapshot
+    * ([[graft.table.GraftTableGenerator.appendData]] + commit through
+    * the conflict-retry loop, so maintenance can race the ingest).
+    * Returns the surviving NEW docs (all columns). Replaying a batch is
+    * idempotent on the returned set (its hashes are already stored → all
+    * rows dedup away) — the at-least-once ingest contract.
+    *
+    * The store schema is one `fp: bigint` column; create with
+    * `create(GraftSchema.of("fp" -> LongType), Nil)`. */
+  def incrementalExact(newDocs: DataFrame, textCol: String, idCol: String,
+                       store: graft.table.GraftTableGenerator): DataFrame = {
+    val h = TextOps.hash60(col(textCol))
+    val batch = newDocs.withColumn("_h", h)
+    // in-batch collapse without shuffling text: winners are decided on
+    // (hash, id) alone, then a semi-join brings the full rows along —
+    // AQE broadcasts the winner set when it is small
+    val winners = batch.select(col("_h"), col(idCol))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol))
+    val inBatch = batch.join(winners, Seq("_h", idCol), "left_semi")
+    val seen = store.read.select(col("fp").as("_h"))
+    val novel = inBatch.join(seen, Seq("_h"), "left_anti")
+      .localCheckpoint() // materialize ONCE: both the return and the store
+                         // append read it; lazy re-eval after the commit
+                         // below would anti-join novel rows against their
+                         // own just-stored fingerprints and return nothing
+    if (!novel.isEmpty)
+      store.commitWithRetry() { g =>
+        g.appendData(novel.select(col("_h").as("fp"))); ()
+      }
+    novel.drop("_h")
+  }
+
   /** Passage-level exact-substring dedup (the chunk-granular pass of
     * RefinedWeb/CCNet-style pipelines: a page survives but its boilerplate
     * chunks are removed when seen elsewhere): normalize, split into fixed

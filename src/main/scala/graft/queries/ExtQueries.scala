@@ -121,6 +121,24 @@ object ExtQueries {
           sum(when(col("group_size") > 1, 1L).otherwise(0L)).as("dup_groups"))
     }),
 
+    // continuous-ingest dedup: batch 2 (ids 40..79) dedups against the
+    // persisted fingerprint store seeded by batch 1 (ids < 50) — the 10
+    // overlapping docs drop via the store anti-join, 30 novel survive.
+    // The store is a fresh graft table per invocation (re-runnable).
+    "dedup_incremental" -> ((s, d) => {
+      val store = new graft.table.GraftTableGenerator(s,
+        java.nio.file.Files.createTempDirectory("inc-dedup").toString, "fp_store")
+      store.create(graft.schema.GraftSchema.of(
+        "fp" -> org.apache.spark.sql.types.LongType), Nil)
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      Dedup.incrementalExact(
+        base.where(col("doc_id") < 50), "text", "doc_id", store)
+      Dedup.incrementalExact(
+        base.where(col("doc_id") >= 40 && col("doc_id") < 80), "text", "doc_id", store)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     "dedup_minhash" -> ((s, d) => {
       Dedup.minhashPairs(nearDupCorpus(s, d), "text", "doc_id")
         .orderBy("id_a", "id_b")
@@ -506,6 +524,13 @@ object ExtQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // batch-2 survivors = the novel ids (stored overlap 40..49 drops;
+    // document texts are unique, so novelty is exactly the id window)
+    "dedup_incremental" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id BETWEEN 50 AND 79""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH corpus AS ($dupCorpusSql)
          |SELECT CAST(COUNT(*) AS BIGINT) AS survivors,

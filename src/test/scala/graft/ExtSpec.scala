@@ -26,6 +26,39 @@ class ExtSpec extends SparkSpec {
     assert(survivors.where(col("doc_id") >= 1000000L).count() == 0)
   }
 
+  test("incremental exact dedup: each batch dedups against the persisted fingerprint store") {
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("fp-store-wh").toString
+    val store = new graft.table.GraftTableGenerator(spark, wh, "fp_store")
+    store.create(graft.schema.GraftSchema.of("fp" -> LongType), Nil)
+    val base = docs.select(col("doc_id"), col("text"))
+    // batch 1: docs 0..49 (all novel) — plus an in-batch copy of doc 0
+    // under a larger id, which must collapse to the original
+    val b1 = base.where(col("doc_id") < 50)
+      .unionByName(base.where(col("doc_id") === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val out1 = graft.ext.Dedup.incrementalExact(b1, "text", "doc_id", store)
+    assert(out1.count() == 50)
+    assert(out1.where(col("doc_id") >= 1000000L).count() == 0)
+    // batch 2: copies of stored docs 0..9 (shifted ids) + novel 50..79 —
+    // only the novel rows survive the store anti-join
+    val b2 = base.where(col("doc_id") >= 50 && col("doc_id") < 80)
+      .unionByName(base.where(col("doc_id") < 10)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val out2 = graft.ext.Dedup.incrementalExact(b2, "text", "doc_id", store)
+    assert(out2.count() == 30)
+    assert(out2.agg(min("doc_id"), max("doc_id")).head() ==
+      org.apache.spark.sql.Row(50L, 79L))
+    // replay of batch 2 is idempotent: everything already stored
+    assert(graft.ext.Dedup.incrementalExact(b2, "text", "doc_id", store).count() == 0)
+    // the store is a real graft table: one snapshot per novel batch,
+    // 80 fingerprints live, and time travel sees the batch-1 state
+    val st = graft.meta.SnapshotLog(store.tableDir.toString).load()
+    assert(st.snapshots.size == 2) // replay appended nothing
+    assert(store.read.count() == 80)
+    assert(graft.read.MorReader.readAt(spark, store.tableDir.toString, 1L).count() == 50)
+  }
+
   test("passage dedup: duplicated docs keep zero chunks, originals keep theirs") {
     val base = docs.select(col("doc_id"), col("text"))
     val corpus = base.unionByName(base.where(col("doc_id") % 10 === 0)
