@@ -172,6 +172,32 @@ object MorReader {
     withMeta(spark, inc, live, Map.empty).select(live.names.map(col): _*)
   }
 
+  /** Resolve a wall-clock instant to the newest snapshot committed at or
+    * before it (0 = before all history). */
+  private def snapAtTime(st: TableState, tsMs: Long): Long =
+    st.snapshots.filter(_.timestampMs <= tsMs).lastOption.map(_.id).getOrElse(0L)
+
+  /** [[appendsBetween]] with a WALL-CLOCK window — the hourly-sync
+    * consumer's natural API: endpoints resolve to snapshot ids through the
+    * writer-stamped `timestampMs` (newest snapshot at or before each
+    * instant; a `fromTs` before all history starts from the beginning),
+    * then the scan is the ordinary id-windowed incremental plan. */
+  def appendsBetweenTimes(spark: SparkSession, tableDir: String,
+                          fromTsExclusive: Long, toTsInclusive: Long): DataFrame = {
+    val st = SnapshotLog(tableDir).load()
+    appendsBetween(spark, tableDir,
+      snapAtTime(st, fromTsExclusive), snapAtTime(st, toTsInclusive))
+  }
+
+  /** [[changelogBetween]] with a wall-clock window (same endpoint
+    * resolution as [[appendsBetweenTimes]]). */
+  def changelogBetweenTimes(spark: SparkSession, tableDir: String,
+                            fromTsExclusive: Long, toTsInclusive: Long): DataFrame = {
+    val st = SnapshotLog(tableDir).load()
+    changelogBetween(spark, tableDir,
+      snapAtTime(st, fromTsExclusive), snapAtTime(st, toTsInclusive))
+  }
+
   /** CDC changelog between two snapshots: the net row-level diff of the
     * live sets, as `change_kind ∈ {insert, delete}` plus the full row
     * (schema as of `toInclusive`).

@@ -776,6 +776,29 @@ class GraftTableSpec extends SparkSpec {
     assert(e.getMessage.contains("no snapshot committed at or before"))
   }
 
+  test("timestamp-windowed incremental scans resolve endpoints via commit clocks") {
+    var t = 0L
+    val g = new GraftTableGenerator(spark, wh, "ts_incr",
+      clock = () => { t += 1000; t })
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 1, 100).commit()  // snap 1 @1000: 0..99
+      .append(Bundles.ordersUnpartitioned(), 1, 100).commit()  // snap 2 @2000: 100..199
+      .positionalDelete(col("order_id") < 5).commit()          // snap 3 @3000
+      .append(Bundles.ordersUnpartitioned(), 1, 100).commit()  // snap 4 @4000: 200..299
+    val dir = g.tableDir.toString
+    // window (1500, 3500]: covers snaps 2 and 3 → appends are snap 2 only
+    val app = MorReader.appendsBetweenTimes(spark, dir, 1500L, 3500L)
+      .select("order_id").collect().map(_.getInt(0)).sorted
+    assert(app.toSeq == (100 until 200))
+    // changelog over the same window: inserts 100..199, deletes 0..4
+    val ch = MorReader.changelogBetweenTimes(spark, dir, 1500L, 3500L)
+    assert(ch.where(col("change_kind") === "insert").count() == 100)
+    assert(ch.where(col("change_kind") === "delete")
+      .select("order_id").collect().map(_.getInt(0)).sorted.toSeq == (0 until 5))
+    // a fromTs before all history starts from the beginning
+    assert(MorReader.appendsBetweenTimes(spark, dir, 0L, 2500L).count() == 200)
+  }
+
   test("named refs: tag, read at tag, retarget, remove; invalid targets fail") {
     val g = new GraftTableGenerator(spark, wh, "tagged")
     g.create(Scenarios.OrdersSchema, Seq("order_year"))
