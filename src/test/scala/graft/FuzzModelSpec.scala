@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.Bundles
+import graft.read.MorReader
+import graft.scenarios.Scenarios
+import graft.table.GraftTableGenerator
+
+/** Model-based fuzz over random op sequences (fixed seeds — fully
+  * deterministic): the engine's live row set after EVERY commit must match
+  * an id-level reference model of the MoR semantics, and time travel must
+  * replay each retained model state. This guards the interactions no
+  * hand-written scenario covers — delete waves over upserted keys,
+  * compaction between delete generations, expiry mid-history, sorted and
+  * z-order rewrites interleaved with everything.
+  *
+  * Model rules (the reference semantics at id granularity — order_id == the
+  * generator's monotonic row id):
+  *   - append: new ids become live (fresh ids are never reused by append).
+  *   - equality/positional delete: currently-live ids matching the
+  *     predicate die. (Strict-seq re-insert survival is exercised because
+  *     upserts re-add previously-deleted ids at HIGHER sequence numbers.)
+  *   - upsert over an id window: every id in the window is live after.
+  *   - compact / compactSorted / compactZOrder / expireSnapshots: live set
+  *     unchanged (pure layout/metadata maintenance).
+  */
+class FuzzModelSpec extends SparkSpec {
+
+  private lazy val wh = Files.createTempDirectory("graft-fuzz-wh").toString
+
+  test("random op sequences match the id-level model; time travel replays history") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val g = new GraftTableGenerator(spark, wh, s"fuzz_$seed")
+      g.create(Scenarios.OrdersSchema, Nil)
+      var nextId = 0L
+      val live = scala.collection.mutable.Set.empty[Long]
+      var snapId = 0L
+      var history = Vector.empty[(Long, Set[Long])]
+
+      def appendFile(): Unit = {
+        g.append(Bundles.ordersUnpartitioned(), 1, 20)
+        (nextId until nextId + 20).foreach(live += _)
+        nextId += 20
+      }
+
+      appendFile(); g.commit(); snapId += 1
+      history :+= (snapId, live.toSet)
+
+      for (step <- 1 to 18) {
+        var committed = true
+        rnd.nextInt(9) match {
+          case 0 | 1 => appendFile(); g.commit()
+          case 2 => // equality-delete a modulo class
+            val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
+            g.equalityDelete(col("order_id") % m === r, Seq("order_id")).commit()
+            live.filterInPlace(_ % m != r)
+          case 3 => // positional-delete an id band
+            val a = rnd.nextLong(math.max(nextId, 1L)); val b = a + 1 + rnd.nextInt(40)
+            g.positionalDelete(col("order_id") >= a && col("order_id") < b).commit()
+            live.filterInPlace(i => i < a || i >= b)
+          case 4 => // upsert an existing-id window (re-adds deleted ids)
+            val start = rnd.nextLong(math.max(nextId - 10, 1L))
+            val n = 1 + rnd.nextInt(10)
+            val incoming = Bundles.ordersUnpartitioned()
+              .frame(spark, start, n, None, Scenarios.OrdersSchema)
+            g.upsert(incoming, Seq("order_id")).commit()
+            (start until start + n).foreach(live += _)
+          case 5 => g.compact().commit()
+          case 6 => g.compactSorted("order_id", 64).commit()
+          case 7 => g.compactZOrder(Seq("order_id", "source_id"), 64).commit()
+          case 8 => // expiry: no commit, drops time travel past the horizon
+            val keep = 1 + rnd.nextInt(3)
+            g.expireSnapshots(keep)
+            history = history.filter(_._1 >= snapId - keep)
+            committed = false
+        }
+        if (committed) { snapId += 1; history :+= (snapId, live.toSet) }
+        val got = g.read.select("order_id").collect().map(_.getInt(0).toLong).toSet
+        assert(got == live.toSet,
+          s"seed=$seed step=$step snap=$snapId: engine=${got.size} model=${live.size}; " +
+            s"missing=${(live.toSet -- got).take(5)} extra=${(got -- live).take(5)}")
+      }
+
+      // time travel replays every retained model state
+      for ((sid, ids) <- history) {
+        val got = MorReader.readAt(spark, g.tableDir.toString, sid)
+          .select("order_id").collect().map(_.getInt(0).toLong).toSet
+        assert(got == ids, s"seed=$seed time travel to snap $sid diverged")
+      }
+    }
+  }
+}
