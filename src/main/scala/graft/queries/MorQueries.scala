@@ -137,6 +137,19 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** 10 files + eq-delete wave, then a junk append ROLLED BACK — the
+    * rollback_to_snapshot fixture: reads must show the pre-junk state. */
+  private def rollbackTable(spark: SparkSession): String =
+    built.computeIfAbsent("rollback_t", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_rollback")
+      g.create(Scenarios.OrdersSchema, Nil)
+        .append(graft.gen.Bundles.ordersUnpartitioned(), 10, 100).commit()
+        .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
+        .append(graft.gen.Bundles.ordersUnpartitioned(), 2, 100).commit() // junk
+        .rollbackTo(2L)
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then compacted — same live rows. */
   private def s10c(spark: SparkSession): String =
     built.computeIfAbsent("s10c", _ => {
@@ -324,6 +337,14 @@ object MorQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("product_id").cast("long")).as("id_sum"),
           min(col("color")).as("min_color"), max(col("color")).as("max_color"))
+    }),
+
+    // rollback_to_snapshot: the junk third append left history entirely —
+    // reads show the eq-delete-merged pre-junk state
+    "mor_rollback" -> ((s, _) => {
+      MorReader.read(s, rollbackTable(s))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("order_id").cast("long")).as("id_sum"))
     }),
 
     // z-order rewrite: the eq-delete wave is merged into the curve-ordered
@@ -522,6 +543,11 @@ object MorQueries {
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))
         |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    "mor_rollback" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM (SELECT range AS id FROM range(0, 1000))
+        |WHERE id % 10 <> 7""".stripMargin,
 
     "mor_compact_zorder" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,

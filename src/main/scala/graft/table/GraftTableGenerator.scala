@@ -618,6 +618,48 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Roll the table back to a committed snapshot (the Iceberg
+    * `rollback_to_snapshot` procedure): later snapshots leave the history,
+    * files only they reference are deleted, and refs that pointed into the
+    * dropped window are removed. Time travel into the dropped window is
+    * gone by design; the retained history is unchanged. The generator
+    * re-syncs ([[refresh]]) so the next commit continues from the
+    * rollback point. */
+  def rollbackTo(snapshotId: Long): this.type = {
+    requireCreated("rollbackTo()")
+    require(stagedOps == 0, "commit or refresh() away staged work before rollback")
+    val st = log.load()
+    require(st.snapshots.exists(_.id == snapshotId),
+      s"no committed snapshot $snapshotId to roll back to")
+    val keep = st.snapshots.filter(_.id <= snapshotId)
+    val keepPaths = (keep.flatMap(_.dataFiles).map(_.path) ++
+      keep.flatMap(_.deleteFiles).map(_.path)).toSet
+    val dropped = st.snapshots.filter(_.id > snapshotId)
+    val orphans = (dropped.flatMap(_.dataFiles).map(_.path) ++
+      dropped.flatMap(_.deleteFiles).map(_.path))
+      .filterNot(keepPaths).distinct
+    log.rewrite(keep)
+    log.refs.filter(_._2 > snapshotId).keys.foreach(log.removeRef)
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    refresh()
+  }
+
+  /** Write-audit-publish: stage + commit (through the conflict-retry
+    * loop), AUDIT the committed state, and roll the commit back if the
+    * audit rejects it — the WAP ingestion pattern (bad batches never
+    * become durable history). Returns true iff the commit survived.
+    * The audit window assumes no OTHER writer commits between publish
+    * and audit (rollback drops everything after the pre-commit snapshot);
+    * multi-writer WAP is a branch-level pattern this linear log does not
+    * model. */
+  def commitAudited(stage: GraftTableGenerator => Unit)
+                   (audit: DataFrame => Boolean): Boolean = {
+    val before = committedSnapId
+    commitWithRetry()(stage)
+    if (audit(read)) true
+    else { rollbackTo(before); false }
+  }
+
   /** One snapshot per commit (reference `IcebergTableGenerator.java:375-379`).
     * The log enforces optimistic concurrency: a stale writer (another
     * process advanced the table since this generator loaded it) gets a

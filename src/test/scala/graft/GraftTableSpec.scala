@@ -735,6 +735,45 @@ class GraftTableSpec extends SparkSpec {
     assert(g.read.count() == 8)
   }
 
+  test("rollbackTo drops later snapshots, deletes their files, prunes dangling refs") {
+    val g = new GraftTableGenerator(spark, wh, "rollback")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 1, 100).commit() // snap 1
+      .positionalDelete(col("order_id") < 10).commit()        // snap 2: 90 live
+      .append(Bundles.ordersUnpartitioned(), 1, 100).commit() // snap 3: 190 live
+      .tag("bad_batch")                                        // ref at snap 3
+    val badFile = graft.meta.SnapshotLog(g.tableDir.toString).load()
+      .snapshots.find(_.id == 3L).get.dataFiles.head.path
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(badFile)))
+    g.rollbackTo(2L)
+    assert(g.read.count() == 90)
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    assert(st.snapshots.map(_.id) == Seq(1L, 2L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(badFile)))
+    assert(g.tags.isEmpty) // the dangling ref went with its snapshot
+    // the generator continues cleanly from the rollback point
+    g.append(Bundles.ordersUnpartitioned(), 1, 50).commit()
+    assert(g.read.count() == 140)
+    assert(graft.meta.SnapshotLog(g.tableDir.toString).load()
+      .snapshots.map(_.id) == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException](g.rollbackTo(99L))
+  }
+
+  test("commitAudited publishes good batches and rolls back rejected ones") {
+    val g = new GraftTableGenerator(spark, wh, "wap")
+    g.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 1, 100).commit()
+    // audit rule: the table may never exceed 150 rows
+    val ok = g.commitAudited(_.append(Bundles.ordersUnpartitioned(), 1, 40))(
+      _.count() <= 150)
+    assert(ok && g.read.count() == 140)
+    val rejected = g.commitAudited(_.append(Bundles.ordersUnpartitioned(), 1, 40))(
+      _.count() <= 150)
+    assert(!rejected)
+    assert(g.read.count() == 140) // the bad batch never became history
+    assert(graft.meta.SnapshotLog(g.tableDir.toString).load().snapshots.size == 2)
+  }
+
   test("commit stamps the v2 snapshot fields: operation kind + commit timestamp") {
     import graft.meta.SnapshotLog
     var t = 0L
