@@ -323,8 +323,16 @@ object Similarity {
     require(java.nio.file.Files.exists(wm),
       s"$indexDir has no watermark — build with buildIvfIndexForTable first")
     val from = java.nio.file.Files.readString(wm).trim.toLong
-    val to = graft.meta.SnapshotLog(tableDir).lastSnapshotId
+    val st = graft.meta.SnapshotLog(tableDir).load()
+    val to = st.snapshots.lastOption.map(_.id).getOrElse(0L)
     if (to == from) return
+    // expiry past the watermark folds unindexed appends into a rebased
+    // "replace" baseline the incremental scan rightly skips — detectable
+    // because the watermark snapshot id is gone from retained history.
+    // Refusing loudly beats silently serving an index with holes.
+    require(st.snapshots.exists(_.id == from),
+      s"index watermark $from predates the table's retained history " +
+        "(snapshot expiry crossed it) — rebuild with buildIvfIndexForTable")
     val delta = graft.read.MorReader.appendsBetween(spark, tableDir, from, to)
     val centRows: Seq[(Long, Seq[Double])] =
       spark.read.parquet(s"$indexDir/centroids").collect()
@@ -404,8 +412,12 @@ object Similarity {
     require(java.nio.file.Files.exists(wm),
       s"$indexDir has no watermark — build with buildPqIndexForTable first")
     val from = java.nio.file.Files.readString(wm).trim.toLong
-    val to = graft.meta.SnapshotLog(tableDir).lastSnapshotId
+    val st = graft.meta.SnapshotLog(tableDir).load()
+    val to = st.snapshots.lastOption.map(_.id).getOrElse(0L)
     if (to == from) return
+    require(st.snapshots.exists(_.id == from), // see refreshIvfIndex
+      s"index watermark $from predates the table's retained history " +
+        "(snapshot expiry crossed it) — rebuild with buildPqIndexForTable")
     val delta = graft.read.MorReader.appendsBetween(spark, tableDir, from, to)
     val cb = spark.read.parquet(s"$indexDir/codebook")
     val nCode = cb.head().getSeq[scala.collection.Seq[Double]](0).size

@@ -295,6 +295,48 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/codes").count() == 500)
   }
 
+  test("ingest loop: batches + compaction + expiry with incremental IVF refresh; expiry past the watermark refuses") {
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("ivf-loop-wh").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "emb_loop")
+    g.create(graft.schema.GraftSchema.of(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType)), Nil)
+    g.appendData(embs.where(col("vec_id") < 200).select("vec_id", "embedding")).commit()
+    val tdir = g.tableDir.toString
+    val idx = java.nio.file.Files.createTempDirectory("ivf-loop-idx").toString
+    Similarity.buildIvfIndexForTable(spark, tdir, "embedding", "vec_id", 16, idx)
+    // three ingest rounds; round 2 also runs the maintenance pair — the
+    // compaction is a rewrite (no re-index) and the expiry keeps the
+    // watermark, so the refresh loop just keeps going
+    for (round <- 1 to 3) {
+      val lo = 100 + round * 100
+      g.appendData(embs.where(col("vec_id") >= lo && col("vec_id") < lo + 100)
+        .select("vec_id", "embedding")).commit()
+      if (round == 2) { g.compact().commit(); g.expireSnapshots(keepLast = 2) }
+      Similarity.refreshIvfIndex(spark, tdir, "embedding", "vec_id", idx)
+    }
+    val assign = spark.read.parquet(s"$idx/assign")
+    assert(assign.count() == 500 && assign.select("vec_id").distinct().count() == 500)
+    // the served index is exact under full probing — across all 4 batches
+    val q = embs.where(col("vec_id") === 480).head().getSeq[Float](1).map(_.toDouble)
+    val ivf = Similarity.queryIvf(spark, idx, "vec_id", q, 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.topKCosine(g.read, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+    // expiry CROSSING the watermark must refuse, not serve holes: two
+    // unindexed appends, then expire so hard that the first of them folds
+    // into the rebased baseline (horizon past the watermark snapshot)
+    g.appendData(embs.where(col("vec_id") < 10)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))).commit()
+    g.appendData(embs.where(col("vec_id") < 10)
+      .select((col("vec_id") + 9500L).as("vec_id"), col("embedding"))).commit()
+    g.expireSnapshots(keepLast = 1)
+    val e = intercept[IllegalArgumentException](
+      Similarity.refreshIvfIndex(spark, tdir, "embedding", "vec_id", idx))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("IVF works at nCentroids=1024 and probe=all equals brute force") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-big").toString
     // an index size the old SQL-literal centroid encoding could not reach
