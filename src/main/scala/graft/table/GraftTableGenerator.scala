@@ -468,6 +468,23 @@ final class GraftTableGenerator(
     this
   }
 
+  /** POLICY compaction — the steady-state maintenance loop shape: rewrite
+    * only the partitions whose live file count has reached `minFiles`
+    * (ingest fragments partitions unevenly, and a full-table rewrite is
+    * unamortizable at 100 TB — Iceberg's `rewrite_data_files` runs with
+    * exactly this kind of min-input-files filter). Returns the partitions
+    * selected; when none qualify NOTHING is staged, so callers can skip
+    * the commit entirely. */
+  def compactFragmented(minFiles: Int): Seq[Map[String, String]] = {
+    requireCreated("compactFragmented()")
+    require(minFiles >= 2, s"minFiles must be >= 2, got $minFiles")
+    val frag = plannedPartitions(None).filter(_._2.size >= minFiles).map(_._1)
+    if (frag.isEmpty) return Nil
+    if (partitionCols.isEmpty) compact(None)
+    else compact(Some(frag.flatMap(_.get(partitionCols.head))))
+    frag
+  }
+
   /** Sorted compaction (the Iceberg `rewrite_data_files` with a sort
     * order): per selected partition, materialize the MoR-merged live rows
     * SORTED by `sortCol` and split into files of `rowsPerFile` contiguous

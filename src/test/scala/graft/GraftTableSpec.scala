@@ -357,6 +357,26 @@ class GraftTableSpec extends SparkSpec {
     assert(r.getLong(1) == expect)
   }
 
+  test("compactFragmented rewrites only partitions at the file-count threshold") {
+    val g = new GraftTableGenerator(spark, wh, "frag")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 5, 20).commit() // fragmented: 5 files
+      .append(Seq(2020), Bundles.orders(), 1, 100).commit() // compact already
+    val untouched = graft.meta.SnapshotLog(g.tableDir.toString).load()
+      .dataFiles.filter(_.partition("order_year") == "2020").map(_.path)
+    val rewritten = g.compactFragmented(minFiles = 3)
+    g.commit()
+    assert(rewritten == Seq(Map("order_year" -> "2019")))
+    val files = graft.meta.SnapshotLog(g.tableDir.toString).load().dataFiles
+    assert(files.count(_.partition("order_year") == "2019") == 1) // 5 → 1
+    // the healthy partition's file is byte-identical, not rewritten
+    assert(files.filter(_.partition("order_year") == "2020").map(_.path) == untouched)
+    assert(g.read.count() == 200)
+    // below threshold everywhere → nothing staged, no commit needed
+    assert(g.compactFragmented(minFiles = 3).isEmpty)
+    intercept[IllegalArgumentException](g.compactFragmented(1))
+  }
+
   test("compactZOrder: range reads on EITHER z column open a strict file subset") {
     val g = new GraftTableGenerator(spark, wh, "zorder")
     g.create(Scenarios.OrdersSchema, Nil)
