@@ -54,6 +54,17 @@ final case class GraftSchema(fields: Seq[GraftField], lastColumnId: Int = 0) {
     GraftSchema(fields.filterNot(_.name == name), highWater)
   }
 
+  /** Rename a column IN PLACE — the field id is the identity (Iceberg
+    * `UpdateSchema.renameColumn`): files written under the old name keep
+    * resolving through the by-id epoch projection, so a rename is pure
+    * metadata. */
+  def renameColumn(oldName: String, newName: String): GraftSchema = {
+    require(fields.exists(_.name == oldName), s"no field $oldName")
+    require(!fields.exists(_.name == newName), s"field $newName already exists")
+    GraftSchema(fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f), highWater)
+  }
+
   /** Projection of named fields, keeping ids (ref `Schema.select`, `Main.java:411`). */
   def select(names: String*): GraftSchema =
     GraftSchema(names.map(n => fields.find(_.name == n).getOrElse(sys.error(s"no field $n"))),

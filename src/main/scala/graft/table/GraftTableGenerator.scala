@@ -129,12 +129,25 @@ final class GraftTableGenerator(
     * are part of the scenario spec, so the per-file loop is intentional;
     * each file is a 1-task Spark job over a deterministic id range.
     */
+  /** A generated/user frame must carry exactly the live schema's column
+    * set — a frame still using a pre-[[renameColumn]] name would be
+    * registered under the new schema epoch and read back as silent NULLs
+    * (Parquet resolves by name inside one epoch). Fail loudly instead. */
+  private def conformed(df: DataFrame): DataFrame = {
+    require(df.columns.toSet == schema.names.toSet,
+      s"frame columns ${df.columns.toSeq.sorted.mkString(",")} do not match " +
+        s"the live schema ${schema.names.sorted.mkString(",")} — after " +
+        "renameColumn, generators emitting the old name must be re-targeted")
+    df.select(schema.names.map(col): _*)
+  }
+
   def append(partitionValues: Seq[Any], bundle: RecordBundle,
              filesPerPartition: Int, rowsPerFile: Int): this.type = {
     require(partitionCols.size == 1, "reference appends target single-col specs")
     val opSeq = nextOpSeq()
     for (pv <- partitionValues; _ <- 0 until filesPerPartition) {
-      val df = bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, Some(pv), schema)
+      val df = conformed(
+        bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, Some(pv), schema))
       val pdir = dataDir.resolve(pv.toString)
       val target = uniqueNumberedFile(pdir, s"$pv-%02d.parquet")
       writeSingleFile(df, target)
@@ -149,7 +162,8 @@ final class GraftTableGenerator(
   def append(bundle: RecordBundle, numFiles: Int, rowsPerFile: Int): this.type = {
     val opSeq = nextOpSeq()
     for (_ <- 0 until numFiles) {
-      val df = bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, None, schema)
+      val df = conformed(
+        bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, None, schema))
       val target = uniqueNumberedFile(dataDir, "%02d.parquet")
       writeSingleFile(df, target)
       stagedData :+= DataFileEntry(target.toString, Map.empty, specId, schemaV,
@@ -415,6 +429,24 @@ final class GraftTableGenerator(
     partitionCols = partitionCols.filterNot(removals.contains) ++ additions
     specId += 1
     log.writeSpec(specId, partitionCols)
+    this
+  }
+
+  /** Rename a column between commits (Iceberg `UpdateSchema.renameColumn`):
+    * pure metadata — the field id is the identity, so files written under
+    * the old name keep resolving through the by-id epoch projection, and
+    * eq-delete keys recorded by id keep applying. A renamed partition
+    * column renames in the spec too. */
+  def renameColumn(oldName: String, newName: String): this.type = {
+    requireCreated("renameColumn()")
+    schema = schema.renameColumn(oldName, newName)
+    schemaV += 1
+    log.writeSchema(schemaV, schema)
+    if (partitionCols.contains(oldName)) {
+      partitionCols = partitionCols.map(c => if (c == oldName) newName else c)
+      specId += 1
+      log.writeSpec(specId, partitionCols)
+    }
     this
   }
 

@@ -215,6 +215,36 @@ class GraftTableSpec extends SparkSpec {
     assert(df.where(col("product_id") === 10).head().getString(2) == "gadget")
   }
 
+  test("renameColumn is pure metadata: old files resolve by id, eq-deletes span the rename") {
+    val g = new GraftTableGenerator(spark, wh, "renamed")
+    g.create(Scenarios.OrdersSchema, Seq("order_year"))
+      .append(Seq(2019), Bundles.orders(), 1, 100).commit()
+      .equalityDelete(Seq(2019), col("order_id") < 10, Seq("order_id")).commit()
+      .renameColumn("order_id", "order_key")
+    // frames carrying the new name append fine
+    g.appendData(Bundles.orders().frame(spark, 100, 100, Some(2020),
+      Scenarios.OrdersSchema).withColumnRenamed("order_id", "order_key")).commit()
+    val df = g.read
+    assert(df.columns.contains("order_key") && !df.columns.contains("order_id"))
+    assert(df.count() == 190) // pre-rename delete still applies
+    // old files' values surface under the new name (id-based projection)
+    assert(df.where(col("order_year") === 2019)
+      .agg(min("order_key"), max("order_key")).head() ==
+      org.apache.spark.sql.Row(10, 99))
+    // a delete keyed on the NEW name kills rows in OLD files (same field id)
+    g.equalityDelete(Seq(2019, 2020), col("order_key") % 10 === 5, Seq("order_key")).commit()
+    assert(g.read.count() == 171) // 190 − 9 (2019: 15..95) − 10 (2020)
+    // a generator still emitting the OLD name must fail loudly — silently
+    // registering it under the new epoch would read back as NULLs
+    val mismatch = intercept[IllegalArgumentException](
+      g.append(Seq(2021), Bundles.orders(), 1, 100))
+    assert(mismatch.getMessage.contains("renameColumn"))
+    g.refresh() // discard the rejected staging; renamed schema is committed
+    assert(g.liveSchema.names.contains("order_key"))
+    intercept[IllegalArgumentException](g.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](g.renameColumn("order_key", "amount"))
+  }
+
   test("dropped field ids are never reused (no data resurrection)") {
     val g = new GraftTableGenerator(spark, wh, "id_reuse")
     g.create(Scenarios.ProductsSchema, Seq("category"))
