@@ -137,6 +137,20 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Rename fixture: 100 rows under `order_id`, rename to `order_key`,
+    * 100 more under the new name — reads resolve BOTH epochs by field id. */
+  private def renamedTable(spark: SparkSession): String =
+    built.computeIfAbsent("renamed_t", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_renamed")
+      g.create(Scenarios.OrdersSchema, Seq("order_year"))
+        .append(Seq(2019), graft.gen.Bundles.orders(), 1, 100).commit()
+        .renameColumn("order_id", "order_key")
+      g.appendData(graft.gen.Bundles.orders()
+          .frame(spark, 100, 100, Some(2020), Scenarios.OrdersSchema)
+          .withColumnRenamed("order_id", "order_key")).commit()
+      g.tableDir.toString
+    })
+
   /** 10 files + eq-delete wave, then a junk append ROLLED BACK — the
     * rollback_to_snapshot fixture: reads must show the pre-junk state. */
   private def rollbackTable(spark: SparkSession): String =
@@ -337,6 +351,16 @@ object MorQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("product_id").cast("long")).as("id_sum"),
           min(col("color")).as("min_color"), max(col("color")).as("max_color"))
+    }),
+
+    // rename evolution: both epochs' values surface under the NEW name
+    // (field-id projection), summed per year
+    "mor_schema_rename" -> ((s, _) => {
+      MorReader.read(s, renamedTable(s))
+        .groupBy("order_year")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("order_key").cast("long")).as("key_sum"))
+        .orderBy("order_year")
     }),
 
     // rollback_to_snapshot: the junk third append left history entirely —
@@ -543,6 +567,13 @@ object MorQueries {
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))
         |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    "mor_schema_rename" ->
+      """SELECT CAST(2019 + (id // 100) AS INTEGER) AS order_year,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(id) AS BIGINT) AS key_sum
+        |FROM (SELECT range AS id FROM range(0, 200))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mor_rollback" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum
