@@ -187,6 +187,68 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL near-dup dedup against a persisted SIGNATURE store — the
+    * fuzzy sibling of [[incrementalExact]], the shape a continuous crawl
+    * actually needs (exact hashing misses boilerplate-edited near-copies).
+    * The store is a graft table of LSH band rows
+    * (`band string, sig array<bigint>, doc_id bigint` — create with that
+    * 3-column schema, unpartitioned): `numBands` rows per accepted doc,
+    * signatures only, never text.
+    *
+    * Per batch: (1) greedy in-batch collapse — a doc whose estimated
+    * Jaccard vs a SMALLER-id batch doc reaches `minEstJaccard` drops
+    * ([[minhashPairs]]; greedy per-pair, the usual LSH ingest rule —
+    * corpus-wide components are [[clusterLabels]]' job); (2) surviving
+    * docs' bands equi-join the store on the band key (signatures re-verify
+    * the estimate, so an accidental band collision does not drop a doc);
+    * (3) novel docs' band rows append to the store as ONE snapshot through
+    * the conflict-retry loop. Returns the surviving new docs. Replay is
+    * idempotent: a replayed batch's signatures match their own stored
+    * bands exactly (est jaccard 1) and every row drops.
+    *
+    * Scale: the store join shuffles (band, sig) — ~70 bytes/row — and the
+    * band key spreads uniformly (it embeds the minhash values); batch text
+    * moves only in the final semi/anti-joins by id. */
+  def incrementalMinhash(newDocs: DataFrame, textCol: String, idCol: String,
+                         store: graft.table.GraftTableGenerator,
+                         shingleK: Int = 8, stride: Int = 4,
+                         numHashes: Int = 8, rowsPerBand: Int = 2,
+                         minEstJaccard: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(newDocs.sparkSession)
+    val numBands = numHashes / rowsPerBand
+    def sigBands(df: DataFrame): DataFrame = df
+      .withColumn("_norm", TextOps.norm(col(textCol)))
+      .select(col(idCol),
+        call_function("minhash_sig", col("_norm"),
+          lit(numHashes), lit(shingleK), lit(stride)).as("_sig"))
+      .select(col(idCol), col("_sig"), explode(expr(
+        (0 until numBands).map { b =>
+          val slice = s"slice(_sig, ${b * rowsPerBand + 1}, $rowsPerBand)"
+          s"concat('$b:', array_join($slice, ','))"
+        }.mkString("array(", ", ", ")"))).as("band"))
+    val inBatchDrops = minhashPairs(newDocs, textCol, idCol, shingleK, stride,
+      numHashes, rowsPerBand, minEstJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    val batchKept = newDocs.join(inBatchDrops, Seq(idCol), "left_anti")
+    val bands = sigBands(batchKept)
+    val matched = bands
+      .join(store.read.select(col("band"), col("sig").as("_ssig")), Seq("band"))
+      .where(expr("size(filter(zip_with(_sig, _ssig, (x, y) -> x = y), v -> v))")
+        / numHashes.toDouble >= minEstJaccard)
+      .select(col(idCol)).distinct()
+    val novel = batchKept.join(matched, Seq(idCol), "left_anti")
+      .localCheckpoint() // stable across the store append below (see
+                         // incrementalExact — lazy re-eval would anti-join
+                         // novel docs against their own stored bands)
+    if (!novel.isEmpty)
+      store.commitWithRetry() { g =>
+        g.appendData(sigBands(novel).select(col("band"), col("_sig").as("sig"),
+          col(idCol).cast("long").as("doc_id")))
+        ()
+      }
+    novel
+  }
+
   /** Bounded min-label propagation — connected components over near-dup
     * candidate pairs, the step that turns pairwise matches into CLUSTERS
     * so exactly one document survives per near-dup group.

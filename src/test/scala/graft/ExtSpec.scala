@@ -59,6 +59,42 @@ class ExtSpec extends SparkSpec {
     assert(graft.read.MorReader.readAt(spark, store.tableDir.toString, 1L).count() == 50)
   }
 
+  test("incremental minhash dedup: near-dups of stored docs drop, novel docs persist bands") {
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("mh-store-wh").toString
+    val store = new graft.table.GraftTableGenerator(spark, wh, "mh_store")
+    store.create(graft.schema.GraftSchema.of(
+      "band" -> StringType, "sig" -> ArrayType(LongType), "doc_id" -> LongType), Nil)
+    val base = docs.select(col("doc_id"), col("text"))
+    // the corpus carries PLANTED near-dups — pick 60 ids verified mutually
+    // clean so batch outcomes are exact
+    val paired = graft.ext.Dedup.minhashPairs(
+        base.where(col("doc_id") < 150), "text", "doc_id")
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clean = (0L until 150L).filterNot(paired).take(60)
+    assert(clean.size == 60, s"only ${clean.size} clean ids below 150")
+    val ids1 = clean.take(40); val ids2 = clean.drop(40)
+    // batch 1: 40 clean docs + one in-batch exact copy (greedy collapse)
+    val b1 = base.where(col("doc_id").isin(ids1: _*))
+      .unionByName(base.where(col("doc_id") === ids1.head)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    val out1 = graft.ext.Dedup.incrementalMinhash(b1, "text", "doc_id", store)
+    assert(out1.count() == 40)
+    assert(out1.where(col("doc_id") >= 500000L).count() == 0)
+    // batch 2: exact copies of stored docs (sig-identical → est jaccard 1)
+    // + 20 clean novel docs — only the novel survive
+    val b2 = base.where(col("doc_id").isin(ids2: _*))
+      .unionByName(base.where(col("doc_id").isin(ids1.take(8): _*))
+        .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+    val out2 = graft.ext.Dedup.incrementalMinhash(b2, "text", "doc_id", store)
+    assert(out2.collect().map(_.getLong(0)).toSet == ids2.toSet)
+    // replay is idempotent
+    assert(graft.ext.Dedup.incrementalMinhash(b2, "text", "doc_id", store).count() == 0)
+    // the store holds numBands (=4) rows per accepted doc, two snapshots
+    assert(store.read.count() == 60 * 4)
+    assert(graft.meta.SnapshotLog(store.tableDir.toString).load().snapshots.size == 2)
+  }
+
   test("passage dedup: duplicated docs keep zero chunks, originals keep theirs") {
     val base = docs.select(col("doc_id"), col("text"))
     val corpus = base.unionByName(base.where(col("doc_id") % 10 === 0)
