@@ -362,6 +362,22 @@ object ExtQueries {
       Curation.freqTerms(docs(s, d), "text", 20)
     }),
 
+    // per-source heavy hitters through the NATIVE misra_gries aggregate
+    // composing with groupBy (slack capacity ⇒ exact, hence oracled):
+    // top-3 terms per source, deterministic ties (count desc, term)
+    "freq_terms_by_source" -> ((s, d) => {
+      val terms = docs(s, d).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .where(col("term") =!= "")
+      val sk = terms.groupBy("source")
+        .agg(call_function("misra_gries", col("term"), lit(1 << 17)).as("sk"))
+        .select(col("source"), explode(col("sk")).as("e"))
+        .select(col("source"), col("e.term").as("term"), col("e.cnt_lb").as("cnt"))
+      val w = Window.partitionBy("source").orderBy(desc("cnt"), col("term"))
+      sk.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select("source", "term", "cnt").orderBy("source", "term")
+    }),
+
     // mixture reweighting: src0..src4 target 10% of tokens each, the
     // other 15 sources split the remaining half — weight·tokens lands
     // every source exactly on its target share
@@ -815,6 +831,18 @@ object ExtQueries {
          |      FROM documents)
          |WHERE term <> ''
          |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "freq_terms_by_source" ->
+      s"""SELECT source, term, cnt FROM (
+         |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY COUNT(*) DESC, term) AS rk
+         |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS term
+         |        FROM documents)
+         |  WHERE term <> ''
+         |  GROUP BY source, term)
+         |WHERE rk <= 3
+         |ORDER BY source, term""".stripMargin,
 
     "mix_weights" ->
       s"""WITH d AS (SELECT source, len(string_split($normSql, ' ')) AS t
