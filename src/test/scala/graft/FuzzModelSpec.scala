@@ -31,8 +31,14 @@ class FuzzModelSpec extends SparkSpec {
 
   private lazy val wh = Files.createTempDirectory("graft-fuzz-wh").toString
 
+  /** Default 3 seeds keep the suite fast; heavier sweeps run via
+    * `SPARK_GRAFT_FUZZ_SEEDS=100,101,...` (used for one-off deep soaks). */
+  private val seeds: Seq[Long] = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS")
+    .map(_.split(",").toSeq.map(_.trim.toLong))
+    .getOrElse(Seq(1L, 7L, 42L))
+
   test("random op sequences match the id-level model; time travel replays history") {
-    for (seed <- Seq(1L, 7L, 42L)) {
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       val g = new GraftTableGenerator(spark, wh, s"fuzz_$seed")
       g.create(Scenarios.OrdersSchema, Nil)
