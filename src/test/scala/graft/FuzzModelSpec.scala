@@ -36,6 +36,8 @@ class FuzzModelSpec extends SparkSpec {
   private val seeds: Seq[Long] = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS")
     .map(_.split(",").toSeq.map(_.trim.toLong))
     .getOrElse(Seq(1L, 7L, 42L))
+  private val steps: Int =
+    sys.env.get("SPARK_GRAFT_FUZZ_STEPS").map(_.toInt).getOrElse(18)
 
   test("random op sequences match the id-level model; time travel replays history") {
     for (seed <- seeds) {
@@ -56,7 +58,7 @@ class FuzzModelSpec extends SparkSpec {
       appendFile(); g.commit(); snapId += 1
       history :+= (snapId, live.toSet)
 
-      for (step <- 1 to 18) {
+      for (step <- 1 to steps) {
         var committed = true
         rnd.nextInt(9) match {
           case 0 | 1 => appendFile(); g.commit()
