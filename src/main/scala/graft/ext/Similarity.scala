@@ -176,24 +176,19 @@ object Similarity {
     Seq(Tuple1(cb)).toDF("_cb")
   }
 
+  /** Encoding runs through the NATIVE `pq_encode` expression
+    * ([[graft.functions.PqEncodeExpr]] — one flat primitive loop per row,
+    * bit-identical to the portable lambda chain the equivalence spec
+    * pins, so the DuckDB oracle contract is unchanged). */
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
                dim: Int, nSub: Int, nCode: Int,
                codebook: Option[DataFrame] = None): DataFrame = {
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
-    val dsub = dim / nSub
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val cbRow = codebook.getOrElse(pqCodebook(df, vecCol, idCol, nCode))
     df.crossJoin(broadcast(cbRow))
-      .withColumn("codes", expr(
-        s"""transform(sequence(1, $nSub), s ->
-           |  aggregate(
-           |    zip_with(_cb, sequence(1, $nCode), (cv, c) -> struct(c as c,
-           |      aggregate(
-           |        zip_with(slice($vecCol, (s - 1) * $dsub + 1, $dsub),
-           |                 slice(cv, (s - 1) * $dsub + 1, $dsub),
-           |          (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
-           |        cast(0.0 as double), (a, v) -> a + v) as d)),
-           |    struct(cast(0 as int) as c, cast('Infinity' as double) as d),
-           |    (acc, e) -> if(e.d < acc.d, e, acc)).c)""".stripMargin))
+      .withColumn("codes",
+        call_function("pq_encode", col(vecCol), col("_cb"), lit(nSub)))
       .drop("_cb")
   }
 

@@ -130,7 +130,10 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => MinhashSig(exprs(0), exprs(1), exprs(2), exprs(3))),
       (FunctionIdentifier("misra_gries"),
         new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
-        (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), exprs(1))))
+        (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), exprs(1))),
+      (FunctionIdentifier("pq_encode"),
+        new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+        (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2))))
 
   /** Idempotently register graft's native functions on a session (SQL name
     * `md5prefix64`). Called from every entry point AND defensively from

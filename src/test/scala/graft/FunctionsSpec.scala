@@ -77,6 +77,42 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("pq_encode == the portable lambda chain (incl. tie and null handling)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (dim, nSub, nCode) = (64, 8, 16)
+    val dsub = dim / nSub
+    // deterministic codebook: nCode distinct corpus vectors
+    val cb: Seq[Seq[Double]] = embs.orderBy("vec_id").limit(nCode)
+      .collect().toSeq.map(_.getSeq[Float](1).map(_.toDouble))
+    val cbRow = Seq(Tuple1(cb)).toDF("_cb")
+    val both = embs.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"),
+        call_function("pq_encode", col("embedding"), col("_cb"), lit(nSub)).as("fast"),
+        expr(
+          s"""transform(sequence(1, $nSub), s ->
+             |  aggregate(
+             |    zip_with(_cb, sequence(1, $nCode), (cv, c) -> struct(c as c,
+             |      aggregate(
+             |        zip_with(slice(embedding, (s - 1) * $dsub + 1, $dsub),
+             |                 slice(cv, (s - 1) * $dsub + 1, $dsub),
+             |          (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+             |        cast(0.0 as double), (a, v) -> a + v) as d)),
+             |    struct(cast(0 as int) as c, cast('Infinity' as double) as d),
+             |    (acc, e) -> if(e.d < acc.d, e, acc)).c)""".stripMargin).as("ref"))
+    assert(both.where(col("fast") =!= col("ref")).count() == 0)
+    // ties break to the smallest code: a duplicated codeword never wins
+    val dupCb = Seq(Tuple1(Seq(cb.head, cb.head, cb(1)))).toDF("_cb")
+    val tied = embs.limit(50).crossJoin(broadcast(dupCb))
+      .select(call_function("pq_encode", col("embedding"), col("_cb"), lit(nSub)).as("c"))
+      .select(explode(col("c")).as("code"))
+    assert(tied.where(col("code") === 2).count() == 0)
+    // null vector → null codes
+    assert(spark.sql("select pq_encode(cast(null as array<float>), array(array(0.0d)), 1)")
+      .head().isNullAt(0))
+  }
+
   test("minhash_sig == shingles→minhashSig expression pipeline") {
     import spark.implicits._
     val adversarial = Seq("", "ab", "abcdefgh", "abcdefghi", "aaaa bbbb cccc dddd")
@@ -97,7 +133,7 @@ class FunctionsSpec extends SparkSpec {
     new graft.plans.GraftExtensions().apply(ext) // must accept every descriptor
     assert(graft.functions.GraftFunctions.descriptors.map(_._1.funcName).toSet ==
       Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig",
-        "misra_gries"))
+        "misra_gries", "pq_encode"))
   }
 
   test("optimizer rule rewrites built-in chains to native expressions in user SQL") {
