@@ -81,13 +81,12 @@ object TextOps {
   /** Gopher-style repetition signal #2: frequency share of the single most
     * common n-gram (boilerplate detector). NULL when the doc has no grams
     * (mirrors SQL `list_max([])`; AVG skips it identically in both
-    * engines). Per-row O(distinct · total) — bounded by document length
-    * squared, no shuffle; fine for the sub-64k-token docs this targets. */
-  def topNgramShare(gramsColName: String): Column = {
-    val g = gramsColName
-    expr(s"array_max(transform(array_distinct($g), x -> size(filter($g, y -> y = x))))" +
-      s" / cast(greatest(size($g), 1) as double)")
-  }
+    * engines). Runs through the NATIVE `top_gram_share` expression
+    * ([[graft.functions.TopGramShare]] — one hash-counting pass, O(total)
+    * instead of the portable chain's O(distinct·total); equivalence
+    * spec-pinned, so the DuckDB oracle contract is unchanged). */
+  def topNgramShare(gramsColName: String): Column =
+    call_function("top_gram_share", col(gramsColName))
 
   /** Token-hash array (materialize once; [[simhash16]] reads it 16×). */
   def tokenHashes(tokensColName: String): Column =

@@ -133,7 +133,10 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), exprs(1))),
       (FunctionIdentifier("pq_encode"),
         new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
-        (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2))))
+        (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2))),
+      (FunctionIdentifier("top_gram_share"),
+        new ExpressionInfo(classOf[TopGramShare].getName, "top_gram_share"),
+        (exprs: Seq[Expression]) => TopGramShare(exprs.head)))
 
   /** Idempotently register graft's native functions on a session (SQL name
     * `md5prefix64`). Called from every entry point AND defensively from

@@ -113,6 +113,25 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("top_gram_share == array_max(transform(array_distinct...)) chain") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("_t", graft.ext.TextOps.tokens(col("text")))
+      .withColumn("_g", graft.ext.TextOps.wordNgrams("_t", 2))
+    val both = docs.select(
+      expr("top_gram_share(_g)").as("fast"),
+      expr("""array_max(transform(array_distinct(_g), x ->
+             | size(filter(_g, y -> y = x))))
+             | / cast(greatest(size(_g), 1) as double)""".stripMargin).as("ref"))
+    assert(both.where(col("fast") =!= col("ref")).count() == 0)
+    assert(both.where(col("fast").isNull =!= col("ref").isNull).count() == 0)
+    // empty array → NULL (the array_max([]) convention AVG then skips)
+    assert(spark.sql("select top_gram_share(cast(array() as array<string>))")
+      .head().isNullAt(0))
+    assert(spark.sql("select top_gram_share(cast(null as array<string>))")
+      .head().isNullAt(0))
+  }
+
   test("minhash_sig == shingles→minhashSig expression pipeline") {
     import spark.implicits._
     val adversarial = Seq("", "ab", "abcdefgh", "abcdefghi", "aaaa bbbb cccc dddd")
@@ -133,7 +152,7 @@ class FunctionsSpec extends SparkSpec {
     new graft.plans.GraftExtensions().apply(ext) // must accept every descriptor
     assert(graft.functions.GraftFunctions.descriptors.map(_._1.funcName).toSet ==
       Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig",
-        "misra_gries", "pq_encode"))
+        "misra_gries", "pq_encode", "top_gram_share"))
   }
 
   test("optimizer rule rewrites built-in chains to native expressions in user SQL") {
