@@ -95,15 +95,11 @@ object TextOps {
   /** 16-bit SimHash over a PRE-COMPUTED token-hash array column: bit b is
     * set iff tokens whose hash has bit b outnumber those without (majority
     * vote). Takes the hash array — not the tokens — so the md5 pass runs
-    * once, not 16 times. */
-  def simhash16(hashesColName: String): Column = {
-    val hs = hashesColName
-    val bits = (0 until 16).map { b =>
-      s"(case when 2 * size(filter($hs, h -> (shiftright(h, $b) & 1) = 1)) >= size($hs) " +
-        s"then ${1 << b} else 0 end)"
-    }
-    expr(s"(${bits.mkString(" + ")})").cast("int")
-  }
+    * once, not 16 times. Runs through the NATIVE `simhash16` expression
+    * ([[graft.functions.Simhash16Expr]] — one pass accumulating all 16
+    * bit counts instead of 16 filter passes; equivalence spec-pinned). */
+  def simhash16(hashesColName: String): Column =
+    call_function("simhash16", col(hashesColName))
 
   /** Order-sensitive document fingerprint: positionally-weighted token-hash
     * sum, mod 1000003 (rolling-hash-family; bounded so the sum never

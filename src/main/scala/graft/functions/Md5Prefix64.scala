@@ -136,7 +136,10 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2))),
       (FunctionIdentifier("top_gram_share"),
         new ExpressionInfo(classOf[TopGramShare].getName, "top_gram_share"),
-        (exprs: Seq[Expression]) => TopGramShare(exprs.head)))
+        (exprs: Seq[Expression]) => TopGramShare(exprs.head)),
+      (FunctionIdentifier("simhash16"),
+        new ExpressionInfo(classOf[Simhash16Expr].getName, "simhash16"),
+        (exprs: Seq[Expression]) => Simhash16Expr(exprs.head)))
 
   /** Idempotently register graft's native functions on a session (SQL name
     * `md5prefix64`). Called from every entry point AND defensively from

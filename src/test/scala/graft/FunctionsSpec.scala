@@ -132,6 +132,26 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("simhash16 == the 16-filter-pass majority-vote chain") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("_t", graft.ext.TextOps.tokens(col("text")))
+      .withColumn("_hs", graft.ext.TextOps.tokenHashes("_t"))
+    val refBits = (0 until 16).map { b =>
+      s"(case when 2 * size(filter(_hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(_hs) " +
+        s"then ${1 << b} else 0 end)"
+    }
+    val both = docs.select(
+      expr("simhash16(_hs)").as("fast"),
+      expr(s"cast((${refBits.mkString(" + ")}) as int)").as("ref"))
+    assert(both.where(col("fast") =!= col("ref")).count() == 0)
+    // empty array: every majority vote is 2*0 >= 0 → all 16 bits set
+    assert(spark.sql("select simhash16(cast(array() as array<bigint>))")
+      .head().getInt(0) == 65535)
+    assert(spark.sql("select simhash16(cast(null as array<bigint>))")
+      .head().isNullAt(0))
+  }
+
   test("minhash_sig == shingles→minhashSig expression pipeline") {
     import spark.implicits._
     val adversarial = Seq("", "ab", "abcdefgh", "abcdefghi", "aaaa bbbb cccc dddd")
@@ -152,7 +172,7 @@ class FunctionsSpec extends SparkSpec {
     new graft.plans.GraftExtensions().apply(ext) // must accept every descriptor
     assert(graft.functions.GraftFunctions.descriptors.map(_._1.funcName).toSet ==
       Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig",
-        "misra_gries", "pq_encode", "top_gram_share"))
+        "misra_gries", "pq_encode", "top_gram_share", "simhash16"))
   }
 
   test("optimizer rule rewrites built-in chains to native expressions in user SQL") {
