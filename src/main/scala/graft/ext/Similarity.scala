@@ -22,9 +22,16 @@ object Similarity {
 
   /** NULL (not an ANSI divide-by-zero error, not NaN) when either vector
     * has zero norm — nulls sort LAST under `desc`, so degenerate vectors
-    * rank below every real match in both the brute-force and IVF paths. */
-  def cosine(a: Column, b: Column): Column =
-    try_divide(dot(a, b), l2norm(a) * l2norm(b))
+    * rank below every real match in both the brute-force and IVF paths.
+    * Runs through the NATIVE `cosine_sim` expression
+    * ([[graft.functions.CosineSim]] — one fused loop for the dot product
+    * and both norms instead of three HigherOrderFunction rescans;
+    * bit-identical scores, equivalence spec-pinned). Callers passing
+    * double-literal query arrays are unchanged: the expression accepts
+    * float and double element types on either side. */
+  def cosine(a: Column, b: Column): Column = {
+    call_function("cosine_sim", a, b)
+  }
 
   /** Exact brute-force top-k by cosine against one query vector. The query
     * broadcasts as a literal array; Spark plans TakeOrderedAndProject — a

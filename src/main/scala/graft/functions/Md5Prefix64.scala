@@ -139,7 +139,10 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => TopGramShare(exprs.head)),
       (FunctionIdentifier("simhash16"),
         new ExpressionInfo(classOf[Simhash16Expr].getName, "simhash16"),
-        (exprs: Seq[Expression]) => Simhash16Expr(exprs.head)))
+        (exprs: Seq[Expression]) => Simhash16Expr(exprs.head)),
+      (FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+        (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
 
   /** Idempotently register graft's native functions on a session (SQL name
     * `md5prefix64`). Called from every entry point AND defensively from

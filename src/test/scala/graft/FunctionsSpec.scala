@@ -132,6 +132,31 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("cosine_sim == try_divide(dot, norm*norm) lambda chain (incl. zero-norm → NULL)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = embs.orderBy("vec_id").head().getSeq[Float](1).map(_.toDouble)
+    val qArr = array(q.map(lit): _*)
+    def refCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, r) => p.cast("double") * r.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val both = embs.select(
+      expr("cosine_sim(embedding, embedding)").as("self_fast"),
+      refCosine(col("embedding"), col("embedding")).as("self_ref"),
+      call_function("cosine_sim", col("embedding"), qArr).as("q_fast"),
+      refCosine(col("embedding"), qArr).as("q_ref"))
+    assert(both.where(col("self_fast") =!= col("self_ref")).count() == 0)
+    assert(both.where(col("q_fast") =!= col("q_ref")).count() == 0)
+    // zero-norm → NULL (try_divide convention), length mismatch → NULL
+    assert(spark.sql(
+      "select cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d))").head().isNullAt(0))
+    assert(spark.sql(
+      "select cosine_sim(array(1.0d), array(1.0d, 2.0d))").head().isNullAt(0))
+  }
+
   test("simhash16 == the 16-filter-pass majority-vote chain") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -172,7 +197,7 @@ class FunctionsSpec extends SparkSpec {
     new graft.plans.GraftExtensions().apply(ext) // must accept every descriptor
     assert(graft.functions.GraftFunctions.descriptors.map(_._1.funcName).toSet ==
       Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig",
-        "misra_gries", "pq_encode", "top_gram_share", "simhash16"))
+        "misra_gries", "pq_encode", "top_gram_share", "simhash16", "cosine_sim"))
   }
 
   test("optimizer rule rewrites built-in chains to native expressions in user SQL") {
