@@ -444,18 +444,41 @@ object Similarity {
                     indexDir: String, query: Seq[Double], k: Int,
                     shortlist: Int): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val cb: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/codebook")
-      .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
-    val nCode = cb.size
-    val dim = query.length
-    require(cb.forall(_.size == dim), s"codebook dim mismatch vs query $dim")
+    val cb = loadCodebook(spark, indexDir, query.length)
     val nSub = {
       // nSub is recovered from the codes table schema-free way: encode
       // used dim/nSub-sized slices, so any divisor works only if it
       // matches the written codes — read one row and trust its length
-      spark.read.parquet(s"$indexDir/codes").head().getSeq[Int](1).size
+      spark.read.parquet(s"$indexDir/codes").select("codes")
+        .head().getSeq[Int](0).size
     }
+    val shortIds =
+      adcShortlist(spark.read.parquet(s"$indexDir/codes"), cb, nSub,
+        idCol, query, shortlist)
+    topKCosine(df.join(shortIds, Seq(idCol)), vecCol, idCol, query, k)
+  }
+
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, dim: Int): Seq[Seq[Double]] = {
+    val cb: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/codebook")
+      .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+    require(cb.forall(_.size == dim), s"codebook dim mismatch vs query $dim")
+    cb
+  }
+
+  /** The ADC first pass shared by [[queryPqRerank]] and [[queryIvfPq]]:
+    * score `codes` rows by approximate cosine from per-subspace lookup
+    * tables (`dt(s)(c) = q_s · cb(c)_s` plus codebook partial norms —
+    * nSub×nCode doubles of driver math broadcast as one data row, never
+    * SQL literals) and return the `shortlist` best ids. The scan reads
+    * ~nSub small ints per vector — the compression that makes PQ an
+    * index. NULL `_asim` (zero-norm) sorts last. */
+  private def adcShortlist(codes: DataFrame, cb: Seq[Seq[Double]], nSub: Int,
+                           idCol: String, query: Seq[Double],
+                           shortlist: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val dim = query.length
     val dsub = dim / nSub
     def slice(v: Seq[Double], s: Int) = v.slice(s * dsub, (s + 1) * dsub)
     val dt: Seq[Seq[Double]] = (0 until nSub).map(s =>
@@ -464,7 +487,7 @@ object Similarity {
       cb.map(c => slice(c, s).map(x => x * x).sum))
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val tabRow = Seq((dt, nt)).toDF("_dt", "_nt")
-    val approx = spark.read.parquet(s"$indexDir/codes")
+    codes
       .crossJoin(broadcast(tabRow))
       .withColumn("_adot", expr(
         s"""aggregate(sequence(1, $nSub), cast(0.0 as double),
@@ -473,10 +496,117 @@ object Similarity {
         s"""sqrt(aggregate(sequence(1, $nSub), cast(0.0 as double),
            | (a, s) -> a + element_at(element_at(_nt, s), element_at(codes, s))))""".stripMargin))
       .withColumn("_asim", try_divide(col("_adot"), col("_anrm") * lit(qNorm)))
-    val shortIds = approx
       .orderBy(desc_nulls_last("_asim"), col(idCol))
       .limit(shortlist)
       .select(col(idCol))
+  }
+
+  // ---- IVF-PQ: cell-partitioned codes, the composed 100 TB ANN path ----
+
+  /** Build the COMPOSED IVF-PQ index (the FAISS `IVFPQ` shape, non-residual
+    * encoding): one corpus pass assigns every vector to its nearest
+    * centroid cell ([[buildIvfIndex]]'s coarse quantizer) AND PQ-encodes it
+    * against a Lloyd-trained codebook ([[buildPqIndex]]'s compression), and
+    * the codes land PARTITIONED BY CELL. A query then combines both
+    * prunings: probe `nProbe` cells (a partition-pruned scan — the
+    * inverted-list analog), ADC-score only those cells' CODES (~nSub bytes
+    * per vector instead of `dim` floats), and exact-re-rank the shortlist.
+    * At 100 TB that is the difference between scanning the corpus and
+    * scanning `nProbe/nCentroids` of a 32×-compressed representation —
+    * neither index alone gives both factors.
+    *
+    * Layout: `<indexDir>/centroids`, `<indexDir>/codebook`,
+    * `<indexDir>/codes` (id, codes, cell=...). Unlike [[buildIvfIndex]]
+    * the raw vectors are NOT duplicated into the index — the exact re-rank
+    * joins the shortlist back to the corpus by id, the production shape
+    * (an index that re-stores 100 TB of floats isn't an index). */
+  def buildIvfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+                      nCentroids: Int, dim: Int, nSub: Int, nCode: Int,
+                      indexDir: String, trainIters: Int = 2): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centRows: Seq[(Long, Seq[Double])] = df
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
+      .limit(nCentroids)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    centRows.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val cb =
+      if (trainIters > 0)
+        pqTrainCodebook(df, vecCol, idCol, dim, nSub, nCode, trainIters)
+      else pqCodebook(df, vecCol, idCol, nCode)
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    pqEncode(assignCells(df, vecCol, centRows), vecCol, idCol,
+      dim, nSub, nCode, Some(cb))
+      .select(col(idCol), col("codes"), col("_cell").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** [[buildIvfPqIndex]] bound to a graft TABLE with a snapshot watermark —
+    * same contract as [[buildIvfIndexForTable]]. */
+  def buildIvfPqIndexForTable(spark: org.apache.spark.sql.SparkSession,
+                              tableDir: String, vecCol: String, idCol: String,
+                              nCentroids: Int, dim: Int, nSub: Int, nCode: Int,
+                              indexDir: String, trainIters: Int = 2): Unit = {
+    val snap = graft.meta.SnapshotLog(tableDir).lastSnapshotId
+    buildIvfPqIndex(graft.read.MorReader.readAt(spark, tableDir, snap),
+      vecCol, idCol, nCentroids, dim, nSub, nCode, indexDir, trainIters)
+    java.nio.file.Files.writeString(watermarkFile(indexDir), snap.toString)
+  }
+
+  /** Incremental IVF-PQ maintenance: the delta rows since the watermark
+    * ([[graft.read.MorReader.appendsBetween]] — new files only) are
+    * assigned against the EXISTING centroids and encoded against the
+    * PERSISTED codebook in one pass, appended to the cell-partitioned
+    * codes, and the watermark advances. O(delta) per refresh; same
+    * staleness/expiry contract as [[refreshIvfIndex]]. */
+  def refreshIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        tableDir: String, vecCol: String, idCol: String,
+                        dim: Int, nSub: Int, indexDir: String): Unit = {
+    val wm = watermarkFile(indexDir)
+    require(java.nio.file.Files.exists(wm),
+      s"$indexDir has no watermark — build with buildIvfPqIndexForTable first")
+    val from = java.nio.file.Files.readString(wm).trim.toLong
+    val st = graft.meta.SnapshotLog(tableDir).load()
+    val to = st.snapshots.lastOption.map(_.id).getOrElse(0L)
+    if (to == from) return
+    require(st.snapshots.exists(_.id == from), // see refreshIvfIndex
+      s"index watermark $from predates the table's retained history " +
+        "(snapshot expiry crossed it) — rebuild with buildIvfPqIndexForTable")
+    val delta = graft.read.MorReader.appendsBetween(spark, tableDir, from, to)
+    val centRows: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$indexDir/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val nCode = cb.head().getSeq[scala.collection.Seq[Double]](0).size
+    pqEncode(assignCells(delta, vecCol, centRows), vecCol, idCol,
+      dim, nSub, nCode, Some(cb))
+      .select(col(idCol), col("codes"), col("_cell").as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$indexDir/codes")
+    java.nio.file.Files.writeString(wm, to.toString)
+  }
+
+  /** Query a [[buildIvfPqIndex]] index: rank centroids against the query
+    * (driver math), partition-prune the codes scan to the `nProbe` nearest
+    * cells, ADC-score those codes, exact-re-rank the `shortlist` best ids
+    * against the corpus `df` (an id equi-join — the only time raw vectors
+    * are touched). `nProbe == nCentroids` + `shortlist` ≥ corpus makes the
+    * result exactly [[topKCosine]] (the oracle-able configuration);
+    * realistic probe/shortlist recall is spec-tested. */
+  def queryIvfPq(df: DataFrame, vecCol: String, idCol: String,
+                 indexDir: String, query: Seq[Double], k: Int,
+                 nProbe: Int, shortlist: Int): DataFrame = {
+    val spark = df.sparkSession
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probed = centRows.sortBy { case (cid, c) => (-cosDriver(c, query), cid) }
+      .take(nProbe).map(_._1).toSeq
+    val cb = loadCodebook(spark, indexDir, query.length)
+    val allCodes = spark.read.parquet(s"$indexDir/codes")
+    val nSub = allCodes.select("codes").head().getSeq[Int](0).size
+    val shortIds = adcShortlist(allCodes.where(col("cell").isin(probed: _*)),
+      cb, nSub, idCol, query, shortlist)
     topKCosine(df.join(shortIds, Seq(idCol)), vecCol, idCol, query, k)
   }
 }

@@ -16,7 +16,71 @@ import graft.schema.GraftSchema
   * present means the column is ALL NULL in the file — rows there can never
   * satisfy a range predicate, so the file is prunable.
   */
-final case class ColMetrics(min: Option[String], max: Option[String], nullCount: Long)
+final case class ColMetrics(min: Option[String], max: Option[String], nullCount: Long,
+                            bloom: Option[String] = None)
+
+/** Manifest-level Bloom filter over one column of one file — the
+  * file-skipping layer BEYOND min/max (Iceberg exposes the same idea as
+  * Parquet bloom filters via `write.parquet.bloom-filter-enabled`; keeping
+  * the bitset on the MANIFEST entry lets the planner test membership with
+  * zero file I/O). 1024 bits / 3 probes: ~1% false positives at 100
+  * distinct values per file, 128 bytes per (file, column) in the log. An
+  * equality read on a high-cardinality column whose values are scattered
+  * across the keyspace — exactly where min/max envelopes degenerate to
+  * "keep everything" — prunes to the files that actually contain the value
+  * (false positives only: pruning stays sound).
+  *
+  * Hashing is ONE `xxhash64` of the value's canonical string (Spark's
+  * expression on the write side, [[hashString]] — the same algorithm — at
+  * plan time), fanned to [[NumHash]] probe positions by Kirsch–Mitzenmacher
+  * double hashing, so writer and reader can never disagree. */
+object BloomFilter {
+  val NumBits = 1024
+  val NumLanes: Int = NumBits / 64
+  val NumHash = 3
+  /** Spark's `xxhash64(...)` default seed — parity with the expression. */
+  val Seed = 42L
+
+  /** Driver-side xxhash64 of the canonical string, bit-identical to the
+    * write side's `xxhash64(cast(col as string))`. */
+  def hashString(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, Seed)
+
+  /** The probe bit positions for a hash (Kirsch–Mitzenmacher: `h1 + j*h2`
+    * with overflow wrap — Java arithmetic on both sides). */
+  def positions(h: Long): Seq[Int] = {
+    val h2 = (h >>> 33) | 1L
+    (0 until NumHash).map(j => java.lang.Math.floorMod(h + j * h2, NumBits.toLong).toInt)
+  }
+
+  def render(lanes: Array[Long]): String = {
+    require(lanes.length == NumLanes, s"want $NumLanes lanes, got ${lanes.length}")
+    val bb = java.nio.ByteBuffer.allocate(NumLanes * 8)
+    lanes.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** May the file contain `value`? (false ⇒ definitely absent — prunable) */
+  def mightContain(b64: String, value: String): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    val lanes = Array.fill(NumLanes)(bb.getLong)
+    positions(hashString(value)).forall { p =>
+      (lanes(p / 64) & (1L << (p % 64))) != 0L
+    }
+  }
+
+  /** Only types whose plan-time canonical string equals Spark's
+    * cast-to-string rendering carry blooms (equality probes hash the
+    * caller's string: a rendering mismatch would be unsound). */
+  def supported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+}
 
 /** A data file registered in a snapshot (analog of an Iceberg manifest
   * entry, reference `IcebergTableGenerator.java:417-422`). `recordCount` is
@@ -369,6 +433,7 @@ final class SnapshotLog(tableDir: Path) {
         val e = m.putObject(fid.toString)
         cm.min.foreach(e.put("min", _)); cm.max.foreach(e.put("max", _))
         e.put("nulls", cm.nullCount)
+        cm.bloom.foreach(e.put("bloom", _))
       }
     }
 
@@ -378,7 +443,8 @@ final class SnapshotLog(tableDir: Path) {
         val v = e.getValue
         e.getKey.toInt -> ColMetrics(
           Option(v.get("min")).map(_.asText), Option(v.get("max")).map(_.asText),
-          Option(v.get("nulls")).map(_.asLong).getOrElse(0L))
+          Option(v.get("nulls")).map(_.asLong).getOrElse(0L),
+          Option(v.get("bloom")).map(_.asText))
       }.toMap
     }.getOrElse(Map.empty[Int, ColMetrics])
 

@@ -108,6 +108,28 @@ object ExtQueries {
     })
   }
 
+  /** IVF-PQ composed index built once per sf dir (same lifecycle discipline
+    * and mtime invalidation as [[ivfIndex]]). */
+  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndex(s: SparkSession, d: String): String = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      else 0L
+    ivfPqIndexes.computeIfAbsent(s"$d@$stamp", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))))
+      Similarity.buildIvfPqIndex(embs(s, d), "embedding", "vec_id",
+        nCentroids = 16, dim = 64, nSub = 8, nCode = 16, indexDir = dir.toString)
+      dir.toString
+    })
+  }
+
   private def probeNorm(s: SparkSession, d: String): String =
     docs(s, d).where(col("doc_id") === 0).head().getString(1)
       .toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
@@ -222,6 +244,25 @@ object ExtQueries {
     "sim_topk_pq_rerank" -> ((s, d) => {
       Similarity.queryPqRerank(embs(s, d), "embedding", "vec_id",
         pqIndex(s, d), queryVec(s, d), 10, shortlist = Int.MaxValue)
+    }),
+
+    // composed IVF-PQ (cell-partition pruning × code compression — the
+    // FAISS IVFPQ shape) at realistic probes/shortlist: recall is
+    // configuration-dependent, so rows-only; exactness under the exact
+    // config is the _full sibling + spec
+    "sim_topk_ivfpq" -> ((s, d) => {
+      Similarity.queryIvfPq(embs(s, d), "embedding", "vec_id",
+        ivfPqIndex(s, d), queryVec(s, d), 10, nProbe = 8, shortlist = 100)
+    }),
+
+    // every cell probed + corpus-wide shortlist ⇒ exact, brute-force
+    // oracle — proves the composed pipeline (coarse assignment, trained
+    // codebook, cell-partitioned codes, ADC, re-rank join) under the
+    // DuckDB hash-compare
+    "sim_topk_ivfpq_full" -> ((s, d) => {
+      Similarity.queryIvfPq(embs(s, d), "embedding", "vec_id",
+        ivfPqIndex(s, d), queryVec(s, d), 10, nProbe = 16,
+        shortlist = Int.MaxValue)
     }),
 
     // PII redaction: every 10th doc gets a planted email + phone appended;
@@ -644,6 +685,10 @@ object ExtQueries {
 
     // PQ re-rank with a corpus-wide shortlist is exact ⇒ brute-force oracle
     "sim_topk_pq_rerank" -> bruteTopkSql,
+
+    // IVF-PQ with every cell probed + corpus-wide shortlist is exact ⇒
+    // brute-force oracle
+    "sim_topk_ivfpq_full" -> bruteTopkSql,
 
     // PQ codes: same hash-seeded codebook sample (QUALIFY row_number ≤ 16
     // over the h60 order), argmin via min_by with (distance, code) —

@@ -65,6 +65,28 @@ object MorQueries {
         .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
       g.tableDir.toString
     })
+
+  /** 8 files whose token column spans [aaa, zzz] in EVERY file (sentinel
+    * first/last rows) with one distinct key token per file — min/max
+    * envelopes prune nothing; the manifest Bloom filter
+    * ([[graft.table.GraftTableGenerator.withBloomFilters]]) is what lets
+    * an equality read open one file (spec-gated). */
+  private def bloomTable(spark: SparkSession): String =
+    built.computeIfAbsent("bloom_prune", _ => {
+      import org.apache.spark.sql.types._
+      val g = new graft.table.GraftTableGenerator(spark, wh, "toks_bloom")
+      g.create(graft.schema.GraftSchema.of(
+          "id" -> LongType, "tok" -> StringType), Nil)
+        .withBloomFilters("tok")
+      (0 until 8).foreach { i =>
+        g.appendData(spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+          .withColumn("tok",
+            when(col("id") % 100 === 0, lit("aaa"))
+              .when(col("id") % 100 === 99, lit("zzz"))
+              .otherwise(concat(lit("key_"), lit(i))))).commit()
+      }
+      g.tableDir.toString
+    })
   /** S10 rebuilt under another name, then history expired down to the last
     * 2 snapshots — the retained window is rebased onto one baseline
     * snapshot, orphaned files are deleted, and the live rows must stay
@@ -342,6 +364,17 @@ object MorQueries {
           min(col("order_id")).as("min_id"), max(col("order_id")).as("max_id"))
     }),
 
+    // manifest-bloom equality pruning: every file's [min, max] spans the
+    // whole token space, so only the per-file bloom bitsets let the
+    // planner open 1 of 8 files (spec-gated); values beyond pruning match
+    // DuckDB's full-scan filter
+    "metrics_prune_bloom" -> ((s, _) => {
+      MorReader.readRange(s, bloomTable(s),
+          Map("tok" -> MorReader.ColRange(Some("key_3"), Some("key_3"))))
+        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    }),
+
     // sorted compaction: disjoint per-file color ranges ⇒ the range read
     // opens 2 of 5 rewritten files (spec-gated) and the eq-delete wave is
     // already merged into the rewrite
@@ -567,6 +600,14 @@ object MorQueries {
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))
         |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    // tok = 'key_3' holds exactly ids 301..398 (300/399 are the aaa/zzz
+    // sentinels of file 3)
+    "metrics_prune_bloom" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM (SELECT range AS id FROM range(300, 400))
+        |WHERE id % 100 <> 0 AND id % 100 <> 99""".stripMargin,
 
     "mor_schema_rename" ->
       """SELECT CAST(2019 + (id // 100) AS INTEGER) AS order_year,

@@ -272,18 +272,31 @@ object MorReader {
 
   /** May any row of file `f` satisfy every range? Missing stats keep the
     * file (never unsound); present stats with no min/max mean the column is
-    * ALL NULL in the file, and null never satisfies a range predicate. */
+    * ALL NULL in the file, and null never satisfies a range predicate.
+    * An EQUALITY range (`lo == hi`) additionally probes the entry's
+    * manifest-level Bloom filter when one was written
+    * ([[graft.table.GraftTableGenerator.withBloomFilters]]): a definite
+    * miss prunes the file even when its min/max envelope overlaps — the
+    * scattered-high-cardinality case where range stats keep everything.
+    * False positives only, so pruning stays sound; files without a bloom
+    * fall back to the envelope test. */
   private def matchesRanges(f: DataFileEntry, live: GraftSchema,
                             ranges: Map[String, ColRange]): Boolean =
     ranges.forall { case (k, r) =>
       live.fields.find(_.name == k).forall { field =>
         f.metrics.get(field.id).forall { m =>
-          (m.min, m.max) match {
+          val envelope = (m.min, m.max) match {
             case (Some(mn), Some(mx)) =>
               r.lo.forall(lo => cmpMetric(field.dataType, mx, lo).forall(_ >= 0)) &&
                 r.hi.forall(hi => cmpMetric(field.dataType, mn, hi).forall(_ <= 0))
             case _ => false
           }
+          val bloomPass = (r.lo, r.hi, m.bloom) match {
+            case (Some(lo), Some(hi), Some(b)) if lo == hi =>
+              graft.meta.BloomFilter.mightContain(b, lo)
+            case _ => true
+          }
+          envelope && bloomPass
         }
       }
     }

@@ -67,6 +67,24 @@ final class GraftTableGenerator(
 
   private var created = false
 
+  // columns whose per-file metrics carry a manifest-level Bloom filter
+  // ([[graft.meta.BloomFilter]]); writer-local config — the bitsets land
+  // on the file entries themselves, so readers need no setting
+  private var bloomCols: Set[String] = Set.empty
+
+  /** Enable manifest-level Bloom filters for `cols` on every data file
+    * written from now on (the Iceberg `write.parquet.bloom-filter-enabled
+    * .column.<col>` analog, kept on the MANIFEST entry so the planner
+    * tests membership with zero file I/O). Equality reads
+    * ([[graft.read.MorReader.readRange]] with `lo == hi`) then skip files
+    * that provably lack the value even when min/max envelopes overlap —
+    * the high-cardinality-scattered-values case where range stats prune
+    * nothing. Unsupported column types ([[graft.meta.BloomFilter
+    * .supported]]) are ignored. */
+  def withBloomFilters(cols: String*): this.type = {
+    bloomCols ++= cols; this
+  }
+
   /** Constructing a generator over an EXISTING table and staging without
     * `create()` would silently reuse snapshot id 1 and restart row ids at 0,
     * corrupting history — fail fast instead (reopen is not a reference
@@ -874,20 +892,51 @@ final class GraftTableGenerator(
     schema.fields.take(GraftTableGenerator.MetricsMaxCols)
       .filter(f => GraftTableGenerator.metricsSupported(f.dataType))
 
+  private def bloomFields(fields: Seq[GraftField]): Seq[GraftField] =
+    fields.filter(f => bloomCols(f.name) && graft.meta.BloomFilter.supported(f.dataType))
+
+  /** 16 `bit_or` lanes accumulating the [[graft.meta.BloomFilter]] bitset
+    * for one column: per row, ONE `xxhash64` of the canonical string fans
+    * to 3 probe positions (Kirsch–Mitzenmacher `h + j*((h >>> 33) | 1)`,
+    * Java overflow wrap on both write and plan side) and each lane ORs in
+    * the bits that fall in its 64-bit window. Pure codegen'd expressions
+    * inside the same single-pass stats agg as min/max — no extra scan. */
+  private def bloomLaneAggs(f: GraftField): Seq[Column] = {
+    val nb = graft.meta.BloomFilter.NumBits
+    val h = s"xxhash64(cast(`${f.name}` as string))"
+    val h2 = s"(shiftrightunsigned($h, 33) | 1L)"
+    (0 until graft.meta.BloomFilter.NumLanes).map { l =>
+      val terms = (0 until graft.meta.BloomFilter.NumHash).map { j =>
+        val pos = s"pmod($h + ${j}L * $h2, ${nb}L)"
+        s"if(($pos div 64) = $l, shiftleft(1L, cast($pos % 64 as int)), 0L)"
+      }
+      coalesce(expr(s"bit_or(if(`${f.name}` is null, 0L, ${terms.mkString(" | ")}))"),
+        lit(0L)).as(s"_bf_${f.id}_$l")
+    }
+  }
+
   private def metricAggs(fields: Seq[GraftField]): Seq[Column] =
     fields.flatMap(f => Seq(
       min(col(f.name)).cast("string").as(s"_mn_${f.id}"),
       max(col(f.name)).cast("string").as(s"_mx_${f.id}"),
       coalesce(sum(when(col(f.name).isNull, 1L).otherwise(0L)), lit(0L))
-        .as(s"_nc_${f.id}")))
+        .as(s"_nc_${f.id}"))) ++
+      bloomFields(fields).flatMap(bloomLaneAggs)
 
-  private def rowToMetrics(fields: Seq[GraftField], r: Row): Map[Int, ColMetrics] =
+  private def rowToMetrics(fields: Seq[GraftField], r: Row): Map[Int, ColMetrics] = {
+    val withBloom = bloomFields(fields).map(_.id).toSet
     fields.map { f =>
       f.id -> ColMetrics(
         Option(r.getAs[String](s"_mn_${f.id}")),
         Option(r.getAs[String](s"_mx_${f.id}")),
-        r.getAs[Long](s"_nc_${f.id}"))
+        r.getAs[Long](s"_nc_${f.id}"),
+        bloom =
+          if (!withBloom(f.id)) None
+          else Some(graft.meta.BloomFilter.render(
+            Array.tabulate(graft.meta.BloomFilter.NumLanes)(l =>
+              r.getAs[Long](s"_bf_${f.id}_$l")))))
     }.toMap
+  }
 
   /** Min/max/null-count of the file JUST written — one tiny job re-reading
     * the single file (stats come from actual content, never declared

@@ -331,6 +331,82 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/codes").count() == 500)
   }
 
+  test("IVF-PQ: exact config equals brute force; probed query prunes cell partitions and has recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    Similarity.buildIvfPqIndex(embs, "embedding", "vec_id",
+      nCentroids = 16, dim = 64, nSub = 8, nCode = 16, indexDir = dir)
+    val q = embs.where(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
+    val brute = Similarity.topKCosine(embs, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // every cell probed + corpus-wide shortlist ⇒ identical rows
+    val exact = Similarity.queryIvfPq(embs, "embedding", "vec_id", dir,
+      q, 10, nProbe = 16, shortlist = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(exact.toSeq == brute.toSeq)
+
+    // realistic config: half the cells probed, 100-id shortlist — the
+    // query vector itself sits in a probed cell by construction and the
+    // result keeps useful overlap with exact brute force
+    val probedDf = Similarity.queryIvfPq(embs, "embedding", "vec_id", dir,
+      q, 10, nProbe = 8, shortlist = 100)
+    val probed = probedDf.collect().map(_.getLong(0)).toSet
+    assert(probed.contains(0L), "query vector must be found in its own cell")
+    assert(probed.intersect(brute.map(_._1).toSet).size >= 4,
+      s"IVF-PQ recall too low: ${probed.intersect(brute.map(_._1).toSet).size}/10")
+
+    // the codes scan is partition-pruned to the probed cells: fewer codes
+    // files than the full cell-partitioned table (file-level numFiles
+    // metric of the executed scans under the index dir)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val codesAll = spark.read.parquet(s"$dir/codes").inputFiles.length
+    val codesScanned = scans(probedDf.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq-idx")))
+      .map(_.metrics("numFiles").value).sum
+    assert(codesScanned > 0 && codesScanned < codesAll,
+      s"no cell pruning: $codesScanned of $codesAll codes files scanned")
+  }
+
+  test("IVF-PQ incremental refresh: delta-only assign+encode against persisted centroids and codebook") {
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("ivfpq-refresh-wh").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "emb_ivfpq_tbl")
+    g.create(graft.schema.GraftSchema.of(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType)), Nil)
+    g.appendData(embs.where(col("vec_id") < 400).select("vec_id", "embedding")).commit()
+    val tdir = g.tableDir.toString
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-refresh-idx").toString
+    Similarity.buildIvfPqIndexForTable(spark, tdir, "embedding", "vec_id",
+      nCentroids = 16, dim = 64, nSub = 8, nCode = 16, indexDir = idx)
+    assert(spark.read.parquet(s"$idx/codes").count() == 400)
+    g.appendData(embs.where(col("vec_id") >= 400 && col("vec_id") < 500)
+      .select("vec_id", "embedding")).commit()
+    Similarity.refreshIvfPqIndex(spark, tdir, "embedding", "vec_id", 64, 8, idx)
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == 500)
+    assert(codes.select("vec_id").distinct().count() == 500) // nothing re-indexed
+    // exact config over the refreshed index == brute force over the LIVE
+    // table; the post-build vector's own direction ranks it first
+    val q = embs.where(col("vec_id") === 450).head().getSeq[Float](1).map(_.toDouble)
+    val exact = Similarity.queryIvfPq(g.read, "embedding", "vec_id", idx,
+      q, 10, nProbe = 16, shortlist = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topKCosine(g.read, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == brute)
+    assert(exact.head == 450L)
+    // watermark caught up — a second refresh is a no-op
+    Similarity.refreshIvfPqIndex(spark, tdir, "embedding", "vec_id", 64, 8, idx)
+    assert(spark.read.parquet(s"$idx/codes").count() == 500)
+  }
+
   test("ingest loop: batches + compaction + expiry with incremental IVF refresh; expiry past the watermark refuses") {
     import org.apache.spark.sql.types._
     val wh = java.nio.file.Files.createTempDirectory("ivf-loop-wh").toString

@@ -348,6 +348,50 @@ class GraftTableSpec extends SparkSpec {
     assert(ins.toSeq == (100 until 150))
   }
 
+  test("manifest bloom filters: equality read prunes files min/max cannot; sound on misses and ranges") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, wh, "bloom_demo")
+    g.create(graft.schema.GraftSchema.of("id" -> LongType, "tok" -> StringType), Nil)
+      .withBloomFilters("tok")
+    // 8 files; every file spans [aaa, zzz] lexically (sentinel first/last
+    // rows) but holds ONE distinct key token — the scattered-values shape
+    // where min/max envelopes keep everything
+    (0 until 8).foreach { i =>
+      val df = spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("tok",
+          when(col("id") % 100 === 0, lit("aaa"))
+            .when(col("id") % 100 === 99, lit("zzz"))
+            .otherwise(concat(lit("key_"), lit(i))))
+      g.appendData(df).commit()
+    }
+    // blooms round-trip through the JSON log (fresh load)
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    val tokId = st.schema.fieldId("tok")
+    assert(st.dataFiles.size == 8)
+    assert(st.dataFiles.forall(f => f.metrics(tokId).min.contains("aaa") &&
+      f.metrics(tokId).max.contains("zzz")))
+    assert(st.dataFiles.forall(_.metrics(tokId).bloom.isDefined))
+    // equality read: the envelope test keeps all 8, the bloom prunes to
+    // exactly the one file that contains the token — and the rows match
+    val eq = MorReader.readRange(spark, g.tableDir.toString,
+      Map("tok" -> MorReader.ColRange(Some("key_3"), Some("key_3"))))
+    assert(eq.inputFiles.length == 1, eq.inputFiles.mkString(","))
+    assert(eq.count() == 98)
+    assert(eq.agg(sum(col("id"))).head().getLong(0) == (301L to 398L).sum)
+    // a value no file contains prunes everything — still a sound 0 rows
+    val none = MorReader.readRange(spark, g.tableDir.toString,
+      Map("tok" -> MorReader.ColRange(Some("key_nope"), Some("key_nope"))))
+    assert(none.count() == 0)
+    // a genuine RANGE (lo != hi) never consults the bloom — all files kept
+    // by the overlapping envelopes, rows filtered row-level
+    val range = MorReader.readRange(spark, g.tableDir.toString,
+      Map("tok" -> MorReader.ColRange(Some("key_2"), Some("key_4"))))
+    assert(range.inputFiles.length == 8)
+    assert(range.count() == 3 * 98)
+    // the long column got no bloom (not requested) — min/max pruning only
+    assert(st.dataFiles.forall(_.metrics(st.schema.fieldId("id")).bloom.isEmpty))
+  }
+
   test("readRange with an unbounded ColRange is a full read, not a crash") {
     val g = new GraftTableGenerator(spark, wh, "unbounded_range")
     g.create(Scenarios.OrdersSchema, Nil)
