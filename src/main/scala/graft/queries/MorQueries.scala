@@ -87,6 +87,53 @@ object MorQueries {
       }
       g.tableDir.toString
     })
+  /** Conditional-MERGE scenario: base ids 0..399 (val = 2·id), source ids
+    * 300..499 (val = 3·id) with an `op` action column. deleteWhen kills
+    * id%10==0 matches, updateWhen skips id%7==0 matches (those target rows
+    * must survive UNTOUCHED — the behavior [[graft.table
+    * .GraftTableGenerator.upsert]] can't express), insertWhen filters the
+    * unmatched `op = "D"` rows. */
+  private def mergeTable(spark: SparkSession): String =
+    built.computeIfAbsent("merge_demo", _ => {
+      import org.apache.spark.sql.types._
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_merge")
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "val" -> LongType), Nil)
+      g.appendData(spark.range(0, 400).toDF("id")
+        .withColumn("val", col("id") * 2)).commit()
+      val src = spark.range(300, 500).toDF("id")
+        .withColumn("val", col("id") * 3)
+        .withColumn("op", when(col("id") % 10 === 0, lit("D")).otherwise(lit("U")))
+      g.mergeInto(src, Seq("id"),
+        updateWhen = col("id") % 7 =!= 0,
+        deleteWhen = col("op") === "D",
+        insertWhen = col("op") =!= "D").commit()
+      g.tableDir.toString
+    })
+
+  /** Three pos-delete waves × 2 partitions (6 tombstone files, with an
+    * interleaved append and duplicate tombstones), then
+    * [[graft.table.GraftTableGenerator.compactPositionDeletes]] — the MoR
+    * read over the CONSOLIDATED tombstones must equal the arithmetic
+    * final state. */
+  private def posDelCompactTable(spark: SparkSession): String =
+    built.computeIfAbsent("posdel_compact_q", _ => {
+      import org.apache.spark.sql.types._
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_posdel_compact")
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "part" -> StringType), Seq("part"))
+      g.appendData(spark.range(0, 200).toDF("id")
+        .withColumn("part", when(col("id") < 100, lit("a")).otherwise(lit("b"))))
+        .commit()
+      g.positionalDelete(col("id") % 10 === 0).commit()
+      g.positionalDelete(col("id") % 10 === 1).commit()
+      g.appendData(spark.range(200, 202).toDF("id")
+        .withColumn("part", lit("a"))).commit()
+      g.positionalDelete(col("id") % 10 === 0).commit()
+      g.compactPositionDeletes().commit()
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then history expired down to the last
     * 2 snapshots — the retained window is rebased onto one baseline
     * snapshot, orphaned files are deleted, and the live rows must stay
@@ -375,6 +422,21 @@ object MorQueries {
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     }),
 
+    // conditional MERGE: delete/update/insert actions decided per row by
+    // Columns over source AND matched-target (_t_) values; matched rows
+    // hit by neither action survive untouched — DuckDB reproduces the
+    // final state arithmetically
+    "mor_merge" -> ((s, _) =>
+      MorReader.read(s, mergeTable(s)).select(col("id"), col("val"))),
+
+    // consolidated position deletes: 6 tombstone files → 1 per partition
+    // at the group-max seq; duplicate tombstones deduped; the wave-3
+    // delete saw the interleaved append (id 200 dies, 201 lives)
+    "mor_posdelete_compact" -> ((s, _) =>
+      MorReader.read(s, posDelCompactTable(s))
+        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))),
+
     // sorted compaction: disjoint per-file color ranges ⇒ the range read
     // opens 2 of 5 rewritten files (spec-gated) and the eq-delete wave is
     // already merged into the rewrite
@@ -600,6 +662,30 @@ object MorQueries {
         |       CAST(MIN(id) AS INTEGER) AS min_id, CAST(MAX(id) AS INTEGER) AS max_id
         |FROM (SELECT range AS id FROM range(250, 450))
         |WHERE NOT (id % 10 = 7)""".stripMargin,
+
+    // survivors: 0..299 untouched (2·id); matched 300..399 minus the
+    // id%10==0 deletes, val 2·id where the update was skipped (id%7==0)
+    // else 3·id; unmatched 400..499 insert only when op<>'D' (id%10<>0)
+    "mor_merge" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id, range * 2 AS val FROM range(0, 300)
+        |  UNION ALL
+        |  SELECT range, CASE WHEN range % 7 = 0 THEN range * 2
+        |                     ELSE range * 3 END
+        |  FROM range(300, 400) WHERE range % 10 <> 0
+        |  UNION ALL
+        |  SELECT range, range * 3 FROM range(400, 500) WHERE range % 10 <> 0
+        |)""".stripMargin,
+
+    // live = ids 0..199 with id%10 ∉ {0,1}, plus 201 (appended after the
+    // %10=1 wave; the later %10=0 wave killed 200)
+    "mor_posdelete_compact" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT range AS id FROM range(0, 200) WHERE range % 10 NOT IN (0, 1)
+        |  UNION ALL SELECT 201
+        |)""".stripMargin,
 
     // tok = 'key_3' holds exactly ids 301..398 (300/399 are the aaa/zzz
     // sentinels of file 3)

@@ -52,6 +52,12 @@ object MorReader {
     * (specs read the delta around one scan to pin the pruning invariant). */
   private[graft] val deleteFilesPlanned = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Data files that SURVIVED plan-time pruning (partition + stats +
+    * bloom), cumulative — the data-side sibling of [[deleteFilesPlanned]],
+    * used to gate e.g. [[graft.table.GraftTableGenerator.mergeInto]]'s
+    * source-envelope target pruning. */
+  private[graft] val dataFilesPlanned = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Inclusive bounds (equality when `lo == hi`) over one column, rendered
     * as canonical strings — the same representation [[graft.meta.ColMetrics]]
     * stores, so file pruning compares without opening anything. */
@@ -306,6 +312,7 @@ object MorReader {
                               ranges: Map[String, ColRange] = Map.empty): DataFrame = {
     val dataFiles = st.dataFiles.filter(f =>
       matchesPartition(f.partition, partitionFilter) && matchesRanges(f, live, ranges))
+    dataFilesPlanned.addAndGet(dataFiles.size)
     if (dataFiles.isEmpty) {
       val struct = StructType(live.struct.fields ++ Seq(
         StructField(FilePathCol, StringType), StructField(PosCol, LongType),

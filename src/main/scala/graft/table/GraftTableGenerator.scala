@@ -437,6 +437,108 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Full conditional MERGE (the SQL `MERGE INTO` shape) composed from the
+    * same MoR primitives as [[upsert]]. Source rows join the CURRENT merged
+    * table state on `keyCols`; per source row,
+    *   - matched and `deleteWhen`   → the target row dies (equality delete),
+    *   - matched and `updateWhen`   → the target row dies and the source
+    *     row is inserted (update-as-delete+insert),
+    *   - matched, neither condition → the target row is left UNTOUCHED
+    *     (unlike [[upsert]], which always replaces),
+    *   - unmatched and `insertWhen` → the source row is inserted.
+    * Conditions are `Column`s over the source row's columns (schema columns
+    * plus any extra columns the source carries, e.g. an `op` action column)
+    * and the matched target row's columns prefixed `_t_` — so
+    * `col("ver") > col("_t_ver")` reads "update only if newer". A condition
+    * that evaluates NULL (e.g. one referencing `_t_` columns on an
+    * unmatched row) counts as false, per SQL. Defaults make
+    * `mergeInto(src, keys)` behave exactly like `upsert(src, keys)`.
+    *
+    * Cost shape at scale: the target read is FILE-PRUNED to the source's
+    * key envelope — per key column, min/max over the source (one tiny
+    * aggregate job) becomes a [[MorReader.readRange]] range, so merging a
+    * batch into a key-sorted/clustered 100 TB table opens only the files
+    * whose stats (min/max, and the manifest Bloom filter when the batch is
+    * a single key value) can intersect; files outside the envelope hold
+    * only unmatched target rows, which a merge never touches, so pruning is
+    * sound. Then ONE shuffle join of source against that pruned state (AQE
+    * broadcasts a small source), one equality-delete file holding only the
+    * AFFECTED keys (global partition scope — same cross-partition-move
+    * reasoning as [[upsert]]), and an O(inserted) append. No data file is
+    * rewritten; all join/filter work is executor-side (the joined frame is
+    * O(source) rows and is localCheckpoint-ed so classification runs the
+    * join once).
+    *
+    * Cardinality rule (SQL MERGE): a target row matched by MORE THAN ONE
+    * source row would make the outcome join-order-dependent, so duplicate
+    * matched source keys are rejected. Duplicate UNMATCHED keys are
+    * allowed and all insert, as in SQL.
+    */
+  def mergeInto(source: DataFrame, keyCols: Seq[String],
+                updateWhen: Column = lit(true),
+                deleteWhen: Column = lit(false),
+                insertWhen: Column = lit(true)): this.type = {
+    requireCreated("mergeInto")
+    keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    schema.names.foreach(n => require(source.columns.contains(n),
+      s"mergeInto source must carry every schema column; missing $n"))
+    source.columns.foreach(c => require(!c.startsWith("_t_") && !c.startsWith("_dk"),
+      s"source column $c collides with mergeInto's reserved _t_/_dk prefixes"))
+
+    // file-pruned target read: only files whose stats can hold a source key
+    val ranges: Map[String, MorReader.ColRange] = {
+      val aggs = keyCols.flatMap(k => Seq(
+        min(col(k)).cast("string").as(s"_lo_$k"),
+        max(col(k)).cast("string").as(s"_hi_$k")))
+      val r = source.agg(aggs.head, aggs.tail: _*).head()
+      keyCols.flatMap { k =>
+        val lo = Option(r.getAs[String](s"_lo_$k"))
+        val hi = Option(r.getAs[String](s"_hi_$k"))
+        if (lo.isEmpty && hi.isEmpty) None // all-null keys match nothing
+        else Some(k -> MorReader.ColRange(lo, hi))
+      }.toMap
+    }
+    val tgt = MorReader.readRange(spark, tableDir.toString, ranges)
+      .select(schema.names.map(n => col(n).as(s"_t_$n")) :+ lit(true).as("_t_matched"): _*)
+
+    val joined = source.join(tgt,
+      keyCols.map(k => col(k) === col(s"_t_$k")).reduce(_ && _), "left_outer")
+    val matched = col("_t_matched").isNotNull
+    val doDel = matched && coalesce(deleteWhen, lit(false))
+    val doUpd = matched && !coalesce(deleteWhen, lit(false)) &&
+      coalesce(updateWhen, lit(false))
+    val doIns = !matched && coalesce(insertWhen, lit(false))
+    val canonicalKeys = keyCols.map(k => col(k).as(s"_dk${schema.fieldId(k)}"))
+    val classified = joined.select(
+      schema.names.map(col) ++ canonicalKeys ++ Seq(
+        doDel.as("_do_del"), doUpd.as("_do_upd"), doIns.as("_do_ins"),
+        (matched && count(lit(1)).over(
+          Window.partitionBy(keyCols.map(col): _*)) > 1).as("_dup")): _*)
+      .localCheckpoint() // ONE join execution feeds delete file + appends
+
+    require(classified.where(col("_dup")).isEmpty,
+      s"mergeInto: more than one source row matches a target row on " +
+        s"(${keyCols.mkString(", ")}) — SQL MERGE cardinality violation")
+
+    val affected = classified.where(col("_do_del") || col("_do_upd"))
+      .select(schema.names.map(col) ++ keyCols.map(k =>
+        col(s"_dk${schema.fieldId(k)}")): _*)
+    if (!affected.isEmpty) {
+      val delSeq = nextOpSeq()
+      val target = deleteFileTarget("eqdelete", Map.empty)
+      writeSingleFile(affected, target)
+      stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "eq", keyCols,
+        keyCols.map(schema.fieldId), delSeq,
+        keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"),
+        metrics = deleteColMetrics(target,
+          keyCols.map(k => schema.fieldId(k) -> s"_dk${schema.fieldId(k)}")))
+    }
+    val inserts = classified.where(col("_do_upd") || col("_do_ins"))
+      .select(schema.names.map(col): _*)
+    if (!inserts.isEmpty) appendSlices(partitionSlices(inserts))
+    this
+  }
+
   // ---- evolution (reference `IcebergTableGenerator.java:94-101`, `Main.java:440-443`) ----
 
   /** Partition-spec evolution: later appends use the new spec; existing
@@ -533,6 +635,57 @@ final class GraftTableGenerator(
     if (partitionCols.isEmpty) compact(None)
     else compact(Some(frag.flatMap(_.get(partitionCols.head))))
     frag
+  }
+
+  /** Consolidate accumulated POSITION-delete files (the Iceberg
+    * `rewrite_position_delete_files` maintenance action): per partition
+    * scope, every group of ≥2 surviving pos-delete files is read once
+    * (plain (file_path, pos) schema — robust across schema epochs, and the
+    * only columns the scan path consults), deduped on (file_path, pos),
+    * re-sorted, and rewritten as ONE delete file; the old files are
+    * removed in the same rewrite snapshot. After thousands of delete waves
+    * a 100 TB table's scan plans carry thousands of tiny tombstone files —
+    * this collapses them to one per partition, dedupes repeated
+    * tombstones, and tightens the per-file referenced-path bounds the
+    * delete-file pruner uses.
+    *
+    * Sequence-number soundness: the consolidated file commits at the
+    * group's MAX seq. A positional tombstone names a physical row
+    * (path, pos), and a tombstone only references paths inside its own
+    * partition scope; any rewrite that removes a data file removes that
+    * partition's delete files in the same snapshot, so no surviving
+    * tombstone can reference a path whose name was freed and re-used by a
+    * LATER (higher-seq) data file. Hence raising an older tombstone's seq
+    * to the group max cannot widen its kill window — `_d_seq >= row seq`
+    * matches exactly the rows it matched before. (Equality deletes have no
+    * such rewrite: their kill window [0, seq) is semantic, so merging
+    * different-seq eq files would resurrect or re-kill interleaved
+    * appends — they are deliberately left alone.) */
+  def compactPositionDeletes(): this.type = {
+    requireCreated("compactPositionDeletes()")
+    nextOpSeq(rewrite = true) // rewrite-transaction guard + operation stamp
+    val st = log.load()
+    val groups = st.deleteFiles.filter(_.kind == "pos")
+      .groupBy(_.partition).toSeq
+      .filter(_._2.size >= 2)
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    for ((partition, fs) <- groups) {
+      val tombstones = spark.read
+        .schema(StructType(Seq(StructField("file_path", StringType),
+          StructField("pos", LongType))))
+        .parquet(fs.map(_.path): _*)
+        .dropDuplicates("file_path", "pos")
+      val target = deleteFileTarget("delete", partition)
+      writeSingleFile(
+        tombstones.repartition(1).sortWithinPartitions("file_path", "pos"),
+        target)
+      stagedDeletes :+= DeleteFileEntry(target.toString, partition, "pos",
+        Nil, Nil, fs.map(_.seq).max,
+        metrics = deleteColMetrics(target,
+          Seq(DeleteFileEntry.PathFieldId -> "file_path")))
+      stagedRemovedDeletes ++= fs.map(_.path)
+    }
+    this
   }
 
   /** Sorted compaction (the Iceberg `rewrite_data_files` with a sort
@@ -683,6 +836,43 @@ final class GraftTableGenerator(
     log.rewrite(baseline +: tail)
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
     this
+  }
+
+  /** Physical GC of files NO retained snapshot references (the Iceberg
+    * `remove_orphan_files` action): walks `data/`, subtracts every path
+    * any retained snapshot still references (time travel included) plus
+    * this writer's staged-but-uncommitted files, and deletes the rest —
+    * abandoned transactions' leftovers (the reference's S6 abandons a
+    * 10k×10k delete file on disk) and crashed writers' partial output.
+    * [[expireSnapshots]] only removes files its own horizon orphans; it
+    * never looks at the directory, so genuine strays otherwise live
+    * forever — at 100 TB, paying storage for data no query can reach.
+    *
+    * `graceMs` protects CONCURRENT writers mid-stage (their files are on
+    * disk but in no log yet): only files whose mtime predates
+    * `clock() - graceMs` are eligible. Run with a grace comfortably above
+    * the longest stage-to-commit window (Iceberg's action defaults to 3
+    * days). Purely physical — no snapshot is written and reads before and
+    * after are identical. Returns the deleted paths. */
+  def removeOrphanFiles(graceMs: Long = 0L): Seq[String] = {
+    requireCreated("removeOrphanFiles()")
+    val st = log.load()
+    val referenced = (st.snapshots.flatMap(s =>
+      s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)) ++
+      stagedData.map(_.path) ++ stagedDeletes.map(_.path)).toSet
+    val cutoff = clock() - graceMs
+    val orphans = scala.collection.mutable.ArrayBuffer[Path]()
+    if (Files.exists(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try walk.forEach { p =>
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+            && !referenced(p.toString)
+            && Files.getLastModifiedTime(p).toMillis <= cutoff)
+          orphans += p
+      } finally walk.close()
+    }
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.map(_.toString).toSeq
   }
 
   /** Roll the table back to a committed snapshot (the Iceberg

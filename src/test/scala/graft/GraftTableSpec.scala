@@ -392,6 +392,131 @@ class GraftTableSpec extends SparkSpec {
     assert(st.dataFiles.forall(_.metrics(st.schema.fieldId("id")).bloom.isEmpty))
   }
 
+  test("mergeInto: conditional delete/update/insert; matched-no-action rows untouched; cross-partition moves; cardinality guard") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val g = new GraftTableGenerator(spark, wh, "merge_cond")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "part" -> StringType, "ver" -> LongType,
+      "val" -> StringType), Seq("part"))
+    g.appendData(Seq(
+      (1L, "a", 1L, "old1"), (2L, "a", 5L, "old2"), (3L, "a", 1L, "old3"),
+      (4L, "b", 1L, "old4"), (5L, "b", 1L, "old5"), (6L, "b", 2L, "old6"))
+      .toDF("id", "part", "ver", "val")).commit()
+    val src = Seq(
+      (1L, "a", 2L, "new1", "U"), // ver 2 > 1  → update
+      (2L, "a", 3L, "new2", "U"), // ver 3 < 5  → matched, no action
+      (3L, "a", 9L, "x", "D"),    //            → delete
+      (4L, "a", 7L, "new4", "U"), // update + partition move b → a
+      (6L, "b", 2L, "new6", "U"), // ver 2 = 2  → matched, no action
+      (7L, "c", 1L, "new7", "U"), // unmatched  → insert (new partition)
+      (8L, "c", 1L, "skip", "D")  // unmatched, op=D → insertWhen false
+    ).toDF("id", "part", "ver", "val", "op")
+    g.mergeInto(src, Seq("id"),
+      updateWhen = col("ver") > col("_t_ver"),
+      deleteWhen = col("op") === "D",
+      insertWhen = col("op") =!= "D").commit()
+    val rows = g.read.select("id", "part", "ver", "val")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a", 2L, "new1"), (2L, "a", 5L, "old2"), (4L, "a", 7L, "new4"),
+      (5L, "b", 1L, "old5"), (6L, "b", 2L, "old6"), (7L, "c", 1L, "new7")))
+    // the moved key is unique and its live row sits in the NEW partition
+    assert(g.read.where(col("id") === 4L).count() == 1)
+
+    // two source rows matching one target row → SQL MERGE cardinality error
+    val dup = Seq((5L, "b", 9L, "d1", "U"), (5L, "b", 8L, "d2", "U"))
+      .toDF("id", "part", "ver", "val", "op")
+    val ex = intercept[IllegalArgumentException] {
+      g.mergeInto(dup, Seq("id"), deleteWhen = col("op") === "D")
+    }
+    assert(ex.getMessage.contains("cardinality"))
+
+    // duplicate UNMATCHED keys are legal and both insert (SQL semantics)
+    g.mergeInto(Seq((99L, "c", 1L, "i1", "U"), (99L, "c", 2L, "i2", "U"))
+      .toDF("id", "part", "ver", "val", "op"), Seq("id")).commit()
+    assert(g.read.where(col("id") === 99L).count() == 2)
+  }
+
+  test("mergeInto prunes the target read to the source key envelope (plan-gated)") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, wh, "merge_prune")
+    g.create(graft.schema.GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+    // 8 single-file commits with DISJOINT id ranges — a key-clustered table
+    (0 until 8).foreach { i =>
+      g.appendData(spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("val", col("id") * 2)).commit()
+    }
+    // the batch touches only file 2's range (205..214) — the internal
+    // target read must plan 1 of 8 data files
+    val src = spark.range(205L, 215L).toDF("id").withColumn("val", col("id") * 9)
+    val before = MorReader.dataFilesPlanned.get()
+    g.mergeInto(src, Seq("id"))
+    val planned = MorReader.dataFilesPlanned.get() - before
+    g.commit()
+    assert(planned == 1, s"merge target read planned $planned of 8 files")
+    assert(g.read.where(col("id").between(205, 214))
+      .agg(sum(col("val"))).head().getLong(0) == (205L to 214L).map(_ * 9).sum)
+    assert(g.read.count() == 800) // upsert semantics: replaced, not added
+  }
+
+  test("compactPositionDeletes: tombstone waves collapse to one file per partition; dedup; live rows unchanged") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val g = new GraftTableGenerator(spark, wh, "posdel_compact")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "part" -> StringType), Seq("part"))
+    g.appendData(spark.range(0, 200).toDF("id")
+      .withColumn("part", when(col("id") < 100, lit("a")).otherwise(lit("b"))))
+      .commit()
+    g.positionalDelete(col("id") % 10 === 0).commit()
+    g.positionalDelete(col("id") % 10 === 1).commit()
+    // interleaved append — its rows must keep their visibility across the
+    // seq-uplifting consolidation
+    g.appendData(Seq((200L, "a"), (201L, "a")).toDF("id", "part")).commit()
+    g.positionalDelete(col("id") % 10 === 0).commit() // re-kills the 0s (dup tombstones) + 200
+    val before = g.read.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(graft.meta.SnapshotLog(g.tableDir.toString).load()
+      .deleteFiles.count(_.kind == "pos") == 6) // 3 waves × 2 partitions
+    g.compactPositionDeletes().commit()
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    assert(st.deleteFiles.count(_.kind == "pos") == 2) // one per partition
+    val after = g.read.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+    // rows appended after consolidation stay alive (new paths — the
+    // uplifted tombstone seq cannot reach them)
+    g.appendData(Seq((300L, "b")).toDF("id", "part")).commit()
+    assert(g.read.where(col("id") === 300L).count() == 1)
+  }
+
+  test("removeOrphanFiles: deletes abandoned-txn strays; keeps referenced, staged, and in-grace files") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, wh, "orphan_gc")
+    g.create(graft.schema.GraftSchema.of("id" -> LongType), Nil)
+    g.appendData(spark.range(0, 50).toDF("id")).commit()
+    g.appendData(spark.range(50, 100).toDF("id")).commit()
+    // abandoned transaction: stage a delete, then discard it — the
+    // tombstone file stays on disk with no log entry (the S6 shape)
+    g.positionalDelete(col("id") % 10 === 0)
+    g.refresh()
+    // plus a stray no writer accounts for
+    val stray = g.tableDir.resolve("data").resolve("stray.parquet")
+    Files.write(stray, Array[Byte](1, 2, 3))
+    // a staged-but-uncommitted append must SURVIVE GC
+    g.appendData(spark.range(100, 150).toDF("id"))
+    assert(g.removeOrphanFiles(graceMs = 3600L * 1000).isEmpty) // all in grace
+    val gone = g.removeOrphanFiles()
+    assert(gone.exists(_.contains("stray.parquet")))
+    assert(gone.exists(_.contains("delete-")), gone.mkString(","))
+    assert(!Files.exists(stray))
+    g.commit() // the protected staged append lands intact
+    assert(g.read.count() == 150)
+    // both historical snapshots' files survived (time travel intact)
+    assert(g.readAt(1L).count() == 50)
+    assert(g.removeOrphanFiles().isEmpty) // idempotent: nothing left
+  }
+
   test("readRange with an unbounded ColRange is a full read, not a crash") {
     val g = new GraftTableGenerator(spark, wh, "unbounded_range")
     g.create(Scenarios.OrdersSchema, Nil)

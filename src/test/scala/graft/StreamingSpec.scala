@@ -213,6 +213,43 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("foreachBatch CDC merge sink: version-gated apply; late old changes and replays are no-ops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val wh = java.nio.file.Files.createTempDirectory("stream-merge").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "stream_merge")
+    g.create(graft.schema.GraftSchema.of(
+      "k" -> IntegerType, "v" -> StringType, "ver" -> IntegerType), Nil)
+    val stream = MemoryStream[(Int, String, Int, String)]
+    val sq = graft.streaming.EventMerge.start(
+      stream.toDS().toDF("k", "v", "ver", "op"), g, Seq("k"), "ver", "op",
+      java.nio.file.Files.createTempDirectory("merge-ckpt").toString)
+    try {
+      // batch 1: inserts; k=1 carries two versions → collapses to ver 2
+      stream.addData((1, "a", 1, "U"), (1, "a2", 2, "U"),
+        (2, "b", 1, "U"), (3, "c", 1, "U"))
+      sq.processAllAvailable()
+      // batch 2: delete k=2; update k=3; LATE OLDER update of k=1 must be
+      // ignored; delete of an absent key is a no-op, not an insert
+      stream.addData((2, "x", 5, "D"), (3, "c2", 2, "U"),
+        (1, "late", 1, "U"), (9, "z", 1, "D"))
+      sq.processAllAvailable()
+      // batch 3: REPLAY of batch 2's effective changes — version gates
+      // make the whole batch a row-level no-op
+      stream.addData((2, "x", 5, "D"), (3, "c2", 2, "U"))
+      sq.processAllAvailable()
+      val live = g.read.collect()
+        .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(live == Map(1 -> ("a2", 2), 3 -> ("c2", 2)))
+      // a late old DELETE (ver 1 < table ver 2) must not kill the row
+      stream.addData((3, "junk", 1, "D"))
+      sq.processAllAvailable()
+      assert(g.read.where(col("k") === 3).count() == 1)
+      assert(g.read.count() == 2)
+    } finally sq.stop()
+  }
+
   test("upsert per-batch collapse breaks version ties deterministically") {
     import spark.implicits._
     // two rows tie on (k=1, ver=1) — the winner must be the same on every
