@@ -437,6 +437,16 @@ object MorQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))),
 
+    // IN-set point read over the bloom-indexed token column: per-VALUE
+    // envelope+bloom probes open only the files holding a probed token
+    // (spec-gated 2 of 8), where any single range over the same values
+    // keeps all 8 spanning files
+    "metrics_prune_in" -> ((s, _) =>
+      MorReader.readValues(s, bloomTable(s), "tok",
+          Seq("key_1", "key_5", "key_nope"))
+        .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))),
+
     // sorted compaction: disjoint per-file color ranges ⇒ the range read
     // opens 2 of 5 rewritten files (spec-gated) and the eq-delete wave is
     // already merged into the rewrite
@@ -685,6 +695,17 @@ object MorQueries {
         |FROM (
         |  SELECT range AS id FROM range(0, 200) WHERE range % 10 NOT IN (0, 1)
         |  UNION ALL SELECT 201
+        |)""".stripMargin,
+
+    // key_1/key_5 hold the non-sentinel ids of files 1 and 5; key_nope
+    // matches nothing
+    "metrics_prune_in" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT range AS id FROM range(100, 200) WHERE range % 100 NOT IN (0, 99)
+        |  UNION ALL
+        |  SELECT range FROM range(500, 600) WHERE range % 100 NOT IN (0, 99)
         |)""".stripMargin,
 
     // tok = 'key_3' holds exactly ids 301..398 (300/399 are the aaa/zzz

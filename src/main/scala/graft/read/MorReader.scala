@@ -103,6 +103,42 @@ object MorReader {
                 ranges: Map[String, ColRange]): DataFrame =
     read(spark, tableDir, None, Map.empty, ranges)
 
+  /** IN-set point read: keep only files that might contain AT LEAST ONE of
+    * `values` (canonical strings, the [[graft.meta.ColMetrics]] rendering)
+    * in `colName`. Per value, the test is the min/max envelope AND the
+    * manifest Bloom filter when one was written — so on a bloom-indexed
+    * high-cardinality column an N-value lookup opens only the files that
+    * actually hold one of the values, where a single [min(values),
+    * max(values)] range (the best [[readRange]] could do) would keep every
+    * file between the extremes. Surviving files still apply the row-level
+    * IN predicate; missing stats keep the file (never unsound). */
+  def readValues(spark: SparkSession, tableDir: String, colName: String,
+                 values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "readValues needs at least one probe value")
+    val st = SnapshotLog(tableDir).load()
+    val live = st.schema
+    val fieldOpt = live.fields.find(_.name == colName)
+    val keep: DataFileEntry => Boolean = f => fieldOpt.forall { field =>
+      f.metrics.get(field.id).forall { m =>
+        values.exists { v =>
+          val envOk = (m.min, m.max) match {
+            case (Some(mn), Some(mx)) =>
+              cmpMetric(field.dataType, mx, v).forall(_ >= 0) &&
+                cmpMetric(field.dataType, mn, v).forall(_ <= 0)
+            case _ => false // all-NULL column: no value can match
+          }
+          envOk && m.bloom.forall(b => graft.meta.BloomFilter.mightContain(b, v))
+        }
+      }
+    }
+    val rowPred = fieldOpt.map { field =>
+      values.map(v => col(colName) === lit(v).cast(field.dataType)).reduce(_ || _)
+    }.getOrElse(lit(true))
+    withMeta(spark, st, live, Map.empty, Map.empty, keep)
+      .where(rowPred)
+      .select(live.names.map(col): _*)
+  }
+
   /** Partition-pruned read: `filter` maps partition col → allowed values
     * (the `Expressions.in` analog, reference
     * `IcebergTableGenerator.java:195-200`). Files whose partition metadata
@@ -309,9 +345,11 @@ object MorReader {
 
   private[graft] def withMeta(spark: SparkSession, st: TableState, live: GraftSchema,
                               partitionFilter: Map[String, Set[String]],
-                              ranges: Map[String, ColRange] = Map.empty): DataFrame = {
+                              ranges: Map[String, ColRange] = Map.empty,
+                              fileKeep: DataFileEntry => Boolean = _ => true): DataFrame = {
     val dataFiles = st.dataFiles.filter(f =>
-      matchesPartition(f.partition, partitionFilter) && matchesRanges(f, live, ranges))
+      matchesPartition(f.partition, partitionFilter) &&
+        matchesRanges(f, live, ranges) && fileKeep(f))
     dataFilesPlanned.addAndGet(dataFiles.size)
     if (dataFiles.isEmpty) {
       val struct = StructType(live.struct.fields ++ Seq(

@@ -24,8 +24,13 @@ import graft.table.GraftTableGenerator
   *     predicate die. (Strict-seq re-insert survival is exercised because
   *     upserts re-add previously-deleted ids at HIGHER sequence numbers.)
   *   - upsert over an id window: every id in the window is live after.
-  *   - compact / compactSorted / compactZOrder / expireSnapshots: live set
-  *     unchanged (pure layout/metadata maintenance).
+  *   - conditional merge over an id window (delete ids ≡ 0 mod 3, update
+  *     the rest when ≢ 0 mod 5, insert unmatched non-deletes): matched
+  *     multiples of 3 die, unmatched non-multiples of 3 become live,
+  *     everything else keeps its liveness.
+  *   - compact / compactSorted / compactZOrder / compactPositionDeletes /
+  *     expireSnapshots: live set unchanged (pure layout/metadata
+  *     maintenance).
   */
 class FuzzModelSpec extends SparkSpec {
 
@@ -60,7 +65,7 @@ class FuzzModelSpec extends SparkSpec {
 
       for (step <- 1 to steps) {
         var committed = true
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
           case 0 | 1 => appendFile(); g.commit()
           case 2 => // equality-delete a modulo class
             val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
@@ -80,6 +85,22 @@ class FuzzModelSpec extends SparkSpec {
           case 5 => g.compact().commit()
           case 6 => g.compactSorted("order_id", 64).commit()
           case 7 => g.compactZOrder(Seq("order_id", "source_id"), 64).commit()
+          case 9 => // conditional merge over an id window
+            val start = rnd.nextLong(math.max(nextId - 10, 1L))
+            val n = 1 + rnd.nextInt(10)
+            val src = Bundles.ordersUnpartitioned()
+              .frame(spark, start, n, None, Scenarios.OrdersSchema)
+              .withColumn("op",
+                when(col("order_id") % 3 === 0, lit("D")).otherwise(lit("U")))
+            g.mergeInto(src, Seq("order_id"),
+              updateWhen = col("order_id") % 5 =!= 0,
+              deleteWhen = col("op") === "D",
+              insertWhen = col("op") =!= "D").commit()
+            (start until start + n).foreach { i =>
+              if (live(i)) { if (i % 3 == 0) live -= i }
+              else if (i % 3 != 0) live += i
+            }
+          case 10 => g.compactPositionDeletes().commit()
           case 8 => // expiry: no commit, drops time travel past the horizon
             val keep = 1 + rnd.nextInt(3)
             g.expireSnapshots(keep)

@@ -390,6 +390,18 @@ class GraftTableSpec extends SparkSpec {
     assert(range.count() == 3 * 98)
     // the long column got no bloom (not requested) — min/max pruning only
     assert(st.dataFiles.forall(_.metrics(st.schema.fieldId("id")).bloom.isEmpty))
+    // IN-set read: per-value bloom probes open exactly the two files
+    // holding the probed tokens (a single [key_2, key_6] RANGE keeps all
+    // 8 spanning files — readRange above proved that); misses cost nothing
+    val inSet = MorReader.readValues(spark, g.tableDir.toString, "tok",
+      Seq("key_2", "key_6", "key_missing"))
+    assert(inSet.inputFiles.length == 2, inSet.inputFiles.mkString(","))
+    assert(inSet.count() == 2 * 98)
+    // envelope-only path (no bloom on id): disjoint per-file id ranges
+    // prune to the single covering file
+    val byId = MorReader.readValues(spark, g.tableDir.toString, "id", Seq("150"))
+    assert(byId.inputFiles.length == 1)
+    assert(byId.collect().map(_.getLong(0)).toSeq == Seq(150L))
   }
 
   test("mergeInto: conditional delete/update/insert; matched-no-action rows untouched; cross-partition moves; cardinality guard") {
