@@ -134,6 +134,22 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Hidden bucket partitioning ([[graft.meta.PartitionTransform]]):
+    * 1000 rows hash-bucketed 8 ways on `id` (rows carry no bucket column),
+    * one eq-delete wave, then a 3-value point read that prunes by the
+    * transform of each probe value. */
+  private def bucketTable(spark: SparkSession): String =
+    built.computeIfAbsent("bucket_q", _ => {
+      import org.apache.spark.sql.types._
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_bucket")
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "val" -> LongType), Seq("bucket(8,id)"))
+      g.appendData(spark.range(0, 1000).toDF("id")
+        .withColumn("val", col("id") * 7)).commit()
+      g.equalityDelete(col("id") % 500 === 123, Seq("id")).commit() // 123, 623
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then history expired down to the last
     * 2 snapshots — the retained window is rebased onto one baseline
     * snapshot, orphaned files are deleted, and the live rows must stay
@@ -437,6 +453,14 @@ object MorQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))),
 
+    // hidden bucket partitioning: point read maps each probe id through
+    // the bucket transform and opens only matching bucket files; the
+    // deleted id (123) stays dead through the MoR merge
+    "mor_bucket_prune" -> ((s, _) =>
+      MorReader.readValues(s, bucketTable(s), "id", Seq("37", "123", "777"))
+        .agg(count(lit(1)).as("cnt"), sum(col("val")).as("val_sum"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))),
+
     // IN-set point read over the bloom-indexed token column: per-VALUE
     // envelope+bloom probes open only the files holding a probed token
     // (spec-gated 2 of 8), where any single range over the same values
@@ -696,6 +720,12 @@ object MorQueries {
         |  SELECT range AS id FROM range(0, 200) WHERE range % 10 NOT IN (0, 1)
         |  UNION ALL SELECT 201
         |)""".stripMargin,
+
+    // ids 37 and 777 live (val = 7·id); 123 was eq-deleted
+    "mor_bucket_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(val) AS BIGINT) AS val_sum,
+        |       CAST(MIN(val) AS BIGINT) AS min_val, CAST(MAX(val) AS BIGINT) AS max_val
+        |FROM (SELECT 37 * 7 AS val UNION ALL SELECT 777 * 7)""".stripMargin,
 
     // key_1/key_5 hold the non-sentinel ids of files 1 and 5; key_nope
     // matches nothing

@@ -119,7 +119,7 @@ object MorReader {
     val live = st.schema
     val fieldOpt = live.fields.find(_.name == colName)
     val keep: DataFileEntry => Boolean = f => fieldOpt.forall { field =>
-      f.metrics.get(field.id).forall { m =>
+      val statsOk = f.metrics.get(field.id).forall { m =>
         values.exists { v =>
           val envOk = (m.min, m.max) match {
             case (Some(mn), Some(mx)) =>
@@ -130,6 +130,20 @@ object MorReader {
           envOk && m.bloom.forall(b => graft.meta.BloomFilter.mightContain(b, v))
         }
       }
+      // hidden-partition pruning: if the file's spec epoch TRANSFORMS this
+      // column (bucket/truncate/day — graft.meta.PartitionTransform), map
+      // each probe value through the transform and require the file's
+      // partition value to match one. Missing spec/partName/unsupported
+      // type keeps the file — never unsound.
+      val partOk = st.specs.get(f.specId).forall { specStrs =>
+        specStrs.map(graft.meta.PartitionTransform.parse)
+          .find(_.source == colName).forall { t =>
+            f.partition.get(t.partName).forall { pv =>
+              values.exists(v => t.apply(v, field.dataType).forall(_ == pv))
+            }
+          }
+      }
+      statsOk && partOk
     }
     val rowPred = fieldOpt.map { field =>
       values.map(v => col(colName) === lit(v).cast(field.dataType)).reduce(_ || _)
@@ -560,14 +574,33 @@ object MorReader {
         val dels = scans.reduce(_.unionByName(_))
           .join(broadcast(seqPartMap), col("_d_src0") === col("_df_path"))
           .drop("_d_src0", "_df_path")
-        val keyCond = keyIds.map(kid => data(keyDataCol(kid)) === dels(s"_dk$kid"))
+        // Partition-scope condition. Identity scopes (the partition key IS
+        // a data column) compare ROW values — a pre-evolution file's rows
+        // still match a later scoped delete by value. Hidden-transform
+        // scopes (`id_bucket` etc. — graft.meta.PartitionTransform) have
+        // no data column; the scope is the data FILE's registered
+        // partition value, joined in from the log per path (broadcast,
+        // metadata-scale).
+        val fileScope = partCols.filterNot(live.names.contains)
+        var dataJ = data
+        fileScope.foreach { p =>
+          dataJ = dataJ.join(broadcast(spark.createDataFrame(
+              dataFiles.map(f => (f.path, f.partition.get(p).orNull)))
+              .toDF("_fp_path", s"_fp_$p")),
+            dataJ(FilePathCol) === col("_fp_path"), "left").drop("_fp_path")
+        }
+        val keyCond = keyIds.map(kid => dataJ(keyDataCol(kid)) === dels(s"_dk$kid"))
           .reduce(_ && _)
         val partCond = partCols.map { p =>
-          val t = live.fields.find(_.name == p).map(_.dataType).getOrElse(StringType)
-          dels(s"_dp_$p").isNull || dels(s"_dp_$p").cast(t) === data(p)
+          if (live.names.contains(p)) {
+            val t = live.fields.find(_.name == p).map(_.dataType).getOrElse(StringType)
+            dels(s"_dp_$p").isNull || dels(s"_dp_$p").cast(t) === dataJ(p)
+          } else
+            dels(s"_dp_$p").isNull || dels(s"_dp_$p") === dataJ(s"_fp_$p")
         }.foldLeft(lit(true))(_ && _)
-        data = data.join(dels,
-          keyCond && partCond && dels("_d_seq") > data(SeqCol), "left_anti")
+        data = dataJ.join(dels,
+          keyCond && partCond && dels("_d_seq") > dataJ(SeqCol), "left_anti")
+          .drop(fileScope.map(p => s"_fp_$p"): _*)
     }
 
     data.drop(extraKeyFields.map(kf => s"_gk${kf._1}"): _*)

@@ -122,6 +122,11 @@ final class GraftTableGenerator(
     */
   def create(schema: GraftSchema, partitionCols: Seq[String],
              props: Map[String, String] = Map.empty): this.type = {
+    partitionCols.foreach { s => // fail fast: parseable + source in schema
+      val t = PartitionTransform.parse(s)
+      require(schema.names.contains(t.source),
+        s"partition transform $s reads ${t.source}, not a schema column")
+    }
     deleteRecursively(tableDir)
     this.schema = schema; this.schemaV = 0
     this.partitionCols = partitionCols; this.specId = 0
@@ -162,6 +167,9 @@ final class GraftTableGenerator(
   def append(partitionValues: Seq[Any], bundle: RecordBundle,
              filesPerPartition: Int, rowsPerFile: Int): this.type = {
     require(partitionCols.size == 1, "reference appends target single-col specs")
+    require(transforms.head.isIdentity,
+      "reference appends pass literal partition values — identity specs only " +
+        "(transformed specs take the appendData path, which derives values)")
     val opSeq = nextOpSeq()
     for (pv <- partitionValues; _ <- 0 until filesPerPartition) {
       val df = conformed(
@@ -250,6 +258,8 @@ final class GraftTableGenerator(
     * `Main.java:168-170`).
     */
   def appendEmptyFile(partitionValue: Any, source: Option[Path] = None): this.type = {
+    require(transforms.headOption.forall(_.isIdentity),
+      "appendEmptyFile passes a literal partition value — identity specs only")
     val opSeq = nextOpSeq()
     val src = source.getOrElse {
       val tmp = Files.createTempDirectory("graft-empty")
@@ -373,14 +383,27 @@ final class GraftTableGenerator(
     this
   }
 
-  /** One (partition-map, rows) slice per partition value. Evaluates the
+  /** The current spec's parsed transforms (bare names = identity, the
+    * legacy spec-log encoding — [[graft.meta.PartitionTransform]]). */
+  private def transforms: Seq[PartitionTransform] =
+    partitionCols.map(PartitionTransform.parse)
+
+  /** One (partition-map, rows) slice per partition value — the value is
+    * the spec transform of the source column (identity: the column
+    * itself; bucket/truncate/day: the DERIVED value, while rows keep only
+    * the source column — Iceberg's hidden partitioning). Evaluates the
     * caller's df once for the value list; slices are lazy filters. */
   private def partitionSlices(df: DataFrame): Seq[(Map[String, String], DataFrame)] =
     if (partitionCols.isEmpty) Seq((Map.empty[String, String], df))
     else {
-      val pcol = partitionCols.head
-      df.select(pcol).distinct().collect().map(_.get(0)).toSeq.sortBy(_.toString)
-        .map(v => (Map(pcol -> v.toString), df.where(col(pcol) === v)))
+      val t = transforms.head
+      val dt = schema.fields.find(_.name == t.source)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition transform source ${t.source} not in schema")).dataType
+      val ve = t.valueExpr(dt).cast("string")
+      df.select(ve.as("_pv")).distinct().collect().map(_.getString(0)).toSeq
+        .sortBy(identity[String])
+        .map(v => (Map(t.partName -> v), df.where(ve === v)))
     }
 
   private def appendSlices(slices: Seq[(Map[String, String], DataFrame)]): Unit = {
@@ -546,6 +569,7 @@ final class GraftTableGenerator(
     * `Main.java:281-283`). */
   def updateSpec(additions: Seq[String], removals: Seq[String]): this.type = {
     requireCreated("updateSpec()")
+    additions.foreach(PartitionTransform.parse) // fail fast on bad specs
     partitionCols = partitionCols.filterNot(removals.contains) ++ additions
     specId += 1
     log.writeSpec(specId, partitionCols)
@@ -562,8 +586,17 @@ final class GraftTableGenerator(
     schema = schema.renameColumn(oldName, newName)
     schemaV += 1
     log.writeSchema(schemaV, schema)
-    if (partitionCols.contains(oldName)) {
-      partitionCols = partitionCols.map(c => if (c == oldName) newName else c)
+    if (transforms.exists(_.source == oldName)) {
+      partitionCols = partitionCols.map { s =>
+        import graft.meta.PartitionTransform._
+        PartitionTransform.parse(s) match {
+          case Identity(`oldName`) => newName
+          case Bucket(n, `oldName`) => Bucket(n, newName).render
+          case Truncate(w, `oldName`) => Truncate(w, newName).render
+          case Day(`oldName`) => Day(newName).render
+          case _ => s
+        }
+      }
       specId += 1
       log.writeSpec(specId, partitionCols)
     }
@@ -1041,8 +1074,10 @@ final class GraftTableGenerator(
       case Some(vs) =>
         val set = vs.map(_.toString).toSet
         // first CURRENT-spec field, like the reference's Expressions.in
-        // (`:196-199`); files from older specs lacking the field are skipped
-        val firstCol = partitionCols.head
+        // (`:196-199`); files from older specs lacking the field are
+        // skipped. Values are PARTITION values (post-transform for
+        // non-identity specs — what the dirs and partition maps hold).
+        val firstCol = transforms.head.partName
         st.dataFiles.filter(f => f.partition.get(firstCol).exists(set))
       case None => st.dataFiles
     }

@@ -529,6 +529,59 @@ class GraftTableSpec extends SparkSpec {
     assert(g.removeOrphanFiles().isEmpty) // idempotent: nothing left
   }
 
+  test("hidden partition transforms: bucket/truncate/day derive dirs, point reads prune by transform") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // BUCKET: bounded partition count over an unbounded key; every file
+    // spans nearly the whole id range (hash scatter), so min/max can't
+    // prune — the partition-value match is what opens 1 of 4 files
+    val g = new GraftTableGenerator(spark, wh, "bucket_tbl")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Seq("bucket(4,id)"))
+    g.appendData(spark.range(0, 400).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    assert(st.dataFiles.size == 4)
+    assert(st.dataFiles.forall(_.partition.keySet == Set("id_bucket")))
+    assert(g.read.columns.toSeq == Seq("id", "val")) // partition is hidden
+    assert(g.read.count() == 400)
+    val one = MorReader.readValues(spark, g.tableDir.toString, "id", Seq("37"))
+    assert(one.inputFiles.length == 1, one.inputFiles.mkString(","))
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(37L))
+    // deletes/upserts compose: partition-scoped delete files, MoR merge
+    g.equalityDelete(col("id") % 100 === 37, Seq("id")).commit()
+    assert(g.read.count() == 396)
+    assert(MorReader.readValues(spark, g.tableDir.toString, "id", Seq("37")).count() == 0)
+
+    // TRUNCATE: prefix clustering; point read prunes by derived prefix
+    val gt = new GraftTableGenerator(spark, wh, "trunc_tbl")
+    gt.create(graft.schema.GraftSchema.of(
+      "tok" -> StringType, "n" -> LongType), Seq("truncate(2,tok)"))
+    gt.appendData(Seq(("apple", 1L), ("apron", 2L), ("banana", 3L), ("berry", 4L))
+      .toDF("tok", "n")).commit()
+    val stT = graft.meta.SnapshotLog(gt.tableDir.toString).load()
+    assert(stT.dataFiles.map(_.partition("tok_trunc")).sorted == Seq("ap", "ba", "be"))
+    val ap = MorReader.readValues(spark, gt.tableDir.toString, "tok", Seq("apron"))
+    assert(ap.inputFiles.length == 1)
+    assert(ap.collect().map(_.getString(0)).toSeq == Seq("apron"))
+
+    // DAY: time-series ingest layout over a timestamp column
+    val gd = new GraftTableGenerator(spark, wh, "day_tbl")
+    gd.create(graft.schema.GraftSchema.of(
+      "ts" -> TimestampType, "v" -> LongType), Seq("day(ts)"))
+    gd.appendData(Seq(
+      ("2023-05-01 10:00:00", 1L), ("2023-05-01 23:59:59", 2L),
+      ("2023-05-02 00:00:01", 3L))
+      .toDF("s", "v").select(col("s").cast("timestamp").as("ts"), col("v"))).commit()
+    val stD = graft.meta.SnapshotLog(gd.tableDir.toString).load()
+    assert(stD.dataFiles.map(_.partition("ts_day")).sorted ==
+      Seq("2023-05-01", "2023-05-02"))
+    val d1 = MorReader.readValues(spark, gd.tableDir.toString, "ts",
+      Seq("2023-05-01 23:59:59"))
+    assert(d1.inputFiles.length == 1)
+    assert(d1.collect().map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
   test("readRange with an unbounded ColRange is a full read, not a crash") {
     val g = new GraftTableGenerator(spark, wh, "unbounded_range")
     g.create(Scenarios.OrdersSchema, Nil)
