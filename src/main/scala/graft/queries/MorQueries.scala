@@ -150,6 +150,24 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** The events table ingested under a `day(ts)` hidden partition spec
+    * (one derived calendar-day partition per file, rows keep only `ts`):
+    * the time-series ingest layout, keyed per sf dir. */
+  private def dayTable(spark: SparkSession, d: String): String =
+    built.computeIfAbsent(s"day_q@$d", _ => {
+      import org.apache.spark.sql.types._
+      val ev = ExtQueries.eventsWithTs(spark, d)
+        .select(col("event_id"), col("_ts").as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val g = new graft.table.GraftTableGenerator(spark, wh,
+        s"events_day_${Integer.toHexString(d.hashCode)}")
+      g.create(graft.schema.GraftSchema.of(
+        "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType), Seq("day(ts)"))
+      g.appendData(ev).commit()
+      g.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then history expired down to the last
     * 2 snapshots — the retained window is rebased onto one baseline
     * snapshot, orphaned files are deleted, and the live rows must stay
@@ -453,6 +471,17 @@ object MorQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("id_sum"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))),
 
+    // day-partitioned events ingest: a one-day range read opens 1 of 30
+    // daily files (disjoint per-day min/max from the hidden day(ts)
+    // layout); values match DuckDB's full-scan date filter
+    "mor_day_ingest" -> ((s, d) =>
+      MorReader.readRange(s, dayTable(s, d),
+          Map("ts" -> MorReader.ColRange(Some("2024-01-15 00:00:00"),
+            Some("2024-01-15 23:59:59.999999"))))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"),
+          countDistinct(col("user_id")).as("n_users"))),
+
     // hidden bucket partitioning: point read maps each probe id through
     // the bucket transform and opens only matching bucket files; the
     // deleted id (123) stays dead through the MoR merge
@@ -720,6 +749,14 @@ object MorQueries {
         |  SELECT range AS id FROM range(0, 200) WHERE range % 10 NOT IN (0, 1)
         |  UNION ALL SELECT 201
         |)""".stripMargin,
+
+    // micros truncation on the Spark side == DuckDB CAST(ts AS TIMESTAMP)
+    "mor_day_ingest" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-15'""".stripMargin,
 
     // ids 37 and 777 live (val = 7·id); 123 was eq-deleted
     "mor_bucket_prune" ->

@@ -44,18 +44,25 @@ class FuzzModelSpec extends SparkSpec {
   private val steps: Int =
     sys.env.get("SPARK_GRAFT_FUZZ_STEPS").map(_.toInt).getOrElse(18)
 
-  test("random op sequences match the id-level model; time travel replays history") {
-    for (seed <- seeds) {
+  /** One fuzz run; `spec` selects the partition layout (hidden transforms
+    * included) and `appendViaData` routes appends through `appendData`
+    * (required for transformed specs — the reference `append` path takes
+    * literal partition values). */
+  private def runFuzz(seed: Long, tableName: String, spec: Seq[String],
+                      appendViaData: Boolean): Unit = {
       val rnd = new scala.util.Random(seed)
-      val g = new GraftTableGenerator(spark, wh, s"fuzz_$seed")
-      g.create(Scenarios.OrdersSchema, Nil)
+      val g = new GraftTableGenerator(spark, wh, tableName)
+      g.create(Scenarios.OrdersSchema, spec)
       var nextId = 0L
       val live = scala.collection.mutable.Set.empty[Long]
       var snapId = 0L
       var history = Vector.empty[(Long, Set[Long])]
 
       def appendFile(): Unit = {
-        g.append(Bundles.ordersUnpartitioned(), 1, 20)
+        if (appendViaData)
+          g.appendData(Bundles.ordersUnpartitioned()
+            .frame(spark, nextId, 20, None, Scenarios.OrdersSchema))
+        else g.append(Bundles.ordersUnpartitioned(), 1, 20)
         (nextId until nextId + 20).foreach(live += _)
         nextId += 20
       }
@@ -120,6 +127,14 @@ class FuzzModelSpec extends SparkSpec {
           .select("order_id").collect().map(_.getInt(0).toLong).toSet
         assert(got == ids, s"seed=$seed time travel to snap $sid diverged")
       }
-    }
+  }
+
+  test("random op sequences match the id-level model; time travel replays history") {
+    for (seed <- seeds) runFuzz(seed, s"fuzz_$seed", Nil, appendViaData = false)
+  }
+
+  test("bucketed-spec fuzz: the same op model over hidden bucket(4) partitioning") {
+    for (seed <- seeds)
+      runFuzz(seed, s"fuzzb_$seed", Seq("bucket(4,order_id)"), appendViaData = true)
   }
 }

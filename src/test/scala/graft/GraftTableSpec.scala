@@ -580,6 +580,12 @@ class GraftTableSpec extends SparkSpec {
       Seq("2023-05-01 23:59:59"))
     assert(d1.inputFiles.length == 1)
     assert(d1.collect().map(_.getLong(1)).toSeq == Seq(2L))
+    // a one-day RANGE read prunes on the day files' disjoint min/max
+    val dr = MorReader.readRange(spark, gd.tableDir.toString,
+      Map("ts" -> MorReader.ColRange(Some("2023-05-01 00:00:00"),
+        Some("2023-05-01 23:59:59.999999"))))
+    assert(dr.inputFiles.length == 1)
+    assert(dr.count() == 2)
   }
 
   test("readRange with an unbounded ColRange is a full read, not a crash") {
