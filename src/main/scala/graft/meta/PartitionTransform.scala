@@ -96,15 +96,43 @@ object PartitionTransform {
     def render: String = s"day($source)"
   }
 
+  /** `month(col)`: `yyyy-MM` — coarser time-series granularity. */
+  final case class Month(source: String) extends PartitionTransform {
+    def partName: String = s"${source}_month"
+    def valueExpr(dt: DataType): Column = date_format(col(source), "yyyy-MM")
+    def apply(value: String, dt: DataType): Option[String] = dt match {
+      case DateType | TimestampType | TimestampNTZType => Some(value.take(7))
+      case _ => None
+    }
+    def render: String = s"month($source)"
+  }
+
+  /** `hour(col)`: `yyyy-MM-dd-HH` — finest Iceberg time granularity, the
+    * streaming-ingest layout. */
+  final case class Hour(source: String) extends PartitionTransform {
+    def partName: String = s"${source}_hour"
+    def valueExpr(dt: DataType): Column = date_format(col(source), "yyyy-MM-dd-HH")
+    def apply(value: String, dt: DataType): Option[String] = dt match {
+      case TimestampType | TimestampNTZType =>
+        Some(value.take(13).replace(' ', '-')) // "yyyy-MM-dd HH:…" → "yyyy-MM-dd-HH"
+      case _ => None
+    }
+    def render: String = s"hour($source)"
+  }
+
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
   private val DayRe = """day\(\s*([^)\s]+)\s*\)""".r
+  private val MonthRe = """month\(\s*([^)\s]+)\s*\)""".r
+  private val HourRe = """hour\(\s*([^)\s]+)\s*\)""".r
 
   /** Bare names parse as identity, so every legacy spec round-trips. */
   def parse(spec: String): PartitionTransform = spec.trim match {
     case BucketRe(n, c) => Bucket(n.toInt, c)
     case TruncRe(w, c) => Truncate(w.toInt, c)
     case DayRe(c) => Day(c)
+    case MonthRe(c) => Month(c)
+    case HourRe(c) => Hour(c)
     case bare =>
       require(!bare.contains("("), s"unparseable partition transform: $spec")
       Identity(bare)

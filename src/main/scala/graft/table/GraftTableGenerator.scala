@@ -594,6 +594,8 @@ final class GraftTableGenerator(
           case Bucket(n, `oldName`) => Bucket(n, newName).render
           case Truncate(w, `oldName`) => Truncate(w, newName).render
           case Day(`oldName`) => Day(newName).render
+          case Month(`oldName`) => Month(newName).render
+          case Hour(`oldName`) => Hour(newName).render
           case _ => s
         }
       }
@@ -696,12 +698,13 @@ final class GraftTableGenerator(
     * appends — they are deliberately left alone.) */
   def compactPositionDeletes(): this.type = {
     requireCreated("compactPositionDeletes()")
-    nextOpSeq(rewrite = true) // rewrite-transaction guard + operation stamp
     val st = log.load()
     val groups = st.deleteFiles.filter(_.kind == "pos")
       .groupBy(_.partition).toSeq
       .filter(_._2.size >= 2)
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    if (groups.isEmpty) return this // nothing staged — callers can skip commit
+    nextOpSeq(rewrite = true) // rewrite-transaction guard + operation stamp
     for ((partition, fs) <- groups) {
       val tombstones = spark.read
         .schema(StructType(Seq(StructField("file_path", StringType),
@@ -869,6 +872,39 @@ final class GraftTableGenerator(
     log.rewrite(baseline +: tail)
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
     this
+  }
+
+  /** The steady-state table-maintenance job — what a production scheduler
+    * runs beside continuous ingest (Iceberg's rewrite_data_files +
+    * rewrite_position_delete_files + expire_snapshots +
+    * remove_orphan_files, in that order): policy-compact fragmented
+    * partitions, consolidate pos-delete tombstones, cap history, GC
+    * strays. Each step commits its OWN snapshot and stages nothing when
+    * there is nothing to do; pair with [[commitWithRetry]]-based ingest —
+    * a conflicting writer costs the ingester one refresh, never a lost
+    * batch (StreamingSpec's race test shape). */
+  def maintain(minFragFiles: Int = 4, keepLast: Int = 5,
+               orphanGraceMs: Long = 3600L * 1000): this.type = {
+    require(stagedOps == 0, "commit staged work before maintain()")
+    if (compactFragmented(minFragFiles).nonEmpty) commit()
+    compactPositionDeletes()
+    if (stagedOps > 0) commit()
+    expireSnapshots(keepLast)
+    removeOrphanFiles(orphanGraceMs)
+    this
+  }
+
+  /** Age-based history expiry (Iceberg `expireSnapshots(olderThan)` —
+    * retention policy by TIME, the production maintenance contract: "keep
+    * N days of time travel"): drop snapshots committed before
+    * `clock() - maxAgeMs`, always retaining at least the current one.
+    * Snapshot timestamps are stamped by this generator's monotonic clock
+    * at commit, so the retained set is a suffix and the rebase semantics
+    * are exactly [[expireSnapshots]]'s. */
+  def expireSnapshotsOlderThan(maxAgeMs: Long): this.type = {
+    val cutoff = clock() - maxAgeMs
+    val keep = log.load().snapshots.count(_.timestampMs >= cutoff)
+    expireSnapshots(math.max(keep, 1))
   }
 
   /** Physical GC of files NO retained snapshot references (the Iceberg

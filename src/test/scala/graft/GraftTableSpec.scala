@@ -586,6 +586,78 @@ class GraftTableSpec extends SparkSpec {
         Some("2023-05-01 23:59:59.999999"))))
     assert(dr.inputFiles.length == 1)
     assert(dr.count() == 2)
+
+    // MONTH and HOUR round out the time family
+    val gm = new GraftTableGenerator(spark, wh, "hour_tbl")
+    gm.create(graft.schema.GraftSchema.of(
+      "ts" -> TimestampType, "v" -> LongType), Seq("hour(ts)"))
+    gm.appendData(Seq(("2023-05-01 10:15:00", 1L), ("2023-05-01 11:05:00", 2L))
+      .toDF("s", "v").select(col("s").cast("timestamp").as("ts"), col("v"))).commit()
+    assert(graft.meta.SnapshotLog(gm.tableDir.toString).load()
+      .dataFiles.map(_.partition("ts_hour")).sorted ==
+      Seq("2023-05-01-10", "2023-05-01-11"))
+    val h1 = MorReader.readValues(spark, gm.tableDir.toString, "ts",
+      Seq("2023-05-01 11:05:00"))
+    assert(h1.inputFiles.length == 1 && h1.count() == 1)
+    assert(graft.meta.PartitionTransform.parse("month(ts)")
+      .apply("2023-05-01 10:15:00", TimestampType).contains("2023-05"))
+  }
+
+  test("expireSnapshotsOlderThan: age-based retention keeps a suffix, never less than current") {
+    import org.apache.spark.sql.types._
+    var now = 0L
+    val g = new GraftTableGenerator(spark, wh, "age_expiry", clock = () => now)
+    g.create(graft.schema.GraftSchema.of("id" -> LongType), Nil)
+    now = 1000L; g.appendData(spark.range(0, 10).toDF("id")).commit()
+    now = 2000L; g.appendData(spark.range(10, 20).toDF("id")).commit()
+    now = 3000L; g.appendData(spark.range(20, 30).toDF("id")).commit()
+    // generous window → no-op
+    now = 3500L
+    g.expireSnapshotsOlderThan(maxAgeMs = 10000L)
+    assert(graft.meta.SnapshotLog(g.tableDir.toString).load().snapshots.size == 3)
+    // cutoff 2500: only the ts=3000 snapshot is in-window — the retained
+    // history is that snapshot rebased onto one baseline (2 entries, the
+    // expireSnapshots shape); ts=1000 time travel is gone
+    now = 4000L
+    g.expireSnapshotsOlderThan(maxAgeMs = 1500L)
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    assert(st.snapshots.size == 2)
+    assert(g.read.count() == 30) // live rows unaffected
+    assert(MorReader.readAt(spark, g.tableDir.toString, 1L).count() == 0)
+    // everything older than the whole history → still keeps current state
+    now = 99999L
+    g.expireSnapshotsOlderThan(maxAgeMs = 1L)
+    assert(g.read.count() == 30)
+  }
+
+  test("maintain(): one call compacts fragmentation, consolidates tombstones, caps history, GCs strays") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, wh, "maintain_tbl")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "part" -> StringType), Seq("part"))
+    // partition a: 5 fragment files; partition b: 1 file
+    (0 until 5).foreach { i =>
+      g.appendData(spark.range(i * 100L, i * 100L + 100L).toDF("id")
+        .withColumn("part", lit("a"))).commit()
+    }
+    g.appendData(spark.range(1000L, 1100L).toDF("id")
+      .withColumn("part", lit("b"))).commit()
+    // three tombstone waves → 3 pos-delete files per partition
+    g.positionalDelete(col("id") % 10 === 0).commit()
+    g.positionalDelete(col("id") % 10 === 1).commit()
+    g.positionalDelete(col("id") % 10 === 2).commit()
+    val before = g.read.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val stray = g.tableDir.resolve("data").resolve("stray.parquet")
+    Files.write(stray, Array[Byte](9))
+    g.maintain(minFragFiles = 5, keepLast = 2, orphanGraceMs = 0L)
+    val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+    // a rewritten to one file (its tombstones die with the rewrite);
+    // b keeps its single file and gets ONE consolidated tombstone file
+    assert(st.dataFiles.count(_.partition.get("part").contains("a")) == 1)
+    assert(st.deleteFiles.count(_.kind == "pos") == 1)
+    assert(st.snapshots.size <= 3) // rebased baseline + keepLast
+    assert(!Files.exists(stray))
+    assert(g.read.select("id").collect().map(_.getLong(0)).sorted.toSeq == before)
   }
 
   test("readRange with an unbounded ColRange is a full read, not a crash") {
