@@ -508,20 +508,42 @@ final class GraftTableGenerator(
     source.columns.foreach(c => require(!c.startsWith("_t_") && !c.startsWith("_dk"),
       s"source column $c collides with mergeInto's reserved _t_/_dk prefixes"))
 
-    // file-pruned target read: only files whose stats can hold a source key
-    val ranges: Map[String, MorReader.ColRange] = {
-      val aggs = keyCols.flatMap(k => Seq(
-        min(col(k)).cast("string").as(s"_lo_$k"),
-        max(col(k)).cast("string").as(s"_hi_$k")))
-      val r = source.agg(aggs.head, aggs.tail: _*).head()
-      keyCols.flatMap { k =>
-        val lo = Option(r.getAs[String](s"_lo_$k"))
-        val hi = Option(r.getAs[String](s"_hi_$k"))
-        if (lo.isEmpty && hi.isEmpty) None // all-null keys match nothing
-        else Some(k -> MorReader.ColRange(lo, hi))
-      }.toMap
+    // File-pruned target read. Small single-key batches (≤ the in-set cap)
+    // take the PER-VALUE path — envelope + manifest bloom + hidden
+    // partition transform per distinct key ([[MorReader.readValues]]), the
+    // CDC fast path: a micro-batch touching k keys opens ~k files on a
+    // bloom-indexed or bucketed table. Restricting the target to IN-set
+    // rows is sound for a merge: rows filtered out can't match any source
+    // key, and unmatched target rows are never touched. Wider batches fall
+    // back to the per-key min/max envelope as ranges. Both decisions are
+    // metadata-scale driver jobs over the SOURCE (bounded collect).
+    val inSetCap = 32
+    val pointVals: Option[Seq[String]] =
+      if (keyCols.size != 1) None
+      else {
+        val vs = source.select(col(keyCols.head).cast("string"))
+          .where(col(keyCols.head).isNotNull)
+          .distinct().limit(inSetCap + 1).collect().map(_.getString(0)).toSeq
+        if (vs.nonEmpty && vs.size <= inSetCap) Some(vs) else None
+      }
+    val tgtBase = pointVals match {
+      case Some(vs) => MorReader.readValues(spark, tableDir.toString, keyCols.head, vs)
+      case None =>
+        val ranges: Map[String, MorReader.ColRange] = {
+          val aggs = keyCols.flatMap(k => Seq(
+            min(col(k)).cast("string").as(s"_lo_$k"),
+            max(col(k)).cast("string").as(s"_hi_$k")))
+          val r = source.agg(aggs.head, aggs.tail: _*).head()
+          keyCols.flatMap { k =>
+            val lo = Option(r.getAs[String](s"_lo_$k"))
+            val hi = Option(r.getAs[String](s"_hi_$k"))
+            if (lo.isEmpty && hi.isEmpty) None // all-null keys match nothing
+            else Some(k -> MorReader.ColRange(lo, hi))
+          }.toMap
+        }
+        MorReader.readRange(spark, tableDir.toString, ranges)
     }
-    val tgt = MorReader.readRange(spark, tableDir.toString, ranges)
+    val tgt = tgtBase
       .select(schema.names.map(n => col(n).as(s"_t_$n")) :+ lit(true).as("_t_matched"): _*)
 
     val joined = source.join(tgt,

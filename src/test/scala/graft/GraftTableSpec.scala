@@ -471,6 +471,27 @@ class GraftTableSpec extends SparkSpec {
     assert(g.read.where(col("id").between(205, 214))
       .agg(sum(col("val"))).head().getLong(0) == (205L to 214L).map(_ * 9).sum)
     assert(g.read.count() == 800) // upsert semantics: replaced, not added
+
+    // scattered-key CDC batch on a bloom-indexed table: the per-value
+    // fast path (small distinct-key batches) opens only the touched
+    // files, where the min/max envelope keeps all 8 spanning files
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val gb = new GraftTableGenerator(spark, wh, "merge_prune_bloom")
+    gb.create(graft.schema.GraftSchema.of(
+      "tok" -> StringType, "v" -> LongType), Nil).withBloomFilters("tok")
+    (0 until 8).foreach { i =>
+      gb.appendData(Seq(("aaa", -1L), (s"key_$i", i.toLong), ("zzz", 99L))
+        .toDF("tok", "v")).commit()
+    }
+    val src2 = Seq(("key_2", 20L), ("key_6", 60L)).toDF("tok", "v")
+    val b0 = MorReader.dataFilesPlanned.get()
+    gb.mergeInto(src2, Seq("tok"))
+    val planned2 = MorReader.dataFilesPlanned.get() - b0
+    gb.commit()
+    assert(planned2 == 2, s"bloom-indexed merge planned $planned2 of 8 files")
+    assert(gb.read.where(col("tok") === "key_2").head().getLong(1) == 20L)
+    assert(gb.read.count() == 24) // 2 replaced in place, nothing added
   }
 
   test("compactPositionDeletes: tombstone waves collapse to one file per partition; dedup; live rows unchanged") {
