@@ -566,7 +566,18 @@ object MorQueries {
 
     // refs metadata table: the s10ts fixture tags snapshot 6
     "meta_refs" -> ((s, _) =>
-      graft.read.MetaTables.refs(s, s10ts(s)).orderBy("name"))
+      graft.read.MetaTables.refs(s, s10ts(s)).orderBy("name")),
+
+    // history metadata table: commit timeline with parent links, off the
+    // deterministic-clock fixture (made_current_at = id*1000)
+    "meta_history" -> ((s, _) =>
+      graft.read.MetaTables.history(s, s10ts(s)).orderBy("snapshot_id")),
+
+    // all_data_files over the compacted S10: the five pre-compaction
+    // 200-row files survive as live=false time-travel surface; the three
+    // compacted per-partition files carry the post-MoR live counts
+    "meta_all_files" -> ((s, _) =>
+      graft.read.MetaTables.allDataFiles(s, s10c(s)).orderBy("file_path"))
   )
 
   // SQL reconstruction shared by the S10-derived oracles
@@ -891,6 +902,45 @@ object MorQueries {
     "meta_refs" ->
       """SELECT 'before_pos_deletes' AS name, 'tag' AS type,
         |       CAST(6 AS BIGINT) AS snapshot_id""".stripMargin,
+
+    // 7 linear commits, deterministic clock id*1000, parent = previous id
+    "meta_history" ->
+      """SELECT CAST(id * 1000 AS BIGINT) AS made_current_at,
+        |       CAST(id AS BIGINT) AS snapshot_id,
+        |       CAST(CASE WHEN id = 1 THEN NULL ELSE id - 1 END AS BIGINT)
+        |         AS parent_id,
+        |       TRUE AS is_current_ancestor
+        |FROM (SELECT range AS id FROM range(1, 8))
+        |ORDER BY snapshot_id""".stripMargin,
+
+    // five original 200-row files (live=false after the rewrite) plus one
+    // compacted file per partition at seq 8 carrying the MoR live counts
+    "meta_all_files" ->
+      s"""$s10Rows,
+         |live AS (
+         |  SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
+         |  WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |    AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |    AND NOT (id % 200 >= 100 AND seq < 6)
+         |    AND NOT (id BETWEEN 50 AND 52)
+         |  GROUP BY category),
+         |orig AS (
+         |  SELECT category, CAST(seq AS BIGINT) AS seq, idx,
+         |         CAST(200 AS BIGINT) AS record_count, FALSE AS live
+         |  FROM (VALUES ('widget', 1, 0), ('gizmo', 3, 0), ('widget', 5, 1),
+         |               ('gizmo', 5, 1), ('gadget', 5, 0)) AS t(category, seq, idx)),
+         |comp AS (
+         |  SELECT l.category, CAST(8 AS BIGINT) AS seq, x.idx,
+         |         l.cnt AS record_count, TRUE AS live
+         |  FROM live l
+         |  JOIN (VALUES ('widget', 2), ('gizmo', 2), ('gadget', 1))
+         |    AS x(category, idx) ON l.category = x.category),
+         |allf AS (SELECT * FROM orig UNION ALL SELECT * FROM comp)
+         |SELECT 'data/' || category || '/' || category || '-' ||
+         |         lpad(CAST(idx AS VARCHAR), 2, '0') || '.parquet' AS file_path,
+         |       'category=' || category AS "partition",
+         |       CAST(0 AS INTEGER) AS spec_id, seq, record_count, live
+         |FROM allf ORDER BY file_path""".stripMargin,
 
     // delete-unaware manifest rollup (Iceberg partitions-table semantics)
     "meta_partitions" ->

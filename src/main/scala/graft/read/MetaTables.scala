@@ -90,6 +90,48 @@ object MetaTables {
       .toDF("name", "type", "snapshot_id")
   }
 
+  /** `tbl.history`: the table's commit timeline — one row per retained
+    * snapshot in commit order, with the writer-stamped wall clock
+    * (`made_current_at`, Iceberg's column of the same name) and the
+    * parent link. The graft log is linear — [[graft.table
+    * .GraftTableGenerator.rollbackTo]] TRUNCATES dropped snapshots out
+    * of the log instead of leaving dead branches — so every retained
+    * snapshot is an ancestor of the current one by construction;
+    * `is_current_ancestor` is kept for Iceberg surface parity. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val snaps = state(tableDir, None).snapshots
+    snaps.zipWithIndex
+      .map { case (s, i) =>
+        (s.timestampMs, s.id,
+          if (i == 0) None else Some(snaps(i - 1).id), true) }
+      .toDF("made_current_at", "snapshot_id", "parent_id",
+        "is_current_ancestor")
+  }
+
+  /** `tbl.all_data_files`: every data file ANY retained snapshot
+    * references — the time-travel surface, not just the live set
+    * (Iceberg's `all_data_files` metadata table). `live` marks
+    * membership in the current state: compaction- and rollback-removed
+    * files show `live=false` until snapshot expiry drops the snapshots
+    * that reference them. Each path appears once, under the snapshot
+    * that ADDED it (rewrites always mint fresh probe-numbered paths, so
+    * a path has exactly one adding snapshot). */
+  def allDataFiles(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val st = state(tableDir, None)
+    val live = st.dataFiles.map(_.path).toSet
+    st.snapshots.flatMap(_.dataFiles)
+      .groupBy(_.path).toSeq
+      .map { case (p, fs) =>
+        val f = fs.head
+        (rel(tableDir, p), partStr(f.partition), f.specId, f.seq,
+          if (f.recordCount < 0) None else Some(f.recordCount), live(p)) }
+      .sortBy(_._1)
+      .toDF("file_path", "partition", "spec_id", "seq", "record_count",
+        "live")
+  }
+
   /** `tbl.partitions`: live data files and manifest rows per partition
     * (delete-unaware, exactly like Iceberg's partitions table — MoR
     * deletes are accounted in `delete_files`, not subtracted here). */

@@ -1015,6 +1015,18 @@ class GraftTableSpec extends SparkSpec {
     // pre-compaction snapshot still sees the original manifest
     assert(MetaTables.files(spark, dir, Some(2L)).count() == 2)
     assert(MetaTables.deleteFiles(spark, dir, Some(2L)).count() == 1)
+
+    // all_data_files: both rewritten originals stay visible as live=false
+    // time-travel surface beside the one live compacted file
+    val all = MetaTables.allDataFiles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(5)))
+    assert(all.count(!_._3) == 2 && all.count(_._3) == 1)
+    assert(all.filter(_._3).map(_._2).toSeq == Seq(3L)) // rewrite seq
+
+    // history: linear parent chain over the three commits
+    val hist = MetaTables.history(spark, dir).orderBy("snapshot_id").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(hist.toSeq == Seq((1L, None), (2L, Some(1L)), (3L, Some(2L))))
   }
 
   test("legacy single-file log.jsonl tables load, read, and migrate on expiry") {
@@ -1139,6 +1151,12 @@ class GraftTableSpec extends SparkSpec {
     assert(g.read.count() == 140)
     assert(graft.meta.SnapshotLog(g.tableDir.toString).load()
       .snapshots.map(_.id) == Seq(1L, 2L, 3L))
+    // history stays a consistent linear chain across the truncation: the
+    // post-rollback commit reuses id 3 with parent 2, no dangling parent
+    val hist = graft.read.MetaTables.history(spark, g.tableDir.toString)
+      .orderBy("snapshot_id").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(hist.toSeq == Seq((1L, None), (2L, Some(1L)), (3L, Some(2L))))
     intercept[IllegalArgumentException](g.rollbackTo(99L))
   }
 
