@@ -267,6 +267,49 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Downstream mirror built by [[graft.streaming.TableFollower]]: the
+    * 180-row initial MoR load (ids 0..199 minus %10==7), then a
+    * post-compaction 50-row append window (ids 200..249) delivered
+    * append-only — the rewrite snapshot is invisible to the follower, so
+    * nothing is re-delivered. */
+  private def followTable(spark: SparkSession): String =
+    built.computeIfAbsent("follow_t", _ => {
+      val up = new graft.table.GraftTableGenerator(spark, wh, "orders_follow_up")
+      up.create(Scenarios.OrdersSchema, Nil)
+        .append(graft.gen.Bundles.ordersUnpartitioned(), 2, 100).commit()
+        .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
+      val down = new graft.table.GraftTableGenerator(spark, wh, "orders_follow_down")
+      down.create(Scenarios.OrdersSchema, Nil)
+      val f = new graft.streaming.TableFollower(spark, up.tableDir.toString,
+        Files.createTempDirectory("follow-q-ckpt").toString)
+      f.drain(b => down.appendData(b).commit())
+      up.compact().commit()
+        .append(graft.gen.Bundles.ordersUnpartitioned(), 1, 50).commit()
+      f.drain(b => down.appendData(b).commit())
+      down.tableDir.toString
+    })
+
+  /** CDC replica built by [[graft.streaming.TableFollower.replicateInto]]:
+    * initial 180-row state, then a window mixing a fresh append
+    * (ids 200..249) with an eq-delete of ids < 20 — the delete PROPAGATES
+    * (unlike the append-only follow), applied as one keyed merge. */
+  private def replicaTable(spark: SparkSession): String =
+    built.computeIfAbsent("replica_t", _ => {
+      val up = new graft.table.GraftTableGenerator(spark, wh, "orders_replica_up")
+      up.create(Scenarios.OrdersSchema, Nil)
+        .append(graft.gen.Bundles.ordersUnpartitioned(), 2, 100).commit()
+        .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
+      val rep = new graft.table.GraftTableGenerator(spark, wh, "orders_replica_down")
+      rep.create(Scenarios.OrdersSchema, Nil)
+      val f = new graft.streaming.TableFollower(spark, up.tableDir.toString,
+        Files.createTempDirectory("replica-q-ckpt").toString)
+      f.replicateInto(rep, Seq("order_id"))
+      up.append(graft.gen.Bundles.ordersUnpartitioned(), 1, 50).commit()
+        .equalityDelete(col("order_id") < 20, Seq("order_id")).commit()
+      f.replicateInto(rep, Seq("order_id"))
+      rep.tableDir.toString
+    })
+
   /** S10 rebuilt under another name, then compacted — same live rows. */
   private def s10c(spark: SparkSession): String =
     built.computeIfAbsent("s10c", _ => {
@@ -577,7 +620,19 @@ object MorQueries {
     // 200-row files survive as live=false time-travel surface; the three
     // compacted per-partition files carry the post-MoR live counts
     "meta_all_files" -> ((s, _) =>
-      graft.read.MetaTables.allDataFiles(s, s10c(s)).orderBy("file_path"))
+      graft.read.MetaTables.allDataFiles(s, s10c(s)).orderBy("file_path")),
+
+    // table-as-stream: the follower-built downstream mirror — initial MoR
+    // load + post-compaction increment, rewrites never re-delivered
+    "follow_pipeline" -> ((s, _) =>
+      MorReader.read(s, followTable(s))
+        .agg(count(lit(1)).as("cnt"), sum(col("order_id")).as("id_sum"))),
+
+    // CDC replication: upstream deletes propagate to the replica through
+    // the changelog windows (append-only follow would keep all 230 rows)
+    "follow_replica" -> ((s, _) =>
+      MorReader.read(s, replicaTable(s))
+        .agg(count(lit(1)).as("cnt"), sum(col("order_id")).as("id_sum")))
   )
 
   // SQL reconstruction shared by the S10-derived oracles
@@ -902,6 +957,22 @@ object MorQueries {
     "meta_refs" ->
       """SELECT 'before_pos_deletes' AS name, 'tag' AS type,
         |       CAST(6 AS BIGINT) AS snapshot_id""".stripMargin,
+
+    // downstream mirror: ids 0..199 minus the pre-follow eq-delete
+    // (%10==7), plus the appended 200..249 — exactly once each
+    "follow_pipeline" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 250))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM ids WHERE NOT (id < 200 AND id % 10 = 7)""".stripMargin,
+
+    // replica: 0..199 minus %10==7, minus the propagated id<20 delete,
+    // plus 200..249 — the live upstream state, mirrored
+    "follow_replica" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 250))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM ids WHERE NOT (id < 200 AND id % 10 = 7) AND id >= 20""".stripMargin,
 
     // 7 linear commits, deterministic clock id*1000, parent = previous id
     "meta_history" ->

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import graft.gen.Bundles
+import graft.scenarios.Scenarios
 import graft.streaming.{EventPipeline, EventSessions}
 import graft.streaming.EventSessions.Ev
 
@@ -317,5 +319,103 @@ class StreamingSpec extends SparkSpec {
     }
     val sorted = events.sortBy(_.tsMicros).toSeq
     assert(run(Seq(sorted)) == run(sorted.grouped(100).toSeq))
+  }
+
+  test("table follower: initial MoR load, append-only increments, rewrites invisible, durable resume") {
+    import graft.streaming.TableFollower
+    import graft.table.GraftTableGenerator
+    val wh = java.nio.file.Files.createTempDirectory("follow-wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("follow-ckpt").toString
+    val up = new GraftTableGenerator(spark, wh, "follow_up")
+    up.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 2, 100).commit()   // ids 0..199
+      .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
+    val down = new GraftTableGenerator(spark, wh, "follow_down")
+    down.create(Scenarios.OrdersSchema, Nil)
+
+    // initial load is the MoR state (deletes applied), not raw appends
+    val f = new TableFollower(spark, up.tableDir.toString, ckpt)
+    assert(f.drain(b => down.appendData(b).commit()) == 1)
+    assert(down.read.count() == 180)
+    assert(f.poll().isEmpty) // caught up
+
+    // compaction between polls re-expresses those 180 rows — invisible;
+    // the new append and a NON-propagated eq-delete arrive as one batch
+    up.compact().commit()
+      .append(Bundles.ordersUnpartitioned(), 1, 50).commit()    // ids 200..249
+      .equalityDelete(col("order_id") % 10 === 3, Seq("order_id")).commit()
+    assert(f.drain(b => down.appendData(b).commit()) == 1)
+    assert(down.read.count() == 230) // 180 + 50; nothing re-delivered
+    assert(down.read.where(col("order_id") % 10 === 3).count() > 0) // append-only
+
+    // crash between apply and commit replays the same batch (at-least-once)
+    up.append(Bundles.ordersUnpartitioned(), 1, 10).commit()    // ids 250..259
+    val b1 = f.poll().get
+    assert(b1.rows.count() == 10) // applied... then crash before commit
+    val f2 = new TableFollower(spark, up.tableDir.toString, ckpt)
+    val b2 = f2.poll().get
+    assert(b2.fromExclusive == b1.fromExclusive && b2.rows.count() == 10)
+    f2.commit(b2)
+    assert(f2.poll().isEmpty)
+
+    // expiry INSIDE the consumed window is fine (baseline keeps the offset
+    // id as a skipped replace); expiry CROSSING the offset fails loudly
+    up.expireSnapshots(keepLast = 2)
+    assert(f2.poll().isEmpty)
+    up.append(Bundles.ordersUnpartitioned(), 1, 10).commit()
+      .append(Bundles.ordersUnpartitioned(), 1, 10).commit()
+      .expireSnapshots(keepLast = 1) // horizon passes the offset
+    val ex = intercept[IllegalArgumentException](f2.poll())
+    assert(ex.getMessage.contains("retained history"))
+
+    // rollback below the offset fails loudly on a fresh follow of history
+    val up2 = new GraftTableGenerator(spark, wh, "follow_up2")
+    up2.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 1, 10).commit()
+      .append(Bundles.ordersUnpartitioned(), 1, 10).commit()
+    val ckpt2 = java.nio.file.Files.createTempDirectory("follow-ckpt2").toString
+    val f3 = new TableFollower(spark, up2.tableDir.toString, ckpt2)
+    f3.drain(_.count())
+    up2.rollbackTo(1L)
+    val ex2 = intercept[IllegalArgumentException](f3.poll())
+    assert(ex2.getMessage.contains("rolled back"))
+  }
+
+  test("table follower CDC replication: deletes and updates propagate, replay converges") {
+    import graft.streaming.TableFollower
+    import graft.table.GraftTableGenerator
+    val wh = java.nio.file.Files.createTempDirectory("replica-wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("replica-ckpt")
+    val up = new GraftTableGenerator(spark, wh, "replica_up")
+    up.create(Scenarios.OrdersSchema, Nil)
+      .append(Bundles.ordersUnpartitioned(), 2, 100).commit()   // ids 0..199
+      .equalityDelete(col("order_id") % 10 === 7, Seq("order_id")).commit()
+    val rep = new GraftTableGenerator(spark, wh, "replica_down")
+    rep.create(Scenarios.OrdersSchema, Nil)
+    val f = new TableFollower(spark, up.tableDir.toString, ckpt.toString)
+    assert(f.replicateInto(rep, Seq("order_id")) == 1)
+    assert(rep.read.count() == 180) // initial state, deletes applied
+
+    // one window mixing delete, update (upsert = delete+insert in the
+    // changelog), compaction (invisible), and fresh appends
+    val updated = up.read.where(col("order_id").between(30, 34))
+      .withColumn("source_id", lit(99))
+    up.equalityDelete(col("order_id") < 20, Seq("order_id")).commit()
+      .upsert(updated, Seq("order_id")).commit()
+      .compact().commit()
+      .append(Bundles.ordersUnpartitioned(), 1, 50).commit()    // ids 200..249
+    assert(f.replicateInto(rep, Seq("order_id")) == 1)
+    assert(rep.read.count() == 212) // 180 - 18 deleted + 50 appended
+    assert(rep.read.where(col("source_id") === 99).count() == 5) // updates landed
+    // exact mirror: replica == upstream live state, row for row
+    assert(up.read.except(rep.read).isEmpty && rep.read.except(up.read).isEmpty)
+
+    // replay the whole last window (stale offset checkpoint) — converges
+    val stale = java.nio.file.Files.createTempDirectory("replica-stale")
+    java.nio.file.Files.writeString(stale.resolve("offset.txt"), "2")
+    val f2 = new TableFollower(spark, up.tableDir.toString, stale.toString)
+    assert(f2.replicateInto(rep, Seq("order_id")) == 1)
+    assert(rep.read.count() == 212)
+    assert(up.read.except(rep.read).isEmpty && rep.read.except(up.read).isEmpty)
   }
 }
