@@ -73,6 +73,41 @@ object Curation {
       .withColumn("bin", expr(s"(_cum - _toks) div $budget"))
   }
 
+  /** Token-window document chunking — the step that turns curated documents
+    * into model-ready sequences. Each document becomes `1 + ceil(max(L -
+    * chunkTokens, 0) / stride)` chunks (`stride = chunkTokens - overlap`);
+    * chunk `i` covers normalized tokens `[i*stride, i*stride + chunkTokens)`,
+    * so consecutive chunks share `overlap` tokens and every token lands in
+    * at least one chunk (coverage + overlap are spec-gated). Output rows:
+    * `(idCol, chunk_idx, chunk_id, n_tokens, chunk_text)` with the stable id
+    * `"<doc>#<idx>"` — re-running over a grown corpus never renames an
+    * existing chunk.
+    *
+    * Scale shape: one narrow projection per row (`transform`/`slice`) plus a
+    * `Generate` — zero shuffles, zero state; output size is bounded by
+    * `chunkTokens / stride ×` the corpus, chosen by the caller. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): got $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    df.withColumn("_toks", TextOps.tokens(col(textCol)))
+      .withColumn("_nc",
+        expr(s"1 + greatest(0, (size(_toks) - $chunkTokens + $stride - 1) div $stride)"))
+      .select(col(idCol),
+        explode(expr("sequence(0, _nc - 1)")).as("_ci"),
+        col("_toks"))
+      .select(col(idCol),
+        col("_ci").cast("long").as("chunk_idx"),
+        concat(col(idCol).cast("string"), lit("#"),
+          col("_ci").cast("string")).as("chunk_id"),
+        expr(s"size(slice(_toks, _ci * $stride + 1, $chunkTokens))")
+          .cast("long").as("n_tokens"),
+        expr(s"array_join(slice(_toks, _ci * $stride + 1, $chunkTokens), ' ')")
+          .as("chunk_text"))
+  }
+
   /** Exact corpus-wide top-k terms by raw occurrence count (every token
     * counts, however the occurrences distribute over documents).
     * Tokens partially aggregate BEFORE the shuffle (map-side combine over

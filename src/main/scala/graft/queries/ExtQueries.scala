@@ -399,6 +399,15 @@ object ExtQueries {
         .orderBy("bin")
     }),
 
+    // token-window chunking: every doc → overlapping 32-token windows at
+    // stride 24 (8-token overlap), stable "<doc>#<idx>" chunk ids —
+    // row-level oracled (idx, id, token count, and the chunk text itself)
+    "doc_chunk" -> ((s, d) => {
+      Curation.chunkByTokens(docs(s, d), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "freq_terms" -> ((s, d) => {
       Curation.freqTerms(docs(s, d), "text", 20)
     }),
@@ -869,6 +878,19 @@ object ExtQueries {
          |       CAST(SUM(toks) AS BIGINT) AS bin_tokens,
          |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |           FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |             1 + GREATEST(0, (len(toks) - 32 + 23) // 24) AS nc
+         |      FROM t)
+         |SELECT n.doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+         |       n.doc_id || '#' || u.i AS chunk_id,
+         |       CAST(len(toks[u.i*24+1 : u.i*24+32]) AS BIGINT) AS n_tokens,
+         |       array_to_string(toks[u.i*24+1 : u.i*24+32], ' ') AS chunk_text
+         |FROM n, unnest(range(0, n.nc)) AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "freq_terms" ->
       s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt

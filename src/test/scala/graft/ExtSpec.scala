@@ -117,6 +117,54 @@ class ExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chunkByTokens: full coverage, exact overlap, stable ids, count formula") {
+    val size = 32; val overlap = 8; val stride = size - overlap
+    val chunks = Curation.chunkByTokens(docs, "doc_id", "text", size, overlap)
+      .localCheckpoint()
+    val lens = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        graft.ext.TextOps.tokens(col("text"))).as("L"))
+
+    // chunk-count formula: 1 + ceil(max(L - size, 0) / stride), verified
+    // per doc against the emitted max index
+    val got = chunks.groupBy("doc_id")
+      .agg(max("chunk_idx").as("max_idx"), count(lit(1)).as("nc"))
+      .join(lens, "doc_id")
+    assert(got.where(col("nc") =!= col("max_idx") + 1).count() == 0)
+    assert(got.where(col("nc") =!=
+      (lit(1) + greatest(lit(0),
+        expr(s"(L - $size + $stride - 1) div $stride")))).count() == 0)
+
+    // coverage: per-doc chunk tokens, deoverlapped, reassemble the exact
+    // normalized token stream (first chunk whole, later chunks minus the
+    // `overlap`-token prefix) — no token lost, none duplicated
+    val reassembled = chunks
+      .withColumn("_part", when(col("chunk_idx") === 0, col("chunk_text"))
+        .otherwise(expr(s"array_join(slice(split(chunk_text, ' '), ${overlap + 1}, $size), ' ')")))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(chunk_idx, _part)))," +
+        " p -> p._part), ' ')").as("rebuilt"))
+    val orig = docs.select(col("doc_id"),
+      graft.ext.TextOps.norm(col("text")).as("norm"))
+    assert(reassembled.join(orig, "doc_id")
+      .where(col("rebuilt") =!= col("norm")).count() == 0)
+
+    // consecutive chunks share exactly `overlap` tokens (except a short tail)
+    val pairs = chunks.alias("a").join(chunks.alias("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.chunk_idx") + 1 === col("b.chunk_idx"))
+      .select(col("a.chunk_text").as("ta"), col("b.chunk_text").as("tb"),
+        col("b.n_tokens").as("nb"))
+    assert(pairs.where(
+      expr(s"slice(split(ta, ' '), $stride + 1, $overlap)") =!=
+        expr(s"slice(split(tb, ' '), 1, least(nb, $overlap))")).count() == 0)
+
+    // ids are stable strings "<doc>#<idx>"
+    assert(chunks.where(col("chunk_id") =!=
+      concat(col("doc_id").cast("string"), lit("#"),
+        col("chunk_idx").cast("string"))).count() == 0)
+  }
+
   test("mixWeights: weighted token mass lands each source exactly on its target share") {
     val targets = ((0 until 5).map(i => s"src$i" -> 0.1) ++
       (5 until 20).map(i => s"src$i" -> 0.5 / 15)).toMap
