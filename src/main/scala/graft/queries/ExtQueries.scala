@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Contam, Curation, Dedup, Similarity, TextOps}
+import graft.ext.{Contam, Curation, CuratePipeline, Dedup, Similarity, TextOps}
 import Q._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.9) as declared,
@@ -399,6 +399,33 @@ object ExtQueries {
         .orderBy("bin")
     }),
 
+    // the composed flagship: quality gate → exact dedup → LSH near-dup
+    // collapse → decontamination vs the held-out eval set → chunking →
+    // split, over a corpus with planted junk / exact copies / near copies.
+    // The oracle mirrors all six stages in one chained-CTE SQL.
+    "curate_corpus" -> ((s, d) => {
+      val base = docs(s, d).where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(base.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zz qq xx")).as("text")))
+        .unionByName(base.where(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            substring(col("text"), 1, 20).as("text")))
+      val bench = docs(s, d).where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+      CuratePipeline.curate(corpus, bench, "doc_id", "text")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          sum("n_tokens").as("tokens"),
+          sum(TextOps.hash60(col("chunk_text")) % 1000003L).as("chunk_fp"))
+        .orderBy("split")
+    }),
+
     // token-window chunking: every doc → overlapping 32-token windows at
     // stride 24 (8-token overlap), stable "<doc>#<idx>" chunk ids —
     // row-level oracled (idx, id, token count, and the chunk text itself)
@@ -540,13 +567,13 @@ object ExtQueries {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
-  /** Shared minhash-LSH CTE chain, ending in `mp(id_a, id_b, est_jaccard)`
-    * (used by `dedup_minhash` and `dedup_minhash_cluster`). */
-  private lazy val minhashCtes =
-    s"""corpus AS ($nearDupCorpusSql),
-       |sh AS (
+  /** Shared minhash-LSH CTE chain over `src(id, t)`, ending in
+    * `mp(id_a, id_b, est_jaccard)` (used by the dedup keys and the
+    * composed curation pipeline). */
+  private def minhashChain(src: String) =
+    s"""sh AS (
        |  SELECT id, substr(t, CAST(u.i AS INTEGER), 8) AS s
-       |  FROM corpus, LATERAL unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS u(i)),
+       |  FROM $src, LATERAL unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS u(i)),
        |mh AS (
        |  SELECT id, k.k AS k,
        |         MIN(('0x' || substr(md5(CAST(k.k // 4 AS VARCHAR) || '|' || s),
@@ -571,9 +598,14 @@ object ExtQueries {
        |    FROM pairs)
        |  WHERE est >= 0.5)""".stripMargin
 
-  /** 3 rounds of min-label propagation over `mp` pairs + `corpus` nodes,
-    * ending in `l3(id, lbl)` (shared by the cluster/survivor keys). */
-  private lazy val clusterCtes = {
+  private lazy val minhashCtes =
+    s"""corpus AS ($nearDupCorpusSql),
+       |${minhashChain("corpus")}""".stripMargin
+
+  /** 3 rounds of min-label propagation over `mp` pairs + `src` nodes,
+    * ending in `l3(id, lbl)` (shared by the cluster/survivor keys and the
+    * composed curation pipeline). */
+  private def clusterChain(src: String) = {
     def round(prev: String, out: String) =
       s"""$out AS (
          |  SELECT n.id, least(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
@@ -583,11 +615,13 @@ object ExtQueries {
          |  GROUP BY n.id, n.lbl)""".stripMargin
     s"""edges AS (SELECT id_a AS u, id_b AS v FROM mp
        |          UNION ALL SELECT id_b, id_a FROM mp),
-       |l0 AS (SELECT id, id AS lbl FROM corpus),
+       |l0 AS (SELECT id, id AS lbl FROM $src),
        |${round("l0", "l1")},
        |${round("l1", "l2")},
        |${round("l2", "l3")}""".stripMargin
   }
+
+  private lazy val clusterCtes = clusterChain("corpus")
 
   val oracleSql: Map[String, String] = Map(
     // batch-2 survivors = the novel ids (stored overlap 40..49 drops;
@@ -878,6 +912,67 @@ object ExtQueries {
          |       CAST(SUM(toks) AS BIGINT) AS bin_tokens,
          |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the six pipeline stages mirrored in one chained-CTE SQL: quality
+    // gate (same 3-part score as text_quality_score), exact dedup, the
+    // shared minhash+cluster chains, gram-set decontamination, chunking
+    // (same algebra as doc_chunk), and the h60 split
+    "curate_corpus" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |corpus0 AS (
+         |  SELECT doc_id AS id, text FROM base
+         |  UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text || ' zz qq xx' FROM base
+         |    WHERE doc_id % 20 = 0
+         |  UNION ALL SELECT doc_id + 3000000, substr(text, 1, 20) FROM base
+         |    WHERE doc_id % 25 = 0),
+         |qd AS (SELECT id, text, $normSql AS t,
+         |              len(string_split($normSql, ' ')) AS n_tok
+         |       FROM corpus0),
+         |q AS (SELECT id, text, t FROM qd WHERE
+         |  (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END) +
+         |  (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+         |            CAST(greatest(len(text), 1) AS DOUBLE) < 0.1
+         |        THEN 0.3 ELSE 0.0 END) +
+         |  (CASE WHEN len(replace(t, ' ', '')) /
+         |              CAST(greatest(n_tok, 1) AS DOUBLE) >= 2.5
+         |        AND len(replace(t, ' ', '')) /
+         |              CAST(greatest(n_tok, 1) AS DOUBLE) <= 9.5
+         |        THEN 0.3 ELSE 0.0 END) >= 0.7),
+         |exi AS (SELECT MIN(id) AS id FROM q GROUP BY md5(text)),
+         |exk AS (SELECT q.id, q.t FROM q JOIN exi USING (id)),
+         |${minhashChain("exk")},
+         |${clusterChain("exk")},
+         |nd AS (SELECT e.id, string_split(e.t, ' ') AS ws
+         |       FROM exk e JOIN l3 ON l3.id = e.id WHERE l3.lbl = l3.id),
+         |g AS (SELECT id, list_distinct(list_transform(
+         |        range(1, greatest(len(ws) - 2, 0) + 1),
+         |        i -> array_to_string(ws[i:i+2], ' '))) AS gs FROM nd),
+         |bw AS (SELECT string_split($normSql, ' ') AS ws FROM documents
+         |       WHERE doc_id % 50 = 0),
+         |bg AS (SELECT list_distinct(flatten(list(list_transform(
+         |        range(1, greatest(len(ws) - 2, 0) + 1),
+         |        i -> array_to_string(ws[i:i+2], ' '))))) AS egs FROM bw),
+         |ct AS (SELECT id FROM g, bg
+         |       WHERE round(len(list_intersect(gs, egs)) /
+         |                   CAST(len(gs) AS DOUBLE), 4) < 0.2),
+         |clean AS (SELECT nd.id, nd.ws FROM nd JOIN ct USING (id)),
+         |nch AS (SELECT id, ws, 1 + GREATEST(0, (len(ws) - 32 + 23) // 24) AS nc
+         |        FROM clean),
+         |ch AS (SELECT id, id || '#' || u.i AS chunk_id,
+         |              len(ws[u.i*24+1 : u.i*24+32]) AS n_tokens,
+         |              array_to_string(ws[u.i*24+1 : u.i*24+32], ' ') AS chunk_text
+         |       FROM nch, unnest(range(0, nch.nc)) AS u(i)),
+         |sp AS (SELECT id, n_tokens, chunk_text,
+         |              CASE WHEN ${h60("chunk_id")} % 100 < 80 THEN 'train'
+         |                   WHEN ${h60("chunk_id")} % 100 < 90 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM ch)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         |       CAST(SUM(${h60("chunk_text")} % 1000003) AS BIGINT) AS chunk_fp
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "doc_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks

@@ -165,6 +165,50 @@ class ExtSpec extends SparkSpec {
         col("chunk_idx").cast("string"))).count() == 0)
   }
 
+  test("curate pipeline: junk fails the gate, copies collapse, contaminated docs drop") {
+    import graft.ext.{Contam, CuratePipeline}
+    val base = docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(base.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz qq xx")).as("text")))
+      .unionByName(base.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          substring(col("text"), 1, 20).as("text")))
+    val bench = docs.where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+    val out = CuratePipeline.curate(corpus, bench, "doc_id", "text").localCheckpoint()
+
+    // every planted synthetic row is gone: junk (+3M) failed the quality
+    // gate, exact copies (+1M) collapsed onto their originals, near copies
+    // (+2M) collapsed through LSH — only base docs emit chunks
+    assert(out.where(col("doc_id") >= 1000000L).count() == 0)
+
+    // independently-computed contaminated base docs never surface
+    val contaminated = Contam.ngramOverlap(base, bench, "text", "doc_id", 3)
+      .where(col("contam") >= 0.2).select("doc_id")
+    assert(out.join(contaminated, Seq("doc_id")).count() == 0)
+
+    // chunk shape: bounded windows, all three splits present and nothing else
+    assert(out.where(col("n_tokens") < 1 || col("n_tokens") > 32).count() == 0)
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+
+    // survivors are exactly: base docs minus the corpus's own LSH near-dup
+    // collapses (the sf0.001 corpus has real near-dups — computed
+    // independently here over base alone) minus the contaminated set
+    val basePairs = Dedup.minhashPairs(base, "text", "doc_id")
+    val baseLbl = Dedup.clusterLabels(base.select("doc_id"), basePairs, "doc_id", 3)
+    val baseSurvivors = baseLbl.where(col("lbl") === col("id"))
+      .select(col("id").as("doc_id"))
+    val expected = baseSurvivors.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(out.select("doc_id").distinct()
+      .join(expected, Seq("doc_id"), "left_anti").count() == 0)
+    assert(expected.join(out.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("mixWeights: weighted token mass lands each source exactly on its target share") {
     val targets = ((0 until 5).map(i => s"src$i" -> 0.1) ++
       (5 until 20).map(i => s"src$i" -> 0.5 / 15)).toMap
