@@ -39,16 +39,21 @@ object CuratePipeline {
       .withColumn("_toks", TextOps.tokens(col(textCol)))
       .where(TextOps.qualityScore(col(textCol), "_toks") >= minQuality)
       .select(col(idCol), col(textCol))
-    // 2. exact dedup: keep the min-id survivor of every identical text
+    // 2. exact dedup: keep the min-id survivor of every identical text.
+    // Stage boundaries materialize (eager localCheckpoint): the surviving
+    // frame feeds three downstream consumers (LSH signatures, the label
+    // join, the survivor join) and without a cut the whole quality+dedup
+    // subtree re-executes per consumer — at cluster scale this handoff is
+    // a persisted table between pipeline stages, same shape.
     val exIds = Dedup.exact(q, textCol, idCol).select(idCol)
-    val ex = q.join(exIds, Seq(idCol))
+    val ex = q.join(exIds, Seq(idCol)).localCheckpoint()
     // 3. near-dup collapse: LSH pairs → bounded label propagation → keep
     //    each cluster's min-id representative
     val pairs = Dedup.minhashPairs(ex, textCol, idCol)
     val labels = Dedup.clusterLabels(ex.select(idCol), pairs, idCol, iters = 3)
     val nd = ex.join(
       labels.where(col("lbl") === col("id")).select(col("id").as(idCol)),
-      Seq(idCol))
+      Seq(idCol)).localCheckpoint()
     // 4. decontamination: drop docs sharing too many word 3-grams with the
     //    benchmark (threshold on the rounded ratio ngramOverlap emits)
     val cleanIds = Contam.ngramOverlap(nd, bench, textCol, idCol, n = 3)
