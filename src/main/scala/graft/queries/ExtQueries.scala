@@ -24,15 +24,25 @@ object ExtQueries {
 
   private def docs(s: SparkSession, d: String) = tbl(s, d, "documents")
   private def embs(s: SparkSession, d: String) = tbl(s, d, "embeddings")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read it as long nanos and truncate to microseconds — the same
-    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies. */
-  private[queries] def eventsWithTs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, d, "events")
-      .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** Type-adaptive events read — see [[Q.events]] for the encoding story. */
+  private[queries] def eventsWithTs(s: SparkSession, d: String): DataFrame =
+    Q.events(s, d)
   private def evts(s: SparkSession, d: String): DataFrame = eventsWithTs(s, d)
+
+  /** Recall-contract row for ANN keys: `(exact_id_sum, exact_cos_sum_e4,
+    * recall_floor_met)`. The exact top-k's id-sum and 1e-4-scaled
+    * cosine-sum are recomputed brute-force by the DuckDB oracle (so the
+    * denominator of the recall claim is itself oracle-checked); the flag
+    * asserts the approximate answer found ≥ `floorHits` of the exact
+    * top-k. */
+  private def recallRow(approx: DataFrame, exact: DataFrame,
+                        floorHits: Int): DataFrame = {
+    val a = approx.select(col("vec_id").as("a_id"))
+    exact.join(a, col("vec_id") === col("a_id"), "left")
+      .agg(sum("vec_id").as("exact_id_sum"),
+        sum(round(col("cos") * 10000).cast("long")).as("exact_cos_sum_e4"),
+        (count(col("a_id")) >= floorHits).as("recall_floor_met"))
+  }
 
   /** documents ∪ exact copies of every 10th doc under shifted ids. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
@@ -220,13 +230,21 @@ object ExtQueries {
         queryVec(s, d), 10)
     }),
 
-    // IVF scale path against the PERSISTED index (built once per sf dir):
-    // no SQL oracle (recall is probe-dependent); driver records rows-only.
-    // Exactness vs brute force is spec-tested.
-    "sim_topk_cosine_ivf" -> ((s, d) => {
-      Similarity.queryIvf(s, ivfIndex(s, d), "vec_id",
-        queryVec(s, d), 10, nProbe = 8)
-    }),
+    // IVF scale path against the PERSISTED index (built once per sf dir) at
+    // a realistic probe count. Approximate hit-lists are config-dependent,
+    // so the ORACLE IS A RECALL CONTRACT: the row carries the exact top-10
+    // (id-sum + 1e-4-scaled cosine-sum, which DuckDB recomputes brute-force)
+    // plus a recall@10 ≥ 0.7 flag for the IVF answer (DuckDB asserts
+    // `true`). An index regression dropping recall below the floor turns
+    // the flag false → hash mismatch → red row. Exactness of the full
+    // pipeline is separately oracled by the `_full` sibling (nProbe=all).
+    "sim_topk_cosine_ivf" -> ((s, d) =>
+      recallRow(
+        Similarity.queryIvf(s, ivfIndex(s, d), "vec_id",
+          queryVec(s, d), 10, nProbe = 8),
+        Similarity.topKCosine(embs(s, d), "embedding", "vec_id",
+          queryVec(s, d), 10),
+        floorHits = 7)),
 
     // probe=all configuration: every cell is scanned, so the result is
     // exact and shares the brute-force oracle — proves the whole IVF
@@ -247,13 +265,16 @@ object ExtQueries {
     }),
 
     // composed IVF-PQ (cell-partition pruning × code compression — the
-    // FAISS IVFPQ shape) at realistic probes/shortlist: recall is
-    // configuration-dependent, so rows-only; exactness under the exact
-    // config is the _full sibling + spec
-    "sim_topk_ivfpq" -> ((s, d) => {
-      Similarity.queryIvfPq(embs(s, d), "embedding", "vec_id",
-        ivfPqIndex(s, d), queryVec(s, d), 10, nProbe = 8, shortlist = 100)
-    }),
+    // FAISS IVFPQ shape) at realistic probes/shortlist: same recall
+    // contract as sim_topk_cosine_ivf; exactness under the exact config is
+    // the _full sibling + spec
+    "sim_topk_ivfpq" -> ((s, d) =>
+      recallRow(
+        Similarity.queryIvfPq(embs(s, d), "embedding", "vec_id",
+          ivfPqIndex(s, d), queryVec(s, d), 10, nProbe = 8, shortlist = 100),
+        Similarity.topKCosine(embs(s, d), "embedding", "vec_id",
+          queryVec(s, d), 10),
+        floorHits = 7)),
 
     // every cell probed + corpus-wide shortlist ⇒ exact, brute-force
     // oracle — proves the composed pipeline (coarse assignment, trained
@@ -469,9 +490,12 @@ object ExtQueries {
         .orderBy("source")
     }),
 
-    // bounded-memory heavy hitters: rows-only by design (the sketch's
-    // counts are capacity-dependent lower bounds with no exact SQL mirror);
-    // agreement with exact freq_terms is spec-gated
+    // bounded-memory heavy hitters via the native Misra-Gries aggregate.
+    // ORACLE = exact-at-capacity contract: MG with capacity ≥ |vocab|
+    // never decrements, so its lower bounds ARE the exact counts and
+    // DuckDB's exact top-20 is a legal oracle (the corpus vocabulary is
+    // ~31 terms ≪ 4096). Under-capacity lower-bound behavior stays
+    // spec-gated in ExtSpec.
     "sketch_freq_terms" -> ((s, d) => {
       Curation.approxFreqTerms(docs(s, d), "text", 20)
     }),
@@ -560,6 +584,17 @@ object ExtQueries {
        |SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
        |FROM embeddings, q
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Oracle for the recall-contract ANN keys (see [[recallRow]]). */
+  private lazy val recallOracleSql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |topk AS (SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
+       |         FROM embeddings, q
+       |         ORDER BY cos DESC, vec_id LIMIT 10)
+       |SELECT CAST(SUM(vec_id) AS BIGINT) AS exact_id_sum,
+       |       CAST(SUM(CAST(ROUND(cos * 10000) AS BIGINT)) AS BIGINT) AS exact_cos_sum_e4,
+       |       true AS recall_floor_met
+       |FROM topk""".stripMargin
 
   private def cosSql(a: String, b: String) =
     s"""(list_sum(list_transform(range(1, 65),
@@ -722,6 +757,11 @@ object ExtQueries {
          |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk_cosine" -> bruteTopkSql,
+
+    // recall contract for realistic-probe ANN: DuckDB recomputes the exact
+    // top-10's id/cosine sums brute-force and asserts the recall flag
+    "sim_topk_cosine_ivf" -> recallOracleSql,
+    "sim_topk_ivfpq" -> recallOracleSql,
 
     // IVF with every cell probed is exact ⇒ same oracle as brute force
     "sim_topk_cosine_ivf_full" -> bruteTopkSql,
@@ -993,6 +1033,14 @@ object ExtQueries {
          |      FROM documents)
          |WHERE term <> ''
          |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    // exact-at-capacity: MG capacity 4096 ≥ vocab ⇒ cnt_est is exact
+    "sketch_freq_terms" ->
+      s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_est
+         |FROM (SELECT unnest(string_split($normSql, ' ')) AS term
+         |      FROM documents)
+         |WHERE term <> ''
+         |GROUP BY term ORDER BY cnt_est DESC, term LIMIT 20""".stripMargin,
 
     "freq_terms_by_source" ->
       s"""SELECT source, term, cnt FROM (

@@ -837,9 +837,7 @@ class ExtSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.queries.Q.events(spark, dir)
       .select(col("_ts"), col("event_type"), col("value"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
 
@@ -855,8 +853,7 @@ class ExtSpec extends SparkSpec {
       sq.processAllAvailable()
       val streamed = spark.sql("select window.start, event_type, cnt from win_agg")
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
-      val batch = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
+      val batch = graft.queries.Q.events(spark, dir)
         .groupBy(window(col("_ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("w.start"), col("event_type"), col("cnt"))

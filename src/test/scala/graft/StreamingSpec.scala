@@ -15,18 +15,16 @@ class StreamingSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def eventRows(): Array[Ev] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    graft.queries.Q.events(spark, dir)
+      .select(col("user_id"), col("_us").as("us"))
       .collect().map(r => Ev(r.getLong(0), r.getLong(1)))
   }
 
   /** Batch reference with the same µs-strict-> gap rule as EventSessions. */
   private def batchSummaries(gapSec: Long): Map[Long, (Long, Long)] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val w = Window.partitionBy("user_id").orderBy("us")
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    graft.queries.Q.events(spark, dir)
+      .select(col("user_id"), col("_us").as("us"))
       .withColumn("prev", lag(col("us"), 1).over(w))
       .withColumn("ns", when(col("prev").isNull ||
         col("us") - col("prev") > gapSec * 1000000L, 1L).otherwise(0L))
@@ -65,9 +63,8 @@ class StreamingSpec extends SparkSpec {
     val base = Files.createTempDirectory("pipeline")
     val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+    val events = graft.queries.Q.events(spark, dir)
+      .select(col("event_id"), col("_ts").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .orderBy("ts").cache()
     val n = events.count()
@@ -110,9 +107,8 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup: re-deliveries within the watermark drop; state bounded") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), expr("ts div 1000").as("us"))
+    val base = graft.queries.Q.events(spark, dir)
+      .select(col("event_id"), col("_us").as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
     val stream = MemoryStream[(Long, Long)]
     val df = stream.toDS().toDF("event_id", "us")
@@ -141,10 +137,9 @@ class StreamingSpec extends SparkSpec {
   test("stream-stream interval join == batch join (clicks→purchase attribution)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.queries.Q.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        col("_us").as("us"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("us")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
