@@ -1,7 +1,5 @@
 package graft.ext
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -13,11 +11,14 @@ import org.apache.spark.sql.types._
   * `mapInPandas` (iterator of record batches in, iterator of batches out),
   * which is the shape a real decoder (JNI codec, ONNX runtime) plugs into.
   *
-  * No image/audio libraries exist in this container, so THE DECODE STEP IS
-  * A STUB: `fakeDecode` derives a deterministic 4-dim feature vector from
-  * the payload bytes via salted md5 — the Spark-side schema, batching,
-  * partitioning, and aggregation are real and tested, and the md5 basis
-  * keeps the whole pipeline oracle-checkable end to end.
+  * The decode step is REAL: payloads are genuine 24bpp BMP (images, video
+  * poster frames) and RIFF PCM WAV (audio) containers built and parsed by
+  * [[MediaCodecs]] — headers, strides, bottom-up rows, two's-complement
+  * samples. Pixel/sample VALUES are closed-form in (media_id, index), so
+  * every decoded feature stays DuckDB-reproducible end to end while the
+  * Spark side earns it by actually parsing the binary. Formats needing
+  * codec libraries this container lacks (JPEG, MP3, H.264) would plug into
+  * the same batched iterator without touching anything else.
   */
 object MediaOps {
 
@@ -30,36 +31,71 @@ object MediaOps {
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("duration_ms", IntegerType), StructField("mime", StringType))))))
 
-  /** Deterministic media table synthesized from `documents`: payload =
-    * UTF-8 text bytes, kind/meta hash-derived. Stands in for a real
-    * binary-ingest source; every derivation is SQL-mirrorable. */
-  def synthesizeFromDocs(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height"),
-        (col("n_chars") * 40).cast("int").as("duration_ms"),
-        concat(lit("media/x-fake-"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("mime")).as("meta"))
+  // closed-form payload content (mirrored by the DuckDB oracles):
+  //   image/video: w=(id%8)·4+8, h=(id%8)·2+6, pixel v(i)=(id·31+i·7)%256
+  //                at logical index i=(y·w+x)·3+c
+  //   audio:       ns=(id%16)·32+64 samples at 8 kHz,
+  //                s(i)=((id·17+i·13)%4001)−2000
+  private[ext] def bmpDims(id: Long): (Int, Int) =
+    (((id % 8) * 4 + 8).toInt, ((id % 8) * 2 + 6).toInt)
+  private[ext] def pixel(id: Long, i: Int): Int = ((id * 31 + i * 7) % 256).toInt
+  private[ext] def nSamples(id: Long): Int = ((id % 16) * 32 + 64).toInt
+  private[ext] def sample(id: Long, i: Int): Int =
+    ((id * 17 + i * 13) % 4001).toInt - 2000
+  private[ext] val SampleRate = 8000
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
+  /** Deterministic media table synthesized from `documents`: payloads are
+    * REAL containers — BMP for images and video posters, WAV/PCM for audio
+    * ([[MediaCodecs]]) — with closed-form pixel/sample values so downstream
+    * decoded features stay SQL-mirrorable. Meta describes the (nominal)
+    * source media; the payload is its thumbnail/clip rendition. */
+  def synthesizeFromDocs(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"), col("n_chars")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload = kind match {
+          case "audio" =>
+            MediaCodecs.encodeWav(nSamples(id), SampleRate, sample(id, _))
+          case _ =>
+            val (w, h) = bmpDims(id)
+            MediaCodecs.encodeBmp(w, h, pixel(id, _))
+        }
+        Row(id, kind, payload,
+          Row(((id % 8) * 160 + 320).toInt, ((id % 8) * 90 + 180).toInt,
+            (r.getLong(1) * 40).toInt, s"media/x-fake-$kind"))
+      }
+    }(enc)
+  }
 
-  /** STUBBED decoder: dim j of the feature vector = salted-md5-derived
-    * value in [0,1). Mirror SQL:
-    * `('0x'||substr(md5(j || '|' || payload),1,15))::BIGINT / 2^60`. */
-  private[ext] def fakeDecode(payload: Array[Byte], dims: Int): Array[Double] =
-    Array.tabulate(dims) { j =>
-      val salted = (s"$j|").getBytes("UTF-8") ++ payload
-      java.lang.Long.parseLong(md5Hex(salted).substring(0, 15), 16).toDouble /
-        (1L << 60).toDouble
+  /** REAL decoder: sniffs the container magic and parses the payload.
+    *   BMP → [ΣR, ΣG, ΣB, w·h] (channel sums over decoded pixels)
+    *   WAV → [Σs, Σ|s|, nSamples, max|s|]
+    * All four dims are exact integers (≪ 2^53), so double-typed features
+    * aggregate without float-order hazards. */
+  private[ext] def realDecode(payload: Array[Byte], dims: Int): Array[Double] = {
+    require(dims == 4, s"decoder emits 4 dims, asked for $dims")
+    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+      val (w, h, px) = MediaCodecs.decodeBmp(payload)
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < px.length) { sums(i % 3) += px(i); i += 1 }
+      Array(sums(0).toDouble, sums(1).toDouble, sums(2).toDouble,
+        (w.toLong * h).toDouble)
+    } else {
+      val (_, s) = MediaCodecs.decodeWav(payload)
+      var (sum, sumAbs, maxAbs) = (0L, 0L, 0L)
+      var i = 0
+      while (i < s.length) {
+        sum += s(i); sumAbs += math.abs(s(i))
+        maxAbs = math.max(maxAbs, math.abs(s(i))); i += 1
+      }
+      Array(sum.toDouble, sumAbs.toDouble, s.length.toDouble, maxAbs.toDouble)
     }
+  }
 
   /** Output schema of [[decodeFeatures]]. */
   def featuresSchema(dims: Int): StructType = StructType(Seq(
@@ -85,16 +121,40 @@ object MediaOps {
         // batch-granular decode (a real impl would hand the whole batch to
         // a vectorized codec); one output row per input row
         batch.iterator.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          val payload = r.getAs[Array[Byte]](2)
           Row(r.getLong(0), r.getString(1), payload.length.toLong,
-            fakeDecode(payload, dims).toSeq)
+            realDecode(payload, dims).toSeq)
         }
       }
     }(enc)
   }
 
-  /** Metadata-level resize: halves dimensions, payload untouched (a real
-    * impl would re-encode in the same batched decoder path). */
+  /** PIXEL-level resize: BMP payloads (image + video poster) are decoded,
+    * box-averaged by `factor` (integer division — deterministic), and
+    * re-encoded as BMP in the same batched per-partition path the decoder
+    * uses. Audio rows are excluded (resize is a raster op). Output carries
+    * the new payload so a downstream [[decodeFeatures]] proves the
+    * re-encode round-trips. */
+  def resizePixels(media: DataFrame, factor: Int, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("kind", StringType),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(out)
+    media.where(col("kind") =!= "audio")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            // positional access: rows arriving from a chained object-mode
+            // operator carry no schema for name lookup
+            Row(r.getLong(0), r.getString(1),
+              MediaCodecs.resizeBmp(r.getAs[Array[Byte]](2), factor))
+          }
+        }
+      }(enc)
+  }
+
+  /** Metadata-level resize: halves dimensions, payload untouched (the
+    * cheap planning-only variant of [[resizePixels]]). */
   def resizeMeta(media: DataFrame, factor: Int): DataFrame =
     media.withColumn("meta", struct(
       (col("meta.width") / factor).cast("int").as("width"),

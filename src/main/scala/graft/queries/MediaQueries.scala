@@ -7,29 +7,42 @@ import Q._
 
 /** Multimodal-column queries (SURVEY.md §2.9): binary payload + typed
   * metadata synthesized deterministically from `documents`, pushed through
-  * the batched decode path (stubbed codec — see [[graft.ext.MediaOps]]).
-  * Oracles reconstruct the md5-derived stub features in SQL.
+  * the batched decode path with REAL BMP/WAV codecs
+  * ([[graft.ext.MediaCodecs]]). Payload pixel/sample values are closed-form
+  * in (media_id, index), so the oracles recompute the decoded features —
+  * channel sums, sample sums, resized pixel grids — directly in SQL; a
+  * codec bug (stride, row order, sign, padding) breaks the hash compare.
   */
 object MediaQueries {
 
   val queries: Map[String, QueryFn] = Map(
+    // features from DECODED payloads: f0 = ΣR (BMP) / Σsamples (WAV) —
+    // exact integers, summed per kind; total_bytes checks the container
+    // sizes the encoders emitted
     "multimodal_features" -> ((s, d) => {
       val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
       MediaOps.decodeFeatures(media, dims = 4, batchSize = 64)
         .groupBy("kind")
         .agg(count(lit(1)).as("n"),
           sum("payload_len").as("total_bytes"),
-          round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+          sum(element_at(col("features"), 1).cast("long")).as("f0_sum"))
         .orderBy("kind")
     }),
 
+    // REAL raster resize: decode BMP → 2×2 box-average (integer div) →
+    // re-encode BMP → decode AGAIN for the aggregate, so the oracle's
+    // closed-form resized grid checks both directions of the codec
+    // (including the now-unaligned stride padding of the halved widths)
     "multimodal_resize" -> ((s, d) => {
       val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
-      MediaOps.resizeMeta(media, 2)
+      MediaOps.decodeFeatures(MediaOps.resizePixels(media, 2),
+          dims = 4, batchSize = 64)
         .groupBy("kind")
         .agg(count(lit(1)).as("n"),
-          sum(col("meta.width").cast("long")).as("sum_w"),
-          sum(col("meta.height").cast("long")).as("sum_h"))
+          sum((element_at(col("features"), 1) + element_at(col("features"), 2) +
+            element_at(col("features"), 3)).cast("long")).as("pix_sum"),
+          sum(element_at(col("features"), 4).cast("long")).as("out_pixels"),
+          sum("payload_len").as("total_bytes"))
         .orderBy("kind")
     }),
 
@@ -56,8 +69,9 @@ object MediaQueries {
           count_distinct(col("media_id")).as("n_videos"))
     }),
 
-    // per-kind per-dimension mean of the (stub) decoded features — the
-    // full 4-dim generalization of multimodal_features' avg_f0
+    // per-kind per-dimension mean of the decoded features — the full 4-dim
+    // generalization of multimodal_features' f0_sum (BMP: ΣR/ΣG/ΣB/pixels;
+    // WAV: Σs/Σ|s|/n/max|s|)
     "multimodal_kind_features" -> ((s, d) => {
       val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
       MediaOps.featureMeansByKind(media, dims = 4)
@@ -68,19 +82,52 @@ object MediaQueries {
   private val kindSql =
     "(['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1]"
 
-  val oracleSql: Map[String, String] = Map(
-    "multimodal_features" ->
-      s"""SELECT $kindSql AS kind, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-         |  round(avg(('0x' || substr(md5('0|' || text), 1, 15))::BIGINT
-         |            / 1152921504606846976.0), 4) AS avg_f0
-         |FROM documents GROUP BY kind ORDER BY kind""".stripMargin,
+  /** Shared per-doc media geometry (mirrors MediaOps.bmpDims/nSamples). */
+  private val mediaCte =
+    s"""m AS (
+       |  SELECT doc_id, $kindSql AS kind,
+       |         (doc_id % 8) * 4 + 8 AS w, (doc_id % 8) * 2 + 6 AS h,
+       |         (doc_id % 16) * 32 + 64 AS ns
+       |  FROM documents)""".stripMargin
 
+  val oracleSql: Map[String, String] = Map(
+    // closed-form decoded features: BMP f0 = Σ over red channel of
+    // (id·31 + (3p)·7) % 256; WAV f0 = Σ ((id·17 + i·13) % 4001 − 2000);
+    // container sizes: BMP 54 + 3wh (w≡0 mod 4 ⇒ no padding),
+    // WAV 44 + 2·ns
+    "multimodal_features" ->
+      s"""WITH $mediaCte
+         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN kind = 'audio' THEN 44 + 2 * ns
+         |                ELSE 54 + 3 * w * h END) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(CASE WHEN kind = 'audio'
+         |    THEN list_sum(list_transform(range(0, ns),
+         |           i -> (doc_id * 17 + i * 13) % 4001 - 2000))
+         |    ELSE list_sum(list_transform(range(0, w * h),
+         |           p -> (doc_id * 31 + p * 21) % 256))
+         |  END) AS BIGINT) AS f0_sum
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // resized grid recomputed in closed form: out pixel (x,y,c) is the
+    // floor-average of the 2×2 source block, source index base
+    // b = (2y·w + 2x)·3 + c, the 4 taps at b, b+3, b+3w, b+3w+3;
+    // total_bytes re-derives the PADDED stride of the halved width
     "multimodal_resize" ->
-      s"""SELECT $kindSql AS kind, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(CAST((doc_id % 8 * 160 + 320) / 2 AS INTEGER)) AS BIGINT) AS sum_w,
-         |  CAST(SUM(CAST((doc_id % 8 * 90 + 180) / 2 AS INTEGER)) AS BIGINT) AS sum_h
-         |FROM documents GROUP BY kind ORDER BY kind""".stripMargin,
+      s"""WITH $mediaCte,
+         |r AS (
+         |  SELECT kind, w // 2 AS ow, h // 2 AS oh,
+         |    list_sum(list_transform(range(0, (w // 2) * (h // 2) * 3), k ->
+         |      (  (doc_id*31 + (6*((k//3)//(w//2))*w + 6*((k//3)%(w//2)) + k%3)*7) % 256
+         |       + (doc_id*31 + (6*((k//3)//(w//2))*w + 6*((k//3)%(w//2)) + k%3)*7 + 21) % 256
+         |       + (doc_id*31 + (6*((k//3)//(w//2))*w + 6*((k//3)%(w//2)) + k%3)*7 + 21*w) % 256
+         |       + (doc_id*31 + (6*((k//3)//(w//2))*w + 6*((k//3)%(w//2)) + k%3)*7 + 21*w + 21) % 256
+         |      ) // 4)) AS psum
+         |  FROM m WHERE kind <> 'audio')
+         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(psum) AS BIGINT) AS pix_sum,
+         |  CAST(SUM(ow * oh) AS BIGINT) AS out_pixels,
+         |  CAST(SUM(54 + ((3 * ow + 3) // 4) * 4 * oh) AS BIGINT) AS total_bytes
+         |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
 
     // frames at 0,500,...,≤duration: n = dur//500 + 1, Σts = 500·n(n−1)/2
     "multimodal_frame_sample" ->
@@ -104,12 +151,31 @@ object MediaQueries {
         |      WHERE doc_id % 3 = 2) d,
         |     LATERAL unnest(range(0, 4)) AS f(i)""".stripMargin,
 
+    // all 4 decoded dims per kind: BMP j<3 → channel-j sum
+    // ((id·31 + (3p+j)·7) % 256 summed), j=3 → pixel count;
+    // WAV → [Σs, Σ|s|, ns, max|s|]
     "multimodal_kind_features" ->
-      s"""SELECT $kindSql AS kind, CAST(j.j AS INTEGER) AS dim,
-         |  round(avg(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || text), 1, 15))::BIGINT
-         |            / 1152921504606846976.0), 4) AS avg_f,
-         |  CAST(COUNT(*) AS BIGINT) AS n
-         |FROM documents, LATERAL unnest(range(0, 4)) AS j(j)
-         |GROUP BY kind, dim ORDER BY kind, dim""".stripMargin
+      s"""WITH $mediaCte,
+         |f AS (
+         |  SELECT kind, CAST(j.j AS INTEGER) AS dim,
+         |    CASE
+         |      WHEN kind = 'audio' AND j.j = 0 THEN
+         |        list_sum(list_transform(range(0, ns),
+         |          i -> (doc_id * 17 + i * 13) % 4001 - 2000))
+         |      WHEN kind = 'audio' AND j.j = 1 THEN
+         |        list_sum(list_transform(range(0, ns),
+         |          i -> abs((doc_id * 17 + i * 13) % 4001 - 2000)))
+         |      WHEN kind = 'audio' AND j.j = 2 THEN ns
+         |      WHEN kind = 'audio' THEN
+         |        list_max(list_transform(range(0, ns),
+         |          i -> abs((doc_id * 17 + i * 13) % 4001 - 2000)))
+         |      WHEN j.j = 3 THEN w * h
+         |      ELSE list_sum(list_transform(range(0, w * h),
+         |             p -> (doc_id * 31 + p * 21 + j.j * 7) % 256))
+         |    END AS fv
+         |  FROM m, LATERAL unnest(range(0, 4)) AS j(j))
+         |SELECT kind, dim, round(avg(fv), 4) AS avg_f,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM f GROUP BY kind, dim ORDER BY kind, dim""".stripMargin
   )
 }

@@ -28,14 +28,71 @@ class MediaSpec extends SparkSpec {
       s"unexpected batch count ${counter.value}")
     assert(feats.schema.fieldNames.toSeq ==
       Seq("media_id", "kind", "payload_len", "features"))
-    // determinism across runs (task-retry safety of the stub decoder)
+    // determinism across runs (task-retry safety of the decoder)
     val a = feats.orderBy("media_id").collect().map(_.toString).toSeq
     val b = MediaOps.decodeFeatures(m, 4, 64).orderBy("media_id")
       .collect().map(_.toString).toSeq
     assert(a == b)
-    // features in [0,1)
-    val bad = feats.where(expr("exists(features, f -> f < 0 or f >= 1)")).count()
+    // decoded features are exact integers; dim 3 is pixel count (BMP) or
+    // sample count (WAV) and must be strictly positive
+    val bad = feats.where(expr(
+      "exists(features, f -> f != round(f)) or element_at(features, 4) <= 0")).count()
     assert(bad == 0)
+  }
+
+  test("BMP codec: known 2x2 image round-trips; header fields honored") {
+    import graft.ext.MediaCodecs
+    // R,G,B per pixel: (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    val vals = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val bmp = MediaCodecs.encodeBmp(2, 2, vals(_))
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    // 2px × 3B = 6B rows padded to 8 → 54 + 16 bytes
+    assert(bmp.length == 54 + 16)
+    val (w, h, px) = MediaCodecs.decodeBmp(bmp)
+    assert(w == 2 && h == 2 && px.toSeq == vals.toSeq)
+    // byte-level: file rows are bottom-up BGR — first data byte is the
+    // BLUE of the BOTTOM-LEFT pixel (logical (0,1) → B=90)
+    assert((bmp(54) & 0xff) == 90)
+  }
+
+  test("WAV codec: known samples round-trip incl. negatives; foreign chunks skipped") {
+    import graft.ext.MediaCodecs
+    val vals = Array(0, 1000, -1000, 32767, -32768, 7)
+    val wav = MediaCodecs.encodeWav(vals.length, 8000, vals(_))
+    assert(wav.length == 44 + 2 * vals.length)
+    val (rate, s) = MediaCodecs.decodeWav(wav)
+    assert(rate == 8000 && s.toSeq == vals.toSeq)
+    // a LIST chunk inserted before data must be skipped, not parsed
+    val extra = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    val spliced = wav.take(12) ++ extra.array() ++ wav.drop(12)
+    // fix RIFF size field
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val (rate2, s2) = MediaCodecs.decodeWav(spliced)
+    assert(rate2 == 8000 && s2.toSeq == vals.toSeq)
+  }
+
+  test("resizeBmp: 2x2 box average with integer floor; synthesized payloads decode to the formula") {
+    import graft.ext.{MediaCodecs, MediaOps}
+    // 4x2 → 2x1: out(0,0,c) = floor(avg of the 2x2 block)
+    val bmp = MediaCodecs.encodeBmp(4, 2, i => i * 3 % 251)
+    val (w0, h0, src) = MediaCodecs.decodeBmp(bmp)
+    val (w, h, out) = MediaCodecs.decodeBmp(MediaCodecs.resizeBmp(bmp, 2))
+    assert(w == 2 && h == 1)
+    for (c <- 0 until 3; x <- 0 until 2) {
+      val taps = Seq((0, 2 * x), (0, 2 * x + 1), (1, 2 * x), (1, 2 * x + 1))
+        .map { case (y, sx) => src((y * w0 + sx) * 3 + c) }
+      assert(out((0 * 2 + x) * 3 + c) == taps.sum / 4)
+    }
+    // a synthesized payload decodes back to the closed-form pixel values
+    val media = this.media.where(col("kind") === "image").limit(1)
+      .select("media_id", "payload").head()
+    val id = media.getLong(0)
+    val (wS, hS, pxS) = MediaCodecs.decodeBmp(media.getAs[Array[Byte]](1))
+    assert(pxS.indices.forall(i => pxS(i) == ((id * 31 + i * 7) % 256).toInt))
+    assert(wS == ((id % 8) * 4 + 8) && hS == ((id % 8) * 2 + 6))
   }
 
   test("resizeMeta halves dimensions; frameSamplePlan covers duration") {
