@@ -549,6 +549,85 @@ object ExtQueries {
         .groupBy("user_id")
         .agg(sum("_new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // ---- streaming operators, driven to completion under the oracle ----
+    // These run the ACTUAL Structured Streaming operators (bounded-state
+    // dropDuplicatesWithinWatermark / stream-stream interval join) over a
+    // replayed MemoryStream of the events table and hand the drained sink
+    // to the driver's DuckDB compare — the streaming semantics themselves
+    // get a correctness row, not just a spec. The MemoryStream collect is
+    // harness plumbing (the operator under test is bounded-state; a real
+    // deployment reads Kafka/files).
+
+    // at-least-once delivery made effectively-exactly-once: every event is
+    // re-delivered in-batch AND a tail re-delivered cross-batch; the
+    // oracle is the distinct corpus
+    "stream_dedup" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = Q.events(s, d)
+        .select(col("event_id"), col("event_type"), col("_us"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._3).toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+      val in = stream.toDS().toDF("event_id", "event_type", "us")
+        .select(col("event_id"), col("event_type"),
+          expr("timestamp_micros(us)").as("ts"))
+      val sq = graft.streaming.EventDedup.dedup(in, Seq("event_id"))
+        .writeStream.format("memory").queryName("stream_dedup_sink")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        val (a, b) = base.splitAt(base.length / 2)
+        stream.addData(a ++ a); sq.processAllAvailable()
+        stream.addData(b ++ a.takeRight(50)); sq.processAllAvailable()
+        // far-future sentinel advances the watermark so every row emits
+        stream.addData(Seq((-1L, "__sentinel__",
+          base.last._3 + 100L * 3600L * 1000000L)))
+        sq.processAllAvailable()
+      } finally sq.stop()
+      s.table("stream_dedup_sink").where(col("event_id") >= 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("event_id").as("id_sum"))
+        .orderBy("event_type")
+    }),
+
+    // stream-stream interval join (clicks→purchase attribution) with both
+    // sides interleaved across two micro-batches — pairs must match across
+    // the batch boundary via buffered state; oracle is the batch BETWEEN
+    // join
+    "stream_join" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Q.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+      val pS = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val cS = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val pIn = pS.toDS().toDF("event_id", "user_id", "p_us")
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(p_us)").as("p_ts"))
+      val cIn = cS.toDS().toDF("c_user", "c_us")
+        .select(col("c_user"), expr("timestamp_micros(c_us)").as("c_ts"))
+      val sq = graft.streaming.EventJoin
+        .purchasesWithClicks(pIn, cIn, windowSec = 1800)
+        .writeStream.format("memory").queryName("stream_join_sink")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        val (p1, p2) = purchases.splitAt(purchases.length / 2)
+        val (c1, c2) = clicks.splitAt(clicks.length / 2)
+        pS.addData(p1); cS.addData(c1); sq.processAllAvailable()
+        pS.addData(p2); cS.addData(c2); sq.processAllAvailable()
+      } finally sq.stop()
+      s.table("stream_join_sink")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("event_id").as("pid_sum"),
+          sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us_sum"))
     })
   )
 
@@ -1090,6 +1169,25 @@ object ExtQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // streaming dedup drains to exactly the distinct corpus
+    "stream_dedup" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // streaming interval join == the batch BETWEEN join
+    "stream_join" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(p.event_id) AS BIGINT) AS pid_sum,
+        |       CAST(SUM(epoch_us(CAST(p.ts AS TIMESTAMP))
+        |                - epoch_us(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS gap_us_sum
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP)
+        |     BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1800 SECOND
+        |         AND CAST(p.ts AS TIMESTAMP)""".stripMargin,
 
     "events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

@@ -58,6 +58,23 @@ object MorReader {
     * source-envelope target pruning. */
   private[graft] val dataFilesPlanned = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** How many scans planned through the DISTRIBUTED path (spec gate). */
+  private[graft] val distributedPlans = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** File-count threshold above which per-file plan predicates (partition +
+    * metrics/bloom pruning) evaluate in a SPARK JOB over manifest groups
+    * instead of the single-threaded driver loop. At thousands of files the
+    * driver loop is metadata-scale and a job would only add latency; at
+    * millions (the Iceberg manifest-list problem) the driver loop becomes
+    * the planning bottleneck — this is the scale valve. Override with
+    * `spark.conf.set(`[[DistributedPlanThresholdConf]]`, n)`. */
+  val DistributedPlanThresholdConf = "graft.plan.distributedFileThreshold"
+  val DefaultDistributedPlanThreshold = 200000
+  /** Entries per planning task — the in-memory analog of one sharded
+    * manifest-group file; a persisted sharded log would hand each task a
+    * group FILE path instead of the entries themselves. */
+  val ManifestGroupSize = 4096
+
   /** Inclusive bounds (equality when `lo == hi`) over one column, rendered
     * as canonical strings — the same representation [[graft.meta.ColMetrics]]
     * stores, so file pruning compares without opening anything. */
@@ -357,13 +374,57 @@ object MorReader {
       }
     }
 
+  /** Plan-time data-file selection (partition + metrics/bloom pruning).
+    * Below the threshold: the driver loop (metadata-scale, zero job
+    * latency). Above it: the entries are split into manifest groups of
+    * [[ManifestGroupSize]] and each group's predicates evaluate in one
+    * task of a Spark job — the selection is IDENTICAL (same pure
+    * predicates, order restored by original position), only the evaluation
+    * moves off the single driver thread. `fileKeep` closures (IN-set
+    * probes) stay driver-side on the survivors: after pruning they see the
+    * small end of the funnel, and keeping them out of the job keeps the
+    * distributed closure free of caller-captured state. */
+  private[graft] def planDataFiles(spark: SparkSession,
+                                   entries: Seq[DataFileEntry],
+                                   live: GraftSchema,
+                                   partitionFilter: Map[String, Set[String]],
+                                   ranges: Map[String, ColRange]): Seq[DataFileEntry] = {
+    val threshold =
+      try spark.conf.get(DistributedPlanThresholdConf,
+        DefaultDistributedPlanThreshold.toString).toInt
+      catch { case _: NumberFormatException => DefaultDistributedPlanThreshold }
+    if (entries.size <= threshold)
+      entries.filter(f =>
+        matchesPartition(f.partition, partitionFilter) &&
+          matchesRanges(f, live, ranges))
+    else {
+      distributedPlans.incrementAndGet()
+      // stable (groupIdx, posInGroup) keys restore manifest order after the
+      // unordered collect — scan-task grouping downstream relies on it
+      val groups = entries.grouped(ManifestGroupSize).zipWithIndex
+        .map { case (g, gi) => (gi, g.toArray) }.toSeq
+      val pf = partitionFilter
+      val rg = ranges
+      val lv = live
+      spark.sparkContext
+        .parallelize(groups, groups.size)
+        .flatMap { case (gi, g) =>
+          g.iterator.zipWithIndex.collect {
+            case (f, i) if matchesPartition(f.partition, pf) &&
+              matchesRanges(f, lv, rg) => ((gi, i), f)
+          }
+        }
+        .collect().sortBy(_._1).map(_._2).toSeq
+    }
+  }
+
   private[graft] def withMeta(spark: SparkSession, st: TableState, live: GraftSchema,
                               partitionFilter: Map[String, Set[String]],
                               ranges: Map[String, ColRange] = Map.empty,
                               fileKeep: DataFileEntry => Boolean = _ => true): DataFrame = {
-    val dataFiles = st.dataFiles.filter(f =>
-      matchesPartition(f.partition, partitionFilter) &&
-        matchesRanges(f, live, ranges) && fileKeep(f))
+    val dataFiles =
+      planDataFiles(spark, st.dataFiles, live, partitionFilter, ranges)
+        .filter(fileKeep)
     dataFilesPlanned.addAndGet(dataFiles.size)
     if (dataFiles.isEmpty) {
       val struct = StructType(live.struct.fields ++ Seq(
