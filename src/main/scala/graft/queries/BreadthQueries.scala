@@ -210,13 +210,19 @@ object BreadthQueries {
     // engine-specific, so the ORACLE IS A TOLERANCE CONTRACT: exact
     // cardinalities (DuckDB recomputes) + within-5%-of-exact flags for the
     // sketch (2.5σ margin; DuckDB asserts `true`).
+    // exact sides as pre-deduplicated counts (distinct → count) rather
+    // than countDistinct in the same agg: two narrow dedup shuffles with
+    // map-side partial dedup beat one 3× Expand of the full scan
     "sketch_approx_distinct" -> ((s, d) => {
-      tbl(s, d, "lineitem")
-        .groupBy("l_returnflag")
+      val li = tbl(s, d, "lineitem")
+      val approx = li.groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("_ap"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("_as"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_suppkey")).as("exact_supps"))
+          approx_count_distinct(col("l_suppkey"), 0.02).as("_as"))
+      val exParts = li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+      val exSupps = li.select("l_returnflag", "l_suppkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_supps"))
+      approx.join(exParts, Seq("l_returnflag")).join(exSupps, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
           (abs(col("_ap") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("parts_in_tol"),

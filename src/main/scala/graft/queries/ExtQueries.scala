@@ -29,6 +29,17 @@ object ExtQueries {
     Q.events(s, d)
   private def evts(s: SparkSession, d: String): DataFrame = eventsWithTs(s, d)
 
+  /** Run `body` (which starts and fully drains a streaming query) under a
+    * reduced `spark.sql.shuffle.partitions`, restoring the session setting
+    * after — streaming state partitions are fixed at query start, and at
+    * bench volumes per-partition state-store overhead dominates. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Recall-contract row for ANN keys: `(exact_id_sum, exact_cos_sum_e4,
     * recall_floor_met)`. The exact top-k's id-sum and 1e-4-scaled
     * cosine-sum are recomputed brute-force by the DuckDB oracle (so the
@@ -559,6 +570,13 @@ object ExtQueries {
     // get a correctness row, not just a spec. The MemoryStream collect is
     // harness plumbing (the operator under test is bounded-state; a real
     // deployment reads Kafka/files).
+    //
+    // Micro-batch streams want FEW state partitions at this volume: state
+    // partition count is pinned to shuffle partitions at query start, and
+    // every micro-batch pays per-partition state-store setup/commit —
+    // driver-measured, 32 partitions × few batches dominates the actual
+    // row work. `withStreamShuffle` scopes the smaller setting to the
+    // drain and restores the session value after.
 
     // at-least-once delivery made effectively-exactly-once: every event is
     // re-delivered in-batch AND a tail re-delivered cross-batch; the
@@ -574,18 +592,20 @@ object ExtQueries {
       val in = stream.toDS().toDF("event_id", "event_type", "us")
         .select(col("event_id"), col("event_type"),
           expr("timestamp_micros(us)").as("ts"))
-      val sq = graft.streaming.EventDedup.dedup(in, Seq("event_id"))
-        .writeStream.format("memory").queryName("stream_dedup_sink")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      try {
-        val (a, b) = base.splitAt(base.length / 2)
-        stream.addData(a ++ a); sq.processAllAvailable()
-        stream.addData(b ++ a.takeRight(50)); sq.processAllAvailable()
-        // far-future sentinel advances the watermark so every row emits
-        stream.addData(Seq((-1L, "__sentinel__",
-          base.last._3 + 100L * 3600L * 1000000L)))
-        sq.processAllAvailable()
-      } finally sq.stop()
+      withStreamShuffle(s, 4) {
+        val sq = graft.streaming.EventDedup.dedup(in, Seq("event_id"))
+          .writeStream.format("memory").queryName("stream_dedup_sink")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try {
+          val (a, b) = base.splitAt(base.length / 2)
+          stream.addData(a ++ a); sq.processAllAvailable()
+          stream.addData(b ++ a.takeRight(50)); sq.processAllAvailable()
+          // far-future sentinel advances the watermark so every row emits
+          stream.addData(Seq((-1L, "__sentinel__",
+            base.last._3 + 100L * 3600L * 1000000L)))
+          sq.processAllAvailable()
+        } finally sq.stop()
+      }
       s.table("stream_dedup_sink").where(col("event_id") >= 0)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("event_id").as("id_sum"))
@@ -614,16 +634,18 @@ object ExtQueries {
           expr("timestamp_micros(p_us)").as("p_ts"))
       val cIn = cS.toDS().toDF("c_user", "c_us")
         .select(col("c_user"), expr("timestamp_micros(c_us)").as("c_ts"))
-      val sq = graft.streaming.EventJoin
-        .purchasesWithClicks(pIn, cIn, windowSec = 1800)
-        .writeStream.format("memory").queryName("stream_join_sink")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-      try {
-        val (p1, p2) = purchases.splitAt(purchases.length / 2)
-        val (c1, c2) = clicks.splitAt(clicks.length / 2)
-        pS.addData(p1); cS.addData(c1); sq.processAllAvailable()
-        pS.addData(p2); cS.addData(c2); sq.processAllAvailable()
-      } finally sq.stop()
+      withStreamShuffle(s, 4) {
+        val sq = graft.streaming.EventJoin
+          .purchasesWithClicks(pIn, cIn, windowSec = 1800)
+          .writeStream.format("memory").queryName("stream_join_sink")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try {
+          val (p1, p2) = purchases.splitAt(purchases.length / 2)
+          val (c1, c2) = clicks.splitAt(clicks.length / 2)
+          pS.addData(p1); cS.addData(c1); sq.processAllAvailable()
+          pS.addData(p2); cS.addData(c2); sq.processAllAvailable()
+        } finally sq.stop()
+      }
       s.table("stream_join_sink")
         .agg(count(lit(1)).as("n_pairs"),
           sum("event_id").as("pid_sum"),
