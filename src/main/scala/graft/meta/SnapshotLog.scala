@@ -338,7 +338,8 @@ final class SnapshotLog(tableDir: Path) {
     val keep = snapshots.map(_.id).toSet
     if (Files.exists(logFile)) {
       val tmp = Files.createTempFile(metaDir, ".log", ".tmp")
-      Files.writeString(tmp, snapshots.map(renderSnapshot).mkString("", "\n", "\n"))
+      Files.writeString(tmp,
+        snapshots.map(renderSnapshot(_, shard = false)).mkString("", "\n", "\n"))
       Files.move(tmp, logFile, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
@@ -353,6 +354,26 @@ final class SnapshotLog(tableDir: Path) {
         .stripPrefix("snap-").stripSuffix(".json").toLong))
       .foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(logFile)
+    sweepUnreferencedManifests()
+  }
+
+  /** Delete manifest-group files no surviving snap file references —
+    * losers of commit races and expired snapshots both leave them behind.
+    * Reference-counted against the CURRENT snap files, so it is safe at
+    * any time after a history rewrite. */
+  private def sweepUnreferencedManifests(): Unit = {
+    val referenced = listSnapFiles()
+      .flatMap(p => referencedManifests(mapper.readTree(Files.readString(p))))
+      .toSet
+    if (Files.exists(metaDir)) {
+      val s = Files.list(metaDir)
+      try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("manifest-") && n.endsWith(".json") && !referenced(n)
+        }.toSeq.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 
   private def listSnapFiles(): Seq[Path] =
@@ -408,6 +429,65 @@ final class SnapshotLog(tableDir: Path) {
         StandardCopyOption.REPLACE_EXISTING)
     }
 
+  // ---- sharded manifests (the Iceberg manifest-list analog) ------------
+  //
+  // A snapshot whose file lists exceed [[SnapshotLog.ShardThreshold]]
+  // entries does NOT inline them in `snap-<id>.json`; the entries are
+  // written in groups of [[SnapshotLog.ManifestGroupSize]] to
+  // `manifest-<id>-<token>-{data|delete}-<g>.json` files, and the snap
+  // file carries the group NAMES. Why:
+  //   - the snap file stays metadata-scale however many files a bulk
+  //     append registers (a 10^7-file commit is ~2.4k manifest files, not
+  //     one multi-GB JSON line);
+  //   - load() parses surviving groups CONCURRENTLY (driver thread pool
+  //     here; a remote object store would fetch them in parallel too),
+  //     breaking the single-threaded parse bottleneck flagged at 100×
+  //     file counts;
+  //   - group files are immutable once the snap publishes, so the
+  //     commit protocol is unchanged: groups are written first (invisible
+  //     until referenced), then the atomic snap-link publishes both. The
+  //     random token keeps two writers racing the same id from colliding
+  //     on group names — the loser's groups become garbage that
+  //     [[rewrite]] (expiry) sweeps by reference counting.
+
+  private def writeManifestGroups(id: Long, token: String, side: String,
+                                  nodes: Seq[ObjectNode]): Seq[String] =
+    nodes.grouped(SnapshotLog.ManifestGroupSize).zipWithIndex.map { case (g, gi) =>
+      val name = s"manifest-$id-$token-$side-$gi.json"
+      val arr = mapper.createArrayNode()
+      g.foreach(arr.add)
+      val tmp = Files.createTempFile(metaDir, ".man", ".tmp")
+      Files.writeString(tmp, mapper.writeValueAsString(arr))
+      Files.move(tmp, metaDir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      name
+    }.toSeq
+
+  /** Parse the named manifest groups concurrently, preserving group order. */
+  private def readManifestGroups(names: Seq[String]): Seq[JsonNode] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val perGroup = names.map { name =>
+      Future {
+        val p = metaDir.resolve(name)
+        require(Files.exists(p), s"missing manifest group $name — " +
+          "metadata corrupted or expiry raced this reader")
+        // a local ObjectMapper per task: Jackson mappers are thread-safe
+        // for read but sharing one across a pool serializes on nothing —
+        // keep tasks independent
+        new ObjectMapper().readTree(Files.readString(p))
+          .asInstanceOf[ArrayNode].elements().asScala.toSeq
+      }
+    }
+    Await.result(Future.sequence(perGroup), Duration.Inf).flatten
+  }
+
+  /** Manifest-group names referenced by a snap file's JSON. */
+  private def referencedManifests(n: JsonNode): Seq[String] =
+    Seq("dataManifests", "deleteManifests").flatMap(f =>
+      Option(n.get(f)).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+
   // ---- json ----
 
   private def listVersioned(prefix: String): Seq[(Int, Path)] =
@@ -448,30 +528,51 @@ final class SnapshotLog(tableDir: Path) {
       }.toMap
     }.getOrElse(Map.empty[Int, ColMetrics])
 
-  private def renderSnapshot(s: Snapshot): String = {
+  private def dataFileNode(f: DataFileEntry): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", f.path); o.put("specId", f.specId); o.put("schemaV", f.schemaV)
+    o.put("seq", f.seq); o.put("recordCount", f.recordCount)
+    putPartition(o, f.partition)
+    putMetrics(o, f.metrics)
+    o
+  }
+
+  private def deleteFileNode(f: DeleteFileEntry): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("path", f.path); o.put("kind", f.kind); o.put("seq", f.seq)
+    val eq = o.putArray("equalityCols"); f.equalityCols.foreach(eq.add)
+    val eqi = o.putArray("equalityIds"); f.equalityIds.foreach(eqi.add)
+    if (f.keyColsWritten.nonEmpty) {
+      val kw = o.putArray("keyColsWritten"); f.keyColsWritten.foreach(kw.add)
+    }
+    putPartition(o, f.partition)
+    putMetrics(o, f.metrics)
+    o
+  }
+
+  /** Render a snapshot. With `shard = true` (the on-disk snap files),
+    * oversized file lists move into manifest-group files and only their
+    * names are inlined; `shard = false` (the legacy single-file log)
+    * always inlines. */
+  private def renderSnapshot(s: Snapshot, shard: Boolean = true): String = {
     val root = mapper.createObjectNode()
     root.put("id", s.id); root.put("seq", s.seq)
     root.put("schemaV", s.schemaV); root.put("specId", s.specId)
     root.put("timestampMs", s.timestampMs); root.put("operation", s.operation)
-    val dfs = root.putArray("dataFiles")
-    s.dataFiles.foreach { f =>
-      val o = dfs.addObject()
-      o.put("path", f.path); o.put("specId", f.specId); o.put("schemaV", f.schemaV)
-      o.put("seq", f.seq); o.put("recordCount", f.recordCount)
-      putPartition(o, f.partition)
-      putMetrics(o, f.metrics)
-    }
-    val dels = root.putArray("deleteFiles")
-    s.deleteFiles.foreach { f =>
-      val o = dels.addObject()
-      o.put("path", f.path); o.put("kind", f.kind); o.put("seq", f.seq)
-      val eq = o.putArray("equalityCols"); f.equalityCols.foreach(eq.add)
-      val eqi = o.putArray("equalityIds"); f.equalityIds.foreach(eqi.add)
-      if (f.keyColsWritten.nonEmpty) {
-        val kw = o.putArray("keyColsWritten"); f.keyColsWritten.foreach(kw.add)
-      }
-      putPartition(o, f.partition)
-      putMetrics(o, f.metrics)
+    val big = s.dataFiles.size + s.deleteFiles.size > SnapshotLog.ShardThreshold
+    if (shard && big) {
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val dm = root.putArray("dataManifests")
+      writeManifestGroups(s.id, token, "data", s.dataFiles.map(dataFileNode))
+        .foreach(dm.add)
+      val xm = root.putArray("deleteManifests")
+      writeManifestGroups(s.id, token, "delete", s.deleteFiles.map(deleteFileNode))
+        .foreach(xm.add)
+    } else {
+      val dfs = root.putArray("dataFiles")
+      s.dataFiles.foreach(f => dfs.add(dataFileNode(f)))
+      val dels = root.putArray("deleteFiles")
+      s.deleteFiles.foreach(f => dels.add(deleteFileNode(f)))
     }
     val rdf = root.putArray("removedDataFiles")
     s.removedDataFiles.foreach(rdf.add)
@@ -485,21 +586,37 @@ final class SnapshotLog(tableDir: Path) {
     p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
 
+  private def parseDataEntry(o: JsonNode): DataFileEntry =
+    DataFileEntry(o.get("path").asText, partitionOf(o), o.get("specId").asInt,
+      o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong,
+      metricsOf(o))
+
+  private def parseDeleteEntry(o: JsonNode): DeleteFileEntry =
+    DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,
+      o.get("equalityCols").elements().asScala.map(_.asText).toSeq,
+      o.get("equalityIds").elements().asScala.map(_.asInt).toSeq,
+      o.get("seq").asLong,
+      Option(o.get("keyColsWritten")) // absent on pre-field (legacy) logs
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+      metricsOf(o)) // absent on legacy logs → never pruned
+
   private def parseSnapshot(n: JsonNode): Snapshot = {
-    val dfs = n.get("dataFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
-      DataFileEntry(o.get("path").asText, partitionOf(o), o.get("specId").asInt,
-        o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong,
-        metricsOf(o))
-    }.toSeq
-    val dels = n.get("deleteFiles").asInstanceOf[ArrayNode].elements().asScala.map { o =>
-      DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,
-        o.get("equalityCols").elements().asScala.map(_.asText).toSeq,
-        o.get("equalityIds").elements().asScala.map(_.asInt).toSeq,
-        o.get("seq").asLong,
-        Option(o.get("keyColsWritten")) // absent on pre-field (legacy) logs
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
-        metricsOf(o)) // absent on legacy logs → never pruned
-    }.toSeq
+    val dfs = Option(n.get("dataManifests")) match {
+      case Some(man) =>
+        readManifestGroups(man.elements().asScala.map(_.asText).toSeq)
+          .map(parseDataEntry)
+      case None =>
+        n.get("dataFiles").asInstanceOf[ArrayNode].elements().asScala
+          .map(parseDataEntry).toSeq
+    }
+    val dels = Option(n.get("deleteManifests")) match {
+      case Some(man) =>
+        readManifestGroups(man.elements().asScala.map(_.asText).toSeq)
+          .map(parseDeleteEntry)
+      case None =>
+        n.get("deleteFiles").asInstanceOf[ArrayNode].elements().asScala
+          .map(parseDeleteEntry).toSeq
+    }
     def strArr(field: String): Seq[String] = Option(n.get(field))
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
     val removedData = strArr("removedDataFiles")
@@ -520,6 +637,13 @@ final class SnapshotLog(tableDir: Path) {
 }
 
 object SnapshotLog {
+  /** Entry count above which a snapshot's file lists shard into manifest
+    * groups instead of inlining in the snap file. */
+  val ShardThreshold = 10000
+  /** Entries per manifest-group file — matches the planning task size in
+    * [[graft.read.MorReader.ManifestGroupSize]]. */
+  val ManifestGroupSize = 4096
+
   def apply(tableDir: String): SnapshotLog = new SnapshotLog(Paths.get(tableDir))
 }
 

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.meta.{ColMetrics, DataFileEntry, DeleteFileEntry, Snapshot, SnapshotLog}
+
+/** Sharded manifest storage: a snapshot with an oversized file list writes
+  * manifest-group files instead of one giant snap JSON, loads back
+  * identically (order included), and expiry sweeps unreferenced groups. */
+class ShardedManifestSpec extends SparkSpec {
+
+  private def entry(i: Int): DataFileEntry =
+    DataFileEntry(f"/wh/t/data/f$i%06d.parquet", Map("p" -> (i % 10).toString),
+      0, 1, 1L, 100L,
+      Map(1 -> ColMetrics(Some(i.toString), Some((i + 1).toString), 0L)))
+
+  private def freshLog(): (SnapshotLog, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("shard-log")
+    val log = SnapshotLog(dir.toString)
+    log.init()
+    log.writeSchema(1, graft.schema.GraftSchema.of(
+      "v" -> org.apache.spark.sql.types.LongType))
+    log.writeSpec(0, Nil)
+    (log, dir.resolve("metadata"))
+  }
+
+  private def manifestFiles(meta: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(meta)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("manifest-")).toSeq.sorted
+    finally s.close()
+  }
+
+  test("oversized snapshot shards into manifest groups and round-trips in order") {
+    val (log, meta) = freshLog()
+    val data = (0 until 50000).map(entry)
+    val dels = (0 until 12000).map(i => DeleteFileEntry(
+      f"/wh/t/data/del$i%05d.parquet", Map.empty, "pos", Nil, Nil, 2L))
+    log.commit(Snapshot(1L, 1L, 1, 0, data, Nil, Nil, Nil, 1000L, "append"))
+    log.commit(Snapshot(2L, 2L, 1, 0, Nil, dels, Nil, Nil, 2000L, "delete"))
+
+    // snap files stay metadata-scale; groups carry the entries
+    assert(Files.size(meta.resolve("snap-1.json")) < 4096)
+    assert(Files.size(meta.resolve("snap-2.json")) < 4096)
+    val mans = manifestFiles(meta)
+    // ceil(50000/4096)=13 data groups + ceil(12000/4096)=3 delete groups
+    // (each sharded commit also writes its empty other-side list inline)
+    assert(mans.count(_.contains("-data-")) == 13, s"got $mans")
+    assert(mans.count(_.contains("-delete-")) == 3)
+
+    val st = log.load()
+    assert(st.snapshots.map(_.id) == Seq(1L, 2L))
+    assert(st.snapshots.head.dataFiles == data)  // exact, order included
+    assert(st.snapshots(1).deleteFiles == dels)
+  }
+
+  test("small snapshots stay inline — no manifest files") {
+    val (log, meta) = freshLog()
+    log.commit(Snapshot(1L, 1L, 1, 0, (0 until 100).map(entry), Nil,
+      Nil, Nil, 1000L, "append"))
+    assert(manifestFiles(meta).isEmpty)
+    assert(log.load().snapshots.head.dataFiles.size == 100)
+  }
+
+  test("history rewrite sweeps the dropped snapshot's manifest groups") {
+    val (log, meta) = freshLog()
+    log.commit(Snapshot(1L, 1L, 1, 0, (0 until 20000).map(entry), Nil,
+      Nil, Nil, 1000L, "append"))
+    log.commit(Snapshot(2L, 2L, 1, 0, (20000 until 40000).map(entry), Nil,
+      Nil, Nil, 2000L, "append"))
+    assert(manifestFiles(meta).nonEmpty)
+    val keep = log.load().snapshots.filter(_.id == 2L)
+    log.rewrite(keep)
+    val after = log.load()
+    assert(after.snapshots.map(_.id) == Seq(2L))
+    assert(after.snapshots.head.dataFiles.size == 20000)
+    // snapshot 1's groups are gone; snapshot 2's (rewritten) groups remain
+    val mans = manifestFiles(meta)
+    assert(mans.nonEmpty && mans.forall(_.startsWith("manifest-2-")), s"got $mans")
+  }
+
+  test("sharded state plans through the distributed path with correct selection") {
+    val (log, _) = freshLog()
+    log.commit(Snapshot(1L, 1L, 1, 0, (0 until 20000).map(entry), Nil,
+      Nil, Nil, 1000L, "append"))
+    val st = log.load()
+    val live = st.schema
+    spark.conf.set(graft.read.MorReader.DistributedPlanThresholdConf, "1000")
+    try {
+      val planned = graft.read.MorReader.planDataFiles(spark, st.dataFiles, live,
+        Map("p" -> Set("7")),
+        Map("v" -> graft.read.MorReader.ColRange(Some("5000"), Some("9999"))))
+      // p=7 ∧ v∈[5000,9999]: i ≡ 7 (mod 10) with [i, i+1] ∩ [5000, 9999]
+      val expected = (0 until 20000).filter(i =>
+        i % 10 == 7 && i + 1 >= 5000 && i <= 9999)
+      assert(planned.map(_.path) == expected.map(i => f"/wh/t/data/f$i%06d.parquet"))
+    } finally spark.conf.unset(graft.read.MorReader.DistributedPlanThresholdConf)
+  }
+}
