@@ -463,8 +463,12 @@ final class SnapshotLog(tableDir: Path) {
       name
     }.toSeq
 
-  /** Parse the named manifest groups concurrently, preserving group order. */
-  private def readManifestGroups(names: Seq[String]): Seq[JsonNode] = {
+  /** Parse the named manifest groups concurrently — the whole chain (file
+    * read, JSON parse, AND node→entry conversion) runs inside each task so
+    * nothing per-entry is left on the calling thread. Group order is
+    * preserved. */
+  private def readManifestGroups[T](names: Seq[String],
+                                    convert: JsonNode => T): Seq[T] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -477,7 +481,7 @@ final class SnapshotLog(tableDir: Path) {
         // for read but sharing one across a pool serializes on nothing —
         // keep tasks independent
         new ObjectMapper().readTree(Files.readString(p))
-          .asInstanceOf[ArrayNode].elements().asScala.toSeq
+          .asInstanceOf[ArrayNode].elements().asScala.map(convert).toVector
       }
     }
     Await.result(Future.sequence(perGroup), Duration.Inf).flatten
@@ -603,16 +607,16 @@ final class SnapshotLog(tableDir: Path) {
   private def parseSnapshot(n: JsonNode): Snapshot = {
     val dfs = Option(n.get("dataManifests")) match {
       case Some(man) =>
-        readManifestGroups(man.elements().asScala.map(_.asText).toSeq)
-          .map(parseDataEntry)
+        readManifestGroups(man.elements().asScala.map(_.asText).toSeq,
+          parseDataEntry)
       case None =>
         n.get("dataFiles").asInstanceOf[ArrayNode].elements().asScala
           .map(parseDataEntry).toSeq
     }
     val dels = Option(n.get("deleteManifests")) match {
       case Some(man) =>
-        readManifestGroups(man.elements().asScala.map(_.asText).toSeq)
-          .map(parseDeleteEntry)
+        readManifestGroups(man.elements().asScala.map(_.asText).toSeq,
+          parseDeleteEntry)
       case None =>
         n.get("deleteFiles").asInstanceOf[ArrayNode].elements().asScala
           .map(parseDeleteEntry).toSeq
