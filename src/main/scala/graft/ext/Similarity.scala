@@ -73,6 +73,52 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
+  /** SemDeDup-shaped semantic dedup: cluster-scoped near-duplicate pair
+    * mining. Deterministic hash-sampled centroids (the [[pqCodebook]]
+    * sampling procedure — SQL-mirrorable, unlike trained k-means), every
+    * corpus vector assigned to its max-cosine cell (ties to the smallest
+    * cell id), and pairs verified ONLY within a cell.
+    *
+    * Scale shape: the quadratic verify term is bounded by the largest
+    * CELL, never the corpus — with `nCells ∝ √n` the expected pair count
+    * stays linear-ish in n; assignment is one broadcast-centroid scan (no
+    * shuffle) and the verify join shuffles (cell, id, vec) once on the
+    * cell key. This is the semantic sibling of [[embedDupPairs]]'s
+    * sign-bucket LSH: cells follow the DATA distribution, so near-dups
+    * that straddle a sign boundary (the LSH miss mode) still collide.
+    */
+  def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                       centroidSrc: DataFrame, nCells: Int,
+                       minCos: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Int, Seq[Double])] = centroidSrc
+      .select(col(vecCol).as("_cv"), col(idCol).as("_cid"))
+      .orderBy(TextOps.hash60(col("_cid").cast("string")), col("_cid"))
+      .limit(nCells)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](0).map(_.toDouble)) }
+    val centsDf = broadcast(cents.toDF("_c", "_cv"))
+    // argmax-cosine assignment via max(struct(cos, -c)): struct ordering
+    // compares the (bit-identical, double) cosine first, then the negated
+    // cell id — ties land on the SMALLEST cell, matching the oracle's
+    // `row_number() OVER (ORDER BY cos DESC, c) = 1`
+    val assigned = df.select(col(idCol), col(vecCol).as("_v"))
+      .crossJoin(centsDf)
+      .groupBy(col(idCol))
+      .agg(first(col("_v")).as("_v"),
+        max(struct(cosine(col("_v"), col("_cv")).as("_cos"),
+          (-col("_c")).as("_negc"))).as("_m"))
+      .select(col(idCol), col("_v"), (-col("_m._negc")).as("_cell"))
+    val a = assigned.select(col(idCol).as("id_a"), col("_v").as("_va"), col("_cell"))
+    val b = assigned.select(col(idCol).as("id_b"), col("_v").as("_vb"), col("_cell"))
+    a.join(b, Seq("_cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_va"), col("_vb")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** Per-vector linear int8 quantization — the 4× storage/bandwidth cut a
     * 100 TB embedding store takes for ANN shortlists (re-rank on full
     * precision happens only for the top candidates). Codes are

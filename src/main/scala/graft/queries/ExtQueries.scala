@@ -235,6 +235,16 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup-shaped semantic dedup: hash-sampled centroids, max-cosine
+    // cell assignment, pairs verified within cells only — row-level
+    // oracled (the DuckDB side recomputes centroids, assignment argmax,
+    // and every surviving pair's cosine)
+    "dedup_semantic" -> ((s, d) => {
+      Similarity.semanticDupPairs(vecCorpus(s, d), "embedding", "vec_id",
+        centroidSrc = embs(s, d), nCells = 64, minCos = 0.999)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search --------------------------------------------
     "sim_topk_cosine" -> ((s, d) => {
       Similarity.topKCosine(embs(s, d), "embedding", "vec_id",
@@ -855,6 +865,28 @@ object ExtQueries {
          |  SELECT x.id AS id_a, y.id AS id_b,
          |         round(${cosSql("x.e", "y.e")}, 4) AS cos
          |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.id < y.id)
+         |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+
+    // centroids from the BASE embeddings (hash-sample order), assignment
+    // by cosine argmax with ties to the smallest cell, pairs within cells
+    "dedup_semantic" ->
+      s"""WITH corpus AS ($vecCorpusSql),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) AS c, cv FROM
+         |    (SELECT ${h60("CAST(vec_id AS VARCHAR)")} AS h, vec_id,
+         |            embedding AS cv FROM embeddings)
+         |  QUALIFY c <= 64),
+         |asg AS (
+         |  SELECT id, e, c FROM (
+         |    SELECT o.id, o.e, cents.c,
+         |           row_number() OVER (PARTITION BY o.id
+         |             ORDER BY ${cosSql("o.e", "cents.cv")} DESC, cents.c) AS rk
+         |    FROM corpus o, cents)
+         |  WHERE rk = 1)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         round(${cosSql("a.e", "b.e")}, 4) AS cos
+         |  FROM asg a JOIN asg b ON a.c = b.c AND a.id < b.id)
          |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk_cosine" -> bruteTopkSql,
