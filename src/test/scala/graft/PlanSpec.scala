@@ -180,4 +180,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("meta_files") + plan("meta_snapshots") + plan("meta_partitions")
     assert(!p.contains("FileScan parquet"), p)
   }
+
+  test("dedup_semantic: broadcast centroid assignment, equi-join verify, no nested loop") {
+    val p = plan("dedup_semantic")
+    // centroid frame must broadcast (nCells rows — never a shuffle side)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the within-cell verify join must be a hash equi-join on the cell key
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("_cell"), p)
+    // assignment argmax is a partial-aggregated groupBy (map-side combine
+    // collapses the 64×n expanded frame BEFORE the exchange), not a window
+    // — struct-max plans as SortAggregate, so accept either operator
+    assert(p.contains("partial_max"), s"no partial aggregate before shuffle:\n$p")
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate:\n$p")
+  }
 }
