@@ -47,6 +47,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH top-k: one corpus scan answers `nQueries` queries at once — the
+    * production ANN shape (requests arrive in batches; per-query scans
+    * would rescan the corpus Q times). Queries are a deterministic
+    * hash-ordered sample (SQL-mirrorable) broadcast against the corpus;
+    * ranking runs through [[graft.operators.Ops.topKPerGroup]]'s two-level
+    * decomposition, so no single task ever sorts a whole query's scores —
+    * the formulation that survives a 100 TB corpus with thousands of
+    * concurrent queries. */
+  def topKCosineBatch(df: DataFrame, vecCol: String, idCol: String,
+                      querySrc: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs: Seq[(Long, Seq[Double])] = querySrc
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      .orderBy(TextOps.hash60(col("_qid").cast("string")), col("_qid"))
+      .limit(nQueries)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val qDf = broadcast(qs.toDF("q_id", "_qv"))
+    val scored = df.select(col(idCol), col(vecCol).as("_v"))
+      .crossJoin(qDf)
+      .select(col("q_id"), col(idCol),
+        round(cosine(col("_v"), col("_qv")), 4).as("cos"))
+    graft.operators.Ops.topKPerGroup(scored, Seq("q_id"),
+        Seq(col("cos").desc, col(idCol)), k)
+      .select(col("q_id"), col(idCol), col("cos"))
+  }
+
   /** Sign-bucket key over the first `bits` dimensions — the degenerate
     * (axis-aligned) random-hyperplane LSH. Exact duplicates always share
     * a bucket, so recall for exact-dup mining is 1. */

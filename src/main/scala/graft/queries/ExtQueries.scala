@@ -251,6 +251,14 @@ object ExtQueries {
         queryVec(s, d), 10)
     }),
 
+    // batch shape: 8 hash-sampled queries answered by ONE corpus scan,
+    // two-level rank per query; row-level oracle (every (query, hit, cos))
+    "sim_topk_batch" -> ((s, d) => {
+      Similarity.topKCosineBatch(embs(s, d), "embedding", "vec_id",
+        querySrc = embs(s, d), nQueries = 8, k = 10)
+        .orderBy(col("q_id"), desc("cos"), col("vec_id"))
+    }),
+
     // IVF scale path against the PERSISTED index (built once per sf dir) at
     // a realistic probe count. Approximate hit-lists are config-dependent,
     // so the ORACLE IS A RECALL CONTRACT: the row carries the exact top-10
@@ -890,6 +898,24 @@ object ExtQueries {
          |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk_cosine" -> bruteTopkSql,
+
+    // 8 hash-sampled queries × exact top-10 each, total (q, cos desc, id)
+    // order — ranks identical to the two-level decomposition by totality
+    "sim_topk_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv FROM
+         |    (SELECT ${h60("CAST(vec_id AS VARCHAR)")} AS h, vec_id, embedding
+         |     FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
+         |  FROM embeddings e, q)
+         |SELECT q_id, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 10 ORDER BY q_id, cos DESC, vec_id""".stripMargin,
 
     // recall contract for realistic-probe ANN: DuckDB recomputes the exact
     // top-10's id/cosine sums brute-force and asserts the recall flag
