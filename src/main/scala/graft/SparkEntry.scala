@@ -38,7 +38,8 @@ object SparkEntry {
     * session the host hands us (idempotent). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.queries ++ MorQueries.queries ++ ExtQueries.queries ++
-      MediaQueries.queries ++ BreadthQueries.queries).map { case (k, fn) =>
+      MediaQueries.queries ++ BreadthQueries.queries ++
+      RelevanceQueries.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.ensureRegistered(s); fn(s, d)
       })
@@ -48,5 +49,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ MorQueries.oracleSql ++ ExtQueries.oracleSql ++
-      MediaQueries.oracleSql ++ BreadthQueries.oracleSql
+      MediaQueries.oracleSql ++ BreadthQueries.oracleSql ++
+      RelevanceQueries.oracleSql
 }

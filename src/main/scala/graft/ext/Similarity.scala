@@ -683,4 +683,30 @@ object Similarity {
       cb, nSub, idCol, query, shortlist)
     topKCosine(df.join(shortIds, Seq(idCol)), vecCol, idCol, query, k)
   }
+
+  /** Upper-triangular gramian Σ xᵢ·xⱼ of an embedding column — the one-pass
+    * distributed primitive under PCA / whitening / covariance estimation
+    * (center first for covariance; the sum structure is identical).
+    *
+    * Shape: each row expands to its d·(d+1)/2 upper-tri products via a
+    * nested `transform` (pure codegen'd expressions, no UDF, no join),
+    * then ONE hash aggregation on (i, j) — map-side partial sums mean the
+    * shuffle carries d·(d+1)/2 rows per task regardless of row count,
+    * which is why this holds at 100 TB while a self-join on the row id
+    * (n·d joined rows) would not. Products are computed in double
+    * (float→double widening is exact), sums rounded to 4 decimals.
+    *
+    * Returns (i, j, gram) with 1-based i ≤ j.
+    */
+  def gramian(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val pairs = df.select(explode(expr(
+      s"""flatten(transform(sequence(1, $dim), i ->
+         |  transform(sequence(i, $dim), j ->
+         |    struct(i as i, j as j,
+         |      cast($vecCol[i - 1] as double) * cast($vecCol[j - 1] as double) as p))))"""
+        .stripMargin)).as("e"))
+    pairs.select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(round(sum("p"), 4).as("gram"))
+  }
 }

@@ -139,4 +139,22 @@ object Ops {
       .where(col("rk") <= k)
       .drop("_pid", "_lrk")
   }
+
+  /** EXACT per-key distinct count that survives key skew.
+    *
+    * A direct `groupBy(key).agg(countDistinct(value))` funnels every
+    * (key, value) of a hot key through the one task owning that key,
+    * which builds the full distinct set in a single hash table. Two-stage
+    * decomposition: shuffle on (key, value) FIRST — the hot key's values
+    * spread over the whole cluster and partial aggregation dedups
+    * map-side — then count the surviving pairs per key (the second
+    * shuffle carries one row per distinct pair, already deduped).
+    * Identical result, bounded per-task state. This is what Spark's
+    * Expand-based distinct rewrite does for global aggregates; spelling
+    * it out keeps the shape explicit for composed per-key pipelines.
+    */
+  def twoStageDistinct(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.select(col(keyCol), col(valCol)).distinct()
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_distinct"))
 }

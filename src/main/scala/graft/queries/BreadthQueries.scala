@@ -104,6 +104,44 @@ object BreadthQueries {
 
     // pivot: status counts spread across priority columns (fixed pivot
     // values keep the schema static and oracle-stable)
+    // wide→long melt through the native UNPIVOT (Expand) operator — the
+    // inverse of pivot_agg; per-row cents conversion keeps the double
+    // sums exact cross-engine
+    "unpivot_melt" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // statistical co-moments per group: corr/covar/stddev run as partial
+    // aggregates (Chan et al. merge formulas) — one shuffle of constant-
+    // width state per group, the 100 TB shape; rounded so accumulation-
+    // order ulps can't flip the DuckDB compare
+    "stat_agg" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // skew-proof exact per-key distinct: shuffle on (key, value) first so
+    // a hot key's values spread across the cluster, then count surviving
+    // pairs (graft.operators.Ops.twoStageDistinct; plan-gated)
+    "agg_skew_distinct" -> ((s, d) => {
+      graft.operators.Ops.twoStageDistinct(
+          tbl(s, d, "lineitem"), "l_returnflag", "l_partkey")
+        .withColumnRenamed("n_distinct", "n_parts")
+        .orderBy("l_returnflag")
+    }),
+
     "pivot_agg" -> ((s, d) => {
       tbl(s, d, "orders")
         .groupBy("o_orderstatus")
@@ -358,6 +396,30 @@ object BreadthQueries {
         |       CAST(MIN(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS first_day,
         |       CAST(MAX(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS last_day
         |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "unpivot_melt" ->
+      """SELECT l_returnflag, measure, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "stat_agg" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+        |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |       round(AVG(l_quantity), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_skew_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "pivot_agg" ->
       """SELECT o_orderstatus,

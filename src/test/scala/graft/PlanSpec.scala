@@ -196,4 +196,45 @@ class PlanSpec extends SparkSpec {
       l.contains("HashAggregate") || l.contains("SortAggregate"))
     assert(aggs >= 2, s"expected partial+final aggregate:\n$p")
   }
+
+  test("fuzzy_join_edit: blocked equi-join — never cartesian or nested loop") {
+    val p = plan("fuzzy_join_edit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the join key must be the blocking column, so the quadratic distance
+    // only runs inside blocks
+    assert(p.contains("_blk"), s"no blocking key in join:\n$p")
+  }
+
+  test("embed_gram: join-free — one explode then a partial-aggregated groupBy") {
+    val p = plan("embed_gram")
+    assert(!p.contains("Join"), s"gramian must not self-join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    // shuffle carries only (i, j, partial sum) rows — the Generate
+    // (explode) must sit BELOW the aggregate, not above an exchange
+    val genLine = p.linesIterator.indexWhere(_.contains("Generate"))
+    val exLine = p.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(genLine >= 0 && exLine >= 0 && genLine > exLine,
+      s"explode must be below the exchange (plan lists top-down):\n$p")
+  }
+
+  test("agg_skew_distinct: pair-level shuffle spreads hot keys before the count") {
+    val p = plan("agg_skew_distinct")
+    // stage 1 dedups on (key, value): its exchange must hash-partition on
+    // BOTH columns — that is what spreads a hot key across the cluster
+    val pairEx = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("l_returnflag") &&
+        l.contains("l_partkey"))
+    assert(pairEx, s"no (key, value) exchange:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 3, s"expected partial+final dedup aggs plus count:\n$p")
+  }
+
+  test("tfidf/bm25: corpus-stat joins stay off cartesian; tf/df aggregate partially") {
+    val p = plan("tfidf_topk") + plan("bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial"), p)
+    // the one-row corpus-stats frame joins as an explicit broadcast
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
