@@ -285,7 +285,22 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("lbl"))
-    for (_ <- 1 to iters) {
+    // convergence detection without a per-round join: labels only ever
+    // DECREASE (least(...)), so the label sum is strictly monotone until
+    // the fixed point — an unchanged sum proves the round changed nothing
+    // and every remaining round is an identity. One constant-width agg
+    // action per round buys skipping whole join+checkpoint rounds; the
+    // result is bit-identical to running all `iters` rounds. decimal(38)
+    // keeps the sum exact at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    // the check only runs where it can still skip work: after rounds
+    // 1..iters-1 (round 1 is never compared — it changes labels in any
+    // non-degenerate graph, and an uncompared no-op round is still
+    // correct, just not skipped)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    for (r <- 1 to iters if !converged) {
       val nbMin = edges
         .join(labels.select(col("id").as("_v"), col("lbl").as("_vlbl")),
           col("v") === col("_v"))
@@ -294,6 +309,11 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
+      if (r < iters) {
+        val s = labelSum(labels)
+        converged = s == prevSum
+        prevSum = s
+      }
     }
     labels
   }

@@ -206,16 +206,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_blk"), s"no blocking key in join:\n$p")
   }
 
-  test("embed_gram: join-free — one explode then a partial-aggregated groupBy") {
+  test("embed_gram: per-partition fold — no self-join, tiny broadcast (i,j) map") {
     val p = plan("embed_gram")
-    assert(!p.contains("Join"), s"gramian must not self-join:\n$p")
-    assert(p.contains("partial_sum") || p.contains("partial"), p)
-    // shuffle carries only (i, j, partial sum) rows — the Generate
-    // (explode) must sit BELOW the aggregate, not above an exchange
-    val genLine = p.linesIterator.indexWhere(_.contains("Generate"))
-    val exLine = p.linesIterator.indexWhere(_.contains("Exchange"))
-    assert(genLine >= 0 && exLine >= 0 && genLine > exLine,
-      s"explode must be below the exchange (plan lists top-down):\n$p")
+    // the corpus must fold inside tasks (one tri-array per task), never
+    // self-join on the row id (n·d joined rows) or explode per-row pairs
+    assert(p.contains("MapPartitions"), s"no per-partition fold:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the pos→(i,j) decode joins a d²/2-row literal map — broadcast only
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("agg_skew_distinct: pair-level shuffle spreads hot keys before the count") {
