@@ -157,4 +157,33 @@ object Ops {
     df.select(col(keyCol), col(valCol)).distinct()
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_distinct"))
+
+  /** Regular-grid resample with forward fill, per key.
+    *
+    * Input rows are (key, bucket, value) observations on an integer bucket
+    * axis (hour index, day index …). Each key's [min, max] bucket range
+    * explodes to a dense grid; buckets with several observations keep the
+    * MAX (commutative — bucket ties are order-free across engines); empty
+    * buckets fill with the running last non-null. The first grid bucket
+    * always holds an observation, so the fill never emits a leading null.
+    *
+    * Scale: the window partitions by key (parallelism = #keys, each
+    * key's grid is span-bounded), the bucket aggregate is map-side
+    * partial, and the grid join is a hash equi-join on (key, bucket).
+    *
+    * Returns (keyCol, bucketCol, fv).
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, bucketCol: String,
+                    valCol: String): DataFrame = {
+    val hv = df.groupBy(keyCol, bucketCol).agg(max(valCol).as("_hv"))
+    val rng = df.groupBy(keyCol)
+      .agg(min(bucketCol).as("_b0"), max(bucketCol).as("_b1"))
+    val grid = rng.select(col(keyCol),
+      explode(sequence(col("_b0"), col("_b1"))).as(bucketCol))
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hv, Seq(keyCol, bucketCol), "left")
+      .select(col(keyCol), col(bucketCol),
+        last("_hv", ignoreNulls = true).over(w).as("fv"))
+  }
 }

@@ -104,6 +104,53 @@ object BreadthQueries {
 
     // pivot: status counts spread across priority columns (fixed pivot
     // values keep the schema static and oracle-stable)
+    // event-time rolling aggregate: per-entity RANGE window over micros —
+    // frame membership is value-based so tie rows land identically in
+    // both engines; cents keep the frame sums exact. The per-user
+    // partition is the scale shape (parallelism = #users, frames are
+    // time-bounded so state is bounded by rate × window)
+    "window_time_range" -> ((s, d) => {
+      val ev = Q.events(s, d).select(col("event_id"), col("user_id"),
+        cents(col("value")).as("vc"), col("_us"))
+      val w = Window.partitionBy("user_id").orderBy("_us")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.select(col("event_id"), col("user_id"),
+          sum("vc").over(w).as("roll_cents"))
+        .orderBy("event_id")
+    }),
+
+    // hourly resample + forward fill per user: bucket to hours (max value
+    // per bucket — commutative, so bucket ties are order-free), explode
+    // each user's [first, last] hour grid, forward-fill gaps with the
+    // running last non-null. The grid never has a leading null (the first
+    // grid hour contains an event by construction)
+    "events_resample" -> ((s, d) => {
+      val ev = Q.events(s, d).select(col("user_id"),
+        expr("_us div 3600000000").as("h"), cents(col("value")).as("vc"))
+      graft.operators.Ops.resampleFfill(ev, "user_id", "h", "vc")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"), sum("fv").as("filled_cents"))
+        .orderBy("user_id")
+    }),
+
+    // click→purchase funnel: first click per user, earliest purchase
+    // within 6h of it — two partial-aggregated passes and one hash join
+    // on the user key, never a per-user window over raw events
+    "funnel_conversion" -> ((s, d) => {
+      val ev = Q.events(s, d).select(col("user_id"), col("event_type"), col("_us"))
+      val fc = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min("_us").as("c_us"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .join(fc, "user_id")
+        .where(col("_us") >= col("c_us") &&
+          col("_us") <= col("c_us") + lit(21600L * 1000000L))
+        .groupBy("user_id").agg(min(col("_us") - col("c_us")).as("delay_us"))
+      fc.join(conv, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_click_users"),
+          count(col("delay_us")).as("n_converted"),
+          coalesce(sum("delay_us"), lit(0L)).as("delay_us_sum"))
+    }),
+
     // wide→long melt through the native UNPIVOT (Expand) operator — the
     // inverse of pivot_agg; per-row cents conversion keeps the double
     // sums exact cross-engine
@@ -396,6 +443,47 @@ object BreadthQueries {
         |       CAST(MIN(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS first_day,
         |       CAST(MAX(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS last_day
         |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "window_time_range" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS roll_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |hv AS (SELECT user_id, h, MAX(vc) AS hv FROM ev GROUP BY user_id, h),
+        |rng AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM rng),
+        |ff AS (SELECT g.user_id, g.h,
+        |         last_value(hv.hv IGNORE NULLS) OVER (
+        |           PARTITION BY g.user_id ORDER BY g.h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |       FROM grid g LEFT JOIN hv
+        |         ON g.user_id = hv.user_id AND g.h = hv.h)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       CAST(SUM(fv) AS BIGINT) AS filled_cents
+        |FROM ff GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |fc AS (SELECT user_id, MIN(us) AS c_us FROM ev
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |conv AS (SELECT p.user_id, MIN(p.us - fc.c_us) AS delay_us
+        |         FROM ev p JOIN fc USING (user_id)
+        |         WHERE p.event_type = 'purchase'
+        |           AND p.us >= fc.c_us AND p.us <= fc.c_us + 21600000000
+        |         GROUP BY p.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_click_users,
+        |       CAST(COUNT(conv.delay_us) AS BIGINT) AS n_converted,
+        |       CAST(COALESCE(SUM(conv.delay_us), 0) AS BIGINT) AS delay_us_sum
+        |FROM fc LEFT JOIN conv USING (user_id)""".stripMargin,
 
     "unpivot_melt" ->
       """SELECT l_returnflag, measure, CAST(COUNT(*) AS BIGINT) AS cnt,
