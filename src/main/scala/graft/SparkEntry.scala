@@ -39,7 +39,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.queries ++ MorQueries.queries ++ ExtQueries.queries ++
       MediaQueries.queries ++ BreadthQueries.queries ++
-      RelevanceQueries.queries).map { case (k, fn) =>
+      RelevanceQueries.queries ++ AnalyticsQueries.queries ++
+      CorpusSourceQueries.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.ensureRegistered(s); fn(s, d)
       })
@@ -50,5 +51,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ MorQueries.oracleSql ++ ExtQueries.oracleSql ++
       MediaQueries.oracleSql ++ BreadthQueries.oracleSql ++
-      RelevanceQueries.oracleSql
+      RelevanceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      CorpusSourceQueries.oracleSql
 }

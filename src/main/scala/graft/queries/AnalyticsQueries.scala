@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+import graft.ext.TextOps
+
+/** Round-6 analytics wave: the product-analytics / warehouse-reporting
+  * shapes a consumer of these tables runs daily — cohort retention, the
+  * classic 3-table revenue join, column profiling, histograms, per-entity
+  * lag deltas — plus a linear-model document scorer (the shape of every
+  * fasttext-style quality filter applied at corpus scale).
+  *
+  * Determinism rules follow Q: money through [[Q.cents]], doubles only in
+  * closed-form arithmetic both engines evaluate identically (products and
+  * left-associated sums of exactly-representable operands), every output
+  * totally ordered.
+  */
+object AnalyticsQueries {
+
+  private def docs(s: SparkSession, d: String) = tbl(s, d, "documents")
+
+  /** One column's profile row: null count, exact distinct count, min/max
+    * rendered through a caller-chosen canonical repr. A single-column
+    * pruned scan with a two-stage distinct aggregate — no Expand, no
+    * full-width read; at 100 TB each column profiles as its own narrow
+    * partial-aggregated pass. */
+  private def profileCol(df: DataFrame, c: String,
+                         repr: Column => Column): DataFrame =
+    df.select(col(c)).agg(
+      lit(c).as("col_name"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      repr(min(col(c))).as("min_repr"),
+      repr(max(col(c))).as("max_repr"))
+      .select("col_name", "n_null", "n_distinct", "min_repr", "max_repr")
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // cohort retention: users bucketed by first-seen day, distinct active
+    // users per (cohort, day offset). Shapes: one groupBy(user) for the
+    // cohort anchor, one (user, day) distinct — both partial-aggregated
+    // shuffles on the user key — then a user-key hash join and a tiny
+    // final aggregate. No per-user window over raw events.
+    "cohort_retention" -> ((s, d) => {
+      val ev = Q.events(s, d)
+        .select(col("user_id"), expr("_us div 86400000000").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val active = ev.distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
+
+    // the TPC-H Q3 shape: segment-filtered customers (broadcast — the dim
+    // is orders-of-magnitude smaller than the facts) into orders, then a
+    // key-shuffle join to lineitem, revenue per order, top 10. The filter
+    // on both fact scans reaches parquet (PushedFilters), and the
+    // broadcast keeps the orders-side join shuffle-free.
+    "tpch_q3_top10" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1997-06-01"))
+      val cust = tbl(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = tbl(s, d, "orders")
+        .where(col("o_orderdate").cast("timestamp") < cutoff)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      val li = tbl(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") > cutoff)
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev_cents"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_date")
+        .agg(sum("rev_cents").as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // per-column data profile over orders: nulls, exact distincts, min/max
+    // under a canonical repr (doubles render as cents so no engine's
+    // double→string formatter is in the compare). Four single-column
+    // pruned scans unioned — each a narrow two-stage aggregate.
+    "profile_columns" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val asStr = (c: Column) => c.cast("string")
+      val asCents = (c: Column) => cents(c).cast("string")
+      profileCol(o, "o_orderstatus", asStr)
+        .unionByName(profileCol(o, "o_orderpriority", asStr))
+        .unionByName(profileCol(o, "o_custkey", asStr))
+        .unionByName(profileCol(o, "o_totalprice", asCents))
+        .orderBy("col_name")
+    }),
+
+    // fixed-width histogram of order value: bucket = clamp(floor(x/w)) —
+    // a map-only projection plus one partial-aggregated groupBy on a
+    // 20-value key. The no-shuffle-but-one shape histogramming always has.
+    "hist_price_bucket" -> ((s, d) => {
+      tbl(s, d, "orders")
+        .select(least(floor(col("o_totalprice") / 25000).cast("long"), lit(19L))
+            .as("bucket"),
+          cents(col("o_totalprice")).as("pc"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), sum("pc").as("price_cents"))
+        .orderBy("bucket")
+    }),
+
+    // per-entity consecutive-event deltas: lag over (user, time) with an
+    // event_id tie-break (ts collisions exist in the data — the tie-break
+    // is what makes the lag deterministic), aggregated straight back down
+    // to one row per user. Parallelism = #users; each frame is a single
+    // sequential pass.
+    "window_lag_delta" -> ((s, d) => {
+      val ev = Q.events(s, d).select(col("user_id"), col("event_id"),
+        col("_us"), cents(col("value")).as("vc"))
+      val w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+      ev.select(col("user_id"),
+          (col("vc") - lag("vc", 1).over(w)).as("delta"))
+        .groupBy("user_id")
+        .agg(count(col("delta")).as("n_deltas"),
+          sum(abs(col("delta"))).as("abs_delta_cents"))
+        .orderBy("user_id")
+    }),
+
+    // linear quality model over closed-form text features — the
+    // fasttext-style corpus filter as a map-only scorer: no shuffle, no
+    // UDF, whole-stage-codegen end to end. The logit (not the sigmoid) is
+    // the output: it is pure IEEE add/multiply of exactly-representable
+    // operands, so both engines agree bit-for-bit before the final round;
+    // sigmoid is monotone so thresholding the logit IS thresholding the
+    // probability.
+    "quality_lr_logit" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), lrLogit.as("logit"), (lrLogit > 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // quantile-binned quality sampling — the curriculum / quality-weighted
+    // subsampling pass of a curation pipeline, in its scale-true two-pass
+    // form: pass 1 reduces the corpus to nine decile cut points (one tiny
+    // row), pass 2 re-scans once, assigns each doc its bin by counting
+    // cuts below its score (broadcast cuts, a higher-order filter — no
+    // window, no global sort), and keeps a deterministic hash-share of
+    // each bin that grows with quality (bin b keeps 10·b %).
+    "quality_binned_sample" -> ((s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), lrLogit.as("logit"))
+      val cuts = scored
+        .agg(expr("percentile(logit, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("cs"))
+        .select(expr("transform(cs, c -> round(c, 6))").as("cuts"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("logit"),
+          (expr("size(filter(cuts, c -> logit > c))") + 1).cast("long").as("bin"))
+        .withColumn("keep",
+          (pmod(TextOps.hash60(col("doc_id").cast("string")), lit(100L))
+            < col("bin") * 10L).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+          min("logit").as("min_logit"), max("logit").as("max_logit"))
+        .orderBy("bin")
+    })
+  )
+
+  /** Closed-form linear quality score (rounded logit) shared by the two
+    * quality keys — see `quality_lr_logit` for the determinism argument. */
+  private def lrLogit: Column = {
+    val t = col("text")
+    val L = length(t).cast("double")
+    val T = size(TextOps.tokens(t)).cast("double")
+    val P = length(regexp_replace(t, "[A-Za-z0-9\\s]+", "")).cast("double")
+    round(lit(-1.5) + lit(0.002) * L + lit(0.01) * T - lit(0.05) * P, 6)
+  }
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT cohort_day, day - cohort_day AS offset_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "tpch_q3_top10" ->
+      """SELECT l.l_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+        |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l.l_orderkey, o_date
+        |ORDER BY revenue_cents DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "profile_columns" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS col_name,
+        |         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |         MIN(o_orderstatus) AS min_repr, MAX(o_orderstatus) AS max_repr
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |         MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice',
+        |         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |         CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+        |         CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin,
+
+    "hist_price_bucket" ->
+      """SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS BIGINT), 19) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "window_lag_delta" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |              CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |dl AS (SELECT user_id,
+        |         vc - LAG(vc, 1) OVER (PARTITION BY user_id
+        |                               ORDER BY us, event_id) AS delta
+        |       FROM ev)
+        |SELECT user_id, CAST(COUNT(delta) AS BIGINT) AS n_deltas,
+        |       CAST(SUM(ABS(delta)) AS BIGINT) AS abs_delta_cents
+        |FROM dl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "quality_binned_sample" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    round(-1.5 + 0.002 * CAST(length(text) AS DOUBLE)
+         |          + 0.01 * CAST(len(string_split($normSql, ' ')) AS DOUBLE)
+         |          - 0.05 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS DOUBLE),
+         |          6) AS logit
+         |  FROM documents),
+         |cuts AS (
+         |  SELECT list_transform(
+         |    quantile_cont(logit, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+         |    c -> round(c, 6)) AS cuts
+         |  FROM scored),
+         |binned AS (
+         |  SELECT doc_id, logit,
+         |         len(list_filter(cuts, c -> logit > c)) + 1 AS bin
+         |  FROM scored CROSS JOIN cuts),
+         |k AS (
+         |  SELECT bin, logit,
+         |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |                   % 100 < bin * 10 THEN 1 ELSE 0 END AS keep
+         |  FROM binned)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |       MIN(logit) AS min_logit, MAX(logit) AS max_logit
+         |FROM k GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "quality_lr_logit" ->
+      s"""SELECT doc_id,
+         |  round(-1.5 + 0.002 * CAST(length(text) AS DOUBLE)
+         |        + 0.01 * CAST(len(string_split($normSql, ' ')) AS DOUBLE)
+         |        - 0.05 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS DOUBLE),
+         |        6) AS logit,
+         |  round(-1.5 + 0.002 * CAST(length(text) AS DOUBLE)
+         |        + 0.01 * CAST(len(string_split($normSql, ' ')) AS DOUBLE)
+         |        - 0.05 * CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS DOUBLE),
+         |        6) > 0 AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+import graft.ext.TextOps
+
+/** Round-6 wave B: verbatim decontamination, BPE-style pair mining, and
+  * two storage-layout keys — a bucketed co-located join (the shuffle-free
+  * fact-fact join layout at 100 TB) and a CSV source round-trip (the
+  * engine's non-parquet ingest path, schema-pinned).
+  */
+object CorpusSourceQueries {
+
+  private def docs(s: SparkSession, d: String) = tbl(s, d, "documents")
+
+  /** Deterministic per-input scratch dir (warm-up and timed runs reuse it;
+    * mode=overwrite keeps reruns idempotent). */
+  private def scratch(tag: String, d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_$h"
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // verbatim decontamination: eval-set needles (substrings lifted from
+    // every 100th doc) searched exactly in every document. The needle set
+    // broadcasts; the scan side streams once through a nested-loop probe —
+    // the honest shape for substring search, bounded by |needles|, with
+    // the n-gram prefilter (contam_ngram) as the first-pass reducer at
+    // 100 TB (a production pass compiles the broadcast needle set into an
+    // Aho-Corasick automaton inside mapPartitions; the result is the same).
+    "contam_exact_substr" -> ((s, d) => {
+      val needles = docs(s, d)
+        .where(col("doc_id") % 100 === 0 && length(col("text")) >= 60)
+        .select(col("doc_id").as("needle_id"),
+          substring(col("text"), 11, 30).as("needle"))
+      docs(s, d).select(col("doc_id"), col("text"))
+        .join(broadcast(needles), col("text").contains(col("needle")))
+        .groupBy("needle_id")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("hit_id_sum"))
+        .orderBy("needle_id")
+    }),
+
+    // one BPE merge round: the most frequent adjacent symbol pairs at the
+    // character level over normalized whitespace tokens — a single scan,
+    // map-side partial counts on the pair key, TakeOrdered top-k. This is
+    // the per-iteration workhorse of tokenizer vocabulary induction.
+    "bpe_merge_topk" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 2)
+      toks.select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(20)
+    }),
+
+    // co-located fact-fact join: both sides written bucketed by the join
+    // key into the same bucket count, then merge-joined WITHOUT a shuffle
+    // — the layout that turns the biggest recurring join at 100 TB into a
+    // map-side zip of bucket pairs. The merge hint pins the join strategy
+    // so the gate tests bucketing, not the broadcast planner; the write
+    // is inside the query on purpose (the key times layout + join, and
+    // reruns overwrite deterministically).
+    "join_bucketed_colocated" -> ((s, d) => {
+      val loc = scratch("bkt", d)
+      tbl(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$loc/orders_bkt")
+        .saveAsTable("graft_orders_bkt")
+      tbl(s, d, "lineitem")
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$loc/lineitem_bkt")
+        .saveAsTable("graft_lineitem_bkt")
+      s.table("graft_lineitem_bkt")
+        .hint("merge")
+        .join(s.table("graft_orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"), sum("pc").as("price_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // intra-document line dedup (the Gopher/MassiveText repeated-paragraph
+    // rule, doc-local): keep each sentence's FIRST occurrence, preserving
+    // order — entirely with array higher-order functions, so the operator
+    // is map-only: zero shuffles, perfect linear scale-out. (The index
+    // filter is O(lines²) per doc — lines per doc are dozens, not
+    // thousands; the cross-doc rule is the separate interdoc key.)
+    "intradoc_dedup" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), "\\. ").as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          expr("filter(lines, (x, i) -> array_position(lines, x) = i + 1)")
+            .as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast("long").as("n_uniq"),
+          TextOps.hash60(concat_ws(". ", col("kept"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // inter-document line dedup (the C4 rule: drop every line whose
+    // corpus-wide occurrence count reaches 3). Scale shape: lines hash to
+    // 60 bits BEFORE the shuffle (no text moves past the scan), the
+    // frequency table and the line stream are co-partitioned on the hash
+    // (the join reuses the groupBy's exchange), and the per-doc signature
+    // is an order-free bit_xor of position-encoded tokens so the final
+    // doc aggregate needs no sorted rebuild.
+    "interdoc_line_dedup" -> ((s, d) => {
+      val lines = docs(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .toDF("doc_id", "pos0", "line")
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          TextOps.hash60(col("line")).as("lh"))
+      val freq = lines.groupBy("lh").agg(count(lit(1)).as("cnt"))
+      lines.join(freq, "lh")
+        .select(col("doc_id"),
+          when(col("cnt") < 3, 1L).otherwise(0L).as("kept"),
+          when(col("cnt") < 3,
+            TextOps.hash60(concat(col("lh").cast("string"), lit("#"),
+              col("pos").cast("string")))).otherwise(lit(0L)).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"), sum("kept").as("n_kept"),
+          expr("bit_xor(tok)").as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    // CSV ingest round-trip: parquet → headered CSV → schema-pinned CSV
+    // read → aggregate. Doubles survive because both the writer and the
+    // parser speak shortest-round-trip decimal; the aggregate is checked
+    // against the parquet originals by the oracle, so any loss in the
+    // CSV hop fails the hash.
+    "source_csv_orders" -> ((s, d) => {
+      val src = tbl(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val out = scratch("csv", d)
+      src.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").schema(src.schema).csv(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(cents(col("o_totalprice"))).as("price_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "contam_exact_substr" ->
+      """WITH needles AS (
+        |  SELECT doc_id AS needle_id, substr(text, 11, 30) AS needle
+        |  FROM documents WHERE doc_id % 100 = 0 AND length(text) >= 60)
+        |SELECT needle_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(d.doc_id) AS BIGINT) AS hit_id_sum
+        |FROM documents d JOIN needles n ON contains(d.text, n.needle)
+        |GROUP BY needle_id ORDER BY needle_id""".stripMargin,
+
+    "bpe_merge_topk" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |p AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+        |      FROM (SELECT tok, unnest(range(1, length(tok))) AS i
+        |            FROM t WHERE length(tok) >= 2))
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "intradoc_dedup" ->
+      """WITH l AS (SELECT doc_id, string_split(text, '. ') AS lines
+        |           FROM documents),
+        |k AS (SELECT doc_id, lines,
+        |        list_transform(
+        |          list_filter(range(1, len(lines) + 1),
+        |                      i -> list_position(lines, lines[i]) = i),
+        |          i -> lines[i]) AS kept
+        |      FROM l)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_uniq,
+        |       ('0x' || substr(md5(array_to_string(kept, '. ')), 1, 15))::BIGINT AS fp
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "interdoc_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '. ') AS ls FROM documents),
+        |ix AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM t),
+        |l AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(ls[CAST(pos AS INTEGER)]), 1, 15))::BIGINT AS lh
+        |      FROM ix),
+        |f AS (SELECT lh, COUNT(*) AS cnt FROM l GROUP BY lh),
+        |j AS (SELECT doc_id,
+        |        CASE WHEN cnt < 3 THEN 1 ELSE 0 END AS kept,
+        |        CASE WHEN cnt < 3 THEN
+        |          ('0x' || substr(md5(CAST(lh AS VARCHAR) || '#' ||
+        |                              CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+        |        ELSE 0 END AS tok
+        |      FROM l JOIN f USING (lh))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |       CAST(BIT_XOR(tok) AS BIGINT) AS sig
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "join_bucketed_colocated" ->
+      """SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+
+    "source_csv_orders" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS price_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CorpusSourceQueries
+
+/** Gates for wave B: semantics on toy inputs + the bucketed-join shuffle
+  * contract (the one thing that key exists to prove).
+  */
+class CorpusSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("contam_exact_substr: every needle hits at least its source doc") {
+    val got = CorpusSourceQueries.queries("contam_exact_substr")(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (needleId, nDocs) = (r.getLong(0), r.getLong(1))
+      assert(nDocs >= 1L, s"needle $needleId lost its own source doc")
+    }
+    // spot-check one needle's hit set against a driver-side recompute
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (nid, ntext) = docs.find { case (id, t) => id % 100 == 0 && t.length >= 60 }.get
+    val needle = ntext.substring(10, 40) // substr(text, 11, 30) is 1-based
+    val expectHits = docs.filter(_._2.contains(needle)).map(_._1)
+    val row = got.find(_.getLong(0) == nid).get
+    assert(row.getLong(1) == expectHits.length && row.getLong(2) == expectHits.sum)
+  }
+
+  test("bpe_merge_topk: pair counts on a two-word toy corpus") {
+    val t = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, "abab cd"), (2L, "ab x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$t/documents.parquet")
+    val got = CorpusSourceQueries.queries("bpe_merge_topk")(spark, t)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // abab → ab,ba,ab ; cd → cd ; ab → ab ; x dropped (len 1)
+    assert(got == Seq(("ab", 3L), ("ba", 1L), ("cd", 1L)))
+  }
+
+  test("join_bucketed_colocated: merge join with NO shuffle above the scans") {
+    val df = CorpusSourceQueries.queries("join_bucketed_colocated")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    // bucketed co-location: the only exchanges allowed are for the final
+    // single-partition aggregate/sort — never a hashpartitioning on the
+    // join key between the scans and the join
+    val joinKeyShuffle = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_orderkey") || l.contains("o_orderkey")))
+    assert(!joinKeyShuffle, s"bucketing failed to co-locate the join:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+    // and the answer matches a plain (non-bucketed) recompute
+    val expect = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), graft.queries.Q.cents(col("l_extendedprice")).as("pc"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_orderstatus"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), sum("pc").as("price_cents"))
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
+  test("source_csv_orders: the CSV hop is lossless vs the parquet original") {
+    val viaCsv = CorpusSourceQueries.queries("source_csv_orders")(spark, sf)
+      .collect().toSeq
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum(graft.queries.Q.cents(col("o_totalprice"))).as("price_cents"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(viaCsv == direct)
+  }
+}

@@ -235,4 +235,31 @@ class PlanSpec extends SparkSpec {
     // the one-row corpus-stats frame joins as an explicit broadcast
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("tpch_q3_top10: dim broadcast, date filters pushed to both fact scans") {
+    val p = plan("tpch_q3_top10")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the timestamp cutoffs must reach parquet on BOTH fact tables
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quality_lr_logit: map-only scorer — no exchange before the sort") {
+    val p = plan("quality_lr_logit")
+    // one projection over the scan; the only exchange allowed is the final
+    // rangepartitioning for the deterministic ORDER BY
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"scoring introduced a non-sort exchange:\n$p")
+    // scoring is one Project straight over the scan — no join, no agg
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("cohort_retention: user-key aggregates are partial; no raw-event window") {
+    val p = plan("cohort_retention")
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+  }
 }
