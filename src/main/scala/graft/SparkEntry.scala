@@ -40,6 +40,7 @@ object SparkEntry {
     (RelationalQueries.queries ++ MorQueries.queries ++ ExtQueries.queries ++
       MediaQueries.queries ++ BreadthQueries.queries ++
       RelevanceQueries.queries ++ AnalyticsQueries.queries ++
+      AnalyticsQueries.queries2 ++
       CorpusSourceQueries.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.ensureRegistered(s); fn(s, d)

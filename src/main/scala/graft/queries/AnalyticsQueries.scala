@@ -165,6 +165,68 @@ object AnalyticsQueries {
     })
   )
 
+  /** Iterative-graph and sliding-window keys, appended to the map above. */
+  val queries2: Map[String, QueryFn] = Map(
+
+    // fixed-point PageRank over the customer–supplier interaction graph —
+    // the deterministic formulation of distributed iterative rank: ranks
+    // live in integer micro-units and each edge's contribution is a
+    // single integer floor-division (0.85 = 17/20), so every per-node sum
+    // is exact integer arithmetic — identical under ANY aggregation
+    // order, which is what makes an iterative distributed algorithm
+    // oracle-checkable at all. Three unrolled iterations; each is one
+    // edge⋈rank join + one partial-aggregated shuffle on the destination
+    // key. Edges and degrees are computed once and reused.
+    "pagerank_fixedpoint" -> ((s, d) => {
+      val pairs = tbl(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(tbl(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      // the iterative-graph lineage discipline (same as the dedup
+      // clustering loop): materialize the static edge set once so the
+      // expensive derivation join doesn't re-execute under every
+      // iteration's subtree
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      // rank and degree tables are node-scale (dim-scale for a bipartite
+      // star-schema graph) — broadcast them so the edge set is never
+      // shuffled; only the per-destination share aggregate exchanges.
+      // For a graph whose node set outgrows broadcast, drop the hints and
+      // the same plan degrades to co-partitioned hash joins.
+      var r = deg.select(col("a").as("node"), lit(1000000L).as("rk"))
+      for (_ <- 1 to 3) {
+        r = edges
+          .join(broadcast(r), edges("a") === r("node"))
+          .join(broadcast(deg), "a")
+          .select(col("b").as("node"),
+            expr("rk * 17 div (20 * deg)").as("share"))
+          .groupBy("node")
+          .agg((lit(150000L) + sum("share")).as("rk"))
+      }
+      r.orderBy(desc("rk"), col("node")).limit(20)
+        .select(col("node"), col("rk").as("rank_fp"))
+    }),
+
+    // trailing-7-day active users per day: each (user, active-day) pair
+    // casts its vote into the next seven window days (a bounded explode),
+    // then one distinct + one count — the standard scale formulation of
+    // sliding-window COUNT DISTINCT (never a per-day set union, never a
+    // window over raw events).
+    "rolling_7d_active" -> ((s, d) => {
+      val ud = Q.events(s, d)
+        .select(col("user_id"), expr("_us div 86400000000").as("day"))
+        .distinct()
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("wday"))
+        .distinct()
+        .groupBy("wday").agg(count(lit(1)).as("active_7d"))
+        .orderBy("wday")
+    })
+  )
+
   /** Closed-form linear quality score (rounded logit) shared by the two
     * quality keys — see `quality_lr_logit` for the determinism argument. */
   private def lrLogit: Column = {
@@ -252,6 +314,35 @@ object AnalyticsQueries {
         |SELECT user_id, CAST(COUNT(delta) AS BIGINT) AS n_deltas,
         |       CAST(SUM(ABS(delta)) AS BIGINT) AS abs_delta_cents
         |FROM dl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "pagerank_fixedpoint" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+        |r0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS rk FROM deg),
+        |c1 AS (SELECT e.b AS node, (r.rk * 17) // (20 * d.deg) AS share
+        |       FROM edges e JOIN r0 r ON e.a = r.node JOIN deg d ON e.a = d.a),
+        |r1 AS (SELECT node, 150000 + SUM(share) AS rk FROM c1 GROUP BY node),
+        |c2 AS (SELECT e.b AS node, (r.rk * 17) // (20 * d.deg) AS share
+        |       FROM edges e JOIN r1 r ON e.a = r.node JOIN deg d ON e.a = d.a),
+        |r2 AS (SELECT node, 150000 + SUM(share) AS rk FROM c2 GROUP BY node),
+        |c3 AS (SELECT e.b AS node, (r.rk * 17) // (20 * d.deg) AS share
+        |       FROM edges e JOIN r2 r ON e.a = r.node JOIN deg d ON e.a = d.a),
+        |r3 AS (SELECT node, 150000 + SUM(share) AS rk FROM c3 GROUP BY node)
+        |SELECT node, CAST(rk AS BIGINT) AS rank_fp
+        |FROM r3 ORDER BY rk DESC, node LIMIT 20""".stripMargin,
+
+    "rolling_7d_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |w AS (SELECT DISTINCT user_id, day + i AS wday
+        |      FROM ud, unnest(range(0, 7)) t(i))
+        |SELECT wday, CAST(COUNT(*) AS BIGINT) AS active_7d
+        |FROM w GROUP BY wday ORDER BY wday""".stripMargin,
 
     "quality_binned_sample" ->
       s"""WITH scored AS (

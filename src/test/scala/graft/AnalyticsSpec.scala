@@ -88,6 +88,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("quality_binned_sample: bins partition the corpus; keep rate rises with bin") {
+    val got = AnalyticsQueries.queries("quality_binned_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.map(_._2).sum == total, "bins must partition the corpus")
+    // bin ranges are disjoint and increasing: each bin's min >= previous max
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._5, s"bin ${b._1} overlaps bin ${a._1}")
+    }
+    // top bin keeps everything (rate = 100%), and kept <= docs everywhere
+    assert(got.last._1 == 10L && got.last._3 == got.last._2)
+    got.foreach { case (_, n, k, _, _) => assert(k <= n) }
+  }
+
+  test("pagerank_fixedpoint: hand-computed ranks on a 3-node path graph") {
+    val t = java.nio.file.Files.createTempDirectory("pr").toString
+    // one order (key 1) by customer 1 with lines from suppliers 1 and 2:
+    // nodes c1=2, s1=3, s2=5; edges 2-3, 2-5 (plus reverses)
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$t/orders.parquet")
+    Seq((1L, 1L), (1L, 2L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$t/lineitem.parquet")
+    val got = AnalyticsQueries.queries2("pagerank_fixedpoint")(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // deg: c1=2, s1=1, s2=1; share(u) = rk*17 div (20*deg)
+    // it1: c1 <- s1+s2 = 2*(1e6*17 div 20)=1700000, +150000 = 1850000
+    //      s1 = s2 <- c1 = 1e6*17 div 40 = 425000, +150000 = 575000
+    var (c1, s) = (1000000L, 1000000L)
+    for (_ <- 1 to 3) {
+      val nc = 150000L + 2 * (s * 17 / 20)
+      val ns = 150000L + c1 * 17 / 40
+      c1 = nc; s = ns
+    }
+    assert(got == Seq((2L, c1), (3L, s), (5L, s)))
+  }
+
+  test("rolling_7d_active: each active day votes into seven window days") {
+    val got = AnalyticsQueries.queries2("rolling_7d_active")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // recompute naively on the driver
+    val ud = graft.queries.Q.events(spark, sf)
+      .select(col("user_id"), expr("_us div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ud.flatMap { case (u, d) => (0 to 6).map(i => (u, d + i)) }
+      .distinct.groupBy(_._2).map { case (w, xs) => (w, xs.length.toLong) }
+    assert(got.toMap == expect)
+    assert(got.map(_._1).sameElements(got.map(_._1).sorted))
+  }
+
   test("quality_lr_logit: hand-computed logit on a known doc") {
     val t = java.nio.file.Files.createTempDirectory("lr").toString
     Seq((7L, "Good doc here"), (8L, "!!! ??? ;;; ### $$$ %%%"))

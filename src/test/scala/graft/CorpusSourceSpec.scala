@@ -66,6 +66,34 @@ class CorpusSourceSpec extends SparkSpec {
     assert(df.collect().toSeq == expect)
   }
 
+  test("intradoc_dedup: keep-first semantics, order preserved") {
+    val t = java.nio.file.Files.createTempDirectory("intra").toString
+    Seq((1L, "a. b. a. c. b. d"), (2L, "x. x. x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$t/documents.parquet")
+    val got = CorpusSourceQueries.queries("intradoc_dedup")(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 6L, 4L), (2L, 3L, 1L)))
+    // the fingerprint is the hash of the rejoined kept text "a. b. c. d"
+    val fp = CorpusSourceQueries.queries("intradoc_dedup")(spark, t)
+      .where(col("doc_id") === 1L).select("fp").collect()(0).getLong(0)
+    val expect = spark.range(1)
+      .select(graft.ext.TextOps.hash60(lit("a. b. c. d")))
+      .collect()(0).getLong(0)
+    assert(fp == expect)
+  }
+
+  test("interdoc_line_dedup: lines at corpus count >= 3 are dropped everywhere") {
+    val t = java.nio.file.Files.createTempDirectory("inter").toString
+    // "common" appears 3x corpus-wide -> dropped from all docs;
+    // "twice" appears 2x -> kept
+    Seq((1L, "common. twice. only1"), (2L, "common. twice"), (3L, "common"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$t/documents.parquet")
+    val got = CorpusSourceQueries.queries("interdoc_line_dedup")(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 2L, 1L), (3L, 1L, 0L)))
+  }
+
   test("source_csv_orders: the CSV hop is lossless vs the parquet original") {
     val viaCsv = CorpusSourceQueries.queries("source_csv_orders")(spark, sf)
       .collect().toSeq
