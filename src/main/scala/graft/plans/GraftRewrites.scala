@@ -56,6 +56,7 @@ object GraftRewrites extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GraftRewrites)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }
@@ -69,5 +70,6 @@ object GraftExtensionsLive {
     if (!cur.exists(_ eq GraftRewrites)) {
       spark.experimental.extraOptimizations = cur :+ GraftRewrites
     }
+    AsOfJoinApi.ensureInstalled(spark)
   }
 }

@@ -353,6 +353,26 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n_purchases"),
           count(col("last_click")).as("n_with_prior_click"),
           sum(unix_micros(col("p_ts")) - unix_micros(col("last_click"))).as("gap_us_sum"))
+    }),
+
+    // the same point-in-time lookup through the NATIVE as-of operator
+    // (custom LogicalPlan + Strategy + one-pass merging SparkPlan,
+    // `plans/AsOfJoinPlan.scala`): one output row per purchase with no
+    // candidate-pair materialization — the composed formulation above
+    // joins every qualifying click first and max-reduces after; this one
+    // never does. Same oracle as asof_join, so the driver hash-checks the
+    // custom operator's result directly against DuckDB.
+    "asof_join_native" -> ((s, d) => {
+      val ev = ExtQueries.eventsWithTs(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("_us").as("p_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("_us").as("c_us"))
+      graft.plans.AsOfJoinApi.asofJoin(purchases, clicks,
+          "user_id", "c_user", "p_us", "c_us")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("c_us")).as("n_with_prior_click"),
+          sum(col("p_us") - col("c_us")).as("gap_us_sum"))
     })
   )
 
@@ -574,6 +594,21 @@ object BreadthQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
         |       CAST(COUNT(last_click) AS BIGINT) AS n_with_prior_click,
         |       CAST(SUM(epoch_us(p_ts) - epoch_us(last_click)) AS BIGINT) AS gap_us_sum
+        |FROM m""".stripMargin,
+
+    "asof_join_native" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, p.p_us,
+        |         (SELECT MAX(c.c_us) FROM c
+        |          WHERE c.user_id = p.user_id AND c.c_us <= p.p_us) AS last_c
+        |  FROM p)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(last_c) AS BIGINT) AS n_with_prior_click,
+        |       CAST(SUM(p_us - last_c) AS BIGINT) AS gap_us_sum
         |FROM m""".stripMargin
   )
 }
