@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GraftRewrites)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectTableFunction((GraftTableFunction.identifier,
+      GraftTableFunction.info, GraftTableFunction.builder))
     graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }
@@ -71,5 +73,6 @@ object GraftExtensionsLive {
       spark.experimental.extraOptimizations = cur :+ GraftRewrites
     }
     AsOfJoinApi.ensureInstalled(spark)
+    GraftTableFunction.ensureRegistered(spark)
   }
 }

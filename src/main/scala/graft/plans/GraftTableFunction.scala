@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+
+import graft.read.MorReader
+
+/** SQL surface for the MoR engine: a table-valued function so plain SQL —
+  * not just the Scala API — can query graft tables, time travel included:
+  *
+  *   SELECT * FROM graft_table('/wh/tbl')            -- current snapshot
+  *   SELECT * FROM graft_table('/wh/tbl', 5)         -- FOR VERSION AS OF
+  *   SELECT * FROM graft_table('/wh/tbl', 'audited') -- branch/tag ref
+  *
+  * The builder runs at analysis time and returns the fully-resolved MoR
+  * read plan (pos/eq-delete anti-joins, per-epoch projection, pruning —
+  * everything `MorReader` does), so Catalyst optimizes the expanded plan
+  * exactly as if it had been built through the DataFrame API: filters on
+  * the TVF's columns push down into the underlying parquet scans.
+  */
+object GraftTableFunction {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("graft_table")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftTableFunction", "graft_table")
+
+  val builder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    def const(e: Expression): Any = {
+      require(e.foldable, s"graft_table arguments must be literals, got $e")
+      e.eval()
+    }
+    val df = args match {
+      case Seq(p) =>
+        MorReader.read(spark, const(p).toString)
+      case Seq(p, v) => v.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          MorReader.readAt(spark, const(p).toString,
+            const(v).asInstanceOf[Number].longValue)
+        case StringType =>
+          MorReader.readRef(spark, const(p).toString, const(v).toString)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_table second argument must be a snapshot id or ref name, got $other")
+      }
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_table(path [, snapshotId | refName])")
+    }
+    df.queryExecution.analyzed
+  }
+
+  /** Idempotent live-session registration (mirrors the scalar-function
+    * path in `GraftFunctions.ensureRegistered`). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    if (!reg.functionExists(identifier)) {
+      reg.registerFunction(identifier, info, builder)
+    }
+  }
+}

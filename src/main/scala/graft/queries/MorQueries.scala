@@ -344,6 +344,21 @@ object MorQueries {
         .orderBy("category")
     }),
 
+    // the same snapshot-5 time travel through the SQL surface: the
+    // graft_table TVF (plans/GraftTableFunction.scala) expands to the full
+    // MoR read plan at analysis time, so plain SQL — aggregate, filters,
+    // everything — optimizes against the same anti-join/pruning plan the
+    // Scala API builds. Proves the engine's SQL entry point end-to-end
+    // under the driver's oracle.
+    "sql_tvf_scan" -> ((s, _) => {
+      graft.plans.GraftTableFunction.ensureRegistered(s)
+      val dir = s10(s)
+      s.sql(
+        s"""SELECT category, COUNT(*) AS cnt
+           |FROM graft_table('$dir', 5)
+           |GROUP BY category ORDER BY category""".stripMargin)
+    }),
+
     // TIMESTAMP time travel (FOR TIMESTAMP AS OF): ts=5500 between the
     // snapshot-5 commit (t=5000) and snapshot 6 (t=6000) resolves to
     // snapshot 5 — identical state to snapshot_scan, reached by timestamp
@@ -666,6 +681,13 @@ object MorQueries {
          |GROUP BY category ORDER BY category""".stripMargin,
 
     "snapshot_scan" ->
+      s"""$s10Rows
+         |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
+         |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |  AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |GROUP BY category ORDER BY category""".stripMargin,
+
+    "sql_tvf_scan" ->
       s"""$s10Rows
          |SELECT category, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_
          |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
