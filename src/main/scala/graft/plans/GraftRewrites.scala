@@ -59,6 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectTableFunction((GraftTableFunction.identifier,
       GraftTableFunction.info, GraftTableFunction.builder))
+    ext.injectTableFunction((GraftTableFunction.changesIdentifier,
+      GraftTableFunction.changesInfo, GraftTableFunction.changesBuilder))
     graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }

@@ -54,12 +54,42 @@ object GraftTableFunction {
     df.queryExecution.analyzed
   }
 
+  val changesIdentifier: FunctionIdentifier =
+    FunctionIdentifier("graft_table_changes")
+
+  val changesInfo: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftTableFunction", "graft_table_changes")
+
+  /** `graft_table_changes('/wh/tbl', fromSnap, toSnap)` — the CDC
+    * changelog (net inserts/deletes in the (from, to] snapshot window)
+    * from plain SQL; the Iceberg `table_changes` parity surface. */
+  val changesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    def const(e: Expression): Any = {
+      require(e.foldable, s"graft_table_changes arguments must be literals, got $e")
+      e.eval()
+    }
+    args match {
+      case Seq(p, from, to) =>
+        MorReader.changelogBetween(spark, const(p).toString,
+          const(from).asInstanceOf[Number].longValue,
+          const(to).asInstanceOf[Number].longValue)
+          .queryExecution.analyzed
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_table_changes(path, fromSnapshotId, toSnapshotId)")
+    }
+  }
+
   /** Idempotent live-session registration (mirrors the scalar-function
     * path in `GraftFunctions.ensureRegistered`). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     if (!reg.functionExists(identifier)) {
       reg.registerFunction(identifier, info, builder)
+    }
+    if (!reg.functionExists(changesIdentifier)) {
+      reg.registerFunction(changesIdentifier, changesInfo, changesBuilder)
     }
   }
 }

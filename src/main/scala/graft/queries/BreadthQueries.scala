@@ -373,6 +373,28 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n_purchases"),
           count(col("c_us")).as("n_with_prior_click"),
           sum(col("p_us") - col("c_us")).as("gap_us_sum"))
+    }),
+
+    // bounded-staleness as-of (pandas merge_asof tolerance / kdb wj): the
+    // native operator finds the latest prior click, then a row-local
+    // predicate voids matches staler than 2 h. Tolerance composes OUTSIDE
+    // the merge because the latest-prior row either satisfies the bound
+    // or no row does — so the operator itself never needs a tolerance
+    // parameter.
+    "asof_join_tolerance" -> ((s, d) => {
+      val ev = ExtQueries.eventsWithTs(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("_us").as("p_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("_us").as("c_us"))
+      val tolUs = 7200L * 1000000L
+      graft.plans.AsOfJoinApi.asofJoin(purchases, clicks,
+          "user_id", "c_user", "p_us", "c_us")
+        .select(col("p_us"),
+          when(col("p_us") - col("c_us") <= tolUs, col("c_us")).as("m_us"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("m_us")).as("n_fresh_match"),
+          sum(col("p_us") - col("m_us")).as("gap_us_sum"))
     })
   )
 
@@ -609,6 +631,24 @@ object BreadthQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
         |       CAST(COUNT(last_c) AS BIGINT) AS n_with_prior_click,
         |       CAST(SUM(p_us - last_c) AS BIGINT) AS gap_us_sum
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "asof_join_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, p.p_us,
+        |         (SELECT MAX(c.c_us) FROM c
+        |          WHERE c.user_id = p.user_id AND c.c_us <= p.p_us) AS last_c
+        |  FROM p),
+        |t AS (SELECT p_us,
+        |        CASE WHEN p_us - last_c <= 7200000000 THEN last_c END AS m_us
+        |      FROM m)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(m_us) AS BIGINT) AS n_fresh_match,
+        |       CAST(SUM(p_us - m_us) AS BIGINT) AS gap_us_sum
+        |FROM t""".stripMargin
   )
 }

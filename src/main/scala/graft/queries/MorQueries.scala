@@ -359,6 +359,20 @@ object MorQueries {
            |GROUP BY category ORDER BY category""".stripMargin)
     }),
 
+    // CDC from SQL: graft_table_changes(path, from, to) — same changelog
+    // as changelog_scan, reached through the TVF surface (the Iceberg
+    // `table_changes` parity entry point)
+    "sql_tvf_changes" -> ((s, _) => {
+      graft.plans.GraftTableFunction.ensureRegistered(s)
+      val dir = s10(s)
+      s.sql(
+        s"""SELECT change_kind, category, COUNT(*) AS cnt,
+           |       SUM(CAST(product_id AS BIGINT)) AS id_sum
+           |FROM graft_table_changes('$dir', 2, 5)
+           |GROUP BY change_kind, category
+           |ORDER BY change_kind, category""".stripMargin)
+    }),
+
     // TIMESTAMP time travel (FOR TIMESTAMP AS OF): ts=5500 between the
     // snapshot-5 commit (t=5000) and snapshot 6 (t=6000) resolves to
     // snapshot 5 — identical state to snapshot_scan, reached by timestamp
@@ -693,6 +707,21 @@ object MorQueries {
          |WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
          |  AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
          |GROUP BY category ORDER BY category""".stripMargin,
+
+    "sql_tvf_changes" ->
+      s"""$s10Rows,
+         |ins AS (
+         |  SELECT 'insert' AS change_kind, category, id FROM rows_
+         |  WHERE seq > 2
+         |    AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)),
+         |del AS (
+         |  SELECT 'delete' AS change_kind, category, id FROM rows_
+         |  WHERE seq < 2 AND NOT (category = 'widget' AND id < 30)
+         |    AND category IN ('widget','gizmo') AND id % 10 = 5)
+         |SELECT change_kind, category, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+         |GROUP BY change_kind, category ORDER BY change_kind, category""".stripMargin,
 
     "mor_pos_delete_waves" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 800)),

@@ -63,6 +63,19 @@ class SqlSurfaceSpec extends SparkSpec {
       .where(col("product_id") > 90).count())
   }
 
+  test("graft_table_changes(path, from, to) equals changelogBetween") {
+    GraftTableFunction.ensureRegistered(spark)
+    val viaSql = spark.sql(
+      s"""SELECT change_kind, COUNT(*) AS cnt
+         |FROM graft_table_changes('$dir', 1, 3)
+         |GROUP BY change_kind ORDER BY change_kind""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaApi = MorReader.changelogBetween(spark, dir, 1L, 3L)
+      .groupBy("change_kind").count().orderBy("change_kind")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("bad arguments fail at analysis with a clear message") {
     GraftTableFunction.ensureRegistered(spark)
     val e = intercept[Exception] {
