@@ -395,6 +395,35 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n_purchases"),
           count(col("m_us")).as("n_fresh_match"),
           sum(col("p_us") - col("m_us")).as("gap_us_sum"))
+    }),
+
+    // 3-stage funnel (signup → first click after it → first purchase
+    // after that) as TWO chained native as-of joins: "earliest at-or-
+    // after" is "latest at-or-before" on NEGATED times, so the same
+    // one-pass merge operator answers forward-looking sequence queries —
+    // no window over raw events, no candidate-pair join at any stage.
+    // Rows whose click stage missed carry a null time into stage two and
+    // come back null-extended (the operator's null contract), exactly the
+    // funnel semantics.
+    "funnel3_asof" -> ((s, d) => {
+      val ev = ExtQueries.eventsWithTs(s, d)
+        .select(col("user_id"), col("event_type"), col("_us"))
+      val signups = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("_us").as("s_us"))
+        .select(col("user_id"), (-col("s_us")).as("ns"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), (-col("_us")).as("nc"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), (-col("_us")).as("np"))
+      val stage1 = graft.plans.AsOfJoinApi.asofJoin(
+        signups, clicks, "user_id", "c_user", "ns", "nc")
+        .select(col("user_id"), col("ns"), col("nc"))
+      val stage2 = graft.plans.AsOfJoinApi.asofJoin(
+        stage1, purchases, "user_id", "p_user", "nc", "np")
+      stage2.agg(count(lit(1)).as("n_signup_users"),
+        count(col("nc")).as("n_reached_click"),
+        count(col("np")).as("n_reached_purchase"),
+        sum(col("ns") - col("np")).as("funnel_us_sum"))
     })
   )
 
@@ -649,6 +678,27 @@ object BreadthQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
         |       CAST(COUNT(m_us) AS BIGINT) AS n_fresh_match,
         |       CAST(SUM(p_us - m_us) AS BIGINT) AS gap_us_sum
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "funnel3_asof" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id, MIN(us) AS s_us FROM ev
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |m1 AS (SELECT s.user_id, s.s_us,
+        |         (SELECT MIN(c.us) FROM ev c
+        |          WHERE c.event_type = 'click' AND c.user_id = s.user_id
+        |            AND c.us >= s.s_us) AS c_us
+        |       FROM s),
+        |m2 AS (SELECT m1.user_id, m1.s_us, m1.c_us,
+        |         (SELECT MIN(p.us) FROM ev p
+        |          WHERE p.event_type = 'purchase' AND p.user_id = m1.user_id
+        |            AND m1.c_us IS NOT NULL AND p.us >= m1.c_us) AS p_us
+        |       FROM m1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+        |       CAST(COUNT(c_us) AS BIGINT) AS n_reached_click,
+        |       CAST(COUNT(p_us) AS BIGINT) AS n_reached_purchase,
+        |       CAST(SUM(p_us - s_us) AS BIGINT) AS funnel_us_sum
+        |FROM m2""".stripMargin
   )
 }

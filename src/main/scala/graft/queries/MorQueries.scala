@@ -636,6 +636,33 @@ object MorQueries {
     "meta_partitions" -> ((s, _) =>
       graft.read.MetaTables.partitions(s, s10(s)).orderBy("partition")),
 
+    // table-health report — the maintenance dashboard a 100 TB operator
+    // watches: per partition, data/delete file counts, declared vs LIVE
+    // rows (declared from the log alone — metadata-scale; live through the
+    // MoR merge), and the dead-row percentage that drives compaction
+    // scheduling. Integer percentage (div) keeps the compare exact.
+    "meta_health" -> ((s, _) => {
+      val dir = s10(s)
+      val f = graft.read.MetaTables.files(s, dir)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("data_files"),
+          sum("record_count").as("declared_rows"))
+      val d = graft.read.MetaTables.deleteFiles(s, dir)
+        .groupBy("partition").agg(count(lit(1)).as("delete_files"))
+      val live = MorReader.read(s, dir)
+        .groupBy(concat(lit("category="), col("category")).as("partition"))
+        .agg(count(lit(1)).as("live_rows"))
+      f.join(d, Seq("partition"), "left")
+        .join(live, Seq("partition"), "left")
+        .select(col("partition"), col("data_files"),
+          coalesce(col("delete_files"), lit(0L)).as("delete_files"),
+          col("declared_rows"),
+          coalesce(col("live_rows"), lit(0L)).as("live_rows"),
+          expr("(declared_rows - coalesce(live_rows, 0)) * 100 div declared_rows")
+            .as("dead_pct"))
+        .orderBy("partition")
+    }),
+
     // refs metadata table: the s10ts fixture tags snapshot 6
     "meta_refs" -> ((s, _) =>
       graft.read.MetaTables.refs(s, s10ts(s)).orderBy("name")),
@@ -1070,6 +1097,33 @@ object MorQueries {
          |SELECT 'category=' || category AS "partition",
          |       CAST(COUNT(DISTINCT seq) AS BIGINT) AS file_count,
          |       CAST(COUNT(*) AS BIGINT) AS record_count
-         |FROM rows_ GROUP BY category ORDER BY "partition"""".stripMargin
+         |FROM rows_ GROUP BY category ORDER BY "partition"""".stripMargin,
+
+    "meta_health" ->
+      s"""$s10Rows,
+         |decl AS (SELECT 'category=' || category AS part,
+         |           CAST(COUNT(DISTINCT seq) AS BIGINT) AS data_files,
+         |           CAST(COUNT(*) AS BIGINT) AS declared_rows
+         |         FROM rows_ GROUP BY category),
+         |lv AS (SELECT 'category=' || category AS part,
+         |         CAST(COUNT(*) AS BIGINT) AS live_rows
+         |       FROM rows_
+         |       WHERE NOT (category = 'widget' AND id < 30 AND seq < 2)
+         |         AND NOT (category IN ('widget','gizmo') AND id % 10 = 5 AND seq < 4)
+         |         AND NOT (id % 200 >= 100 AND seq < 6)
+         |         AND NOT (id BETWEEN 50 AND 52)
+         |       GROUP BY category),
+         |dels AS (SELECT * FROM (VALUES
+         |    ('category=widget', CAST(4 AS BIGINT)),
+         |    ('category=gizmo',  CAST(2 AS BIGINT)),
+         |    ('category=gadget', CAST(1 AS BIGINT))) t(part, delete_files))
+         |SELECT decl.part AS "partition", data_files,
+         |       COALESCE(delete_files, 0) AS delete_files, declared_rows,
+         |       COALESCE(live_rows, 0) AS live_rows,
+         |       (declared_rows - COALESCE(live_rows, 0)) * 100 // declared_rows
+         |         AS dead_pct
+         |FROM decl LEFT JOIN dels ON decl.part = dels.part
+         |LEFT JOIN lv ON decl.part = lv.part
+         |ORDER BY "partition"""".stripMargin
   )
 }

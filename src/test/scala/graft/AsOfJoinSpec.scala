@@ -67,6 +67,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("funnel3_asof: stage counts are monotone and stage-1 matches a recompute") {
+    val r = graft.queries.BreadthQueries.queries("funnel3_asof")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    val (s0, s1, s2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s0 >= s1 && s1 >= s2 && s0 > 0, (s0, s1, s2))
+    // stage-1 count recomputed via a plain aggregate formulation
+    val ev = graft.queries.Q.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"), col("_us"))
+    val s = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("_us").as("s_us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("_us").as("c_us"))
+    val expectS1 = s.join(c, col("user_id") === col("cu") &&
+        col("c_us") >= col("s_us"), "left")
+      .groupBy("user_id").agg(min("c_us").as("fc"))
+      .agg(count(col("fc"))).collect()(0).getLong(0)
+    assert(s1 == expectS1)
+  }
+
   test("asof: rejects non-long times and colliding names") {
     val l = Seq((1L, 1L)).toDF("k", "t")
     intercept[IllegalArgumentException] {
