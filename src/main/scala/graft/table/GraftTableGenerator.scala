@@ -694,6 +694,37 @@ final class GraftTableGenerator(
     frag
   }
 
+  /** Health-driven compaction — the `meta_health` loop closed: rewrite
+    * ONLY the partitions whose dead-row percentage (declared rows in the
+    * log vs rows surviving the MoR merge) has reached `deadPct`. The
+    * declared side is metadata-only; the live side is ONE grouped MoR
+    * scan (a real scheduler amortizes it into the rewrite, which re-scans
+    * those partitions anyway). Returns the partition values selected;
+    * when none qualify NOTHING is staged. Targets the current spec's
+    * first transform (the same addressing [[compact]] uses); files from
+    * older spec epochs lacking that field are left alone. */
+  def compactDirty(deadPct: Int): Seq[String] = {
+    requireCreated("compactDirty()")
+    require(stagedOps == 0, "commit staged work before compactDirty()")
+    require(deadPct >= 1 && deadPct <= 100, s"deadPct in [1,100], got $deadPct")
+    require(transforms.headOption.exists(_.isIdentity),
+      "compactDirty targets identity partition specs")
+    val pname = transforms.head.partName
+    val st = log.load()
+    val declared: Map[String, Long] = st.dataFiles
+      .flatMap(f => f.partition.get(pname).map(_ -> f.recordCount))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val live: Map[String, Long] = MorReader.read(spark, tableDir.toString)
+      .groupBy(col(pname)).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val dirty = declared.collect {
+      case (p, d) if d > 0 &&
+        (d - live.getOrElse(p, 0L)) * 100 / d >= deadPct => p
+    }.toSeq.sorted
+    if (dirty.nonEmpty) compact(Some(dirty))
+    dirty
+  }
+
   /** Consolidate accumulated POSITION-delete files (the Iceberg
     * `rewrite_position_delete_files` maintenance action): per partition
     * scope, every group of ≥2 surviving pos-delete files is read once
