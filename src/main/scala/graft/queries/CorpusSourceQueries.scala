@@ -134,6 +134,23 @@ object CorpusSourceQueries {
         .orderBy("doc_id")
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // each doc draws u from its deterministic hash and ranks by
+    // ln(u)/weight — the top-k under that key IS a weighted sample. One
+    // map-only projection + TakeOrdered: the 100 TB sampling shape, no
+    // shuffle of the corpus, longer docs proportionally likelier. Keys
+    // round at 1e-12 (far above the libm ulp, far below key spacing)
+    // with a doc_id tie-break, so both engines rank identically.
+    "sample_weighted" -> ((s, d) => {
+      val u = (TextOps.hash60(col("doc_id").cast("string")) + 1).cast("double") /
+        lit(1152921504606846976.0) // 2^60
+      val w = greatest(col("n_chars"), lit(1)).cast("double")
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+          round(log(u) / w, 12).as("skey"))
+        .orderBy(desc("skey"), col("doc_id"))
+        .limit(50)
+    }),
+
     // CSV ingest round-trip: parquet → headered CSV → schema-pinned CSV
     // read → aggregate. Doubles survive because both the writer and the
     // parser speak shortest-round-trip decimal; the aggregate is checked
@@ -208,6 +225,14 @@ object CorpusSourceQueries {
         |       CAST(SUM(kept) AS BIGINT) AS n_kept,
         |       CAST(BIT_XOR(tok) AS BIGINT) AS sig
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |       round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |                / 1152921504606846976.0)
+        |             / CAST(GREATEST(n_chars, 1) AS DOUBLE), 12) AS skey
+        |FROM documents
+        |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
 
     "join_bucketed_colocated" ->
       """SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -54,6 +54,21 @@ object MorQueries {
     })
   private def s11(spark: SparkSession): String =
     table(spark, "s11", Scenarios.createProductsWithEqDeletesSchemaChange)
+  /** widget 100 + gizmo 100; 60% of widget eq-deleted; then the health
+    * loop: compactDirty(50) must pick exactly widget. */
+  private def healthCompacted(spark: SparkSession): String =
+    built.computeIfAbsent("health_compact_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_health_q")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 100).commit()
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 100).commit()
+        .equalityDelete(Seq("widget"), col("product_id") % 10 < 6,
+          Seq("product_id")).commit()
+      val picked = g.compactDirty(50)
+      require(picked == Seq("widget"), s"health loop picked $picked")
+      g.commit()
+      g.tableDir.toString
+    })
   /** 10 sequential unpartitioned files (order_id ranges of 100 each) + one
     * eq-delete wave — the metrics-pruning fixture: a range predicate must
     * open only the files whose recorded min/max intersect it. */
@@ -663,6 +678,24 @@ object MorQueries {
         .orderBy("partition")
     }),
 
+    // the health loop END STATE, driver-oracled: after compactDirty(50)
+    // on a 60%-dead widget partition, widget is one live-rows-only file
+    // with its delete files consumed, and untouched gizmo still declares
+    // its original append
+    "mor_health_compact" -> ((s, _) => {
+      val dir = healthCompacted(s)
+      val f = graft.read.MetaTables.files(s, dir)
+        .groupBy("partition")
+        .agg(count(lit(1)).as("data_files"),
+          sum("record_count").as("declared_rows"))
+      val d = graft.read.MetaTables.deleteFiles(s, dir)
+        .groupBy("partition").agg(count(lit(1)).as("dfiles"))
+      f.join(d, Seq("partition"), "left")
+        .select(col("partition"), col("data_files"), col("declared_rows"),
+          coalesce(col("dfiles"), lit(0L)).as("delete_files"))
+        .orderBy("partition")
+    }),
+
     // refs metadata table: the s10ts fixture tags snapshot 6
     "meta_refs" -> ((s, _) =>
       graft.read.MetaTables.refs(s, s10ts(s)).orderBy("name")),
@@ -1098,6 +1131,17 @@ object MorQueries {
          |       CAST(COUNT(DISTINCT seq) AS BIGINT) AS file_count,
          |       CAST(COUNT(*) AS BIGINT) AS record_count
          |FROM rows_ GROUP BY category ORDER BY "partition"""".stripMargin,
+
+    "mor_health_compact" ->
+      """SELECT * FROM (
+        |  SELECT 'category=gizmo' AS "partition", CAST(1 AS BIGINT) AS data_files,
+        |         CAST((SELECT COUNT(*) FROM range(100, 200)) AS BIGINT) AS declared_rows,
+        |         CAST(0 AS BIGINT) AS delete_files
+        |  UNION ALL
+        |  SELECT 'category=widget', CAST(1 AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM range(0, 100) t(id) WHERE id % 10 >= 6) AS BIGINT),
+        |         CAST(0 AS BIGINT))
+        |ORDER BY "partition"""".stripMargin,
 
     "meta_health" ->
       s"""$s10Rows,
