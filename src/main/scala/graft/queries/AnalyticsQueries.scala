@@ -210,6 +210,50 @@ object AnalyticsQueries {
         .select(col("node"), col("rk").as("rank_fp"))
     }),
 
+    // embedding drift monitor — the data-quality gate before an embedding
+    // batch joins the corpus: per-label centroid vs the global centroid,
+    // as a cosine. Determinism is engineered end-to-end in integers:
+    // elements scale to exact 1e6-fixed-point longs (order-free integer
+    // sums), per-dim means round back to longs from identical inputs, and
+    // the final dot/norms are overflow-safe integer sums — the only
+    // float steps are one division and one sqrt over identical operands.
+    "embed_drift" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "dim", "v")
+        .select(col("label"), col("dim"),
+          round(col("v").cast("double") * 1000000, 0).cast("long").as("vi"))
+      val byLabel = e.groupBy("label", "dim")
+        .agg(round(sum("vi").cast("double") / count(lit(1)), 0).cast("long").as("ml"))
+      val global = e.groupBy("dim")
+        .agg(round(sum("vi").cast("double") / count(lit(1)), 0).cast("long").as("mg"))
+      val dots = byLabel.join(global, "dim")
+        .groupBy("label")
+        .agg(sum(col("ml") * col("mg")).as("dot"),
+          sum(col("ml") * col("ml")).as("n1"),
+          sum(col("mg") * col("mg")).as("n2"))
+      val nvecs = tbl(s, d, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      dots.join(nvecs, "label")
+        .select(col("label"), col("n_vecs"),
+          round(col("dot") /
+            sqrt(col("n1").cast("double") * col("n2").cast("double")), 6)
+            .as("drift_cos"))
+        .orderBy("label")
+    }),
+
+    // ingest schema-drift profile: which keys actually arrive in the
+    // semi-structured props payload, per event type — one explode of the
+    // parsed key list + a partial-aggregated count. New/vanished keys
+    // between batches are the drift signal.
+    "json_keys_profile" -> ((s, d) => {
+      tbl(s, d, "events")
+        .select(col("event_type"),
+          explode(expr("json_object_keys(props)")).as("k"))
+        .groupBy("event_type", "k").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "k")
+    }),
+
     // trailing-7-day active users per day: each (user, active-day) pair
     // casts its vote into the next seven window days (a bounded explode),
     // then one distinct + one count — the standard scale formulation of
@@ -333,6 +377,33 @@ object AnalyticsQueries {
         |r3 AS (SELECT node, 150000 + SUM(share) AS rk FROM c3 GROUP BY node)
         |SELECT node, CAST(rk AS BIGINT) AS rank_fp
         |FROM r3 ORDER BY rk DESC, node LIMIT 20""".stripMargin,
+
+    "embed_drift" ->
+      """WITH e AS (
+        |  SELECT label, i AS dim,
+        |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+        |  FROM embeddings, range(1, 65) t(i)),
+        |bl AS (SELECT label, dim,
+        |         CAST(ROUND(CAST(SUM(vi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ml
+        |       FROM e GROUP BY label, dim),
+        |g AS (SELECT dim,
+        |        CAST(ROUND(CAST(SUM(vi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mg
+        |      FROM e GROUP BY dim),
+        |d AS (SELECT label, CAST(SUM(ml * mg) AS BIGINT) AS dot,
+        |        CAST(SUM(ml * ml) AS BIGINT) AS n1,
+        |        CAST(SUM(mg * mg) AS BIGINT) AS n2
+        |      FROM bl JOIN g USING (dim) GROUP BY label),
+        |nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |       FROM embeddings GROUP BY label)
+        |SELECT label, n_vecs,
+        |       round(dot / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+        |         AS drift_cos
+        |FROM d JOIN nv USING (label) ORDER BY label""".stripMargin,
+
+    "json_keys_profile" ->
+      """SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
 
     "rolling_7d_active" ->
       """WITH ud AS (
