@@ -668,6 +668,46 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum("event_id").as("pid_sum"),
           sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us_sum"))
+    }),
+
+    // stream-static point-in-time enrichment (the streaming twin of the
+    // native as-of operator): a purchase stream joins a STATIC per-user
+    // sorted click timeline — the dim side of a production as-of, bounded
+    // and broadcast — and the as-of match is computed row-locally with
+    // array higher-order functions, so results are independent of
+    // micro-batch boundaries (proven by the two-batch split). Same
+    // contract and oracle as asof_join_native.
+    "stream_asof" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Q.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("_us"))
+      val clickArr = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"))
+        .agg(sort_array(collect_list(col("_us"))).as("c_arr"))
+      val base = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val in = stream.toDS().toDF("event_id", "user_id", "p_us")
+      withStreamShuffle(s, 4) {
+        val enriched = in
+          .join(broadcast(clickArr), col("user_id") === col("c_user"), "left")
+          .select(col("event_id"), col("p_us"),
+            expr("array_max(filter(c_arr, c -> c <= p_us))").as("last_c"))
+        val sq = enriched.writeStream.format("memory")
+          .queryName("stream_asof_sink")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try {
+          val (a, b) = base.splitAt(base.length / 2)
+          stream.addData(a); sq.processAllAvailable()
+          stream.addData(b); sq.processAllAvailable()
+        } finally sq.stop()
+      }
+      s.table("stream_asof_sink")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("last_c")).as("n_with_prior_click"),
+          sum(col("p_us") - col("last_c")).as("gap_us_sum"))
     })
   )
 
@@ -1268,6 +1308,21 @@ object ExtQueries {
         | AND CAST(c.ts AS TIMESTAMP)
         |     BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1800 SECOND
         |         AND CAST(p.ts AS TIMESTAMP)""".stripMargin,
+
+    "stream_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, p.p_us,
+        |         (SELECT MAX(c.c_us) FROM c
+        |          WHERE c.user_id = p.user_id AND c.c_us <= p.p_us) AS last_c
+        |  FROM p)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(last_c) AS BIGINT) AS n_with_prior_click,
+        |       CAST(SUM(p_us - last_c) AS BIGINT) AS gap_us_sum
+        |FROM m""".stripMargin,
 
     "events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
