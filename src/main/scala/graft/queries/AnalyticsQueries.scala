@@ -254,6 +254,51 @@ object AnalyticsQueries {
         .orderBy("event_type", "k")
     }),
 
+    // hourly-volume anomaly detection: per event type, hours whose count
+    // z-score exceeds 2. The stats are sums of integer counts (exact in
+    // doubles far below 2^53), so mean/stddev/z are deterministic
+    // cross-engine; one narrow aggregate + a broadcast-joined stats row
+    // per type — the monitoring shape that runs after every ingest.
+    "events_anomaly_zscore" -> ((s, d) => {
+      val hourly = Q.events(s, d)
+        .select(col("event_type"), expr("_us div 3600000000").as("h"))
+        .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy(col("event_type").as("t"))
+        .agg(avg("cnt").as("mu"), stddev_samp(col("cnt")).as("sd"))
+      hourly.join(broadcast(stats), col("event_type") === col("t"))
+        .select(col("event_type"), col("h"), col("cnt"),
+          round((col("cnt") - col("mu")) / col("sd"), 6).as("z"))
+        .where(abs(col("z")) > 2.0)
+        .orderBy("event_type", "h")
+    }),
+
+    // market-basket affinity: brand pairs co-occurring within an order,
+    // with lift. The pair explode is bounded by lines-per-order (single
+    // digits), so the self-join on the order key never goes quadratic in
+    // the table — the classic affinity-analysis shape. Lift rounds at 6
+    // from exact integer counts.
+    "brand_affinity" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .join(tbl(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val n = li.select("ok").distinct().count()
+      val single = li.groupBy("b").agg(count(lit(1)).as("nb"))
+      val pairs = li.join(li.select(col("ok").as("ok2"), col("b").as("b2")),
+          col("ok") === col("ok2") && col("b") < col("b2"))
+        .groupBy("b", "b2").agg(count(lit(1)).as("nab"))
+      pairs
+        .join(single, "b")
+        .join(single.select(col("b").as("b2j"), col("nb").as("nb2")),
+          col("b2") === col("b2j"))
+        .where(col("nab") >= 20)
+        .select(col("b"), col("b2"), col("nab"),
+          round((col("nab").cast("double") * n) /
+            (col("nb").cast("double") * col("nb2")), 6).as("lift"))
+        .orderBy("b", "b2")
+    }),
+
     // trailing-7-day active users per day: each (user, active-day) pair
     // casts its vote into the next seven window days (a bounded explode),
     // then one distinct + one count — the standard scale formulation of
@@ -404,6 +449,35 @@ object AnalyticsQueries {
       """SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
         |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
+
+    "events_anomaly_zscore" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, h),
+        |st AS (SELECT event_type AS t, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sd
+        |       FROM hourly GROUP BY event_type)
+        |SELECT event_type, h, cnt, round((cnt - mu) / sd, 6) AS z
+        |FROM hourly JOIN st ON event_type = t
+        |WHERE abs(round((cnt - mu) / sd, 6)) > 2.0
+        |ORDER BY event_type, h""".stripMargin,
+
+    "brand_affinity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+        |s AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM li GROUP BY b),
+        |pr AS (SELECT a.b AS b, c.b AS b2, CAST(COUNT(*) AS BIGINT) AS nab
+        |       FROM li a JOIN li c ON a.ok = c.ok AND a.b < c.b
+        |       GROUP BY a.b, c.b)
+        |SELECT pr.b, pr.b2, nab,
+        |       round((CAST(nab AS DOUBLE) * n_orders)
+        |             / (CAST(s1.nb AS DOUBLE) * CAST(s2.nb AS DOUBLE)), 6) AS lift
+        |FROM pr JOIN s s1 ON pr.b = s1.b JOIN s s2 ON pr.b2 = s2.b
+        |CROSS JOIN n
+        |WHERE nab >= 20
+        |ORDER BY pr.b, pr.b2""".stripMargin,
 
     "rolling_7d_active" ->
       """WITH ud AS (

@@ -54,6 +54,20 @@ object MorQueries {
     })
   private def s11(spark: SparkSession): String =
     table(spark, "s11", Scenarios.createProductsWithEqDeletesSchemaChange)
+  /** SCD2 fixture: append ids 0..99, then upsert ids 50..149 with CHANGED
+    * content — snap 2's changelog closes ids 50..99 and opens 50..149. */
+  private def scd2Table(spark: SparkSession): String =
+    built.computeIfAbsent("scd2_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_scd2")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 100).commit()
+      val incoming = graft.gen.Bundles.products()
+        .frame(spark, 50, 100, Some("widget"), Scenarios.ProductsSchema)
+        .withColumn("name", concat(col("name"), lit("-v2")))
+      g.upsert(incoming, Seq("product_id")).commit()
+      g.tableDir.toString
+    })
+
   /** widget 100 + gizmo 100; 60% of widget eq-deleted; then the health
     * loop: compactDirty(50) must pick exactly widget. */
   private def healthCompacted(spark: SparkSession): String =
@@ -678,6 +692,34 @@ object MorQueries {
         .orderBy("partition")
     }),
 
+    // SCD2 dimension materialized from the CDC changelog: every snapshot
+    // window's net diff folds into (key, valid_from, valid_to) intervals
+    // — inserts open versions, the next delete of that key closes them
+    // (valid_to = 0 marks the current version). The fold is two
+    // aggregates and one key join over metadata-scale changelog windows;
+    // no snapshot is ever re-scanned twice.
+    "mor_scd2_dim" -> ((s, _) => {
+      val dir = scd2Table(s)
+      // 0 is the empty pre-create state: the first window (0, s1] yields
+      // the initial inserts
+      val snaps = 0L +: graft.read.MetaTables.snapshots(s, dir)
+        .select("snapshot_id").collect().map(_.getLong(0)).sorted
+      val changes = snaps.sliding(2).collect { case Array(a, b) =>
+        MorReader.changelogBetween(s, dir, a, b)
+          .select(col("product_id"), col("change_kind"), lit(b).as("snap"))
+      }.reduce(_ unionByName _)
+      val ins = changes.where(col("change_kind") === "insert")
+        .select(col("product_id"), col("snap").as("vfrom"))
+      val del = changes.where(col("change_kind") === "delete")
+        .select(col("product_id").as("d_id"), col("snap").as("dsnap"))
+      ins.join(del, col("product_id") === col("d_id") &&
+          col("dsnap") > col("vfrom"), "left")
+        .groupBy("product_id", "vfrom").agg(min("dsnap").as("vto0"))
+        .groupBy(col("vfrom"), coalesce(col("vto0"), lit(0L)).as("vto"))
+        .agg(count(lit(1)).as("n_rows"), sum("product_id").as("id_sum"))
+        .orderBy("vfrom", "vto")
+    }),
+
     // the health loop END STATE, driver-oracled: after compactDirty(50)
     // on a 60%-dead widget partition, widget is one live-rows-only file
     // with its delete files consumed, and untouched gizmo still declares
@@ -1131,6 +1173,21 @@ object MorQueries {
          |       CAST(COUNT(DISTINCT seq) AS BIGINT) AS file_count,
          |       CAST(COUNT(*) AS BIGINT) AS record_count
          |FROM rows_ GROUP BY category ORDER BY "partition"""".stripMargin,
+
+    "mor_scd2_dim" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS vfrom, CAST(0 AS BIGINT) AS vto,
+        |         CAST((SELECT COUNT(*) FROM range(0, 50)) AS BIGINT) AS n_rows,
+        |         CAST((SELECT SUM(range) FROM range(0, 50)) AS BIGINT) AS id_sum
+        |  UNION ALL
+        |  SELECT 1, 2,
+        |         CAST((SELECT COUNT(*) FROM range(50, 100)) AS BIGINT),
+        |         CAST((SELECT SUM(range) FROM range(50, 100)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 2, 0,
+        |         CAST((SELECT COUNT(*) FROM range(50, 150)) AS BIGINT),
+        |         CAST((SELECT SUM(range) FROM range(50, 150)) AS BIGINT))
+        |ORDER BY vfrom, vto""".stripMargin,
 
     "mor_health_compact" ->
       """SELECT * FROM (
