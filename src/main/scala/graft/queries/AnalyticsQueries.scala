@@ -299,6 +299,29 @@ object AnalyticsQueries {
         .orderBy("b", "b2")
     }),
 
+    // time-weighted average value per user (TWAP): each reading holds
+    // until the next one, so the integral is Σ value·duration over lead
+    // gaps. Numerator and denominator are exact integer sums (cents ×
+    // micros fits long with 400× headroom); the single division happens
+    // on identical operands in both engines. Per-user frames — the
+    // parallelism story of every per-entity window here.
+    "time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+      val seg = Q.events(s, d)
+        .select(col("user_id"), col("event_id"), col("_us"),
+          cents(col("value")).as("vc"))
+        .select(col("user_id"), col("vc"),
+          (lead("_us", 1).over(w) - col("_us")).as("dur"))
+        .where(col("dur").isNotNull)
+      seg.groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("vc") * col("dur")).as("num"), sum("dur").as("den"))
+        .select(col("user_id"), col("n_segments"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("twap_cents"))
+        .orderBy("user_id")
+    }),
+
     // trailing-7-day active users per day: each (user, active-day) pair
     // casts its vote into the next seven window days (a bounded explode),
     // then one distinct + one count — the standard scale formulation of
@@ -478,6 +501,20 @@ object AnalyticsQueries {
         |CROSS JOIN n
         |WHERE nab >= 20
         |ORDER BY pr.b, pr.b2""".stripMargin,
+
+    "time_weighted_avg" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |              CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |seg AS (SELECT user_id, vc,
+        |          LEAD(us, 1) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id) - us AS dur
+        |        FROM ev)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       round(CAST(SUM(vc * dur) AS DOUBLE)
+        |             / CAST(SUM(dur) AS DOUBLE), 6) AS twap_cents
+        |FROM seg WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "rolling_7d_active" ->
       """WITH ud AS (

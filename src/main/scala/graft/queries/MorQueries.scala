@@ -68,6 +68,24 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** WAP fixture: good append (100), audited append (50) REJECTED by its
+    * audit (rolled back, never durable), audited append (30) accepted. */
+  private def wapTable(spark: SparkSession): String =
+    built.computeIfAbsent("wap_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_wap")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 100).commit()
+      val rejected = g.commitAudited(
+        _.append(Seq("widget"), graft.gen.Bundles.products(), 1, 50))(
+        df => df.count() == -1L) // audit never satisfied → rollback
+      require(!rejected, "audit was supposed to reject")
+      val accepted = g.commitAudited(
+        _.append(Seq("widget"), graft.gen.Bundles.products(), 1, 30))(
+        df => df.count() == 130L)
+      require(accepted, "audit was supposed to accept")
+      g.tableDir.toString
+    })
+
   /** widget 100 + gizmo 100; 60% of widget eq-deleted; then the health
     * loop: compactDirty(50) must pick exactly widget. */
   private def healthCompacted(spark: SparkSession): String =
@@ -692,6 +710,18 @@ object MorQueries {
         .orderBy("partition")
     }),
 
+    // write-audit-publish, driver-oracled: the rejected batch's rows AND
+    // its snapshot are absent from durable history (bad batches never
+    // publish), the accepted batch's are present — final state is 130
+    // live rows over exactly 2 retained snapshots
+    "mor_wap_audit" -> ((s, _) => {
+      val dir = wapTable(s)
+      val rows = MorReader.read(s, dir).agg(count(lit(1)).as("n_rows"))
+      val snaps = graft.read.MetaTables.snapshots(s, dir)
+        .agg(count(lit(1)).as("n_snapshots"))
+      rows.crossJoin(snaps)
+    }),
+
     // SCD2 dimension materialized from the CDC changelog: every snapshot
     // window's net diff folds into (key, valid_from, valid_to) intervals
     // — inserts open versions, the next delete of that key closes them
@@ -1173,6 +1203,10 @@ object MorQueries {
          |       CAST(COUNT(DISTINCT seq) AS BIGINT) AS file_count,
          |       CAST(COUNT(*) AS BIGINT) AS record_count
          |FROM rows_ GROUP BY category ORDER BY "partition"""".stripMargin,
+
+    "mor_wap_audit" ->
+      """SELECT CAST((SELECT COUNT(*) FROM range(0, 130)) AS BIGINT) AS n_rows,
+        |       CAST(2 AS BIGINT) AS n_snapshots""".stripMargin,
 
     "mor_scd2_dim" ->
       """SELECT * FROM (
