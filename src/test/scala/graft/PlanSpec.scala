@@ -262,4 +262,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial"), p)
     assert(!p.contains("WindowExec") && !p.contains("Window "), p)
   }
+
+  test("brand_affinity: order-key equi self-join — never cartesian") {
+    val p = plan("brand_affinity")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("time_weighted_avg: the lead window is PARTITIONED by user") {
+    val p = plan("time_weighted_avg")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("user_id")),
+      s"global window detected:\n$p")
+  }
+
+  test("events_anomaly_zscore: per-type stats join by broadcast") {
+    val p = plan("events_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
