@@ -322,6 +322,24 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // the distribution-window family (quartile, percent_rank, cume_dist)
+    // per segment — deterministic because the order is total (balance
+    // cents desc, key asc) and the statistics are exact rationals of
+    // integer ranks; folded to one row per (segment, quartile)
+    "window_ntile_family" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      tbl(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("q"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .groupBy("c_mktsegment", "q")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"),
+          min("pr").as("pr_min"), max("cd").as("cd_max"))
+        .orderBy("c_mktsegment", "q")
+    }),
+
     // trailing-7-day active users per day: each (user, active-day) pair
     // casts its vote into the next seven window days (a bounded explode),
     // then one distinct + one count — the standard scale formulation of
@@ -515,6 +533,22 @@ object AnalyticsQueries {
         |             / CAST(SUM(dur) AS DOUBLE), 6) AS twap_cents
         |FROM seg WHERE dur IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "window_ntile_family" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         NTILE(4) OVER w AS q,
+        |         round(PERCENT_RANK() OVER w, 6) AS pr,
+        |         round(CUME_DIST() OVER w, 6) AS cd
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY c_acctbal DESC, c_custkey))
+        |SELECT c_mktsegment, CAST(q AS INTEGER) AS q,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |       MIN(pr) AS pr_min, MAX(cd) AS cd_max
+        |FROM r GROUP BY c_mktsegment, q
+        |ORDER BY c_mktsegment, q""".stripMargin,
 
     "rolling_7d_active" ->
       """WITH ud AS (
