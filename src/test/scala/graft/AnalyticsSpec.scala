@@ -138,6 +138,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._1).sameElements(got.map(_._1).sorted))
   }
 
+  test("time_weighted_avg: hand-computed integral on a step series") {
+    val got = AnalyticsQueries.queries2("time_weighted_avg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // recompute one user's TWAP naively on the driver
+    val (u, _, twap) = got.head
+    val ev = graft.queries.Q.events(spark, sf)
+      .where(col("user_id") === u)
+      .select(col("event_id"), col("_us"), graft.queries.Q.cents(col("value")).as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    val segs = ev.zip(ev.drop(1)).map { case ((_, t1, v), (_, t2, _)) => (v, t2 - t1) }
+    val expect = math.round(segs.map { case (v, d) => v.toDouble * d }.sum /
+      segs.map(_._2).sum.toDouble * 1e6) / 1e6
+    assert(twap == expect, s"user $u: $twap vs $expect")
+  }
+
+  test("brand_affinity: lift definition on the real corpus") {
+    val got = AnalyticsQueries.queries2("brand_affinity")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r => assert(r.getLong(2) >= 20L) } // support floor
+    // symmetric pair check: b < b2 always (each pair appears once)
+    got.foreach { r => assert(r.getString(0) < r.getString(1)) }
+  }
+
+  test("events_anomaly_zscore: flagged hours really deviate by > 2 sd") {
+    val flagged = AnalyticsQueries.queries2("events_anomaly_zscore")(spark, sf)
+      .collect()
+    // on the toy sf the set may be empty; the invariant is |z| > 2 when present
+    flagged.foreach { r => assert(math.abs(r.getDouble(3)) > 2.0, r) }
+  }
+
   test("quality_lr_logit: hand-computed logit on a known doc") {
     val t = java.nio.file.Files.createTempDirectory("lr").toString
     Seq((7L, "Good doc here"), (8L, "!!! ??? ;;; ### $$$ %%%"))
