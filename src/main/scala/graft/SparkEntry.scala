@@ -41,7 +41,7 @@ object SparkEntry {
       MediaQueries.queries ++ BreadthQueries.queries ++
       RelevanceQueries.queries ++ AnalyticsQueries.queries ++
       AnalyticsQueries.queries2 ++
-      CorpusSourceQueries.queries).map { case (k, fn) =>
+      CorpusSourceQueries.queries ++ DepthQueries.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.ensureRegistered(s); fn(s, d)
       })
@@ -53,5 +53,5 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ MorQueries.oracleSql ++ ExtQueries.oracleSql ++
       MediaQueries.oracleSql ++ BreadthQueries.oracleSql ++
       RelevanceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      CorpusSourceQueries.oracleSql
+      CorpusSourceQueries.oracleSql ++ DepthQueries.oracleSql
 }

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+import graft.ext.TextOps
+
+/** Round-7 wave A: time-series repair (calendar-spine gap fill, exact
+  * integer EWMA), graph analytics (degree-oriented triangle counting),
+  * data-quality expectations (the Deequ-shaped validation report), a
+  * distributed pareto frontier, and corpus entropy — each with the scale
+  * shape a 1000-executor cluster needs and a DuckDB oracle row-for-row.
+  */
+object DepthQueries {
+
+  private def docs(s: SparkSession, d: String) = tbl(s, d, "documents")
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // calendar-spine gap fill with last-observation-carried-forward: each
+    // user's hourly spine (sequence + explode — bounded by the span, never
+    // a cross join with a global calendar) left-joins the hourly last
+    // reading, and LOCF runs per-user (frames partitioned by user, no
+    // global window). The per-(user, hour) "last reading" rank touches
+    // partitions of a handful of rows. Folded to one row per user so the
+    // key stays compact; the fill itself is what the sums prove.
+    "gap_fill_locf" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = Q.events(s, d).select(col("user_id"), col("event_id"),
+        col("_us"), expr(s"_us div $hourUs").as("h"), cents(col("value")).as("vc"))
+      val lastInHour = Window.partitionBy("user_id", "h")
+        .orderBy(col("_us").desc, col("event_id").desc)
+      val hourly = ev.withColumn("rn", row_number().over(lastInHour))
+        .where(col("rn") === 1).select("user_id", "h", "vc")
+      val spine = hourly.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val locf = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("fv", last("vc", ignoreNulls = true).over(locf))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"),
+          count(when(col("vc").isNull, 1)).as("n_gaps"),
+          sum("fv").as("locf_cents_sum"))
+        .orderBy("user_id")
+    }),
+
+    // exponentially weighted moving average over each user's last 24
+    // readings, EXACT in integers: weight 2^(24-rn) for recency rank rn
+    // makes numerator and denominator order-free long sums (cents ≤ 2^17
+    // × weight ≤ 2^23 × 24 terms — 2^46 headroom); the one division runs
+    // on identical operands in both engines. The rank window is per-user.
+    "ewma_user" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("_us").desc, col("event_id").desc)
+      Q.events(s, d)
+        .select(col("user_id"), col("event_id"), col("_us"),
+          cents(col("value")).as("vc"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 24)
+        .select(col("user_id"), col("vc"),
+          expr("shiftleft(1L, 24 - rn)").as("wt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_readings"),
+          sum(col("vc") * col("wt")).as("num"), sum("wt").as("den"))
+        .select(col("user_id"), col("n_readings"), col("num"), col("den"),
+          round(col("num").cast("double") / col("den").cast("double") / 100.0, 6)
+            .as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // triangle counting over the supplier co-occurrence graph (suppliers
+    // sharing ≥5 orders), with DEGREE ORIENTATION — each undirected edge
+    // points from its lower-(degree, id) endpoint, so every triangle is
+    // generated exactly once from its lowest-degree pivot and wedge
+    // generation is Σ out-deg² with out-deg ≤ O(√m), not Σ deg². The
+    // closing-edge check is a semi-join against the canonical edge set —
+    // hash joins end to end, nothing quadratic in nodes. The count and
+    // node-key checksum are orientation-invariant, so the oracle replays
+    // the plain a<b<c 3-way join.
+    "graph_triangles" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      val e = li.select(col("ok"), col("sk").as("s1"))
+        .join(li.select(col("ok").as("ok2"), col("sk").as("s2")),
+          col("ok") === col("ok2") && col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("nco"))
+        .where(col("nco") >= 5).select("s1", "s2")
+      val deg = e.select(col("s1").as("n")).unionAll(e.select(col("s2").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val or = e
+        .join(deg.select(col("n").as("n1"), col("dg").as("dg1")), col("s1") === col("n1"))
+        .join(deg.select(col("n").as("n2"), col("dg").as("dg2")), col("s2") === col("n2"))
+        .select(
+          when(col("dg1") < col("dg2") ||
+               (col("dg1") === col("dg2") && col("s1") < col("s2")),
+            struct(col("s1").as("src"), col("s2").as("dst")))
+            .otherwise(struct(col("s2").as("src"), col("s1").as("dst"))).as("o"))
+        .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      val wedges = or
+        .join(or.select(col("src").as("src2"), col("dst").as("dst2")),
+          col("src") === col("src2") && col("dst") < col("dst2"))
+        .select(col("src").as("p"),
+          col("dst").as("x"), col("dst2").as("y"))
+      wedges.join(e, col("x") === col("s1") && col("y") === col("s2"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"),
+          coalesce(sum(col("p") + col("x") + col("y")), lit(0L)).as("node_key_sum"))
+    }),
+
+    // data-quality expectations report (the Deequ/Great-Expectations
+    // shape): one row per rule with checked/violation counts. Uniqueness
+    // and enum/range rules are map-side aggregates; referential integrity
+    // is a hash anti-join on the key — every rule partition-parallel,
+    // nothing driver-side. The report is what a 100 TB ingest gate reads.
+    "dq_expectations" -> ((s, d) => {
+      val ord = tbl(s, d, "orders")
+      val li = tbl(s, d, "lineitem")
+      val cust = tbl(s, d, "customer")
+      def rule(name: String, checked: DataFrame, viol: DataFrame): DataFrame =
+        checked.crossJoin(viol).select(lit(name).as("rule"),
+          col("n_checked"), col("n_violations"))
+      val nOrd = ord.agg(count(lit(1)).as("n_checked"))
+      val nLi = li.agg(count(lit(1)).as("n_checked"))
+      val r1 = rule("lineitem.discount_range", nLi,
+        li.agg(count(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1))
+          .as("n_violations")))
+      val r2 = rule("lineitem.fk_orders", nLi,
+        li.join(ord.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations")))
+      val r3 = rule("lineitem.quantity_range", nLi,
+        li.agg(count(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1))
+          .as("n_violations")))
+      val r4 = rule("orders.fk_customer", nOrd,
+        ord.join(cust.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations")))
+      val r5 = rule("orders.orderdate_not_null", nOrd,
+        ord.agg(count(when(col("o_orderdate").isNull, 1)).as("n_violations")))
+      val r6 = rule("orders.pk_unique", nOrd,
+        ord.select("o_orderkey").groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations")))
+      val r7 = rule("orders.status_enum", nOrd,
+        ord.agg(count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+          .as("n_violations")))
+      val r8 = rule("orders.totalprice_positive", nOrd,
+        ord.agg(count(when(col("o_totalprice") <= 0.0, 1)).as("n_violations")))
+      Seq(r1, r2, r3, r4, r5, r6, r7, r8).reduce(_ unionAll _).orderBy("rule")
+    }),
+
+    // pareto frontier of parts (maximize size, minimize price): fully
+    // declarative two-level skyline. The per-price max collapses the
+    // data-scale table to the price DOMAIN; the strict-prefix running max
+    // over prices then runs bucketed (in-bucket window partitioned by
+    // bucket + broadcast bucket-prefix offsets — the bucketedRunningTotal
+    // decomposition, nothing single-partition at data scale). A part is
+    // on the frontier iff it meets its price's max size and strictly
+    // beats every cheaper price's max.
+    "pareto_frontier" -> ((s, d) => {
+      val p = tbl(s, d, "part").select(col("p_partkey"), col("p_size"),
+        cents(col("p_retailprice")).as("price_cents"))
+      val per = p.groupBy("price_cents").agg(max("p_size").as("m_eq"))
+        .withColumn("bk", expr("price_cents div 500"))
+      val wIn = Window.partitionBy("bk").orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inb = per.withColumn("m_in", max("m_eq").over(wIn))
+      val wBk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+      val off = per.groupBy("bk").agg(max("m_eq").as("bmax"))
+        .select(col("bk").as("obk"), max("bmax").over(wBk).as("m_prev"))
+      val aug = inb.join(broadcast(off), col("bk") === col("obk"), "left")
+        .select(col("price_cents").as("apc"), col("m_eq"),
+          greatest(coalesce(col("m_in"), lit(-1)),
+            coalesce(col("m_prev"), lit(-1))).as("m_lt"))
+      p.join(aug, col("price_cents") === col("apc"))
+        .where(col("p_size") === col("m_eq") && col("p_size") > col("m_lt"))
+        .select("p_partkey", "p_size", "price_cents")
+        .orderBy("p_partkey")
+    }),
+
+    // Shannon entropy of the token distribution per source — the corpus
+    // diversity monitor run after every mix change. Counts are exact
+    // integer shuffles on the (source, term) key; the -Σ p·ln p fold uses
+    // H = ln(N) - Σ c·ln(c) / N with each c·ln(c) term integer-ized at
+    // micro-nat precision BEFORE the sum, so aggregation order can never
+    // move the result (the bm25 double-rounding discipline).
+    "entropy_by_source" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        .where(col("term") =!= "")
+      toks.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(expr("cast(round(round(cnt * ln(cnt), 6) * 1000000, 0) as long)"))
+            .as("s_micro"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          round(expr("ln(n_tokens) - (cast(s_micro as double) / 1000000.0) / n_tokens"), 6)
+            .as("entropy_nats"))
+        .orderBy("source")
+    })
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "gap_fill_locf" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |              CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |hourly AS (SELECT user_id, h, vc FROM ev
+        |           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, h
+        |                     ORDER BY us DESC, event_id DESC) = 1),
+        |spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+        |          FROM (SELECT user_id, MIN(h) h0, MAX(h) h1
+        |                FROM hourly GROUP BY user_id)),
+        |filled AS (SELECT s.user_id, s.h, hv.vc,
+        |             LAST_VALUE(hv.vc IGNORE NULLS) OVER (
+        |               PARTITION BY s.user_id ORDER BY s.h
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |           FROM spine s LEFT JOIN hourly hv
+        |             ON s.user_id = hv.user_id AND s.h = hv.h)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       CAST(COUNT(*) FILTER (vc IS NULL) AS BIGINT) AS n_gaps,
+        |       CAST(SUM(fv) AS BIGINT) AS locf_cents_sum
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ewma_user" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |              CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT user_id, vc,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY us DESC, event_id DESC) AS rn
+        |      FROM ev QUALIFY rn <= 24)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_readings,
+        |       CAST(SUM(vc * (1::BIGINT << (24 - rn))) AS BIGINT) AS num,
+        |       CAST(SUM(1::BIGINT << (24 - rn)) AS BIGINT) AS den,
+        |       round(CAST(SUM(vc * (1::BIGINT << (24 - rn))) AS DOUBLE)
+        |             / CAST(SUM(1::BIGINT << (24 - rn)) AS DOUBLE) / 100.0, 6)
+        |         AS ewma
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        |            FROM lineitem),
+        |e AS (SELECT a.s AS s1, b.s AS s2
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        |        FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+        |        JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+        |       CAST(COALESCE(SUM(a + b + c), 0) AS BIGINT) AS node_key_sum
+        |FROM tri""".stripMargin,
+
+    "dq_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.discount_range' AS rule,
+        |         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked,
+        |         CAST((SELECT COUNT(*) FROM lineitem
+        |               WHERE l_discount < 0.0 OR l_discount > 0.1) AS BIGINT)
+        |           AS n_violations
+        |  UNION ALL
+        |  SELECT 'lineitem.fk_orders',
+        |         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |               (SELECT 1 FROM orders o
+        |                WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem.quantity_range',
+        |         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM lineitem
+        |               WHERE l_quantity < 1.0 OR l_quantity > 50.0) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders.fk_customer',
+        |         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |               (SELECT 1 FROM customer c
+        |                WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders.orderdate_not_null',
+        |         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_orderdate IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders.pk_unique',
+        |         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+        |               (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+        |                HAVING COUNT(*) > 1)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders.status_enum',
+        |         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders.totalprice_positive',
+        |         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM orders
+        |               WHERE o_totalprice <= 0.0) AS BIGINT))
+        |ORDER BY rule""".stripMargin,
+
+    "pareto_frontier" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+        |             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+        |           FROM part)
+        |SELECT p_partkey, p_size, price_cents FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE (q.price_cents < a.price_cents AND q.p_size >= a.p_size)
+        |     OR (q.price_cents <= a.price_cents AND q.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "entropy_by_source" ->
+      s"""WITH tok AS (SELECT source,
+         |               unnest(string_split($normSql, ' ')) AS term
+         |             FROM documents),
+         |tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM tok WHERE term <> '' GROUP BY source, term),
+         |agg AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |          CAST(COUNT(*) AS BIGINT) AS vocab,
+         |          CAST(SUM(CAST(ROUND(ROUND(cnt * ln(cnt), 6) * 1000000, 0)
+         |                    AS BIGINT)) AS BIGINT) AS s_micro
+         |        FROM tc GROUP BY source)
+         |SELECT source, n_tokens, vocab,
+         |       round(ln(n_tokens)
+         |             - (CAST(s_micro AS DOUBLE) / 1000000.0) / n_tokens, 6)
+         |         AS entropy_nats
+         |FROM agg ORDER BY source""".stripMargin
+  )
+}
