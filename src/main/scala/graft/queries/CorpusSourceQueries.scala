@@ -177,6 +177,53 @@ object CorpusSourceQueries {
           sum(cents(col("o_totalprice"))).as("price_cents"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
         .orderBy("o_orderstatus")
+    }),
+
+    // JSONL ingest round-trip through graft.sources.JsonlCorpus: documents
+    // export as JSONL, three malformed lines are injected into the drop
+    // (a multi-TB crawl always has them), and the schema-pinned PERMISSIVE
+    // ingest stages ONE columnar pass then splits clean rows from the
+    // quarantine. The oracle aggregates the parquet originals, so any loss
+    // in the JSON hop — and any corrupt line leaking into the clean side —
+    // fails the hash. n_quarantined rides on every row as the audit column.
+    "source_jsonl_docs" -> ((s, d) => {
+      import graft.sources.JsonlCorpus
+      val src = tbl(s, d, "documents")
+      val out = scratch("jsonl", d)
+      JsonlCorpus.write(src, out)
+      val badLines = s.createDataset(Seq(
+        "{broken json", "not json at all", "{\"doc_id\": }"))(
+        org.apache.spark.sql.Encoders.STRING).toDF("value")
+      badLines.coalesce(1).write.mode("append").text(out)
+      val (clean, bad) = JsonlCorpus.ingest(s, out,
+        JsonlCorpus.DocumentsSchema, scratch("jsonl_stage", d))
+      val nBad = bad.agg(count(lit(1)).as("n_quarantined"))
+      clean.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("char_sum"),
+          sum("doc_id").as("id_sum"))
+        .crossJoin(nBad)
+        .orderBy("source")
+    }),
+
+    // ORC ingest round-trip: the lineitem fact lands as ORC (the other
+    // columnar interchange format Spark reads natively, with the same
+    // predicate-pushdown/column-pruning surface as parquet) and is read
+    // back and aggregated; the oracle aggregates the parquet originals,
+    // so the hop must be lossless including timestamp and double columns.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val src = tbl(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_extendedprice", "l_shipdate")
+      val out = scratch("orc", d)
+      src.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"),
+          countDistinct(expr("date_trunc('DAY', l_shipdate)")).as("n_ship_days"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -257,6 +304,26 @@ object CorpusSourceQueries {
         |         AS price_cents,
         |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the three injected corrupt lines must land in quarantine, never in
+    // the clean aggregate — the parquet originals are the ground truth
+    "source_jsonl_docs" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(3 AS BIGINT) AS n_quarantined
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS price_cents,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |       CAST(COUNT(DISTINCT date_trunc('day', l_shipdate)) AS BIGINT)
+        |         AS n_ship_days,
+        |       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
