@@ -196,6 +196,58 @@ object MediaOps {
       .select(col("media_id"), col("frame_idx"),
         expr(s"cast((frame_idx * _dur) div $nFrames as bigint)").as("frame_ts_ms"))
 
+  /** Patch-grid embedding from DECODED pixels — the CLIP-preprocessing
+    * shape (image → patch grid → per-patch features): each BMP raster
+    * splits into a `grid`×`grid` patch grid and every patch yields its
+    * per-channel floor-mean, giving a grid²·3-dim integer-exact embedding
+    * per media row. Runs in the same batched per-partition decode path as
+    * [[decodeFeatures]] (a vectorized codec slots into the batch loop);
+    * map-only — no shuffle until the caller aggregates. Synthesized
+    * dimensions are even multiples of the default grid, so patch bounds
+    * are exact; a general impl would pad or center-crop first. */
+  def patchEmbed(media: DataFrame, grid: Int = 2, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("kind", StringType),
+      StructField("embed", ArrayType(DoubleType))))
+    val enc = RowEncoder.encoderFor(out)
+    media.where(col("kind") =!= "audio")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (w, h, px) = MediaCodecs.decodeBmp(r.getAs[Array[Byte]](2))
+            val (pw, ph) = (w / grid, h / grid)
+            val emb = new Array[Double](grid * grid * 3)
+            var gy = 0
+            while (gy < grid) {
+              var gx = 0
+              while (gx < grid) {
+                val sums = new Array[Long](3)
+                var y = gy * ph
+                while (y < (gy + 1) * ph) {
+                  var x = gx * pw
+                  while (x < (gx + 1) * pw) {
+                    var c = 0
+                    while (c < 3) { sums(c) += px((y * w + x) * 3 + c); c += 1 }
+                    x += 1
+                  }
+                  y += 1
+                }
+                var c = 0
+                while (c < 3) {
+                  emb((gy * grid + gx) * 3 + c) =
+                    (sums(c) / (pw.toLong * ph)).toDouble
+                  c += 1
+                }
+                gx += 1
+              }
+              gy += 1
+            }
+            Row(r.getLong(0), r.getString(1), emb.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** Per-kind, per-dimension mean feature over the batched decoder output —
     * the aggregation a corpus-QA dashboard runs per modality. posexplode
     * keeps the dimension index; the shuffle carries (kind, dim) keys with

@@ -173,13 +173,34 @@ final case class Snapshot(
     removedDataFiles: Seq[String] = Nil,
     removedDeleteFiles: Seq[String] = Nil,
     timestampMs: Long = 0L,
-    operation: String = "append")
+    operation: String = "append",
+    branch: String = "main")
 
-/** Loaded table state as of a snapshot. */
+/** Loaded table state as of a snapshot.
+  *
+  * Snapshot ids are allocated from ONE global counter across all branches
+  * (the optimistic-concurrency arbiter stays a single atomic link), so a
+  * full load carries every branch's snapshots interleaved by id. Readers
+  * resolve a LINEAGE before planning: [[mainOnly]] for the main table,
+  * [[onBranch]] for a named branch (main history up to the fork point plus
+  * the branch's own commits — the Iceberg branch-ref visibility rule).
+  * Maintenance (expiry sweeps, orphan GC, rollback) deliberately keeps the
+  * unfiltered view: a branch's files are referenced files.
+  */
 final case class TableState(
     schemas: Map[Int, GraftSchema],
     specs: Map[Int, Seq[String]],
     snapshots: Seq[Snapshot]) {
+
+  /** The main lineage: branch commits are invisible until fast-forwarded. */
+  def mainOnly: TableState =
+    copy(snapshots = snapshots.filter(_.branch == "main"))
+
+  /** A branch's lineage: main up to the fork snapshot + branch commits. */
+  def onBranch(name: String, forkId: Long): TableState =
+    copy(snapshots = snapshots.filter(s =>
+      (s.branch == "main" && s.id <= forkId) || s.branch == name))
+
   def currentSchemaV: Int = snapshots.lastOption.map(_.schemaV).getOrElse(0)
   def currentSpecId: Int = snapshots.lastOption.map(_.specId).getOrElse(0)
   def schema: GraftSchema = schemas(currentSchemaV)
@@ -563,6 +584,9 @@ final class SnapshotLog(tableDir: Path) {
     root.put("id", s.id); root.put("seq", s.seq)
     root.put("schemaV", s.schemaV); root.put("specId", s.specId)
     root.put("timestampMs", s.timestampMs); root.put("operation", s.operation)
+    // default-omitted: main snapshots render byte-identical to pre-branch
+    // logs, and legacy logs parse back as main
+    if (s.branch != "main") root.put("branch", s.branch)
     val big = s.dataFiles.size + s.deleteFiles.size > SnapshotLog.ShardThreshold
     if (shard && big) {
       val token = java.util.UUID.randomUUID().toString.take(8)
@@ -636,7 +660,8 @@ final class SnapshotLog(tableDir: Path) {
     }
     Snapshot(n.get("id").asLong, n.get("seq").asLong, n.get("schemaV").asInt,
       n.get("specId").asInt, dfs, dels, removedData, removedDeletes,
-      Option(n.get("timestampMs")).map(_.asLong).getOrElse(0L), op)
+      Option(n.get("timestampMs")).map(_.asLong).getOrElse(0L), op,
+      Option(n.get("branch")).map(_.asText).getOrElse("main"))
   }
 }
 

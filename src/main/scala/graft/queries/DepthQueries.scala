@@ -180,6 +180,84 @@ object DepthQueries {
         .orderBy("p_partkey")
     }),
 
+    // the full TPC-H Q1 aggregate battery (pricing summary report): one
+    // map-side-combined shuffle on the 6-group key, with every money
+    // product rounded to integer cents PER ROW before summation (the
+    // disc_price/charge chains are identical IEEE multiply sequences in
+    // both engines) and the averages derived from those exact sums — the
+    // flagship "wide scan, narrow aggregate" shape whose filter must reach
+    // the parquet scan
+    "tpch_q1_full" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("base_c"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as long)")
+            .as("disc_c"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) as long)")
+            .as("charge_c"),
+          expr("cast(round(l_discount * 10000, 0) as long)").as("disc_bp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"),
+          sum("base_c").as("sum_base_cents"),
+          sum("disc_c").as("sum_disc_price_cents"),
+          sum("charge_c").as("sum_charge_cents"),
+          count(lit(1)).as("count_order"),
+          round(sum("qty").cast("double") / count(lit(1)), 6).as("avg_qty"),
+          round(sum("base_c").cast("double") / count(lit(1)), 6).as("avg_price_cents"),
+          round(sum("disc_bp").cast("double") / count(lit(1)), 6).as("avg_disc_bp"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q5 (local-supplier revenue by nation): the join-graph
+    // flagship — fact-fact join on the order key, dims resolved through
+    // an explicitly broadcast nation⋈region subtree, the date slice
+    // pushed to the orders scan, and the same-nation residual applied
+    // post-join. The shape AQE + broadcast planning must keep shuffle-free
+    // on every dimension edge.
+    "tpch_q5" -> ((s, d) => {
+      val asiaNations = tbl(s, d, "nation")
+        .join(tbl(s, d, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = tbl(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      tbl(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as long)")
+            .as("disc_c"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("disc_c").as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
+    // per-group weighted reservoir (A-Res per language, k=5): the same
+    // deterministic ln(u)/w ranking as sample_weighted, but ranked inside
+    // each group through Ops.topKPerGroup's two-level decomposition — no
+    // single task ever sorts a whole language's scores (the global key's
+    // TakeOrdered can't group; the naive per-group window dies on skewed
+    // groups at 100 TB)
+    "sample_reservoir_group" -> ((s, d) => {
+      val u = (TextOps.hash60(col("doc_id").cast("string")) + 1).cast("double") /
+        lit(1152921504606846976.0) // 2^60
+      val w = greatest(col("n_chars"), lit(1)).cast("double")
+      val scored = docs(s, d).select(col("lang"), col("doc_id"),
+        col("n_chars"), round(log(u) / w, 12).as("skey"))
+      graft.operators.Ops.topKPerGroup(scored, Seq("lang"),
+          Seq(col("skey").desc, col("doc_id").asc), 5)
+        .orderBy("lang", "rk")
+    }),
+
     // Shannon entropy of the token distribution per source — the corpus
     // diversity monitor run after every mix change. Counts are exact
     // integer shuffles on the (source, term) key; the -Σ p·ln p fold uses
@@ -316,6 +394,56 @@ object DepthQueries {
         |  WHERE (q.price_cents < a.price_cents AND q.p_size >= a.p_size)
         |     OR (q.price_cents <= a.price_cents AND q.p_size > a.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    "tpch_q1_full" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order,
+        |  round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_qty,
+        |  round(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_price_cents,
+        |  round(CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_disc_bp
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "sample_reservoir_group" ->
+      """SELECT lang, doc_id, n_chars,
+        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |           / 1152921504606846976.0)
+        |        / CAST(GREATEST(n_chars, 1) AS DOUBLE), 12) AS skey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |         ORDER BY round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |                          / 1152921504606846976.0)
+        |                       / CAST(GREATEST(n_chars, 1) AS DOUBLE), 12) DESC,
+        |                  doc_id) AS INTEGER) AS rk
+        |FROM documents
+        |QUALIFY rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "entropy_by_source" ->
       s"""WITH tok AS (SELECT source,

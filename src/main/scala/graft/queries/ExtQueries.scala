@@ -630,6 +630,52 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // watermark-windowed streaming aggregation (tumbling 1-hour counts and
+    // cents per type), drained in Append mode: rows arrive across three
+    // micro-batches with every 7th row of the first half DELAYED to batch
+    // two, so window partials must merge across batches in the state
+    // store; a 31-day watermark (longer than the corpus span) plus a
+    // far-future sentinel closes every window exactly once. Oracle is the
+    // batch hourly aggregate — a dropped late row or a double-emitted
+    // window breaks the hash.
+    "stream_window_agg" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = Q.events(s, d)
+        .select(col("event_id"), col("event_type"), col("_us"),
+          cents(col("value")).as("vc"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._3, t._1)).toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, Long)]
+      val in = stream.toDS().toDF("event_id", "event_type", "us", "vc")
+        .select(col("event_type"), expr("timestamp_micros(us)").as("ts"),
+          col("vc"))
+      withStreamShuffle(s, 4) {
+        val agg = in.withWatermark("ts", "31 days")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum("vc").as("value_cents"))
+          .select(expr("unix_micros(window.start) div 3600000000").as("h"),
+            col("event_type"), col("cnt"), col("value_cents"))
+        val sq = agg.writeStream.format("memory")
+          .queryName("stream_window_sink")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        try {
+          val (a, b) = base.splitAt(base.length / 2)
+          val (late, onTime) = a.zipWithIndex.partition(_._2 % 7 == 0)
+          stream.addData(onTime.map(_._1)); sq.processAllAvailable()
+          stream.addData(late.map(_._1) ++ b); sq.processAllAvailable()
+          stream.addData(Seq((-1L, "__sentinel__",
+            base.last._3 + 1000L * 3600L * 1000000L, 0L)))
+          sq.processAllAvailable()
+        } finally sq.stop()
+      }
+      s.table("stream_window_sink")
+        .where(col("event_type") =!= "__sentinel__")
+        .orderBy("event_type", "h")
+    }),
+
     // stream-stream interval join (clicks→purchase attribution) with both
     // sides interleaved across two micro-batches — pairs must match across
     // the batch boundary via buffered state; oracle is the batch BETWEEN
@@ -1295,6 +1341,15 @@ object ExtQueries {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
         |       CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // drained windowed aggregation == the batch hourly aggregate
+    "stream_window_agg" ->
+      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY h, event_type
+        |ORDER BY event_type, h""".stripMargin,
 
     // streaming interval join == the batch BETWEEN join
     "stream_join" ->

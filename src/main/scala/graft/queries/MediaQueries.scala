@@ -69,6 +69,18 @@ object MediaQueries {
           count_distinct(col("media_id")).as("n_videos"))
     }),
 
+    // patch-grid embeddings from decoded pixels (the CLIP-preprocessing
+    // shape): 2×2 patches × 3 channels → 12 integer-exact dims per image;
+    // folded to per-kind dimension sums so the oracle can recompute every
+    // patch mean from the closed-form pixel values
+    "multimodal_patch_embed" -> ((s, d) => {
+      val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
+      val pe = MediaOps.patchEmbed(media, grid = 2, batchSize = 64)
+      val sums = (0 until 12).map(i =>
+        sum(element_at(col("embed"), i + 1).cast("long")).as(s"e${i}_sum"))
+      pe.groupBy("kind").agg(count(lit(1)).as("n"), sums: _*).orderBy("kind")
+    }),
+
     // per-kind per-dimension mean of the decoded features — the full 4-dim
     // generalization of multimodal_features' f0_sum (BMP: ΣR/ΣG/ΣB/pixels;
     // WAV: Σs/Σ|s|/n/max|s|)
@@ -107,6 +119,28 @@ object MediaQueries {
          |           p -> (doc_id * 31 + p * 21) % 256))
          |  END) AS BIGINT) AS f0_sum
          |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // every patch mean recomputed in closed form: patch d (= (gy·2+gx)·3+c)
+    // of media doc_id is floor(Σ pixel((gy·ph + k÷pw)·w + gx·pw + k%pw, c)
+    // / (pw·ph)) with pw=w/2, ph=h/2 — a stride/row-order bug anywhere in
+    // decode or patch addressing shifts a mean and breaks the hash
+    "multimodal_patch_embed" -> {
+      val filters = (0 until 12).map(i =>
+        s"CAST(SUM(pm) FILTER (d = $i) AS BIGINT) AS e${i}_sum")
+        .mkString(",\n  ")
+      s"""WITH $mediaCte,
+         |p AS (
+         |  SELECT kind, doc_id, d,
+         |    list_sum(list_transform(range(0, (w // 2) * (h // 2)), k ->
+         |      (doc_id * 31 +
+         |       (((((d // 3) // 2) * (h // 2) + k // (w // 2)) * w
+         |         + ((d // 3) % 2) * (w // 2) + k % (w // 2)) * 3 + d % 3) * 7
+         |      ) % 256)) // ((w // 2) * (h // 2)) AS pm
+         |  FROM m, range(0, 12) t(d) WHERE kind <> 'audio')
+         |SELECT kind, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+         |  $filters
+         |FROM p GROUP BY kind ORDER BY kind""".stripMargin
+    },
 
     // resized grid recomputed in closed form: out pixel (x,y,c) is the
     // floor-average of the 2×2 source block, source index base

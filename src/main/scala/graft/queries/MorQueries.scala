@@ -86,6 +86,28 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** The writable-branch lifecycle, end state driver-oracled: widget 100
+    * on main, fork branch "audit", branch-append gizmo 50 + eq-delete
+    * widget %10==0 (both INVISIBLE to main — guarded at build), then
+    * fast-forward publishes the branch onto main. */
+  private def branchTable(spark: SparkSession): String =
+    built.computeIfAbsent("branch_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_branch")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 100).commit()
+      g.createBranch("audit")
+      require(g.branchForkId("audit") == 1L, "fork must be snapshot 1")
+      g.writeTo("audit")
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 50).commit()
+        .equalityDelete(Seq("widget"), col("product_id") % 10 === 0,
+          Seq("product_id")).commit()
+      // branch writes must be invisible to main until fast-forward
+      require(g.writeTo("main").read.count() == 100L, "main saw branch writes")
+      require(g.readBranch("audit").count() == 140L, "branch lineage wrong")
+      g.fastForward("audit")
+      g.tableDir.toString
+    })
+
   /** widget 100 + gizmo 100; 60% of widget eq-deleted; then the health
     * loop: compactDirty(50) must pick exactly widget. */
   private def healthCompacted(spark: SparkSession): String =
@@ -710,6 +732,22 @@ object MorQueries {
         .orderBy("partition")
     }),
 
+    // the writable-branch surface, driver-oracled END STATE: after the
+    // audit branch fast-forwards, main carries the fork append + the
+    // branch's gizmo append and widget eq-delete (140 rows), time travel
+    // to the fork still answers the pre-branch 100, and the branch ref —
+    // now at head — reads the same 140 (Iceberg branch visibility rules)
+    "mor_branch_write" -> ((s, _) => {
+      val dir = branchTable(s)
+      val main = MorReader.read(s, dir)
+        .agg(count(lit(1)).as("n_main"), sum("product_id").as("id_sum"))
+      val atFork = MorReader.readAt(s, dir, 1L)
+        .agg(count(lit(1)).as("n_at_fork"))
+      val branch = MorReader.readBranch(s, dir, "audit")
+        .agg(count(lit(1)).as("n_branch"))
+      main.crossJoin(atFork).crossJoin(branch)
+    }),
+
     // write-audit-publish, driver-oracled: the rejected batch's rows AND
     // its snapshot are absent from durable history (bad batches never
     // publish), the accepted batch's are present — final state is 130
@@ -1207,6 +1245,18 @@ object MorQueries {
     "mor_wap_audit" ->
       """SELECT CAST((SELECT COUNT(*) FROM range(0, 130)) AS BIGINT) AS n_rows,
         |       CAST(2 AS BIGINT) AS n_snapshots""".stripMargin,
+
+    // ids 0..99 widget (fork), 100..149 gizmo (branch append); the branch
+    // eq-delete kills widget ids %10==0 only (partition-scoped)
+    "mor_branch_write" ->
+      """SELECT
+        |  CAST((SELECT COUNT(*) FROM range(0, 150) t(i)
+        |        WHERE NOT (i < 100 AND i % 10 = 0)) AS BIGINT) AS n_main,
+        |  CAST((SELECT SUM(i) FROM range(0, 150) t(i)
+        |        WHERE NOT (i < 100 AND i % 10 = 0)) AS BIGINT) AS id_sum,
+        |  CAST((SELECT COUNT(*) FROM range(0, 100)) AS BIGINT) AS n_at_fork,
+        |  CAST((SELECT COUNT(*) FROM range(0, 150) t(i)
+        |        WHERE NOT (i < 100 AND i % 10 = 0)) AS BIGINT) AS n_branch""".stripMargin,
 
     "mor_scd2_dim" ->
       """SELECT * FROM (

@@ -92,19 +92,38 @@ object MorReader {
     * Errors if the table has no snapshot that old — same contract as
     * Iceberg's timestamp resolution ([[graft.meta.TableState.asOfTime]]). */
   def readAtTime(spark: SparkSession, tableDir: String, tsMs: Long): DataFrame = {
-    val st = SnapshotLog(tableDir).load().asOfTime(tsMs)
+    val st = SnapshotLog(tableDir).load().mainOnly.asOfTime(tsMs)
     val live = st.schema
     withMeta(spark, st, live, Map.empty).select(live.names.map(col): _*)
   }
 
-  /** Read at a named ref — Iceberg `VERSION AS OF 'tag'`. The ref resolves
-    * to its snapshot id through the refs file (metadata-scale), then the
-    * scan is an ordinary snapshot read. */
+  /** Read at a named ref — Iceberg `VERSION AS OF 'tag-or-branch'`. A tag
+    * resolves to its snapshot id and scans like any snapshot read; a
+    * branch name (stored as ref `branch:<name>`, either form accepted)
+    * resolves to the branch LINEAGE via [[readBranch]] — the Iceberg rule
+    * that a branch ref means its head, not its fork. */
   def readRef(spark: SparkSession, tableDir: String, ref: String): DataFrame = {
     val refs = SnapshotLog(tableDir).refs
-    require(refs.contains(ref),
+    if (ref.startsWith("branch:")) readBranch(spark, tableDir, ref.stripPrefix("branch:"))
+    else if (refs.contains(ref)) readAt(spark, tableDir, refs(ref))
+    else if (refs.contains(s"branch:$ref")) readBranch(spark, tableDir, ref)
+    else throw new IllegalArgumentException(
       s"unknown ref '$ref' (known: ${refs.keys.toSeq.sorted.mkString(", ")})")
-    readAt(spark, tableDir, refs(ref))
+  }
+
+  /** Read a writable branch's lineage (Iceberg `VERSION AS OF 'branch'`):
+    * main history up to the recorded fork snapshot plus the branch's own
+    * commits, resolved through ref `branch:<name>`, then planned exactly
+    * like any snapshot read ([[graft.meta.TableState.onBranch]]). */
+  def readBranch(spark: SparkSession, tableDir: String, name: String): DataFrame = {
+    val log = SnapshotLog(tableDir)
+    val key = s"branch:$name"
+    val refs = log.refs
+    require(refs.contains(key),
+      s"unknown branch '$name' (refs: ${refs.keys.toSeq.sorted.mkString(", ")})")
+    val st = log.load().onBranch(name, refs(key))
+    val live = st.schema
+    withMeta(spark, st, live, Map.empty).select(live.names.map(col): _*)
   }
 
   /** Range/equality-predicate read with FILE-LEVEL pruning from the
@@ -132,7 +151,7 @@ object MorReader {
   def readValues(spark: SparkSession, tableDir: String, colName: String,
                  values: Seq[String]): DataFrame = {
     require(values.nonEmpty, "readValues needs at least one probe value")
-    val st = SnapshotLog(tableDir).load()
+    val st = SnapshotLog(tableDir).load().mainOnly
     val live = st.schema
     val fieldOpt = live.fields.find(_.name == colName)
     val keep: DataFileEntry => Boolean = f => fieldOpt.forall { field =>
@@ -184,7 +203,7 @@ object MorReader {
   def read(spark: SparkSession, tableDir: String, asOf: Option[Long],
            partitionFilter: Map[String, Set[String]],
            ranges: Map[String, ColRange] = Map.empty): DataFrame = {
-    val st0 = SnapshotLog(tableDir).load()
+    val st0 = SnapshotLog(tableDir).load().mainOnly
     val st = asOf.map(st0.asOf).getOrElse(st0)
     val live = st.schema
     val partPred = partitionFilter.collect {
@@ -207,7 +226,7 @@ object MorReader {
 
   /** Same as read but keeps (file_path, pos, seq) service columns. */
   def readWithMeta(spark: SparkSession, tableDir: String): DataFrame = {
-    val st = SnapshotLog(tableDir).load()
+    val st = SnapshotLog(tableDir).load().mainOnly
     withMeta(spark, st, st.schema, Map.empty)
   }
 
@@ -229,7 +248,7 @@ object MorReader {
     * with them the expired incremental window — Iceberg semantics). */
   def appendsBetween(spark: SparkSession, tableDir: String,
                      fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val st = SnapshotLog(tableDir).load().asOf(toInclusive)
+    val st = SnapshotLog(tableDir).load().mainOnly.asOf(toInclusive)
     val live = st.schema
     // rewrites are identified by the snapshot's EXPLICIT operation (the
     // writer stamps it at commit; legacy logs without the field get it
@@ -257,7 +276,7 @@ object MorReader {
     * then the scan is the ordinary id-windowed incremental plan. */
   def appendsBetweenTimes(spark: SparkSession, tableDir: String,
                           fromTsExclusive: Long, toTsInclusive: Long): DataFrame = {
-    val st = SnapshotLog(tableDir).load()
+    val st = SnapshotLog(tableDir).load().mainOnly
     appendsBetween(spark, tableDir,
       snapAtTime(st, fromTsExclusive), snapAtTime(st, toTsInclusive))
   }
@@ -266,7 +285,7 @@ object MorReader {
     * resolution as [[appendsBetweenTimes]]). */
   def changelogBetweenTimes(spark: SparkSession, tableDir: String,
                             fromTsExclusive: Long, toTsInclusive: Long): DataFrame = {
-    val st = SnapshotLog(tableDir).load()
+    val st = SnapshotLog(tableDir).load().mainOnly
     changelogBetween(spark, tableDir,
       snapAtTime(st, fromTsExclusive), snapAtTime(st, toTsInclusive))
   }
@@ -299,7 +318,7 @@ object MorReader {
     * snapshot expiry, which also expires the changelog window. */
   def changelogBetween(spark: SparkSession, tableDir: String,
                        fromExclusive: Long, toInclusive: Long): DataFrame = {
-    val st = SnapshotLog(tableDir).load()
+    val st = SnapshotLog(tableDir).load().mainOnly
     val stTo = st.asOf(toInclusive)
     val live = stTo.schema
     val insState = stTo.copy(snapshots = stTo.snapshots.map { s =>

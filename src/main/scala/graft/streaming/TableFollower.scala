@@ -70,7 +70,7 @@ final class TableFollower(spark: SparkSession, tableDir: String,
     * durable downstream. */
   def poll(): Option[Batch] = {
     val from = offset
-    val st = SnapshotLog(tableDir).load()
+    val st = SnapshotLog(tableDir).load().mainOnly
     val to = st.snapshots.lastOption.map(_.id).getOrElse(0L)
     if (to == from) return None
     require(to > from,

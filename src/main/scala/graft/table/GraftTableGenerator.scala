@@ -64,6 +64,14 @@ final class GraftTableGenerator(
   // genuine appends (an Iceberg snapshot likewise carries one operation)
   private var stagedHasUserWrite = false
   private var stagedHasRewrite = false
+  // commits route to this lineage; snapshot ids stay globally allocated
+  private var activeBranch: String = "main"
+
+  /** The active lineage's view of a loaded state: main-only, or the fork
+    * prefix plus the branch's own commits ([[graft.meta.TableState]]). */
+  private def lineage(st: graft.meta.TableState): graft.meta.TableState =
+    if (activeBranch == "main") st.mainOnly
+    else st.onBranch(activeBranch, branchForkId(activeBranch))
 
   private var created = false
 
@@ -650,7 +658,7 @@ final class GraftTableGenerator(
     */
   def compact(partitionValues: Option[Seq[Any]] = None): this.type = {
     val opSeq = nextOpSeq(rewrite = true)
-    val st = log.load()
+    val st = lineage(log.load())
     for ((partition, files) <- plannedPartitions(partitionValues)) {
       // merge EXACTLY this group's files (a partition-map filter would also
       // match other-spec-epoch files whose partition lacks the key — their
@@ -710,7 +718,7 @@ final class GraftTableGenerator(
     require(transforms.headOption.exists(_.isIdentity),
       "compactDirty targets identity partition specs")
     val pname = transforms.head.partName
-    val st = log.load()
+    val st = lineage(log.load())
     val declared: Map[String, Long] = st.dataFiles
       .flatMap(f => f.partition.get(pname).map(_ -> f.recordCount))
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
@@ -751,7 +759,7 @@ final class GraftTableGenerator(
     * appends — they are deliberately left alone.) */
   def compactPositionDeletes(): this.type = {
     requireCreated("compactPositionDeletes()")
-    val st = log.load()
+    val st = lineage(log.load())
     val groups = st.deleteFiles.filter(_.kind == "pos")
       .groupBy(_.partition).toSeq
       .filter(_._2.size >= 2)
@@ -860,7 +868,7 @@ final class GraftTableGenerator(
   private def rewriteOrdered(orderOf: DataFrame => Column, rowsPerFile: Int,
                              partitionValues: Option[Seq[Any]],
                              opSeq: Long): Unit = {
-    val st = log.load()
+    val st = lineage(log.load())
     for ((partition, files) <- plannedPartitions(partitionValues)) {
       val groupPaths = files.map(_.path).toSet
       val restricted = st.copy(snapshots = st.snapshots.map(s =>
@@ -905,6 +913,10 @@ final class GraftTableGenerator(
   def expireSnapshots(keepLast: Int): this.type = {
     require(stagedOps == 0, "commit staged work before expiring snapshots")
     val st = log.load()
+    require(st.snapshots.forall(_.branch == "main"),
+      "snapshot expiry with live branches is unsupported — fastForward() " +
+        "or dropBranch()+rollback first (a rebased baseline would destroy " +
+        "fork-point history branches still read through)")
     if (st.snapshots.size <= keepLast) return this
     val horizon = st.snapshots(st.snapshots.size - keepLast - 1).id
     val base = st.asOf(horizon)
@@ -1056,7 +1068,7 @@ final class GraftTableGenerator(
       else "append"
     log.commit(Snapshot(committedSnapId + 1, committedSeq + stagedOps, schemaV,
       specId, stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes,
-      timestampMs = clock(), operation = operation))
+      timestampMs = clock(), operation = operation, branch = activeBranch))
     committedSnapId += 1
     committedSeq += stagedOps
     stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
@@ -1132,10 +1144,85 @@ final class GraftTableGenerator(
     this
   }
 
-  /** MoR read of the committed table. */
-  def read: DataFrame = MorReader.read(spark, tableDir.toString)
+  /** MoR read of the committed table (the active lineage: main, or the
+    * branch [[writeTo]] routed to). */
+  def read: DataFrame =
+    if (activeBranch == "main") MorReader.read(spark, tableDir.toString)
+    else MorReader.readBranch(spark, tableDir.toString, activeBranch)
   def readAt(snapshotId: Long): DataFrame =
     MorReader.readAt(spark, tableDir.toString, snapshotId)
+
+  // ---- branches (Iceberg writable-branch surface) ----------------------
+
+  /** Create a writable branch forked at the current MAIN head (Iceberg
+    * `createBranch`). Recorded as ref `branch:<name>` → fork snapshot id;
+    * subsequent [[writeTo]] commits stamp their snapshots with the branch
+    * name, invisible to main reads until [[fastForward]]. */
+  def createBranch(branchName: String): this.type = {
+    requireCreated("createBranch()")
+    require(branchName != "main" && branchName.nonEmpty, "invalid branch name")
+    require(!log.refs.contains(s"branch:$branchName"),
+      s"branch '$branchName' already exists")
+    val mainHead = log.load().mainOnly.snapshots.lastOption.map(_.id).getOrElse(0L)
+    log.setRef(s"branch:$branchName", mainHead)
+    this
+  }
+
+  /** Route subsequent staged commits to a branch (or back to "main").
+    * Branch writes see the branch lineage — main history up to the fork
+    * plus the branch's own commits — for delete planning and compaction;
+    * they must not evolve schema or partition spec (fast-forward would
+    * have to reconcile divergent metadata — the documented restriction). */
+  def writeTo(branchName: String): this.type = {
+    requireCreated("writeTo()")
+    require(stagedOps == 0, "commit staged work before switching branches")
+    require(branchName == "main" || log.refs.contains(s"branch:$branchName"),
+      s"unknown branch '$branchName' — createBranch() first")
+    activeBranch = branchName
+    this
+  }
+
+  /** Fork snapshot id of a branch. */
+  def branchForkId(branchName: String): Long = {
+    val refs = log.refs
+    require(refs.contains(s"branch:$branchName"), s"unknown branch '$branchName'")
+    refs(s"branch:$branchName")
+  }
+
+  /** MoR read of a branch's lineage. */
+  def readBranch(branchName: String): DataFrame =
+    MorReader.readBranch(spark, tableDir.toString, branchName)
+
+  /** Fast-forward main to a branch head (Iceberg `fastForwardBranch`):
+    * requires main has NOT advanced past the fork point (no divergence —
+    * same contract as Iceberg's, which refuses a non-ancestor target).
+    * The branch's snapshots are re-stamped onto the main lineage via a
+    * history rewrite (this log's main is implicit, not a movable ref) and
+    * the branch ref moves to the head it published. */
+  def fastForward(branchName: String): this.type = {
+    requireCreated("fastForward()")
+    require(stagedOps == 0, "commit staged work before fastForward()")
+    val fork = branchForkId(branchName)
+    val st = log.load()
+    val mainHead = st.snapshots.filter(_.branch == "main")
+      .lastOption.map(_.id).getOrElse(0L)
+    require(mainHead == fork,
+      s"main advanced past fork $fork (head $mainHead) — cannot fast-forward " +
+        s"'$branchName'; rebase/merge is not supported")
+    val promoted = st.snapshots.map(s =>
+      if (s.branch == branchName) s.copy(branch = "main") else s)
+    log.rewrite(promoted)
+    log.setRef(s"branch:$branchName",
+      promoted.lastOption.map(_.id).getOrElse(fork))
+    activeBranch = "main"
+    refresh()
+  }
+
+  /** Drop a branch ref. Its snapshots stay in the log (unreachable from
+    * any read path); [[rollbackTo]] or future expiry reclaims the files. */
+  def dropBranch(branchName: String): this.type = {
+    log.removeRef(s"branch:$branchName"); this
+  }
 
   // ---- named refs (Iceberg tag surface) --------------------------------
 
@@ -1158,7 +1245,7 @@ final class GraftTableGenerator(
     * `IcebergTableGenerator.java:451-464`). */
   private def plannedPartitions(partitionValues: Option[Seq[Any]])
       : Seq[(Map[String, String], Seq[DataFileEntry])] = {
-    val st = log.load()
+    val st = lineage(log.load())
     val filtered = partitionValues match {
       case Some(vs) =>
         val set = vs.map(_.toString).toSet

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.SnapshotLog
+import graft.read.MorReader
+import graft.scenarios.Scenarios
+import graft.table.GraftTableGenerator
+
+/** Writable branches (the Iceberg branch surface): fork, branch-routed
+  * commits, lineage visibility, fast-forward publication, divergence
+  * refusal, and maintenance safety around live branches. */
+class BranchSpec extends SparkSpec {
+
+  private def freshWh(tag: String): String =
+    Files.createTempDirectory(s"graft_branch_$tag").toString
+
+  test("branch writes are invisible to main and visible to the branch") {
+    val g = new GraftTableGenerator(spark, freshWh("vis"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 20).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 10).commit()
+    // main: untouched; branch: fork + append
+    assert(g.writeTo("main").read.count() == 20L)
+    assert(g.readBranch("dev").count() == 30L)
+    // meta refs expose the branch ref
+    assert(SnapshotLog(g.tableDir.toString).refs("branch:dev") == 1L)
+    // time travel on main never resolves branch snapshots
+    assert(MorReader.readAt(spark, g.tableDir.toString, 1L).count() == 20L)
+    // VERSION AS OF a branch name resolves to its HEAD lineage, not the fork
+    assert(MorReader.readRef(spark, g.tableDir.toString, "dev").count() == 30L)
+    assert(MorReader.readRef(spark, g.tableDir.toString, "branch:dev").count() == 30L)
+  }
+
+  test("branch deletes apply only to the branch lineage") {
+    val g = new GraftTableGenerator(spark, freshWh("del"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 30).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+    assert(g.readBranch("dev").count() == 20L)
+    assert(g.writeTo("main").read.count() == 30L)
+  }
+
+  test("fast-forward publishes the branch; history and refs line up") {
+    val g = new GraftTableGenerator(spark, freshWh("ff"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 20).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 10).commit()
+      .equalityDelete(Seq("widget"), col("product_id") % 2 === 0,
+        Seq("product_id")).commit()
+    g.fastForward("dev")
+    // main now carries the branch's append and delete
+    assert(g.read.count() == 20L) // 20 - 10 evens + 10 gizmo
+    assert(g.read.where(col("category") === "gizmo").count() == 10L)
+    // the ref moved to the published head
+    assert(SnapshotLog(g.tableDir.toString).refs("branch:dev") == 3L)
+    // a post-FF main commit continues the id line
+    g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 5).commit()
+    assert(g.read.count() == 25L)
+  }
+
+  test("fast-forward refuses a diverged main") {
+    val g = new GraftTableGenerator(spark, freshWh("div"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 5).commit()
+    // main advances past the fork
+    g.writeTo("main")
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 5).commit()
+    val e = intercept[IllegalArgumentException](g.fastForward("dev"))
+    assert(e.getMessage.contains("fast-forward"))
+    // both lineages still read consistently after the refusal
+    assert(g.read.count() == 15L)
+    assert(g.readBranch("dev").count() == 15L) // fork 10 + branch 5
+  }
+
+  test("snapshot expiry refuses live branches; orphan GC spares branch files") {
+    val g = new GraftTableGenerator(spark, freshWh("gc"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 5).commit()
+    g.writeTo("main")
+    val e = intercept[IllegalArgumentException](g.expireSnapshots(1))
+    assert(e.getMessage.contains("branches"))
+    // orphan GC counts branch files as referenced
+    val deleted = g.removeOrphanFiles(graceMs = 0L)
+    assert(deleted.isEmpty)
+    assert(g.readBranch("dev").count() == 25L)
+  }
+
+  test("dropBranch removes the ref; branch snapshots leave every read path") {
+    val g = new GraftTableGenerator(spark, freshWh("drop"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 5).commit()
+    g.writeTo("main").dropBranch("dev")
+    assert(!SnapshotLog(g.tableDir.toString).refs.contains("branch:dev"))
+    intercept[IllegalArgumentException](g.readBranch("dev"))
+    assert(g.read.count() == 10L)
+  }
+
+  test("branch snapshot JSON round-trips; main snapshots stay legacy-shaped") {
+    val g = new GraftTableGenerator(spark, freshWh("json"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 5).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 5).commit()
+    val meta = Paths.get(g.tableDir.toString, "metadata")
+    val s1 = Files.readString(meta.resolve("snap-1.json"))
+    val s2 = Files.readString(meta.resolve("snap-2.json"))
+    assert(!s1.contains("\"branch\""), "main snapshot must omit the field")
+    assert(s2.contains("\"branch\":\"dev\""))
+    val st = SnapshotLog(g.tableDir.toString).load()
+    assert(st.snapshots.map(_.branch) == Seq("main", "dev"))
+  }
+}
