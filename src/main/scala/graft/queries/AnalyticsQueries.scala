@@ -198,6 +198,9 @@ object AnalyticsQueries {
       // the same plan degrades to co-partitioned hash joins.
       var r = deg.select(col("a").as("node"), lit(1000000L).as("rk"))
       for (_ <- 1 to 3) {
+        // node-scale checkpoint per round: without it, iteration k's
+        // broadcast subtree replays iterations 1..k-1 (1+2+3 passes over
+        // the edge set instead of 3)
         r = edges
           .join(broadcast(r), edges("a") === r("node"))
           .join(broadcast(deg), "a")
@@ -205,6 +208,7 @@ object AnalyticsQueries {
             expr("rk * 17 div (20 * deg)").as("share"))
           .groupBy("node")
           .agg((lit(150000L) + sum("share")).as("rk"))
+          .localCheckpoint()
       }
       r.orderBy(desc("rk"), col("node")).limit(20)
         .select(col("node"), col("rk").as("rank_fp"))
@@ -278,12 +282,18 @@ object AnalyticsQueries {
     // the table — the classic affinity-analysis shape. Lift rounds at 6
     // from exact integer counts.
     "brand_affinity" -> ((s, d) => {
+      // the deduped (order, brand) set feeds FOUR consumers (order count,
+      // singles, both self-join sides): one materialization; the corpus
+      // size folds in as a broadcast one-row aggregate instead of a
+      // separate driver-side count() job
       val li = tbl(s, d, "lineitem")
         .join(tbl(s, d, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
         .distinct()
-      val n = li.select("ok").distinct().count()
+        .localCheckpoint()
+      val nOrders = li.select("ok").distinct()
+        .agg(count(lit(1)).as("n_orders"))
       val single = li.groupBy("b").agg(count(lit(1)).as("nb"))
       val pairs = li.join(li.select(col("ok").as("ok2"), col("b").as("b2")),
           col("ok") === col("ok2") && col("b") < col("b2"))
@@ -293,8 +303,9 @@ object AnalyticsQueries {
         .join(single.select(col("b").as("b2j"), col("nb").as("nb2")),
           col("b2") === col("b2j"))
         .where(col("nab") >= 20)
+        .crossJoin(broadcast(nOrders))
         .select(col("b"), col("b2"), col("nab"),
-          round((col("nab").cast("double") * n) /
+          round((col("nab").cast("double") * col("n_orders")) /
             (col("nb").cast("double") * col("nb2")), 6).as("lift"))
         .orderBy("b", "b2")
     }),

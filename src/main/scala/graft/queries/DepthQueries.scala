@@ -83,11 +83,15 @@ object DepthQueries {
     "graph_triangles" -> ((s, d) => {
       val li = tbl(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      // the thresholded edge set feeds THREE consumers (degrees,
+      // orientation, the closing-edge probe): one materialization, not
+      // three replays of the pair explode
       val e = li.select(col("ok"), col("sk").as("s1"))
         .join(li.select(col("ok").as("ok2"), col("sk").as("s2")),
           col("ok") === col("ok2") && col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("nco"))
         .where(col("nco") >= 5).select("s1", "s2")
+        .localCheckpoint()
       val deg = e.select(col("s1").as("n")).unionAll(e.select(col("s2").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val or = e
@@ -99,6 +103,7 @@ object DepthQueries {
             struct(col("s1").as("src"), col("s2").as("dst")))
             .otherwise(struct(col("s2").as("src"), col("s1").as("dst"))).as("o"))
         .select(col("o.src").as("src"), col("o.dst").as("dst"))
+        .localCheckpoint() // both sides of the wedge self-join
       val wedges = or
         .join(or.select(col("src").as("src2"), col("dst").as("dst2")),
           col("src") === col("src2") && col("dst") < col("dst2"))
