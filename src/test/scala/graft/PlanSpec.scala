@@ -265,7 +265,11 @@ class PlanSpec extends SparkSpec {
 
   test("brand_affinity: order-key equi self-join — never cartesian") {
     val p = plan("brand_affinity")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the one-row broadcast of the corpus-size aggregate is the only
+    // permitted nested-loop shape (a cross with a single-row build side)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("NestedLoop") && !l.contains("Cross")), p)
     assert(p.contains("partial"), p)
   }
 
@@ -281,5 +285,63 @@ class PlanSpec extends SparkSpec {
     val p = plan("events_anomaly_zscore")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpch_q1_full: shipdate pushed to parquet; one partial-agg pass; pruned scan") {
+    val p = plan("tpch_q1_full")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_partkey") && !read.contains("l_comment"),
+      s"scan not pruned: $read")
+  }
+
+  test("tpch_q5: every dimension edge broadcast; date slice pushed to orders") {
+    val p = plan("tpch_q5")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"dimension edge shuffled:\n$p")
+  }
+
+  test("graph_triangles: wedge + closing-edge probes are hash joins, never nested loop") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("dq_expectations: FK orphan checks plan as hash anti-joins") {
+    val p = plan("dq_expectations")
+    // the orphan probes themselves must be hash anti-joins; the report
+    // assembly's 1-row × 1-row crosses are the only nested loops allowed
+    assert(p.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("HashJoin")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("NestedLoop") && l.contains("LeftAnti")), p)
+  }
+
+  test("pareto_frontier: data-scale windows are PARTITIONED by price bucket") {
+    val p = plan("pareto_frontier")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    // the in-bucket prefix max is bucket-partitioned; the only permitted
+    // unpartitioned window is the BUCKET-level prefix (|buckets| rows)
+    val unpartitioned = windows.filterNot(_.contains("bk"))
+    assert(unpartitioned.isEmpty,
+      s"data-scale global window detected:\n${windows.mkString("\n")}")
+  }
+
+  test("gap_fill_locf: spine join and LOCF window stay per-user partitioned") {
+    val p = plan("gap_fill_locf")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("user_id")),
+      s"global window detected:\n${windows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_reservoir_group pre-ranks per input partition before the per-group window") {
+    val p = plan("sample_reservoir_group")
+    assert(p.contains("_pid"), p) // two-level topKPerGroup decomposition
   }
 }
