@@ -57,4 +57,97 @@ object Contam {
       .withColumn("contam",
         round(col("n_hit") / col("n_grams").cast("double"), 4))
   }
+
+  /** Verbatim multi-needle decontamination through a broadcast
+    * AHO-CORASICK automaton: ONE forward pass over each document finds
+    * every needle occurrence — O(|text| + hits) per doc regardless of the
+    * needle count, where the per-needle `contains` probe
+    * (the `contam_exact_substr` formulation) pays O(|text| · |needles|).
+    * The needle set is eval-suite sized BY CONTRACT (that bound is what
+    * makes the driver-side build + broadcast sound — same contract as
+    * [[ngramOverlap]]'s broadcast gram set). Returns one (docIdCol,
+    * needle_id) row per (document, matched needle) pair. */
+  def exactSubstringsAC(corpus: DataFrame, needles: DataFrame,
+                        textCol: String, docIdCol: String,
+                        needleIdCol: String, needleCol: String): DataFrame = {
+    import org.apache.spark.sql.{Row, SparkSession}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val pats = needles.select(col(needleIdCol), col(needleCol)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ac = AhoCorasick.build(pats)
+    val bc = corpus.sparkSession.sparkContext.broadcast(ac)
+    val out = StructType(Seq(StructField(docIdCol, LongType),
+      StructField("needle_id", LongType)))
+    val enc = RowEncoder.encoderFor(out)
+    corpus.select(col(docIdCol), col(textCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        bc.value.matchedIds(r.getString(1)).map(nid => Row(r.getLong(0), nid))
+      }
+    }(enc)
+  }
+}
+
+/** Classic Aho–Corasick multi-pattern matcher (goto/fail/output automaton),
+  * built once on the driver from an eval-scale pattern set and broadcast;
+  * node count = total pattern characters, transitions as per-node hash
+  * maps (patterns are text, the alphabet is sparse). */
+final class AhoCorasick private (
+    next: Array[scala.collection.mutable.HashMap[Char, Int]],
+    fail: Array[Int],
+    out: Array[List[Int]],
+    patIds: Array[Long]) extends Serializable {
+
+  /** Distinct pattern ids occurring anywhere in `text` — one forward scan,
+    * following fail links on mismatch (amortized O(|text|)). */
+  def matchedIds(text: String): Iterator[Long] = {
+    val found = scala.collection.mutable.LongMap.empty[Unit]
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      while (state != 0 && !next(state).contains(c)) state = fail(state)
+      state = next(state).getOrElse(c, 0)
+      var v = out(state)
+      while (v.nonEmpty) { found.update(patIds(v.head), ()); v = v.tail }
+      i += 1
+    }
+    found.keysIterator
+  }
+}
+
+object AhoCorasick {
+  def build(patterns: Seq[(Long, String)]): AhoCorasick = {
+    val next = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[Char, Int])
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    // trie
+    patterns.zipWithIndex.foreach { case ((_, p), pi) =>
+      var v = 0
+      p.foreach { c =>
+        v = next(v).getOrElseUpdate(c, {
+          next += scala.collection.mutable.HashMap.empty[Char, Int]
+          ends += Nil
+          next.length - 1
+        })
+      }
+      ends(v) = pi :: ends(v)
+    }
+    // fail links + merged outputs, BFS order
+    val fail = Array.fill(next.length)(0)
+    val out = ends.toArray
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    next(0).values.foreach(queue += _)
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      next(v).foreach { case (c, u) =>
+        var f = fail(v)
+        while (f != 0 && !next(f).contains(c)) f = fail(f)
+        fail(u) = next(f).get(c).filter(_ != u).getOrElse(0)
+        out(u) = out(u) ++ out(fail(u))
+        queue += u
+      }
+    }
+    new AhoCorasick(next.toArray, fail, out, patterns.map(_._1).toArray)
+  }
 }

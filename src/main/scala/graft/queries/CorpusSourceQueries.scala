@@ -47,6 +47,24 @@ object CorpusSourceQueries {
         .orderBy("needle_id")
     }),
 
+    // the SAME decontamination result as contam_exact_substr through the
+    // production operator: a broadcast Aho-Corasick automaton scans each
+    // document ONCE for all needles — O(|text| + hits) per doc vs the
+    // contains-join's O(|text|·|needles|); identical oracle, so the
+    // automaton (goto/fail/output, overlapping needles included) is under
+    // the hash compare
+    "contam_exact_ac" -> ((s, d) => {
+      val needles = docs(s, d)
+        .where(col("doc_id") % 100 === 0 && length(col("text")) >= 60)
+        .select(col("doc_id").as("needle_id"),
+          substring(col("text"), 11, 30).as("needle"))
+      graft.ext.Contam.exactSubstringsAC(docs(s, d), needles,
+          "text", "doc_id", "needle_id", "needle")
+        .groupBy("needle_id")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("hit_id_sum"))
+        .orderBy("needle_id")
+    }),
+
     // one BPE merge round: the most frequent adjacent symbol pairs at the
     // character level over normalized whitespace tokens — a single scan,
     // map-side partial counts on the pair key, TakeOrdered top-k. This is
@@ -230,6 +248,17 @@ object CorpusSourceQueries {
   val oracleSql: Map[String, String] = Map(
 
     "contam_exact_substr" ->
+      """WITH needles AS (
+        |  SELECT doc_id AS needle_id, substr(text, 11, 30) AS needle
+        |  FROM documents WHERE doc_id % 100 = 0 AND length(text) >= 60)
+        |SELECT needle_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(d.doc_id) AS BIGINT) AS hit_id_sum
+        |FROM documents d JOIN needles n ON contains(d.text, n.needle)
+        |GROUP BY needle_id ORDER BY needle_id""".stripMargin,
+
+    // same result as contam_exact_substr — the operator differs, the
+    // contract doesn't
+    "contam_exact_ac" ->
       """WITH needles AS (
         |  SELECT doc_id AS needle_id, substr(text, 11, 30) AS needle
         |  FROM documents WHERE doc_id % 100 = 0 AND length(text) >= 60)

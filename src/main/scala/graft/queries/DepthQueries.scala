@@ -263,6 +263,35 @@ object DepthQueries {
         .orderBy("lang", "rk")
     }),
 
+    // Johnson-Lindenstrauss random projection 64 → 16 dims (the
+    // dimensionality-reduction primitive in front of ANN indexes): a ±1
+    // projection matrix derived from the shared md5-based hash, elements
+    // in exact 1e6 fixed point, so every projected coordinate is an
+    // order-free integer sum the oracle recomputes bit-for-bit. One
+    // explode + one partial-aggregated shuffle on (vec, out-dim); the
+    // matrix is a FORMULA, not data — nothing broadcast, nothing trained.
+    "embed_random_project" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "i", "v")
+        .select(col("vec_id"), col("i"),
+          round(col("v").cast("double") * 1000000, 0).cast("long").as("vi"))
+      val proj = e
+        .select(col("vec_id"), col("i"), col("vi"),
+          explode(sequence(lit(0), lit(15))).as("j"))
+        .withColumn("sgn",
+          when(pmod(TextOps.hash60((col("j") * 64 + col("i")).cast("string")),
+            lit(2)) === 0, 1L).otherwise(-1L))
+        .groupBy("vec_id", "j").agg(sum(col("sgn") * col("vi")).as("p"))
+      proj.groupBy("vec_id")
+        .agg(sum(abs(col("p"))).as("l1_norm"),
+          sum(when(col("j") === 0, col("p"))).as("p0"),
+          sum(when(col("j") === 1, col("p"))).as("p1"),
+          sum(when(col("j") === 2, col("p"))).as("p2"),
+          sum(when(col("j") === 3, col("p"))).as("p3"))
+        .orderBy("vec_id")
+    }),
+
     // Shannon entropy of the token distribution per source — the corpus
     // diversity monitor run after every mix change. Counts are exact
     // integer shuffles on the (source, term) key; the -Σ p·ln p fold uses
@@ -449,6 +478,22 @@ object DepthQueries {
         |                  doc_id) AS INTEGER) AS rk
         |FROM documents
         |QUALIFY rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "embed_random_project" ->
+      """WITH e AS (SELECT vec_id, i - 1 AS i,
+        |             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |                  AS BIGINT) AS vi
+        |           FROM embeddings, range(1, 65) t(i)),
+        |p AS (SELECT vec_id, j,
+        |        CAST(SUM(CASE WHEN (('0x' || substr(md5(CAST(j * 64 + i AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+        |                      THEN vi ELSE -vi END) AS BIGINT) AS p
+        |      FROM e, range(0, 16) u(j) GROUP BY vec_id, j)
+        |SELECT vec_id, CAST(SUM(ABS(p)) AS BIGINT) AS l1_norm,
+        |       CAST(SUM(p) FILTER (j = 0) AS BIGINT) AS p0,
+        |       CAST(SUM(p) FILTER (j = 1) AS BIGINT) AS p1,
+        |       CAST(SUM(p) FILTER (j = 2) AS BIGINT) AS p2,
+        |       CAST(SUM(p) FILTER (j = 3) AS BIGINT) AS p3
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "entropy_by_source" ->
       s"""WITH tok AS (SELECT source,

@@ -1218,10 +1218,28 @@ final class GraftTableGenerator(
     refresh()
   }
 
-  /** Drop a branch ref. Its snapshots stay in the log (unreachable from
-    * any read path); [[rollbackTo]] or future expiry reclaims the files. */
+  /** Drop a branch: remove the ref AND physically reclaim the branch's
+    * snapshots and exclusively-referenced files (the same rewrite+delete
+    * discipline as [[rollbackTo]]) — an unreferenced lineage must not
+    * linger as unexpirable garbage. Freed snapshot ids are reusable by
+    * later main commits, exactly like a rollback's dropped window. */
   def dropBranch(branchName: String): this.type = {
-    log.removeRef(s"branch:$branchName"); this
+    requireCreated("dropBranch()")
+    require(stagedOps == 0, "commit or refresh() away staged work before dropBranch")
+    log.removeRef(s"branch:$branchName")
+    val st = log.load()
+    val (dropped, keep) = st.snapshots.partition(_.branch == branchName)
+    if (dropped.nonEmpty) {
+      val keepPaths = (keep.flatMap(_.dataFiles).map(_.path) ++
+        keep.flatMap(_.deleteFiles).map(_.path)).toSet
+      val orphans = (dropped.flatMap(_.dataFiles).map(_.path) ++
+        dropped.flatMap(_.deleteFiles).map(_.path))
+        .filterNot(keepPaths).distinct
+      log.rewrite(keep)
+      orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    }
+    if (activeBranch == branchName) activeBranch = "main"
+    refresh()
   }
 
   // ---- named refs (Iceberg tag surface) --------------------------------

@@ -106,4 +106,35 @@ class CorpusSourceSpec extends SparkSpec {
       .orderBy("o_orderstatus").collect().toSeq
     assert(viaCsv == direct)
   }
+
+  test("Aho-Corasick: overlapping/nested needles match exactly like contains") {
+    // fail-link stress: needles that are substrings of each other, share
+    // prefixes and suffixes, and overlap inside the text
+    val needles = Seq(
+      (1L, "ab"), (2L, "abab"), (3L, "bab"), (4L, "abc"),
+      (5L, "c"), (6L, "ababab"), (7L, "xyz")).toDF("needle_id", "needle")
+    val docs = Seq(
+      (10L, "abababc"), (11L, "zzbabzz"), (12L, "no hits here!"),
+      (13L, "abc"), (14L, "cab"), (15L, "ababab")).toDF("doc_id", "text")
+    val got = graft.ext.Contam.exactSubstringsAC(docs, needles,
+        "text", "doc_id", "needle_id", "needle")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (did, t) <- Seq((10L, "abababc"), (11L, "zzbabzz"), (12L, "no hits here!"),
+        (13L, "abc"), (14L, "cab"), (15L, "ababab"))
+      (nid, n) <- Seq((1L, "ab"), (2L, "abab"), (3L, "bab"), (4L, "abc"),
+        (5L, "c"), (6L, "ababab"), (7L, "xyz"))
+      if t.contains(n)
+    } yield (did, nid)).toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("contam_exact_ac equals contam_exact_substr row for row") {
+    val ac = CorpusSourceQueries.queries("contam_exact_ac")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cj = CorpusSourceQueries.queries("contam_exact_substr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ac == cj, s"diff=${(ac -- cj) ++ (cj -- ac)}")
+  }
 }

@@ -58,12 +58,12 @@ class FuzzModelSpec extends SparkSpec {
       var snapId = 0L
       var history = Vector.empty[(Long, Set[Long])]
 
-      def appendFile(): Unit = {
+      def appendFile(target: scala.collection.mutable.Set[Long] = live): Unit = {
         if (appendViaData)
           g.appendData(Bundles.ordersUnpartitioned()
             .frame(spark, nextId, 20, None, Scenarios.OrdersSchema))
         else g.append(Bundles.ordersUnpartitioned(), 1, 20)
-        (nextId until nextId + 20).foreach(live += _)
+        (nextId until nextId + 20).foreach(target += _)
         nextId += 20
       }
 
@@ -72,7 +72,50 @@ class FuzzModelSpec extends SparkSpec {
 
       for (step <- 1 to steps) {
         var committed = true
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
+          case 11 => // branch cycle: fork, 1-3 branch ops, FF or drop.
+            // Branch commits must stay invisible to main throughout; a
+            // fast-forward publishes the branch model as the main model, a
+            // drop discards it (ids stay consumed — claimIds advanced).
+            val bname = s"br$step"
+            g.createBranch(bname); g.writeTo(bname)
+            val braLive = live.clone()
+            for (_ <- 1 to 1 + rnd.nextInt(3)) {
+              rnd.nextInt(3) match {
+                case 0 => appendFile(braLive); g.commit()
+                case 1 =>
+                  val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
+                  g.equalityDelete(col("order_id") % m === r,
+                    Seq("order_id")).commit()
+                  braLive.filterInPlace(_ % m != r)
+                case 2 =>
+                  val a = rnd.nextLong(math.max(nextId, 1L))
+                  val b = a + 1 + rnd.nextInt(40)
+                  g.positionalDelete(col("order_id") >= a &&
+                    col("order_id") < b).commit()
+                  braLive.filterInPlace(i => i < a || i >= b)
+              }
+              // main untouched mid-branch; the branch tracks its model
+              val mainGot = MorReader.read(spark, g.tableDir.toString)
+                .select("order_id").collect().map(_.getInt(0).toLong).toSet
+              assert(mainGot == live.toSet,
+                s"seed=$seed step=$step: branch write leaked into main")
+              val braGot = g.read
+                .select("order_id").collect().map(_.getInt(0).toLong).toSet
+              assert(braGot == braLive.toSet,
+                s"seed=$seed step=$step: branch lineage diverged from model")
+            }
+            g.writeTo("main")
+            if (rnd.nextBoolean()) {
+              g.fastForward(bname)
+              live.clear(); live ++= braLive
+            } else g.dropBranch(bname)
+            // resync to the log's id line (FF adopted branch ids; drop
+            // freed them for reuse) and re-anchor time-travel history at
+            // the published head only
+            snapId = graft.meta.SnapshotLog(g.tableDir.toString).lastSnapshotId
+            history = history.filter(_._1 <= snapId) :+ (snapId, live.toSet)
+            committed = false
           case 0 | 1 => appendFile(); g.commit()
           case 2 => // equality-delete a modulo class
             val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
