@@ -336,6 +336,30 @@ object BreadthQueries {
         .orderBy("event_type")
     }),
 
+    // the SAME range-join contract through the NATIVE whole-operator
+    // extension (plans/RangeJoinPlan.scala: custom LogicalPlan + Strategy
+    // + one-sweep SparkPlan with an active-interval buffer): identical
+    // result and oracle as join_range_bucketed, no bucket replication, no
+    // residual filter — EnsureRequirements clusters both sides on the
+    // type key and the per-partition sweep is O(points + intervals +
+    // matches)
+    "join_range_native" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val e = ExtQueries.eventsWithTs(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("_us").as("us"))
+      val iv = e.where(hour(expr("timestamp_micros(us)")) % 3 === 0)
+        .select(col("event_type").as("iv_type"),
+          expr(s"(us div $hourUs) * $hourUs").as("ws"))
+        .distinct()
+        .withColumn("we", col("ws") + lit(90L * 60000000L))
+      graft.plans.RangeJoinApi.rangeJoin(e, iv,
+          "event_type", "iv_type", "us", "ws", "we")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hits"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("event_type")
+    }),
+
     // as-of join: each purchase matched to the user's most recent click at
     // or before it (equi-join on user + range residual + max-reduce; exact
     // and order-free, so tie semantics match the oracle's NOT EXISTS-free
@@ -622,6 +646,19 @@ object BreadthQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_range_bucketed" ->
+      """WITH e AS (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS t
+        |           FROM events),
+        |iv AS (SELECT DISTINCT event_type, date_trunc('hour', t) AS ws
+        |       FROM e WHERE EXTRACT(hour FROM t) % 3 = 0)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM e JOIN iv ON e.event_type = iv.event_type
+        |              AND e.t >= iv.ws AND e.t < iv.ws + INTERVAL 90 MINUTE
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // identical contract to join_range_bucketed — the operator differs,
+    // the answer must not
+    "join_range_native" ->
       """WITH e AS (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS t
         |           FROM events),
         |iv AS (SELECT DISTINCT event_type, date_trunc('hour', t) AS ws

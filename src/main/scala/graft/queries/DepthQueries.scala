@@ -48,6 +48,47 @@ object DepthQueries {
         .orderBy("user_id")
     }),
 
+    // OHLC downsampling (the market-data resample shape): per (type, hour)
+    // bar with open/close picked by rank inside micro-partitions of a few
+    // rows and high/low/volume as plain aggregates — deterministic because
+    // the event order is total ((_us, event_id) tie-break) and prices are
+    // integer cents
+    "events_ohlc" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = Q.events(s, d).select(col("event_type"),
+        expr(s"_us div $hourUs").as("h"), col("_us"), col("event_id"),
+        cents(col("value")).as("vc"))
+      val wAsc = Window.partitionBy("event_type", "h")
+        .orderBy(col("_us").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy("event_type", "h")
+        .orderBy(col("_us").desc, col("event_id").desc)
+      ev.withColumn("rn_o", row_number().over(wAsc))
+        .withColumn("rn_c", row_number().over(wDesc))
+        .groupBy("event_type", "h")
+        .agg(sum(when(col("rn_o") === 1, col("vc"))).as("open_c"),
+          max("vc").as("high_c"), min("vc").as("low_c"),
+          sum(when(col("rn_c") === 1, col("vc"))).as("close_c"),
+          count(lit(1)).as("volume"))
+        .orderBy("event_type", "h")
+    }),
+
+    // event-sequence trigram mining (the user-journey pattern primitive):
+    // per-user consecutive event-type triples via two leads over the
+    // total (time, id) order, then one partial-aggregated count on the
+    // trigram key — top 25 journeys corpus-wide via TakeOrdered
+    "event_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+      Q.events(s, d).select(col("user_id"), col("event_id"), col("_us"),
+          col("event_type"))
+        .select(col("event_type").as("e1"),
+          lead("event_type", 1).over(w).as("e2"),
+          lead("event_type", 2).over(w).as("e3"))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+        .limit(25)
+    }),
+
     // exponentially weighted moving average over each user's last 24
     // readings, EXACT in integers: weight 2^(24-rn) for recency rank rn
     // makes numerator and denominator order-free long sums (cents ≤ 2^17
@@ -342,6 +383,38 @@ object DepthQueries {
         |       CAST(COUNT(*) FILTER (vc IS NULL) AS BIGINT) AS n_gaps,
         |       CAST(SUM(fv) AS BIGINT) AS locf_cents_sum
         |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_ohlc" ->
+      """WITH ev AS (SELECT event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |              CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT event_type, h, vc,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, h
+        |                           ORDER BY us ASC, event_id ASC) AS rn_o,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, h
+        |                           ORDER BY us DESC, event_id DESC) AS rn_c
+        |      FROM ev)
+        |SELECT event_type, h,
+        |       CAST(SUM(CASE WHEN rn_o = 1 THEN vc END) AS BIGINT) AS open_c,
+        |       CAST(MAX(vc) AS BIGINT) AS high_c,
+        |       CAST(MIN(vc) AS BIGINT) AS low_c,
+        |       CAST(SUM(CASE WHEN rn_c = 1 THEN vc END) AS BIGINT) AS close_c,
+        |       CAST(COUNT(*) AS BIGINT) AS volume
+        |FROM r GROUP BY event_type, h ORDER BY event_type, h""".stripMargin,
+
+    "event_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |             LEAD(event_type, 1) OVER w AS e2,
+        |             LEAD(event_type, 2) OVER w AS e3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+        |                                 event_id))
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 25""".stripMargin,
 
     "ewma_user" ->
       """WITH ev AS (SELECT user_id, event_id,
