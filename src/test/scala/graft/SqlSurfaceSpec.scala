@@ -83,4 +83,23 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("snapshot id or ref"), e.getMessage)
   }
+
+  test("graft_table(path, branch) reads the branch HEAD lineage from SQL") {
+    GraftTableFunction.ensureRegistered(spark)
+    val wh = java.nio.file.Files.createTempDirectory("tvf_br").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "tvf_br_tbl")
+    g.create(graft.scenarios.Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 30).commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 12).commit()
+    g.writeTo("main")
+    val d = g.tableDir.toString
+    val main = spark.sql(s"SELECT COUNT(*) c FROM graft_table('$d')")
+      .collect()(0).getLong(0)
+    val branch = spark.sql(s"SELECT COUNT(*) c FROM graft_table('$d', 'dev')")
+      .collect()(0).getLong(0)
+    assert(main == 30L, s"main saw branch rows: $main")
+    assert(branch == 42L, s"branch lineage wrong: $branch")
+  }
 }

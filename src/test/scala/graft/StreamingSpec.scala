@@ -210,6 +210,40 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming WAP: micro-batches land on a branch; audit gates the fast-forward") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val wh = java.nio.file.Files.createTempDirectory("stream-wap").toString
+    val g = new graft.table.GraftTableGenerator(spark, wh, "stream_wap")
+    g.create(graft.schema.GraftSchema.of("k" -> IntegerType), Nil)
+    g.appendData(Seq(0).toDF("k")).commit()
+    g.createBranch("ingest")
+    g.writeTo("ingest")
+    val stream = MemoryStream[Int]
+    val sq = stream.toDS().toDF("k").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wap-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        g.appendData(batch).commit(); ()
+      }.start()
+    try {
+      stream.addData(1, 2, 3); sq.processAllAvailable()
+      stream.addData(4, 5); sq.processAllAvailable()
+      // pre-publication: main serves only the pre-stream state
+      assert(graft.read.MorReader.read(spark, g.tableDir.toString).count() == 1L)
+      // audit the BRANCH (row count + key uniqueness), then publish
+      val staged = g.readBranch("ingest")
+      assert(staged.count() == 6L)
+      assert(staged.select("k").distinct().count() == 6L)
+      g.writeTo("main").fastForward("ingest")
+      assert(g.read.collect().map(_.getInt(0)).sorted.toSeq == (0 to 5))
+      // the audit window is snapshot-per-batch: time travel still works
+      val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
+      assert(st.snapshots.size == 3) // base + 2 published micro-batches
+    } finally sq.stop()
+  }
+
   test("foreachBatch CDC merge sink: version-gated apply; late old changes and replays are no-ops") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
