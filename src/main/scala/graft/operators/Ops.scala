@@ -186,4 +186,57 @@ object Ops {
       .select(col(keyCol), col(bucketCol),
         last("_hv", ignoreNulls = true).over(w).as("fv"))
   }
+
+  /** Bloom-prefiltered equi-join: an explicit, deterministic form of the
+    * runtime row-level filtering Spark's join runtime filters apply
+    * opportunistically — for when the build side is too big to broadcast
+    * as a join but its KEY SET still compresses into a few KB of bloom.
+    *
+    * Build: each build-side key hashes once (`xxhash64` of the canonical
+    * string) and fans to 3 probe bits (Kirsch–Mitzenmacher, the same
+    * formula as the engine's file-metrics blooms); a (lane → bit_or)
+    * aggregate over 3 rows/key collapses to ≤ nBits/64 rows, collected as
+    * ONE literal long-array (driver holds nBits bits, never the key set).
+    * Probe: the stream side filters on 3 codegen'd bit tests against the
+    * array literal BEFORE the join shuffle — no false negatives, so the
+    * result is row-identical to the plain join; false positives (rate set
+    * by nBits vs build cardinality) merely survive until the exact join.
+    * At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling the ~matching slice.
+    */
+  def bloomPrefilterJoin(large: DataFrame, small: DataFrame,
+                         largeKey: String, smallKey: String,
+                         nBits: Int = 8192): DataFrame =
+    large.where(bloomProbePredicate(small, smallKey, largeKey, nBits))
+      .join(small, col(largeKey) === col(smallKey))
+
+  /** The bloom probe as a standalone predicate: builds the filter from
+    * `small(smallKey)` (one collect of ≤ nBits/64 lane longs) and returns
+    * the codegen'd 3-bit-test Column over `probeKey`. Usable on its own
+    * to pre-gate any downstream operator, not just a join. */
+  def bloomProbePredicate(small: DataFrame, smallKey: String,
+                          probeKey: String, nBits: Int = 8192): Column = {
+    require(Integer.bitCount(nBits) == 1 && nBits >= 64,
+      s"nBits must be a power of two >= 64, got $nBits")
+    val nLanes = nBits / 64
+    def posExpr(keyCol: String, j: Int): String =
+      s"pmod(xxhash64(cast(`$keyCol` as string)) + ${j}L * " +
+        s"(shiftrightunsigned(xxhash64(cast(`$keyCol` as string)), 33) | 1L), ${nBits}L)"
+    // build: 3 probe positions per key -> per-lane bit_or (<= nLanes rows)
+    val lanesRows = small
+      .select(explode(array((0 until 3).map(j => expr(posExpr(smallKey, j))): _*))
+        .as("_p"))
+      .groupBy(expr("_p div 64").as("_lane"))
+      .agg(expr("bit_or(shiftleft(1L, cast(_p % 64 as int)))").as("_bits"))
+      .collect()
+    val lanes = new Array[Long](nLanes)
+    lanesRows.foreach(r => lanes(r.getLong(0).toInt) = r.getLong(1))
+    val laneLit = lit(lanes)
+    // all 3 bits set ⇒ maybe-present; any clear ⇒ definitely absent
+    (0 until 3).map { j =>
+      val pos = posExpr(probeKey, j)
+      (element_at(laneLit, expr(s"cast(($pos div 64) as int)") + 1)
+        .bitwiseAND(expr(s"shiftleft(1L, cast($pos % 64 as int))"))) =!= 0L
+    }.reduce(_ && _)
+  }
 }

@@ -57,10 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GraftRewrites)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectTableFunction((GraftTableFunction.identifier,
       GraftTableFunction.info, GraftTableFunction.builder))
     ext.injectTableFunction((GraftTableFunction.changesIdentifier,
       GraftTableFunction.changesInfo, GraftTableFunction.changesBuilder))
+    ext.injectTableFunction((GraftTableFunction.atIdentifier,
+      GraftTableFunction.atInfo, GraftTableFunction.atBuilder))
     graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }
@@ -75,6 +78,7 @@ object GraftExtensionsLive {
       spark.experimental.extraOptimizations = cur :+ GraftRewrites
     }
     AsOfJoinApi.ensureInstalled(spark)
+    RangeJoinApi.ensureInstalled(spark)
     GraftTableFunction.ensureRegistered(spark)
   }
 }

@@ -54,6 +54,30 @@ object GraftTableFunction {
     df.queryExecution.analyzed
   }
 
+  val atIdentifier: FunctionIdentifier = FunctionIdentifier("graft_table_at")
+
+  val atInfo: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftTableFunction", "graft_table_at")
+
+  /** `graft_table_at('/wh/tbl', tsMs)` — wall-clock time travel (`FOR
+    * TIMESTAMP AS OF`) from plain SQL: the state as of the newest snapshot
+    * whose writer-stamped commit time is <= tsMs. */
+  val atBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    def const(e: Expression): Any = {
+      require(e.foldable, s"graft_table_at arguments must be literals, got $e")
+      e.eval()
+    }
+    args match {
+      case Seq(p, ts) =>
+        MorReader.readAtTime(spark, const(p).toString,
+          const(ts).asInstanceOf[Number].longValue)
+          .queryExecution.analyzed
+      case _ =>
+        throw new IllegalArgumentException("graft_table_at(path, tsMs)")
+    }
+  }
+
   val changesIdentifier: FunctionIdentifier =
     FunctionIdentifier("graft_table_changes")
 
@@ -90,6 +114,9 @@ object GraftTableFunction {
     }
     if (!reg.functionExists(changesIdentifier)) {
       reg.registerFunction(changesIdentifier, changesInfo, changesBuilder)
+    }
+    if (!reg.functionExists(atIdentifier)) {
+      reg.registerFunction(atIdentifier, atInfo, atBuilder)
     }
   }
 }

@@ -304,6 +304,25 @@ object DepthQueries {
         .orderBy("lang", "rk")
     }),
 
+    // bloom-prefiltered fact⋈dim join: the dim's key set compresses to a
+    // one-literal bloom the fact side probes with codegen'd bit tests
+    // BEFORE its join shuffle (Ops.bloomPrefilterJoin) — no false
+    // negatives, so the answer is row-identical to the plain join the
+    // oracle runs; at 100 TB the prefilter is the difference between
+    // shuffling the whole fact table and the matching slice
+    "join_bloom_prefilter" -> ((s, d) => {
+      val dim = tbl(s, d, "part")
+        .where(cents(col("p_retailprice")) % 97 === 0)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.operators.Ops.bloomPrefilterJoin(
+          tbl(s, d, "lineitem").select("l_partkey", "l_extendedprice"),
+          dim, "l_partkey", "p_partkey")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+        .orderBy("p_brand")
+    }),
+
     // Johnson-Lindenstrauss random projection 64 → 16 dims (the
     // dimensionality-reduction primitive in front of ANN indexes): a ±1
     // projection matrix derived from the shared md5-based hash, elements
@@ -551,6 +570,15 @@ object DepthQueries {
         |                  doc_id) AS INTEGER) AS rk
         |FROM documents
         |QUALIFY rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    // the plain join — the prefilter must be invisible in the answer
+    "join_bloom_prefilter" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(ROUND(p_retailprice * 100) AS BIGINT) % 97 = 0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "embed_random_project" ->
       """WITH e AS (SELECT vec_id, i - 1 AS i,

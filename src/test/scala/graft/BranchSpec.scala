@@ -114,6 +114,29 @@ class BranchSpec extends SparkSpec {
     assert(g.read.count() == 10L)
   }
 
+  test("compaction on a branch rewrites only the branch lineage; main files untouched") {
+    val g = new GraftTableGenerator(spark, freshWh("compact"), "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 20).commit()
+    val mainFiles = SnapshotLog(g.tableDir.toString).load()
+      .dataFiles.map(_.path).toSet
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+      .positionalDelete(Seq("widget"), col("product_id") < 5).commit()
+    g.compact().commit() // active lineage = the branch
+    // branch state survives the rewrite; main's view still lists its
+    // original physical files and its original rows
+    assert(g.read.count() == 25L)
+    assert(g.writeTo("main").read.count() == 20L)
+    val mainNow = SnapshotLog(g.tableDir.toString).load().mainOnly
+      .dataFiles.map(_.path).toSet
+    assert(mainNow == mainFiles, "main's live file set changed under a branch compaction")
+    // publish and re-check end state
+    g.fastForward("dev")
+    assert(g.read.count() == 25L)
+  }
+
   test("branch snapshot JSON round-trips; main snapshots stay legacy-shaped") {
     val g = new GraftTableGenerator(spark, freshWh("json"), "t")
     g.create(Scenarios.ProductsSchema, Seq("category"))

@@ -102,4 +102,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(main == 30L, s"main saw branch rows: $main")
     assert(branch == 42L, s"branch lineage wrong: $branch")
   }
+
+  test("graft_table_at(path, tsMs) time-travels by wall clock from SQL") {
+    GraftTableFunction.ensureRegistered(spark)
+    val wh = java.nio.file.Files.createTempDirectory("tvf_at").toString
+    var tick = 0L
+    val g = new graft.table.GraftTableGenerator(spark, wh, "tvf_at_tbl",
+      clock = () => { tick += 1000L; tick })
+    g.create(graft.scenarios.Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 5).commit()
+    val d = g.tableDir.toString
+    // commit stamps: snap1 @1000, snap2 @2000
+    val early = spark.sql(s"SELECT COUNT(*) c FROM graft_table_at('$d', 1500)")
+      .collect()(0).getLong(0)
+    val late = spark.sql(s"SELECT COUNT(*) c FROM graft_table_at('$d', 2500)")
+      .collect()(0).getLong(0)
+    assert(early == 10L && late == 15L, s"early=$early late=$late")
+    // before all history: analysis-time error, same contract as the API
+    intercept[Exception](
+      spark.sql(s"SELECT COUNT(*) c FROM graft_table_at('$d', 500)").collect())
+  }
 }
