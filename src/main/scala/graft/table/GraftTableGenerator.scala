@@ -913,13 +913,21 @@ final class GraftTableGenerator(
   def expireSnapshots(keepLast: Int): this.type = {
     require(stagedOps == 0, "commit staged work before expiring snapshots")
     val st = log.load()
-    require(st.snapshots.forall(_.branch == "main"),
-      "snapshot expiry with live branches is unsupported — fastForward() " +
-        "or dropBranch()+rollback first (a rebased baseline would destroy " +
-        "fork-point history branches still read through)")
-    if (st.snapshots.size <= keepLast) return this
-    val horizon = st.snapshots(st.snapshots.size - keepLast - 1).id
-    val base = st.asOf(horizon)
+    val mains = st.snapshots.filter(_.branch == "main")
+    if (mains.size <= keepLast) return this
+    // BRANCH-AWARE retention (Iceberg ref-retention semantics): a live
+    // branch reads main history up to its fork, so the expiry horizon
+    // clamps to the EARLIEST live fork — fork prefixes a branch still
+    // travels through are never folded away; everything older expires
+    // normally. Branch snapshots themselves (ids > their fork >= horizon)
+    // are always retained.
+    val liveForks = log.refs.collect {
+      case (name, snap) if name.startsWith("branch:") => snap
+    }
+    val horizon = (mains(mains.size - keepLast - 1).id +: liveForks.toSeq).min
+    val base = st.mainOnly.asOf(horizon)
+    if (base.snapshots.size <= 1 &&
+        base.snapshots.headOption.forall(_.id == horizon)) return this
     // files live at the horizon — everything else written before it is orphaned
     val liveData = base.dataFiles
     val liveDeletes = base.deleteFiles
@@ -933,7 +941,7 @@ final class GraftTableGenerator(
     val baseline = Snapshot(horizon, base.snapshots.last.seq,
       base.currentSchemaV, base.currentSpecId, liveData, liveDeletes,
       timestampMs = base.snapshots.last.timestampMs, operation = "replace")
-    val tail = st.snapshots.drop(st.snapshots.size - keepLast)
+    val tail = st.snapshots.filter(_.id > horizon)
     log.rewrite(baseline +: tail)
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
     this

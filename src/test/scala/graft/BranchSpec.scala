@@ -84,21 +84,38 @@ class BranchSpec extends SparkSpec {
     assert(g.readBranch("dev").count() == 15L) // fork 10 + branch 5
   }
 
-  test("snapshot expiry refuses live branches; orphan GC spares branch files") {
+  test("snapshot expiry clamps to the earliest live fork; orphan GC spares branch files") {
     val g = new GraftTableGenerator(spark, freshWh("gc"), "t")
     g.create(Scenarios.ProductsSchema, Seq("category"))
       .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
       .append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
-    g.createBranch("dev")
+    g.createBranch("dev") // fork = snap 2
     g.writeTo("dev")
       .append(Seq("gizmo"), graft.gen.Bundles.products(), 1, 5).commit()
     g.writeTo("main")
-    val e = intercept[IllegalArgumentException](g.expireSnapshots(1))
-    assert(e.getMessage.contains("branches"))
+    // wanted horizon (keep last 1 of 2 mains) = 1; fork 2 does not clamp it
+    g.expireSnapshots(1)
+    assert(g.read.count() == 20L)
+    assert(g.readBranch("dev").count() == 25L)
+    assert(MorReader.readAt(spark, g.tableDir.toString, 2L).count() == 20L)
+    // main advances; now the wanted horizon passes the fork and must CLAMP
+    g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 5).commit()
+    g.expireSnapshots(1)
+    // the fork-point state survives as the rebased baseline at the fork id
+    assert(g.readBranch("dev").count() == 25L)
+    assert(g.read.count() == 25L)
+    assert(MorReader.readAt(spark, g.tableDir.toString, 2L).count() == 20L)
     // orphan GC counts branch files as referenced
     val deleted = g.removeOrphanFiles(graceMs = 0L)
     assert(deleted.isEmpty)
     assert(g.readBranch("dev").count() == 25L)
+    // dropping the branch lifts the clamp (main diverged past the fork,
+    // so fast-forward is correctly impossible here)
+    intercept[IllegalArgumentException](g.fastForward("dev"))
+    g.dropBranch("dev")
+    g.expireSnapshots(1)
+    assert(g.read.count() == 25L)
+    intercept[IllegalArgumentException](g.readBranch("dev"))
   }
 
   test("dropBranch removes the ref; branch snapshots leave every read path") {
