@@ -86,6 +86,25 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Posting-list value-index lifecycle fixture: build over 200 rows,
+    * eq-delete one indexed value (stale posting — must filter out),
+    * append 20 more and refresh incrementally. Probes hit pre-index,
+    * deleted, post-refresh, and absent values. */
+  private def vidxTable(spark: SparkSession): String =
+    built.computeIfAbsent("vidx_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_vidx")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 4, 25).commit()
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 4, 25).commit()
+      val idx = java.nio.file.Files.createTempDirectory("vidx_q_idx").toString
+      graft.read.ValueIndex.build(spark, g.tableDir.toString, "product_id", idx)
+      g.equalityDelete(Seq("gizmo"), col("product_id") === 140,
+        Seq("product_id")).commit()
+      g.append(Seq("widget"), graft.gen.Bundles.products(), 2, 10).commit()
+      graft.read.ValueIndex.refresh(spark, g.tableDir.toString, idx)
+      g.tableDir.toString + "\n" + idx
+    })
+
   /** The writable-branch lifecycle, end state driver-oracled: widget 100
     * on main, fork branch "audit", branch-append gizmo 50 + eq-delete
     * widget %10==0 (both INVISIBLE to main — guarded at build), then
@@ -732,6 +751,20 @@ object MorQueries {
         .orderBy("partition")
     }),
 
+    // posting-list value index, driver-oracled: index-backed point reads
+    // across the whole lifecycle — a pre-index value, an eq-DELETED value
+    // (stale posting filtered by the MoR read), a value only the
+    // incremental refresh indexed, and an absent value
+    "mor_value_index" -> ((s, _) => {
+      val Array(dir, idx) = vidxTable(s).split("\n")
+      Seq("137", "140", "205", "99999").map { v =>
+        graft.read.ValueIndex.readValue(s, dir, idx, v)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("product_id"), lit(0L)).as("id_sum"))
+          .select(lit(v).as("probe"), col("n_rows"), col("id_sum"))
+      }.reduce(_ unionAll _).orderBy("probe")
+    }),
+
     // the writable-branch surface, driver-oracled END STATE: after the
     // audit branch fast-forwards, main carries the fork append + the
     // branch's gizmo append and widget eq-delete (140 rows), time travel
@@ -1245,6 +1278,17 @@ object MorQueries {
     "mor_wap_audit" ->
       """SELECT CAST((SELECT COUNT(*) FROM range(0, 130)) AS BIGINT) AS n_rows,
         |       CAST(2 AS BIGINT) AS n_snapshots""".stripMargin,
+
+    // probes: 137 pre-index hit, 140 deleted (0), 205 refresh-indexed hit,
+    // 99999 absent
+    "mor_value_index" ->
+      """SELECT * FROM (VALUES
+        |  ('137', CAST(1 AS BIGINT), CAST(137 AS BIGINT)),
+        |  ('140', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('205', CAST(1 AS BIGINT), CAST(205 AS BIGINT)),
+        |  ('99999', CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(probe, n_rows, id_sum)
+        |ORDER BY probe""".stripMargin,
 
     // ids 0..99 widget (fork), 100..149 gizmo (branch append); the branch
     // eq-delete kills widget ids %10==0 only (partition-scoped)
