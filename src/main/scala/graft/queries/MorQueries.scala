@@ -86,6 +86,19 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Manifest-count fixture: widget clean (metadata path sound), gizmo
+    * delete-affected (must fall back to the MoR scan). */
+  private def fastCountTable(spark: SparkSession): String =
+    built.computeIfAbsent("fastcount_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_fc")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 2, 50).commit()
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 2, 50).commit()
+        .equalityDelete(Seq("gizmo"), col("product_id") % 5 === 0,
+          Seq("product_id")).commit()
+      g.tableDir.toString
+    })
+
   /** Posting-list value-index lifecycle fixture: build over 200 rows,
     * eq-delete one indexed value (stale posting — must filter out),
     * append 20 more and refresh incrementally. Probes hit pre-index,
@@ -751,6 +764,21 @@ object MorQueries {
         .orderBy("partition")
     }),
 
+    // metadata-only COUNT(*) (Iceberg's manifest-count path),
+    // driver-oracled: the clean partition answers from a driver fold over
+    // declared record counts (zero file I/O — metadata_only=true); scopes
+    // a delete file can touch fall back to the exact MoR scan
+    "mor_fast_count" -> ((s, _) => {
+      val dir = fastCountTable(s)
+      Seq(("all", Map.empty[String, Set[String]]),
+          ("gizmo", Map("category" -> Set("gizmo"))),
+          ("widget", Map("category" -> Set("widget")))).map { case (tag, pf) =>
+        val (n, metaOnly) = MorReader.fastCount(s, dir, pf)
+        s.range(1).select(lit(tag).as("scope"), lit(n).as("n_rows"),
+          lit(metaOnly).as("metadata_only"))
+      }.reduce(_ unionAll _).orderBy("scope")
+    }),
+
     // posting-list value index, driver-oracled: index-backed point reads
     // across the whole lifecycle — a pre-index value, an eq-DELETED value
     // (stale posting filtered by the MoR read), a value only the
@@ -1278,6 +1306,16 @@ object MorQueries {
     "mor_wap_audit" ->
       """SELECT CAST((SELECT COUNT(*) FROM range(0, 130)) AS BIGINT) AS n_rows,
         |       CAST(2 AS BIGINT) AS n_snapshots""".stripMargin,
+
+    // widget clean: manifest fold (100, metadata-only); gizmo: 100 minus
+    // the 20 eq-deleted ids, via the scan; all = 180 via the scan
+    "mor_fast_count" ->
+      """SELECT * FROM (VALUES
+        |  ('all', CAST(180 AS BIGINT), false),
+        |  ('gizmo', CAST(80 AS BIGINT), false),
+        |  ('widget', CAST(100 AS BIGINT), true))
+        |  AS t(scope, n_rows, metadata_only)
+        |ORDER BY scope""".stripMargin,
 
     // probes: 137 pre-index hit, 140 deleted (0), 205 refresh-indexed hit,
     // 99999 absent

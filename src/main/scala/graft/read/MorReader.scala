@@ -224,6 +224,42 @@ object MorReader {
       .select(live.names.map(col): _*)
   }
 
+  /** Metadata-only COUNT(*) — Iceberg's manifest-count path: when NO
+    * delete file can apply to any selected data file (positional deletes
+    * kill rows in same-partition files with seq <= theirs, equality
+    * deletes with seq strictly below theirs), the count is the sum of the
+    * declared record counts — zero file I/O, zero Spark jobs, a pure
+    * driver fold over the (possibly partition-pruned) manifest. Any
+    * potentially-applicable delete file falls back to the exact MoR scan.
+    *
+    * Returns (count, metadataOnly). CAVEAT, deliberately inherited from
+    * Iceberg: the manifest path TRUSTS declared record counts — the S2
+    * stressor (`appendEmptyFile`) writes a lying count=1 on purpose, and
+    * there the manifest path reproduces what Iceberg's own count
+    * optimization returns while the scan path stays the ground truth
+    * (pinned by FastCountSpec). */
+  def fastCount(spark: SparkSession, tableDir: String,
+                partitionFilter: Map[String, Set[String]] = Map.empty)
+      : (Long, Boolean) = {
+    val st = SnapshotLog(tableDir).load().mainOnly
+    val live = st.schema
+    val files = planDataFiles(spark, st.dataFiles, live, partitionFilter, Map.empty)
+    val deleteMayApply = st.deleteFiles.exists { d =>
+      files.exists { f =>
+        f.partition == d.partition &&
+          (if (d.kind == "pos") f.seq <= d.seq else f.seq < d.seq)
+      }
+    }
+    if (!deleteMayApply) (files.map(_.recordCount).sum, true)
+    else {
+      val partPred = partitionFilter.collect {
+        case (k, vs) if live.names.contains(k) =>
+          col(k).cast("string").isin(vs.toSeq: _*)
+      }.foldLeft(lit(true))(_ && _)
+      (withMeta(spark, st, live, partitionFilter).where(partPred).count(), false)
+    }
+  }
+
   /** Same as read but keeps (file_path, pos, seq) service columns. */
   def readWithMeta(spark: SparkSession, tableDir: String): DataFrame = {
     val st = SnapshotLog(tableDir).load().mainOnly

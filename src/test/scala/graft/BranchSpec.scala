@@ -154,6 +154,35 @@ class BranchSpec extends SparkSpec {
     assert(g.read.count() == 25L)
   }
 
+  test("main and branch writers race: conflicts refresh and re-stage, both lineages correct") {
+    import spark.implicits._
+    val wh = freshWh("race")
+    val g = new GraftTableGenerator(spark, wh, "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 20).commit()
+    g.createBranch("dev")
+    // a second writer attaches and routes to the branch
+    val b = new GraftTableGenerator(spark, wh, "t").open().writeTo("dev")
+    def row(id: Int): org.apache.spark.sql.DataFrame =
+      Seq((id, s"p$id", "gizmo", "blue",
+        java.sql.Date.valueOf("2022-01-01"), 1.0, 1))
+        .toDF("product_id", "name", "category", "color",
+          "created_date", "weight", "quantity")
+    // branch writer takes the next global snapshot id out from under the
+    // stale main writer: the main commit must conflict, refresh, re-stage
+    b.appendData(row(1000)).commit()
+    var attempts = 0
+    g.commitWithRetry() { w => attempts += 1; w.appendData(row(2000)) }
+    assert(attempts >= 2, s"expected a conflict-driven retry, got $attempts")
+    // lineages: main sees its append, never the branch's; branch sees both
+    // its own and the fork prefix
+    val main = g.read.select("product_id").collect().map(_.getInt(0)).toSet
+    assert(main.contains(2000) && !main.contains(1000) && main.size == 21)
+    val dev = g.readBranch("dev").select("product_id").collect()
+      .map(_.getInt(0)).toSet
+    assert(dev.contains(1000) && !dev.contains(2000) && dev.size == 21)
+  }
+
   test("branch snapshot JSON round-trips; main snapshots stay legacy-shaped") {
     val g = new GraftTableGenerator(spark, freshWh("json"), "t")
     g.create(Scenarios.ProductsSchema, Seq("category"))
