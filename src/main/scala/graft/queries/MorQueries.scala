@@ -779,6 +779,23 @@ object MorQueries {
       }.reduce(_ unionAll _).orderBy("scope")
     }),
 
+    // metadata-only MIN/MAX (Iceberg's aggregate pushdown), driver-oracled
+    // on the same fixture: the clean partition folds per-file metric
+    // envelopes on the driver (zero file I/O); delete-affected scopes fall
+    // back to the exact MoR scan in the column's native type
+    "mor_fast_minmax" -> ((s, _) => {
+      val dir = fastCountTable(s)
+      Seq(("all", Map.empty[String, Set[String]]),
+          ("gizmo", Map("category" -> Set("gizmo"))),
+          ("widget", Map("category" -> Set("widget")))).map { case (tag, pf) =>
+        val (mm, metaOnly) = MorReader.fastMinMax(s, dir, "product_id", pf)
+        s.range(1).select(lit(tag).as("scope"),
+          lit(mm.map(_._1).orNull).as("min_id"),
+          lit(mm.map(_._2).orNull).as("max_id"),
+          lit(metaOnly).as("metadata_only"))
+      }.reduce(_ unionAll _).orderBy("scope")
+    }),
+
     // posting-list value index, driver-oracled: index-backed point reads
     // across the whole lifecycle — a pre-index value, an eq-DELETED value
     // (stale posting filtered by the MoR read), a value only the
@@ -1315,6 +1332,16 @@ object MorQueries {
         |  ('gizmo', CAST(80 AS BIGINT), false),
         |  ('widget', CAST(100 AS BIGINT), true))
         |  AS t(scope, n_rows, metadata_only)
+        |ORDER BY scope""".stripMargin,
+
+    // widget ids 0..99 clean (metadata envelope fold); gizmo 100..199
+    // minus %5==0 via the scan (101..199); all = 0..199 via the scan
+    "mor_fast_minmax" ->
+      """SELECT * FROM (VALUES
+        |  ('all', '0', '199', false),
+        |  ('gizmo', '101', '199', false),
+        |  ('widget', '0', '99', true))
+        |  AS t(scope, min_id, max_id, metadata_only)
         |ORDER BY scope""".stripMargin,
 
     // probes: 137 pre-index hit, 140 deleted (0), 205 refresh-indexed hit,

@@ -250,13 +250,70 @@ object MorReader {
           (if (d.kind == "pos") f.seq <= d.seq else f.seq < d.seq)
       }
     }
-    if (!deleteMayApply) (files.map(_.recordCount).sum, true)
+    // bulk/DataFrame appends register recordCount = -1 (count unknown —
+    // the writer skipped the count job); any unknown forces the scan
+    val countsKnown = files.forall(_.recordCount >= 0)
+    if (!deleteMayApply && countsKnown) (files.map(_.recordCount).sum, true)
     else {
       val partPred = partitionFilter.collect {
         case (k, vs) if live.names.contains(k) =>
           col(k).cast("string").isin(vs.toSeq: _*)
       }.foldLeft(lit(true))(_ && _)
       (withMeta(spark, st, live, partitionFilter).where(partPred).count(), false)
+    }
+  }
+
+  /** Metadata-only MIN/MAX for a column (Iceberg's aggregate pushdown for
+    * MIN/MAX): when no delete file can apply to any selected file
+    * (same rule as [[fastCount]]) AND every selected file carries metrics
+    * for the column AND no file is all-NULL-ambiguous for the bound, the
+    * answer folds the per-file [min, max] envelopes on the driver — zero
+    * file I/O. Unlike record counts, the metrics are computed by this
+    * writer from the actual rows (even the S2 lying-count file carries no
+    * metrics and forces the scan), so the metadata path here is exact,
+    * not trust-based. Missing metrics or possible deletes fall back to the
+    * exact scan. Returns ((min, max), metadataOnly) as canonical metric
+    * strings; None when the scope is empty or the column is all NULL. */
+  def fastMinMax(spark: SparkSession, tableDir: String, colName: String,
+                 partitionFilter: Map[String, Set[String]] = Map.empty)
+      : (Option[(String, String)], Boolean) = {
+    val st = SnapshotLog(tableDir).load().mainOnly
+    val live = st.schema
+    val field = live.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column $colName in ${live.names}"))
+    val files = planDataFiles(spark, st.dataFiles, live, partitionFilter, Map.empty)
+    val deleteMayApply = st.deleteFiles.exists { d =>
+      files.exists { f =>
+        f.partition == d.partition &&
+          (if (d.kind == "pos") f.seq <= d.seq else f.seq < d.seq)
+      }
+    }
+    val perFile = files.map(f => f.metrics.get(field.id))
+    val metaSound = !deleteMayApply && perFile.forall(_.isDefined)
+    if (metaSound) {
+      // entries with min/max None are all-NULL files — they contribute
+      // nothing to MIN/MAX (SQL aggregate NULL semantics)
+      val bounds = perFile.flatten.flatMap(m => m.min.zip(m.max))
+      if (bounds.isEmpty) (None, true)
+      else {
+        val best = bounds.reduce { (a, b) =>
+          (if (cmpMetric(field.dataType, a._1, b._1).exists(_ <= 0)) a._1 else b._1,
+            if (cmpMetric(field.dataType, a._2, b._2).exists(_ >= 0)) a._2 else b._2)
+        }
+        (Some(best), true)
+      }
+    } else {
+      val partPred = partitionFilter.collect {
+        case (k, vs) if live.names.contains(k) =>
+          col(k).cast("string").isin(vs.toSeq: _*)
+      }.foldLeft(lit(true))(_ && _)
+      // aggregate in the column's NATIVE type (a lexical min over cast
+      // strings would order "10" before "9"), then render canonically
+      val r = withMeta(spark, st, live, partitionFilter).where(partPred)
+        .agg(min(col(colName)).cast("string").as("mn"),
+          max(col(colName)).cast("string").as("mx")).collect()(0)
+      if (r.isNullAt(0)) (None, false)
+      else (Some((r.getString(0), r.getString(1))), false)
     }
   }
 

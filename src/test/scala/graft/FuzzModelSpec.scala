@@ -162,6 +162,15 @@ class FuzzModelSpec extends SparkSpec {
         assert(got == live.toSet,
           s"seed=$seed step=$step snap=$snapId: engine=${got.size} model=${live.size}; " +
             s"missing=${(live.toSet -- got).take(5)} extra=${(got -- live).take(5)}")
+        // the metadata-count/min-max paths must agree with the model after
+        // EVERY commit, whichever path (manifest fold or scan) they take
+        val (fc, _) = MorReader.fastCount(spark, g.tableDir.toString)
+        assert(fc == live.size,
+          s"seed=$seed step=$step: fastCount=$fc model=${live.size}")
+        val (mm, _) = MorReader.fastMinMax(spark, g.tableDir.toString, "order_id")
+        val want = if (live.isEmpty) None
+          else Some((live.min.toString, live.max.toString))
+        assert(mm == want, s"seed=$seed step=$step: fastMinMax=$mm want=$want")
       }
 
       // time travel replays every retained model state
