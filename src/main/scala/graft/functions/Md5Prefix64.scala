@@ -131,6 +131,9 @@ object GraftFunctions {
       (FunctionIdentifier("misra_gries"),
         new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
         (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), exprs(1))),
+      (FunctionIdentifier("bitset_agg"),
+        new ExpressionInfo(classOf[BitsetAgg].getName, "bitset_agg"),
+        (exprs: Seq[Expression]) => BitsetAgg(exprs.head)),
       (FunctionIdentifier("pq_encode"),
         new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
         (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1), exprs(2))),

@@ -94,6 +94,14 @@ object BloomFilter {
   * carries honest (absent) stats. This is what lets a reader skip whole
   * files on arbitrary range/equality predicates at metadata scale instead
   * of opening a million Parquet footers ([[graft.read.MorReader.readRange]]).
+  *
+  * `firstRowId` is Iceberg v3 ROW LINEAGE: the file's rows carry stable
+  * row ids `firstRowId + position`, assigned once at commit from the
+  * table's monotone counter ([[SnapshotLog.commit]]) and NEVER reassigned.
+  * -1 = unassigned (legacy entries, or unknown record count). Rewritten
+  * (compacted) files set `lineageInFile` instead: they carry the original
+  * ids MATERIALIZED as physical `_graft_row_id`/`_graft_last_seq` columns,
+  * which is how identity survives compaction.
   */
 final case class DataFileEntry(
     path: String,
@@ -102,7 +110,9 @@ final case class DataFileEntry(
     schemaV: Int,
     seq: Long,
     recordCount: Long,
-    metrics: Map[Int, ColMetrics] = Map.empty)
+    metrics: Map[Int, ColMetrics] = Map.empty,
+    firstRowId: Long = -1L,
+    lineageInFile: Boolean = false)
 
 /** A delete file (positional or equality) registered via a row-delta
   * (reference `RowDelta`, `IcebergTableGenerator.java:202,281-284,360-363`).
@@ -174,7 +184,8 @@ final case class Snapshot(
     removedDeleteFiles: Seq[String] = Nil,
     timestampMs: Long = 0L,
     operation: String = "append",
-    branch: String = "main")
+    branch: String = "main",
+    nextRowId: Long = -1L)
 
 /** Loaded table state as of a snapshot.
   *
@@ -313,6 +324,29 @@ final class SnapshotLog(tableDir: Path) {
     TableState(schemas, specs, snapshots)
   }
 
+  /** The `nextRowId` stamp of snapshot `id` — one-file parse for
+    * commit-time row-id assignment. Falls back to the snapshot's own
+    * entries when the stamp is absent (pre-field logs, rebased baselines
+    * from old code); 0 when nothing is assigned yet. */
+  private def nextRowIdOf(id: Long): Long = {
+    val p = snapFile(id)
+    val node: Option[JsonNode] =
+      if (Files.exists(p)) Some(mapper.readTree(Files.readString(p)))
+      else if (Files.exists(logFile))
+        Files.readAllLines(logFile).asScala.filter(_.nonEmpty)
+          .map(mapper.readTree(_): JsonNode)
+          .find(_.get("id").asLong == id)
+      else None
+    node.flatMap(n => Option(n.get("nextRowId")).map(_.asLong))
+      .getOrElse {
+        node.map(parseSnapshot).map(s =>
+          (0L +: s.dataFiles.collect {
+            case f if f.firstRowId >= 0 && f.recordCount >= 0 =>
+              f.firstRowId + f.recordCount
+          }).max).getOrElse(0L)
+      }
+  }
+
   def lastSnapshotId: Long = committedIds().lastOption.getOrElse(0L)
   def lastSeq: Long = load().snapshots.lastOption.map(_.seq).getOrElse(0L)
 
@@ -333,9 +367,31 @@ final class SnapshotLog(tableDir: Path) {
         s"stale commit: staged snapshot ${s.id} but table is at $lastId " +
           s"(expected ${lastId + 1}) — another writer committed first; " +
           "reload the table state and re-stage")
+    // ---- row-lineage assignment (Iceberg v3 first-row-id): data files
+    // with a known record count get firstRowId from the table's monotone
+    // counter, read from the LAST COMMITTED snapshot (global across
+    // branches — snapshot ids are one counter, so the last id holds the
+    // running max). Assignment happens HERE, under the same CAS that
+    // arbitrates the commit: a writer that loses the race re-stages and
+    // re-assigns from the winner's counter, so ids never collide. The
+    // DECLARED count advances the counter (Iceberg trusts record_count —
+    // S2's lying file wastes one id, harmless). Files adopted with ids
+    // already assigned (fast-forward) only raise the stamp.
+    val base = math.max(0L,
+      if (lastId == 0) 0L else nextRowIdOf(lastId))
+    var ctr = base
+    val assigned = s.dataFiles.map { f =>
+      if (f.firstRowId >= 0 || f.lineageInFile || f.recordCount < 0) f
+      else { val a = f.copy(firstRowId = ctr); ctr += f.recordCount; a }
+    }
+    val stampedCtr = (ctr +: assigned.collect {
+      case f if f.firstRowId >= 0 && f.recordCount >= 0 =>
+        f.firstRowId + f.recordCount
+    }).max
+    val stamped = s.copy(dataFiles = assigned, nextRowId = stampedCtr)
     val tmp = Files.createTempFile(metaDir, ".snap", ".tmp")
     try {
-      Files.writeString(tmp, renderSnapshot(s))
+      Files.writeString(tmp, renderSnapshot(stamped))
       try Files.createLink(snapFile(s.id), tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(
@@ -557,6 +613,8 @@ final class SnapshotLog(tableDir: Path) {
     val o = mapper.createObjectNode()
     o.put("path", f.path); o.put("specId", f.specId); o.put("schemaV", f.schemaV)
     o.put("seq", f.seq); o.put("recordCount", f.recordCount)
+    if (f.firstRowId >= 0) o.put("firstRowId", f.firstRowId)
+    if (f.lineageInFile) o.put("lineageInFile", true)
     putPartition(o, f.partition)
     putMetrics(o, f.metrics)
     o
@@ -584,6 +642,7 @@ final class SnapshotLog(tableDir: Path) {
     root.put("id", s.id); root.put("seq", s.seq)
     root.put("schemaV", s.schemaV); root.put("specId", s.specId)
     root.put("timestampMs", s.timestampMs); root.put("operation", s.operation)
+    if (s.nextRowId >= 0) root.put("nextRowId", s.nextRowId)
     // default-omitted: main snapshots render byte-identical to pre-branch
     // logs, and legacy logs parse back as main
     if (s.branch != "main") root.put("branch", s.branch)
@@ -617,7 +676,9 @@ final class SnapshotLog(tableDir: Path) {
   private def parseDataEntry(o: JsonNode): DataFileEntry =
     DataFileEntry(o.get("path").asText, partitionOf(o), o.get("specId").asInt,
       o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong,
-      metricsOf(o))
+      metricsOf(o),
+      Option(o.get("firstRowId")).map(_.asLong).getOrElse(-1L),
+      Option(o.get("lineageInFile")).exists(_.asBoolean))
 
   private def parseDeleteEntry(o: JsonNode): DeleteFileEntry =
     DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,
@@ -661,7 +722,8 @@ final class SnapshotLog(tableDir: Path) {
     Snapshot(n.get("id").asLong, n.get("seq").asLong, n.get("schemaV").asInt,
       n.get("specId").asInt, dfs, dels, removedData, removedDeletes,
       Option(n.get("timestampMs")).map(_.asLong).getOrElse(0L), op,
-      Option(n.get("branch")).map(_.asText).getOrElse("main"))
+      Option(n.get("branch")).map(_.asText).getOrElse("main"),
+      Option(n.get("nextRowId")).map(_.asLong).getOrElse(-1L))
   }
 }
 

@@ -99,6 +99,104 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Deletion-vector lifecycle fixture: pos-delete widget ids < 10, fold
+    * into vectors, then post-fold deletes (pos band 20..24, eq id 150)
+    * that union on top, then a fresh append (ids 200..209). */
+  private def dvTable(spark: SparkSession): String =
+    built.computeIfAbsent("dv_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_dv")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 2, 50).commit()
+        .append(Seq("gizmo"), graft.gen.Bundles.products(), 2, 50).commit()
+      g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+      g.rewritePositionDeletesToDVs().commit()
+      g.positionalDelete(Seq("widget"),
+        col("product_id") >= 20 && col("product_id") < 25).commit()
+      g.equalityDelete(Seq("gizmo"), col("product_id") === 150,
+        Seq("product_id")).commit()
+      g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+      g.tableDir.toString
+    })
+
+  /** Initial-default fixture: 50 rows pre-add (read the default), then a
+    * column added with default 'active', then 50 rows with real values
+    * (even ids 'fresh', odd ids a REAL null — must stay null). */
+  private def defaultTable(spark: SparkSession): String =
+    built.computeIfAbsent("default_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_default")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 50).commit()
+      g.addColumn("status", org.apache.spark.sql.types.StringType,
+        Some("active"))
+      val post = graft.gen.Bundles.products()
+        .frame(spark, 50, 50, Some("widget"), Scenarios.ProductsSchema)
+        .withColumn("status", when(col("product_id") % 2 === 0,
+          lit("fresh")).otherwise(lit(null)))
+      g.appendData(post).commit()
+      g.tableDir.toString
+    })
+
+  /** Native-vector-write fixture: widget 100 rows, vectorDeletes(true),
+    * two positional deletes in separate commits (ids < 10, then 20..24)
+    * — generations OR-merge into one vector, zero tombstone files. */
+  private def nativeDvTable(spark: SparkSession): String =
+    built.computeIfAbsent("native_dv_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_ndv")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 2, 50).commit()
+      g.vectorDeletes(true)
+      g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+      g.positionalDelete(Seq("widget"),
+        col("product_id") >= 20 && col("product_id") < 25).commit()
+      g.tableDir.toString
+    })
+
+  /** ANALYZE fixture: widget 100, eq-delete ids %5 (80 live — colors
+    * black/green die with them), stats persisted at the delete head. */
+  private def statsTable(spark: SparkSession): String =
+    built.computeIfAbsent("stats_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_stats")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 100).commit()
+        .equalityDelete(Seq("widget"), col("product_id") % 5 === 0,
+          Seq("product_id")).commit()
+      g.analyze(Seq("product_id", "category", "color"))
+      g.tableDir.toString
+    })
+
+  /** Multi-transform-spec fixture (`category × bucket(2, product_id)`):
+    * 100 rows (even ids widget, odd gizmo) sliced on the full tuple,
+    * eq-delete ids < 20, then compact — partition maps keep both keys. */
+  private def multiSpecTable(spark: SparkSession): String =
+    built.computeIfAbsent("multispec_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_mspec")
+      g.create(Scenarios.ProductsSchema,
+        Seq("category", "bucket(2, product_id)"))
+      val rows = graft.gen.Bundles.products()
+        .frame(spark, 0, 100, Some("widget"), Scenarios.ProductsSchema)
+        .withColumn("category", when(col("product_id") % 2 === 0,
+          lit("widget")).otherwise(lit("gizmo")))
+      g.appendData(rows).commit()
+      g.equalityDelete(col("product_id") < 20, Seq("product_id")).commit()
+      g.compact().commit()
+      g.tableDir.toString
+    })
+
+  /** Row-lineage fixture: 100 rows (row ids 0..99 == product ids), delete
+    * band 10..19, SORTED compaction (rows physically reordered — ids must
+    * travel), then a fresh append taking ids 100..109 (dead ids retired). */
+  private def lineageTable(spark: SparkSession): String =
+    built.computeIfAbsent("lineage_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_lineage")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 2, 50).commit()
+      g.positionalDelete(Seq("widget"),
+        col("product_id") >= 10 && col("product_id") < 20).commit()
+      g.compactSorted("name", 30).commit()
+      g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+      g.tableDir.toString
+    })
+
   /** Posting-list value-index lifecycle fixture: build over 200 rows,
     * eq-delete one indexed value (stale posting — must filter out),
     * append 20 more and refresh incrementally. Probes hit pre-index,
@@ -796,6 +894,91 @@ object MorQueries {
       }.reduce(_ unionAll _).orderBy("scope")
     }),
 
+    // deletion vectors (Iceberg v3), driver-oracled END STATE: the fold is
+    // logically invisible (pre-fold tombstones, post-fold tombstones, and
+    // an eq delete all still apply; fresh appends unaffected), exactly one
+    // vector row set survives with the folded cardinality, and the scan
+    // applies it bitmap-wise (DeleteVectorSpec gates the no-anti-join plan)
+    "mor_delete_vectors" -> ((s, _) => {
+      val dir = dvTable(s)
+      val dv = graft.meta.SnapshotLog(dir).load().mainOnly
+        .deleteFiles.filter(_.kind == "dv")
+      val card = s.read.parquet(dv.map(_.path): _*)
+        .agg(coalesce(sum("cardinality"), lit(0L))).collect()(0).getLong(0)
+      MorReader.read(s, dir)
+        .agg(count(lit(1)).as("live_cnt"), sum(col("product_id")).as("id_sum"))
+        .select(col("live_cnt"), col("id_sum"),
+          lit(dv.size).as("n_vectors"), lit(card).as("dv_cardinality"))
+    }),
+
+    // Iceberg-v3 initial defaults, driver-oracled: pre-add rows read the
+    // default through the by-id epoch projection (pure metadata — nothing
+    // rewritten), post-add rows keep written values including real nulls
+    "mor_schema_default" -> ((s, _) =>
+      MorReader.read(s, defaultTable(s))
+        .groupBy(coalesce(col("status"), lit("(null)")).as("status"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
+        .orderBy("status")),
+
+    // Iceberg-v3 row lineage, driver-oracled END STATE: stable _row_id
+    // through a sorted rewrite (ids travel with physically reordered
+    // rows), dead ids retired (fresh append continues at 100), and ids
+    // equal product ids by construction — n_stable pins the identity map
+    "mor_row_lineage" -> ((s, _) =>
+      MorReader.readLineage(s, lineageTable(s))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("_row_id")).as("n_ids"),
+          sum(col("_row_id")).as("id_sum"),
+          max(col("_row_id")).as("max_id"),
+          sum(when(col("_row_id") === col("product_id").cast("long"), 1L)
+            .otherwise(0L)).as("n_stable"))),
+
+    // ANALYZE TABLE / Puffin-stats analog, driver-oracled EXACTLY: one
+    // aggregate pass persists per-column NDV (HLL++ — sparse-exact at
+    // this cardinality), null counts, canonical min/max, and the live row
+    // count; the MoR merge is applied first, so dead rows (and the two
+    // colors that die with them) never pollute the statistics
+    "meta_stats" -> ((s, _) =>
+      graft.meta.TableStats.frame(s, statsTable(s))
+        .orderBy("col_name")),
+
+    // multi-transform partition spec (category × bucket), driver-oracled
+    // END STATE through delete + compaction: the tuple layout slices,
+    // scopes, and rewrites per combined partition
+    "mor_multi_spec" -> ((s, _) => {
+      val dir = multiSpecTable(s)
+      val entries = graft.meta.SnapshotLog(dir).load().mainOnly.dataFiles
+      MorReader.read(s, dir)
+        .groupBy("category")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
+        .withColumn("n_two_key_files",
+          lit(entries.count(_.partition.size == 2)))
+        .withColumn("n_files", lit(entries.size))
+        .orderBy("category")
+    }),
+
+    // NATIVE vector writes (the Iceberg-v3 writer contract), driver-
+    // oracled END STATE: two vectorDeletes commits chain into exactly one
+    // vector (generations OR-merged at write), no tombstone file exists,
+    // and the live set reflects the union of both deletes
+    "mor_dv_writes" -> ((s, _) => {
+      val dir = nativeDvTable(s)
+      val entries = graft.meta.SnapshotLog(dir).load().mainOnly.deleteFiles
+      val card =
+        if (entries.isEmpty) 0L
+        else s.read.parquet(entries.map(_.path): _*)
+          .agg(coalesce(sum("cardinality"), lit(0L))).collect()(0).getLong(0)
+      MorReader.read(s, dir)
+        .agg(count(lit(1)).as("live_cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
+        .select(col("live_cnt"), col("id_sum"),
+          lit(entries.count(_.kind == "dv")).as("n_vectors"),
+          lit(entries.count(_.kind == "pos")).as("n_tombstone_files"),
+          lit(card).as("dv_cardinality"))
+    }),
+
     // posting-list value index, driver-oracled: index-backed point reads
     // across the whole lifecycle — a pre-index value, an eq-DELETED value
     // (stale posting filtered by the MoR read), a value only the
@@ -1343,6 +1526,61 @@ object MorQueries {
         |  ('widget', '0', '99', true))
         |  AS t(scope, min_id, max_id, metadata_only)
         |ORDER BY scope""".stripMargin,
+
+    // 80 live after the %5 delete; colors black/green die with ids ≡0
+    // (pmod 0 and 5), leaving 8 colors spanning blue..yellow
+    "meta_stats" ->
+      """SELECT * FROM (VALUES
+        |  ('category', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |   'widget', 'widget', CAST(80 AS BIGINT), FALSE),
+        |  ('color', CAST(8 AS BIGINT), CAST(0 AS BIGINT),
+        |   'blue', 'yellow', CAST(80 AS BIGINT), FALSE),
+        |  ('product_id', CAST(80 AS BIGINT), CAST(0 AS BIGINT),
+        |   '1', '99', CAST(80 AS BIGINT), FALSE))
+        |  AS t(col_name, ndv, null_count, min_v, max_v, row_count, stale)
+        |ORDER BY col_name""".stripMargin,
+
+    // evens widget / odds gizmo, ids<20 deleted: 40+40 live;
+    // widget sum = evens 20..98 = 2450-90; gizmo = odds 21..99 = 2500-100;
+    // compaction leaves one file per surviving (category, bucket) tuple
+    "mor_multi_spec" ->
+      """SELECT * FROM (VALUES
+        |  ('gizmo', CAST(40 AS BIGINT), CAST(2400 AS BIGINT), 4, 4),
+        |  ('widget', CAST(40 AS BIGINT), CAST(2360 AS BIGINT), 4, 4))
+        |  AS t(category, cnt, id_sum, n_two_key_files, n_files)
+        |ORDER BY category""".stripMargin,
+
+    // 100 appended, 15 dead via the chained vector (ids<10 + 20..24):
+    // 85 live, id_sum = 4950 - 45 - 110
+    "mor_dv_writes" ->
+      """SELECT CAST(85 AS BIGINT) AS live_cnt,
+        |       CAST(4795 AS BIGINT) AS id_sum,
+        |       1 AS n_vectors, 0 AS n_tombstone_files,
+        |       CAST(15 AS BIGINT) AS dv_cardinality""".stripMargin,
+
+    // 210 appended; dead = ids<10 (folded into the vector, cardinality 10)
+    // + band 20..24 + eq 150 → 194 live; id_sum = 209*210/2 - 45 - 110 - 150
+    "mor_delete_vectors" ->
+      """SELECT CAST(194 AS BIGINT) AS live_cnt,
+        |       CAST(21640 AS BIGINT) AS id_sum,
+        |       1 AS n_vectors,
+        |       CAST(10 AS BIGINT) AS dv_cardinality""".stripMargin,
+
+    // ids 0..49 default 'active' (sum 1225); 50..99 even 'fresh'
+    // (sum 25*74=1850), odd real null (sum 1875)
+    "mor_schema_default" ->
+      """SELECT * FROM (VALUES
+        |  ('(null)', CAST(25 AS BIGINT), CAST(1875 AS BIGINT)),
+        |  ('active', CAST(50 AS BIGINT), CAST(1225 AS BIGINT)),
+        |  ('fresh', CAST(25 AS BIGINT), CAST(1850 AS BIGINT)))
+        |  AS t(status, cnt, id_sum)
+        |ORDER BY status""".stripMargin,
+
+    // 110 assigned, 10 dead (ids 10..19): 100 live, sum = 5995 - 145
+    "mor_row_lineage" ->
+      """SELECT CAST(100 AS BIGINT) AS cnt, CAST(100 AS BIGINT) AS n_ids,
+        |       CAST(5850 AS BIGINT) AS id_sum, CAST(109 AS BIGINT) AS max_id,
+        |       CAST(100 AS BIGINT) AS n_stable""".stripMargin,
 
     // probes: 137 pre-index hit, 140 deleted (0), 205 refresh-indexed hit,
     // 99999 absent

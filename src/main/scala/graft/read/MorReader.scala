@@ -42,6 +42,12 @@ object MorReader {
   val FilePathCol = "_graft_file_path"
   val PosCol = "_graft_pos"
   val SeqCol = "_graft_seq"
+  /** Row-lineage service columns (Iceberg v3): [[RowIdCol]] is the stable
+    * row identity `firstRowId + position` (or the materialized value a
+    * compaction preserved), [[LastSeqCol]] the sequence number that last
+    * produced the row. Null on files without lineage (legacy entries). */
+  val RowIdCol = "_graft_row_id"
+  val LastSeqCol = "_graft_last_seq"
 
   /** Plan-time Parquet footer probes performed (legacy eq-delete entries
     * only — tables written by the current writer must plan at ZERO; the
@@ -79,6 +85,15 @@ object MorReader {
     * as canonical strings — the same representation [[graft.meta.ColMetrics]]
     * stores, so file pruning compares without opening anything. */
   final case class ColRange(lo: Option[String] = None, hi: Option[String] = None)
+
+  /** May delete file `d`'s scope touch data file `f`? A delete's partition
+    * map is a SCOPE, not an identity: empty = global (upsert/merge write
+    * table-root delete files), and any recorded key must agree with the
+    * file's value. Equality comparison here once made fastCount treat a
+    * global eq-delete as inapplicable to every partitioned file — caught
+    * by the bucketed fuzz the moment bulk appends gained real counts. */
+  private def deleteScopeTouches(d: DeleteFileEntry, f: DataFileEntry): Boolean =
+    d.partition.forall { case (k, v) => f.partition.get(k).contains(v) }
 
   def read(spark: SparkSession, tableDir: String): DataFrame =
     read(spark, tableDir, None, Map.empty)
@@ -246,8 +261,8 @@ object MorReader {
     val files = planDataFiles(spark, st.dataFiles, live, partitionFilter, Map.empty)
     val deleteMayApply = st.deleteFiles.exists { d =>
       files.exists { f =>
-        f.partition == d.partition &&
-          (if (d.kind == "pos") f.seq <= d.seq else f.seq < d.seq)
+        deleteScopeTouches(d, f) &&
+          (if (d.kind == "eq") f.seq < d.seq else f.seq <= d.seq)
       }
     }
     // bulk/DataFrame appends register recordCount = -1 (count unknown —
@@ -284,8 +299,8 @@ object MorReader {
     val files = planDataFiles(spark, st.dataFiles, live, partitionFilter, Map.empty)
     val deleteMayApply = st.deleteFiles.exists { d =>
       files.exists { f =>
-        f.partition == d.partition &&
-          (if (d.kind == "pos") f.seq <= d.seq else f.seq < d.seq)
+        deleteScopeTouches(d, f) &&
+          (if (d.kind == "eq") f.seq < d.seq else f.seq <= d.seq)
       }
     }
     val perFile = files.map(f => f.metrics.get(field.id))
@@ -315,6 +330,22 @@ object MorReader {
       if (r.isNullAt(0)) (None, false)
       else (Some((r.getString(0), r.getString(1))), false)
     }
+  }
+
+  /** Live rows plus Iceberg-v3 ROW LINEAGE: `_row_id` (stable identity —
+    * assigned once at commit, preserved through compaction via
+    * materialized columns, never reused by later appends) and
+    * `_last_updated_seq` (the sequence number that produced the row).
+    * Null lineage only on files written before the feature. The columns
+    * an incremental consumer keys its downstream state on: a row's id
+    * survives any rewrite, so re-syncs after compaction are no-ops. */
+  def readLineage(spark: SparkSession, tableDir: String): DataFrame = {
+    val st = SnapshotLog(tableDir).load().mainOnly
+    val live = st.schema
+    withMeta(spark, st, live, Map.empty)
+      .select(live.names.map(col)
+        :+ col(RowIdCol).as("_row_id")
+        :+ col(LastSeqCol).as("_last_updated_seq"): _*)
   }
 
   /** Same as read but keeps (file_path, pos, seq) service columns. */
@@ -387,53 +418,84 @@ object MorReader {
     * live sets, as `change_kind ∈ {insert, delete}` plus the full row
     * (schema as of `toInclusive`).
     *
-    *   - `insert`: a row live at `to` that was not live at `from`. Because
-    *     delete files only accumulate, a row in a file that already existed
-    *     at `from` can never transition dead→live, so inserts are EXACTLY
-    *     the in-range appended rows that survive every delete visible at
-    *     `to` — computed metadata-only (scan of in-range files + the MoR
-    *     merge), no diff join at all.
-    *   - `delete`: a row live at `from` that is dead at `to` — an anti-join
-    *     on the `(file path, position)` row identity, with BOTH sides
-    *     restricted at plan time to files that existed at `from` (new files
-    *     cannot contain pre-`from` rows). The join cost scales with the
-    *     surviving old rows, not with the appends in range.
+    * When every file in scope carries ROW LINEAGE (the normal case — all
+    * current writers assign it), the diff keys on the stable `_row_id`:
+    *   - `insert`: row ids are MONOTONE and never reused, so the inserts
+    *     are exactly the live rows at `to` with `_row_id >=` the table's
+    *     row-id counter at `from` (one metadata constant) — a single
+    *     filtered scan of the `to` state, no diff join at all.
+    *   - `delete`: rows live at `from` whose id is absent from the live
+    *     set at `to` — an anti-join on one long key. Because the id
+    *     survives rewrites, a delete committed AFTER a compaction inside
+    *     the window is correctly reported (its tombstones reference the
+    *     compacted file, but the row's identity is unchanged), and the
+    *     compaction itself produces no events.
+    *
+    * Files without lineage (legacy logs) fall back to `(file path,
+    * position)` identity with rewrite removals ignored on both legs —
+    * correct for windows where rewritten rows are not subsequently
+    * deleted, the best (path, pos) identity can do.
     *
     * At 100 TB the common incremental consumer (hourly sync) diffs a range
-    * holding a few files; both legs plan against those files plus the old
-    * live set, never twice the table.
-    *
-    * REWRITE snapshots (compaction) inside the range are logical no-ops
-    * and produce NO changelog events (Iceberg's changelog contract): their
-    * added files are excluded from the insert leg, and their removed-file
-    * lists are ignored on both legs so pre-existing rows keep their
-    * original (path, pos) identity — original files stay on disk until
-    * snapshot expiry, which also expires the changelog window. */
+    * holding a few files; the legs plan against the two live sets, never
+    * twice the table. REWRITE snapshots (compaction) inside the range are
+    * logical no-ops and produce NO changelog events (Iceberg's changelog
+    * contract); original files stay on disk until snapshot expiry, which
+    * also expires the changelog window. */
   def changelogBetween(spark: SparkSession, tableDir: String,
-                       fromExclusive: Long, toInclusive: Long): DataFrame = {
+                       fromExclusive: Long, toInclusive: Long): DataFrame =
+    changelogBetween(spark, tableDir, fromExclusive, toInclusive,
+      withLineage = false)
+
+  /** As [[changelogBetween]]; `withLineage = true` appends `_row_id`
+    * (Iceberg-v3 row lineage) — the STABLE CDC key: the same row reports
+    * the same id in its insert and its later delete event, across any
+    * compaction in between, so downstream state can key on it instead of
+    * the rewrite-sensitive (path, pos) pair. */
+  def changelogBetween(spark: SparkSession, tableDir: String,
+                       fromExclusive: Long, toInclusive: Long,
+                       withLineage: Boolean): DataFrame = {
     val st = SnapshotLog(tableDir).load().mainOnly
     val stTo = st.asOf(toInclusive)
+    val stFrom = st.asOf(fromExclusive)
     val live = stTo.schema
-    val insState = stTo.copy(snapshots = stTo.snapshots.map { s =>
-      val rewrite = s.operation == "replace" // explicit, writer-stamped
-      if (s.id <= fromExclusive) s.copy(dataFiles = Nil)
-      else if (rewrite) s.copy(dataFiles = Nil,
-        removedDataFiles = Nil, removedDeleteFiles = Nil)
-      else s
-    })
-    val oldAtTo = stTo.copy(snapshots = stTo.snapshots.map { s =>
-      if (s.id > fromExclusive) s.copy(dataFiles = Nil,
-        removedDataFiles = Nil, removedDeleteFiles = Nil)
-      else s
-    })
-    val inserts = withMeta(spark, insState, live, Map.empty)
-    val pre = withMeta(spark, st.asOf(fromExclusive), live, Map.empty)
-    val post = withMeta(spark, oldAtTo, live, Map.empty)
-    val deletes = pre.join(post.select(FilePathCol, PosCol),
-      Seq(FilePathCol, PosCol), "left_anti")
+    val lineageComplete = (stFrom.dataFiles ++ stTo.dataFiles)
+      .forall(f => f.lineageInFile || f.firstRowId >= 0)
+    val (inserts, deletes) =
+      if (lineageComplete) {
+        // ---- row-id diff: exact under any interleaving of rewrites and
+        // deletes, because identity survives the rewrite ----------------
+        val fromNextRowId =
+          (0L +: stFrom.snapshots.map(_.nextRowId)).max
+        val preL = withMeta(spark, stFrom, live, Map.empty)
+        val postL = withMeta(spark, stTo, live, Map.empty)
+        (postL.where(col(RowIdCol) >= fromNextRowId),
+          preL.join(postL.select(col(RowIdCol)), Seq(RowIdCol), "left_anti"))
+      } else {
+        // ---- legacy (path, pos) identity: rewrite removals ignored ----
+        val insState = stTo.copy(snapshots = stTo.snapshots.map { s =>
+          val rewrite = s.operation == "replace" // explicit, writer-stamped
+          if (s.id <= fromExclusive) s.copy(dataFiles = Nil)
+          else if (rewrite) s.copy(dataFiles = Nil,
+            removedDataFiles = Nil, removedDeleteFiles = Nil)
+          else s
+        })
+        val oldAtTo = stTo.copy(snapshots = stTo.snapshots.map { s =>
+          if (s.id > fromExclusive) s.copy(dataFiles = Nil,
+            removedDataFiles = Nil, removedDeleteFiles = Nil)
+          else s
+        })
+        val ins = withMeta(spark, insState, live, Map.empty)
+        val pre = withMeta(spark, stFrom, live, Map.empty)
+        val post = withMeta(spark, oldAtTo, live, Map.empty)
+        (ins, pre.join(post.select(FilePathCol, PosCol),
+          Seq(FilePathCol, PosCol), "left_anti"))
+      }
+    val tail: Seq[Column] =
+      if (withLineage) Seq(col(RowIdCol).as("_row_id")) else Nil
     inserts.withColumn("change_kind", lit("insert"))
       .unionByName(deletes.withColumn("change_kind", lit("delete")))
-      .select(col("change_kind") +: live.names.map(col): _*)
+      .select(col("change_kind") +: live.names.map(col) ++: tail: _*)
   }
 
   private def matchesPartition(p: Map[String, String],
@@ -541,7 +603,8 @@ object MorReader {
     if (dataFiles.isEmpty) {
       val struct = StructType(live.struct.fields ++ Seq(
         StructField(FilePathCol, StringType), StructField(PosCol, LongType),
-        StructField(SeqCol, LongType)))
+        StructField(SeqCol, LongType), StructField(RowIdCol, LongType),
+        StructField(LastSeqCol, LongType)))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
 
@@ -650,28 +713,52 @@ object MorReader {
     def keyDataCol(kid: Int): String =
       live.fields.find(_.id == kid).map(_.name).getOrElse(s"_gk$kid")
 
-    // ---- data scan, one branch per schema epoch, projected by field id ----
-    val scan = dataFiles.groupBy(_.schemaV).toSeq.sortBy(_._1).map { case (v, files) =>
+    // ---- data scan, one branch per (schema epoch × lineage shape),
+    // projected by field id -------------------------------------------------
+    val scan = dataFiles.groupBy(f => (f.schemaV, f.lineageInFile)).toSeq
+      .sortBy(_._1).map { case ((v, lin), files) =>
       val epoch = st.schemas(v)
-      def resolve(id: Int, dt: DataType, as: String): Column =
-        epoch.fieldById(id) match {
-          case Some(old) => col(old.name).cast(dt).as(as)
-          case None => lit(null).cast(dt).as(as)
+      // a field id absent from the file's epoch reads its INITIAL DEFAULT
+      // (Iceberg v3) when the live field declares one, else null; files
+      // written after the add carry real values, so later nulls stay null
+      def resolve(f: graft.schema.GraftField, as: String): Column =
+        epoch.fieldById(f.id) match {
+          case Some(old) => col(old.name).cast(f.dataType).as(as)
+          case None => f.initialDefault
+            .map(d => lit(d).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(as)
         }
       val proj: Seq[Column] =
-        live.fields.map(f => resolve(f.id, f.dataType, f.name)) ++
-          extraKeyFields.map { case (kid, f) => resolve(kid, f.dataType, s"_gk$kid") }
-      spark.read.schema(epoch.struct).parquet(files.map(_.path): _*)
-        .select(proj :+ normPath(col("_metadata.file_path")).as(FilePathCol)
-                     :+ col("_metadata.row_index").as(PosCol): _*)
+        live.fields.map(f => resolve(f, f.name)) ++
+          extraKeyFields.map { case (kid, f) => resolve(f.copy(id = kid), s"_gk$kid") }
+      // rewritten (compacted) files carry their rows' ORIGINAL row ids and
+      // last-updated seqs as physical columns — read them back; plain
+      // files derive both from the manifest after the seq-map join below
+      val readSchema =
+        if (lin) StructType(epoch.struct.fields ++ Seq(
+          StructField(RowIdCol, LongType), StructField(LastSeqCol, LongType)))
+        else epoch.struct
+      val lineage: Seq[Column] =
+        if (lin) Seq(col(RowIdCol), col(LastSeqCol))
+        else Seq(lit(null).cast(LongType).as(RowIdCol),
+          lit(null).cast(LongType).as(LastSeqCol))
+      spark.read.schema(readSchema).parquet(files.map(_.path): _*)
+        .select(proj ++ lineage
+          :+ normPath(col("_metadata.file_path")).as(FilePathCol)
+          :+ col("_metadata.row_index").as(PosCol): _*)
     }.reduce(_.unionByName(_))
 
-    // file → sequence-number map: tiny, broadcast (SURVEY.md §7.4.1)
-    val seqMap = spark.createDataFrame(dataFiles.map(f => (f.path, f.seq)))
-      .toDF("_m_fp", "_m_seq")
+    // file → (sequence number, first row id) map: tiny, broadcast
+    // (SURVEY.md §7.4.1); row id = firstRowId + position (Iceberg v3)
+    val seqMap = spark.createDataFrame(
+      dataFiles.map(f => (f.path, f.seq, f.firstRowId)))
+      .toDF("_m_fp", "_m_seq", "_m_frid")
     var data = scan.join(broadcast(seqMap), col(FilePathCol) === col("_m_fp"), "left")
       .withColumn(SeqCol, coalesce(col("_m_seq"), lit(0L)))
-      .drop("_m_fp", "_m_seq")
+      .withColumn(RowIdCol, coalesce(col(RowIdCol),
+        when(col("_m_frid") >= 0, col("_m_frid") + col(PosCol))))
+      .withColumn(LastSeqCol, coalesce(col(LastSeqCol), col(SeqCol)))
+      .drop("_m_fp", "_m_seq", "_m_frid")
 
     // ---- positional deletes: anti-join on (path, pos) -------------------
     // ONE scan over all pos-delete files (S9 has 100 of them — a per-file
@@ -693,6 +780,49 @@ object MorReader {
         col(FilePathCol) === col("_d_fp") && col(PosCol) === col("_d_pos") &&
           col("_d_seq") >= col(SeqCol),
         "left_anti")
+    }
+
+    // ---- deletion vectors (Iceberg v3): per-file position bitmaps -------
+    // The build side is one (file_path, bitset) row per referenced data
+    // FILE — not one row per deleted row like the tombstone anti-join —
+    // so applying a billion deletes is a broadcast-size join plus a
+    // codegen'd shift-and-mask per scanned row. Sequence numbers don't
+    // participate: a vector addresses files by PATH, paths are never
+    // reused, and files appended after the fold can't appear in one.
+    // Row uniqueness per file_path is a WRITER invariant (each fold
+    // consumes all pos+dv entries of its partition), so the left join
+    // multiplies nothing.
+    val dvFiles = deleteFiles.filter(_.kind == "dv")
+    if (dvFiles.nonEmpty) {
+      val raw = spark.read
+        .schema(StructType(Seq(StructField("file_path", StringType),
+          StructField("words", ArrayType(LongType)),
+          StructField("cardinality", LongType))))
+        .parquet(dvFiles.map(_.path): _*)
+        .select(col("file_path").as("_dv_fp"), col("words").as("_dv_w"))
+      // Writers keep at most one vector per partition, so per-file rows
+      // are normally unique and the fast path joins directly. Time-travel
+      // WINDOWED states can legitimately see two generations of a
+      // partition's vector at once (a stripped-removals changelog view) —
+      // only then pay an OR-merge so the left join can't duplicate rows.
+      val dvs =
+        if (dvFiles.groupBy(_.partition).forall(_._2.size <= 1)) raw
+        else raw
+          .select(col("_dv_fp"), posexplode(col("_dv_w")).as(Seq("_i", "_w")))
+          .groupBy("_dv_fp", "_i").agg(expr("bit_or(_w)").as("_w"))
+          .groupBy("_dv_fp")
+          .agg(expr("transform(array_sort(collect_list(struct(_i, _w))), x -> x._w)")
+            .as("_dv_w"))
+      val wordIdx = (shiftright(col(PosCol), 6) + 1).cast("int")
+      // `when` guards the ANSI element_at bound; positions past the
+      // bitmap's last word are alive by construction (trimmed vector)
+      val word = when(col("_dv_w").isNotNull && wordIdx <= size(col("_dv_w")),
+        element_at(col("_dv_w"), wordIdx)).otherwise(lit(0L))
+      val bitIdx = col(PosCol).bitwiseAND(lit(63L)).cast("int")
+      data = data.join(dvs, col(FilePathCol) === col("_dv_fp"), "left")
+        .where(call_function("shiftright", word, bitIdx)
+          .bitwiseAND(lit(1L)) === lit(0L))
+        .drop("_dv_fp", "_dv_w")
     }
 
     // ---- equality deletes: per key-set anti-join with strict seq ---------

@@ -12,7 +12,8 @@ import scala.jdk.CollectionConverters._
   * name). Spark's Parquet reader resolves by name, so evolved reads go
   * through an explicit per-epoch projection (see `graft.read.MorReader`).
   */
-final case class GraftField(id: Int, name: String, dataType: DataType)
+final case class GraftField(id: Int, name: String, dataType: DataType,
+                            initialDefault: Option[String] = None)
 
 /** Versioned schema for a Graft table.
   *
@@ -41,10 +42,19 @@ final case class GraftSchema(fields: Seq[GraftField], lastColumnId: Int = 0) {
     * the new column's name. */
   private def highWater: Int = math.max(lastColumnId, maxId)
 
-  /** Add a column with a fresh field id (ref `UpdateSchema.addColumn`, `Main.java:441`). */
-  def addColumn(name: String, dataType: DataType): GraftSchema = {
+  /** Add a column with a fresh field id (ref `UpdateSchema.addColumn`,
+    * `Main.java:441`). `default` is an Iceberg-v3 INITIAL DEFAULT
+    * (canonical string, cast to the column type at read): rows written
+    * BEFORE the column existed read it instead of null — pure metadata,
+    * no file is rewritten. Files written after the add carry real values,
+    * so a later null is a real null (exactly Iceberg's initial-default /
+    * write-default split with only the initial half needed here: the
+    * writer always materializes the column on append). */
+  def addColumn(name: String, dataType: DataType,
+                default: Option[String] = None): GraftSchema = {
     require(!fields.exists(_.name == name), s"field $name already exists")
-    GraftSchema(fields :+ GraftField(highWater + 1, name, dataType), highWater + 1)
+    GraftSchema(fields :+ GraftField(highWater + 1, name, dataType, default),
+      highWater + 1)
   }
 
   /** Drop a column by name (ref `UpdateSchema.deleteColumn`, `Main.java:442`);
@@ -80,6 +90,7 @@ final case class GraftSchema(fields: Seq[GraftField], lastColumnId: Int = 0) {
       o.put("id", f.id)
       o.put("name", f.name)
       o.put("type", f.dataType.json)
+      f.initialDefault.foreach(o.put("default", _))
     }
     m.writeValueAsString(root)
   }
@@ -92,7 +103,8 @@ object GraftSchema {
     val fields = root.get("fields").elements().asScala.map { n =>
       val o = n.asInstanceOf[ObjectNode]
       GraftField(o.get("id").asInt, o.get("name").asText,
-        DataType.fromJson(o.get("type").asText))
+        DataType.fromJson(o.get("type").asText),
+        Option(o.get("default")).map(_.asText))
     }.toSeq
     val last = Option(root.get("lastColumnId")).map(_.asInt).getOrElse(0)
     GraftSchema(fields, last)

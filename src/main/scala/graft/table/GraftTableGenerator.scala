@@ -56,6 +56,7 @@ final class GraftTableGenerator(
   private var stagedOps: Int = 0
   private var stagedData: Vector[DataFileEntry] = Vector.empty
   private var stagedDeletes: Vector[DeleteFileEntry] = Vector.empty
+  private var vectorDeleteMode: Boolean = false
   private var stagedRemovedData: Vector[String] = Vector.empty
   private var stagedRemovedDeletes: Vector[String] = Vector.empty
   // one snapshot has exactly ONE operation: user writes (append/delete/
@@ -208,9 +209,10 @@ final class GraftTableGenerator(
 
   /** Bulk distributed append — the 100 TB-scale sink the per-file loop is
     * not: ONE Spark job writes all files in parallel (`partitionBy` when
-    * the spec is partitioned), then every produced part file is registered.
-    * Declared record counts are -1 (unknown without a second pass; readers
-    * never trust declared counts anyway — that is the engine's contract).
+    * the spec is partitioned), then every produced part file is registered
+    * with its real footer row count (a driver-side metadata read, no extra
+    * job — needed for row-lineage assignment; readers still never TRUST
+    * declared counts, that contract is unchanged).
     */
   def appendBulk(df: DataFrame, numFiles: Int): this.type = {
     val opSeq = nextOpSeq()
@@ -227,7 +229,7 @@ final class GraftTableGenerator(
           Files.createDirectories(target.getParent)
           Files.move(part, target)
           stagedData :+= DataFileEntry(target.toString, Map.empty, specId,
-            schemaV, opSeq, -1L, metrics = m)
+            schemaV, opSeq, footerRowCount(target), metrics = m)
         }
     } else {
       val pcol = partitionCols.head
@@ -250,7 +252,8 @@ final class GraftTableGenerator(
               Files.createDirectories(target.getParent)
               Files.move(part, target)
               stagedData :+= DataFileEntry(target.toString,
-                Map(pcol -> value), specId, schemaV, opSeq, -1L, metrics = m)
+                Map(pcol -> value), specId, schemaV, opSeq,
+                footerRowCount(target), metrics = m)
             }
         }
     }
@@ -306,10 +309,38 @@ final class GraftTableGenerator(
     * via a running-sum window; fake generation is pure Spark expressions —
     * ~10^8 rows never touch the driver (SURVEY.md §7.4.5).
     */
+  /** Toggle Iceberg-v3 NATIVE deletion-vector writes: while enabled,
+    * [[positionalDelete]] merges its matches into the partition's single
+    * deletion vector (read old vector, OR bitmaps, stage replacement)
+    * instead of writing a tombstone file — the v3 writer contract, where
+    * at most one vector per data file exists at any time and readers
+    * never pay a tombstone anti-join. Tombstone and vector deletes
+    * compose freely across commits (union of dead rows);
+    * [[rewritePositionDeletesToDVs]] folds stragglers. */
+  def vectorDeletes(enabled: Boolean): this.type = {
+    vectorDeleteMode = enabled; this
+  }
+
   def positionalDelete(partitionValues: Option[Seq[Any]], pred: Column,
                        extraFilesPerPartition: Int, extraDeletesPerFile: Int,
                        fakeRow: Seq[Column]): this.type = {
     val opSeq = nextOpSeq()
+    // Iceberg-v3 NATIVE vector writes: matches go straight into a merged
+    // per-partition deletion vector — no tombstone file at all. Fake-entry
+    // bloat (S6) is inherently a tombstone-file shape, so it keeps the
+    // classic path regardless of the mode.
+    if (vectorDeleteMode && extraFilesPerPartition == 0) {
+      val st = lineage(log.load())
+      for ((partition, files) <- plannedPartitions(partitionValues)) {
+        val matches = rawScan(files).where(pred)
+          .select(col(MorReader.FilePathCol).as("file_path"),
+            col(MorReader.PosCol).as("pos"))
+        stageMergedVector(partition, matches,
+          st.deleteFiles.filter(f => f.kind == "dv" && f.partition == partition),
+          opSeq)
+      }
+      return this
+    }
     for ((partition, files) <- plannedPartitions(partitionValues)) {
       val scan = rawScan(files)
       val rowStruct = struct(schema.names.map(col): _*).as("row")
@@ -396,22 +427,35 @@ final class GraftTableGenerator(
   private def transforms: Seq[PartitionTransform] =
     partitionCols.map(PartitionTransform.parse)
 
-  /** One (partition-map, rows) slice per partition value — the value is
-    * the spec transform of the source column (identity: the column
-    * itself; bucket/truncate/day: the DERIVED value, while rows keep only
-    * the source column — Iceberg's hidden partitioning). Evaluates the
-    * caller's df once for the value list; slices are lazy filters. */
+  /** One (partition-map, rows) slice per DISTINCT TUPLE of partition
+    * values — each value is its spec transform of the source column
+    * (identity: the column itself; bucket/truncate/day: the DERIVED
+    * value, while rows keep only the source columns — Iceberg's hidden
+    * partitioning). Multi-transform specs (the standard `category × day`
+    * / `tenant × bucket(id)` 100 TB layouts) slice on the full tuple;
+    * file-level pruning then composes per key through the ordinary
+    * partition-map filter. Evaluates the caller's df once for the value
+    * list; slices are lazy filters. */
   private def partitionSlices(df: DataFrame): Seq[(Map[String, String], DataFrame)] =
     if (partitionCols.isEmpty) Seq((Map.empty[String, String], df))
     else {
-      val t = transforms.head
-      val dt = schema.fields.find(_.name == t.source)
-        .getOrElse(throw new IllegalArgumentException(
-          s"partition transform source ${t.source} not in schema")).dataType
-      val ve = t.valueExpr(dt).cast("string")
-      df.select(ve.as("_pv")).distinct().collect().map(_.getString(0)).toSeq
-        .sortBy(identity[String])
-        .map(v => (Map(t.partName -> v), df.where(ve === v)))
+      val ts = transforms
+      val ves = ts.map { t =>
+        val dt = schema.fields.find(_.name == t.source)
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition transform source ${t.source} not in schema")).dataType
+        t.valueExpr(dt).cast("string")
+      }
+      df.select(ves.zipWithIndex.map { case (v, i) => v.as(s"_pv$i") }: _*)
+        .distinct().collect()
+        .map(r => ts.indices.map(r.getString)).toSeq
+        .sortBy(_.mkString("-"))
+        .map { vals =>
+          val pmap = ts.zip(vals).map { case (t, v) => t.partName -> v }.toMap
+          val pred = ves.zip(vals).map { case (ve, v) => ve === v }
+            .reduce(_ && _)
+          (pmap, df.where(pred))
+        }
     }
 
   private def appendSlices(slices: Seq[(Map[String, String], DataFrame)]): Unit = {
@@ -423,11 +467,11 @@ final class GraftTableGenerator(
           uniqueNumberedFile(dataDir.resolve(partitionString),
             s"$partitionString-%02d.parquet")
         else uniqueNumberedFile(dataDir, "%02d.parquet")
-      // declared count -1: readers never trust declared counts (engine
-      // contract), so skip the extra evaluation a count() would cost
       writeSingleFile(rows.select(schema.names.map(col): _*), target)
+      // real count from the just-written footer (driver-side, no job) —
+      // readers still never TRUST it, but row-lineage assignment needs it
       stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-        opSeq, -1L, metrics = fileMetrics(target))
+        opSeq, footerRowCount(target), metrics = fileMetrics(target))
     }
   }
 
@@ -649,6 +693,31 @@ final class GraftTableGenerator(
     this
   }
 
+  /** `ANALYZE TABLE` ([[graft.meta.TableStats]]): one distributed pass
+    * over the live table persists per-column NDV / null count / min-max
+    * plus the row count — the table-level cardinalities a cost-based
+    * planner needs and per-file metrics cannot provide. */
+  def analyze(cols: Seq[String] = Nil): graft.meta.TableStats.Stats = {
+    requireCreated("analyze()")
+    graft.meta.TableStats.analyze(spark, tableDir.toString, cols)
+  }
+
+  /** Add one column with an Iceberg-v3 INITIAL DEFAULT: pre-existing rows
+    * read `initialDefault` (canonical string, cast to `dataType`) instead
+    * of null — a pure metadata commit, nothing rewritten. Applies
+    * EVERYWHERE the field id resolves, including equality-delete keys: an
+    * eq delete matching the default kills pre-add rows, exactly as if the
+    * value were physically present ([[graft.read.MorReader]] projects the
+    * default wherever an epoch schema lacks the id). */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+                initialDefault: Option[String] = None): this.type = {
+    requireCreated("addColumn()")
+    schema = schema.addColumn(name, dataType, initialDefault)
+    schemaV += 1
+    log.writeSchema(schemaV, schema)
+    this
+  }
+
   /** Compaction (merge-on-read → copy-on-write rewrite): per selected
     * partition, materialize the MoR-merged live rows into ONE fresh data
     * file and drop the partition's old data + delete files from the live
@@ -666,8 +735,12 @@ final class GraftTableGenerator(
       val groupPaths = files.map(_.path).toSet
       val restricted = st.copy(snapshots = st.snapshots.map(s =>
         s.copy(dataFiles = s.dataFiles.filter(f => groupPaths(f.path)))))
+      // survivors carry their ORIGINAL row ids and last-updated seqs into
+      // the rewritten file as physical columns (Iceberg-v3 row lineage:
+      // identity survives compaction)
       val merged = MorReader.withMeta(spark, restricted, schema, Map.empty)
-        .select(schema.names.map(col): _*)
+        .select(schema.names.map(col)
+          :+ col(MorReader.RowIdCol) :+ col(MorReader.LastSeqCol): _*)
       val partitionString = partitionDirName(partition)
       val target =
         if (partitionString.nonEmpty)
@@ -675,9 +748,9 @@ final class GraftTableGenerator(
             s"$partitionString-%02d.parquet")
         else uniqueNumberedFile(dataDir, "%02d.parquet")
       val rows = merged.count()
-      writeSingleFile(merged.select(schema.names.map(col): _*), target)
+      writeSingleFile(merged, target)
       stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-        opSeq, rows, metrics = fileMetrics(target))
+        opSeq, rows, metrics = fileMetrics(target), lineageInFile = true)
       stagedRemovedData ++= files.map(_.path)
       stagedRemovedDeletes ++=
         st.deleteFiles.filter(_.partition == partition).map(_.path)
@@ -785,6 +858,112 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Deletion vectors (Iceberg v3's position-delete replacement): fold
+    * every positional-delete file — and any vectors from a previous fold —
+    * into ONE file per partition holding, per referenced data file, a
+    * packed bitset of its deleted positions
+    * (`file_path, words: array<bigint>, cardinality`). Word `w` bit `b`
+    * set ⇔ position `w*64 + b` is deleted.
+    *
+    * Why this is the 100 TB shape: the tombstone representation makes the
+    * scan anti-join on `(file_path, pos)` with one BUILD ROW PER DELETED
+    * ROW — at a 1% delete rate over 100 TB that side is 10^9+ rows through
+    * a shuffle. A vector is one row per data FILE (bitmap bytes ≤
+    * rowcount/8), so the scan applies deletes with a broadcast-size join
+    * and a codegen'd shift-and-mask per row ([[graft.read.MorReader]]).
+    *
+    * Construction is distributed: tombstones shuffle once on `file_path`
+    * and [[graft.functions.BitsetAgg]] builds each file's bitmap with
+    * map-side partial aggregation (partial bitmaps OR together), so the
+    * shuffle carries one bitmap per (file × map task), not every
+    * tombstone. Per-group memory is one file's bitset — bounded by file
+    * row count, never by table size.
+    *
+    * Each fold consumes ALL pos + dv entries of its partition, so at most
+    * one vector file per partition exists afterwards and every data file
+    * is referenced by at most one vector row — the read path relies on
+    * that uniqueness (a duplicate row would duplicate survivors through
+    * the join). Sequence semantics need no care here: vectors address
+    * files by PATH, paths are never reused, and a file appended after the
+    * fold can't appear in any folded tombstone. New `positionalDelete` /
+    * `equalityDelete` files written later coexist with the vector (union
+    * of dead rows, like Iceberg v2 readers on v3 tables); the next fold
+    * absorbs them. Commits as a rewrite ("replace"): no logical change,
+    * invisible to the changelog, time travel to pre-fold snapshots still
+    * sees the original tombstone files. */
+  def rewritePositionDeletesToDVs(): this.type = {
+    requireCreated("rewritePositionDeletesToDVs()")
+    val st = lineage(log.load())
+    val groups = st.deleteFiles.filter(f => f.kind == "pos" || f.kind == "dv")
+      .groupBy(_.partition).toSeq
+      .filter(_._2.exists(_.kind == "pos")) // a lone vector is already folded
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    if (groups.isEmpty) return this // nothing staged — callers can skip commit
+    nextOpSeq(rewrite = true)
+    for ((partition, fs) <- groups) {
+      val (oldDvs, poss) = fs.partition(_.kind == "dv")
+      val fresh = spark.read
+        .schema(StructType(Seq(StructField("file_path", StringType),
+          StructField("pos", LongType))))
+        .parquet(poss.map(_.path): _*)
+        .select(col("file_path"), col("pos"))
+      stageMergedVector(partition, fresh, oldDvs, fs.map(_.seq).max)
+      stagedRemovedDeletes ++= poss.map(_.path)
+    }
+    this
+  }
+
+  /** Stage ONE merged deletion vector for `partition`: fresh tombstone
+    * rows `(file_path, pos)` aggregated into per-file bitmaps
+    * ([[graft.functions.BitsetAgg]], map-side partial OR), then OR-merged
+    * with `oldDvs`' bitmaps (zero-padded `zip_with`). Consumes any vector
+    * already STAGED for the partition in this transaction (two deletes in
+    * one commit must still leave at most one vector row per data file —
+    * the read path's uniqueness invariant) and registers the replaced
+    * committed vectors as removed. */
+  private def stageMergedVector(partition: Map[String, String],
+                                freshTombstones: DataFrame,
+                                oldCommitted: Seq[DeleteFileEntry],
+                                seq: Long): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val (stagedOld, keepStaged) = stagedDeletes.partition(f =>
+      f.kind == "dv" && f.partition == partition)
+    stagedDeletes = keepStaged
+    val oldDvs = oldCommitted ++ stagedOld
+    val fresh = freshTombstones
+      .groupBy("file_path")
+      .agg(call_function("bitset_agg", col("pos")).as("words"))
+    val merged =
+      if (oldDvs.isEmpty) fresh
+      else {
+        val prev = spark.read
+          .schema(StructType(Seq(StructField("file_path", StringType),
+            StructField("words", ArrayType(LongType)),
+            StructField("cardinality", LongType))))
+          .parquet(oldDvs.map(_.path): _*)
+          .select("file_path", "words")
+        // bitmap OR with zero-padding to the longer word array
+        def pad(a: Column, b: Column): Column =
+          concat(a, array_repeat(lit(0L), greatest(size(b) - size(a), lit(0))))
+        fresh.as("n").join(prev.as("o"), Seq("file_path"), "full_outer")
+          .select(col("file_path"),
+            when(col("n.words").isNull, col("o.words"))
+              .when(col("o.words").isNull, col("n.words"))
+              .otherwise(zip_with(pad(col("n.words"), col("o.words")),
+                pad(col("o.words"), col("n.words")), _ bitwiseOR _))
+              .as("words"))
+      }
+    val rows = merged.withColumn("cardinality",
+      expr("aggregate(words, 0L, (acc, w) -> acc + bit_count(w))"))
+    val target = deleteFileTarget("dv", partition)
+    writeSingleFile(rows.repartition(1).sortWithinPartitions("file_path"), target)
+    stagedDeletes :+= DeleteFileEntry(target.toString, partition, "dv",
+      Nil, Nil, seq,
+      metrics = deleteColMetrics(target,
+        Seq(DeleteFileEntry.PathFieldId -> "file_path")))
+    stagedRemovedDeletes ++= oldCommitted.map(_.path)
+  }
+
   /** Sorted compaction (the Iceberg `rewrite_data_files` with a sort
     * order): per selected partition, materialize the MoR-merged live rows
     * SORTED by `sortCol` and split into files of `rowsPerFile` contiguous
@@ -874,7 +1053,8 @@ final class GraftTableGenerator(
       val restricted = st.copy(snapshots = st.snapshots.map(s =>
         s.copy(dataFiles = s.dataFiles.filter(f => groupPaths(f.path)))))
       val merged = MorReader.withMeta(spark, restricted, schema, Map.empty)
-        .select(schema.names.map(col): _*)
+        .select(schema.names.map(col)
+          :+ col(MorReader.RowIdCol) :+ col(MorReader.LastSeqCol): _*)
         .localCheckpoint()
       val indexed = graft.operators.Ops
         .withGlobalIndex(merged, Seq(orderOf(merged)), "_cidx")
@@ -893,9 +1073,10 @@ final class GraftTableGenerator(
               s"$partitionString-%02d.parquet")
           else uniqueNumberedFile(dataDir, "%02d.parquet")
         val sliceRows = math.min(rows - i.toLong * rowsPerFile, rowsPerFile.toLong)
-        writeSingleFile(slice.select(schema.names.map(col): _*), target)
+        writeSingleFile(slice.select(schema.names.map(col)
+          :+ col(MorReader.RowIdCol) :+ col(MorReader.LastSeqCol): _*), target)
         stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-          opSeq, sliceRows, metrics = fileMetrics(target))
+          opSeq, sliceRows, metrics = fileMetrics(target), lineageInFile = true)
       }
       stagedRemovedData ++= files.map(_.path)
       stagedRemovedDeletes ++=
@@ -940,7 +1121,9 @@ final class GraftTableGenerator(
     // asOfTime() within the retained window resolves exactly as before
     val baseline = Snapshot(horizon, base.snapshots.last.seq,
       base.currentSchemaV, base.currentSpecId, liveData, liveDeletes,
-      timestampMs = base.snapshots.last.timestampMs, operation = "replace")
+      timestampMs = base.snapshots.last.timestampMs, operation = "replace",
+      // carry the row-id counter: ids of expired-dead rows stay retired
+      nextRowId = base.snapshots.map(_.nextRowId).max)
     val tail = st.snapshots.filter(_.id > horizon)
     log.rewrite(baseline +: tail)
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
@@ -1298,7 +1481,10 @@ final class GraftTableGenerator(
       val proj: Seq[Column] = schema.fields.map { f =>
         epoch.fieldById(f.id) match {
           case Some(old) => col(old.name).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          case None => // initial default (Iceberg v3), like the MoR read —
+            // so delete predicates over a defaulted column match old rows
+            f.initialDefault.map(d => lit(d).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)).as(f.name)
         }
       }
       spark.read.schema(epoch.struct).parquet(fs.map(_.path): _*)
@@ -1431,6 +1617,17 @@ final class GraftTableGenerator(
       uniqueNumberedFile(dataDir.resolve(partitionString),
         s"$kind-$partitionString-%02d.parquet")
     else uniqueNumberedFile(dataDir, s"$kind-%02d.parquet")
+  }
+
+  /** Row count from the Parquet footer of a just-written file — driver-side
+    * metadata I/O (no Spark job), the honest count row-lineage assignment
+    * and the manifest fast paths need. */
+  private def footerRowCount(target: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(target.toString),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** `%02d`-numbered probe-until-free naming (reference

@@ -54,6 +54,19 @@ class FastCountSpec extends SparkSpec {
     assert(!metaOnly && n == 100L) // 100 - 10 + 10
   }
 
+  test("GLOBAL-scope deletes (upsert's table-root eq file) force the fallback") {
+    val g = fresh("global")
+    val incoming = graft.gen.Bundles.products()
+      .frame(spark, 40, 20, Some("widget"), Scenarios.ProductsSchema)
+    g.upsert(incoming, Seq("product_id")).commit()
+    // the upsert's delete file has EMPTY partition scope — it touches every
+    // partitioned file (scope-subset rule, not map equality; regression
+    // for the bucketed-fuzz catch)
+    val (n, metaOnly) = MorReader.fastCount(spark, g.tableDir.toString)
+    assert(!metaOnly, "a global delete in scope must fall back to the scan")
+    assert(n == 200L && n == g.read.count())
+  }
+
   test("lying metadata: manifest path reproduces Iceberg's answer, scan stays truth") {
     val g = fresh("lie")
     g.appendEmptyFile("widget").commit() // declares 1 row, contains 0

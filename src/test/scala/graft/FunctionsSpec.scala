@@ -197,7 +197,8 @@ class FunctionsSpec extends SparkSpec {
     new graft.plans.GraftExtensions().apply(ext) // must accept every descriptor
     assert(graft.functions.GraftFunctions.descriptors.map(_._1.funcName).toSet ==
       Set("md5prefix64", "md5lanes4", "norm_alnum", "ngram_stats", "minhash_sig",
-        "misra_gries", "pq_encode", "top_gram_share", "simhash16", "cosine_sim"))
+        "misra_gries", "bitset_agg", "pq_encode", "top_gram_share", "simhash16",
+        "cosine_sim"))
   }
 
   test("optimizer rule rewrites built-in chains to native expressions in user SQL") {

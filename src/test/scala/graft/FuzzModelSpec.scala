@@ -121,9 +121,14 @@ class FuzzModelSpec extends SparkSpec {
             val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
             g.equalityDelete(col("order_id") % m === r, Seq("order_id")).commit()
             live.filterInPlace(_ % m != r)
-          case 3 => // positional-delete an id band
+          case 3 => // positional-delete an id band — randomly as a classic
+            // tombstone file or a NATIVE merged deletion vector (model
+            // identical either way)
             val a = rnd.nextLong(math.max(nextId, 1L)); val b = a + 1 + rnd.nextInt(40)
-            g.positionalDelete(col("order_id") >= a && col("order_id") < b).commit()
+            g.vectorDeletes(rnd.nextBoolean())
+              .positionalDelete(col("order_id") >= a && col("order_id") < b)
+              .commit()
+            g.vectorDeletes(false)
             live.filterInPlace(i => i < a || i >= b)
           case 4 => // upsert an existing-id window (re-adds deleted ids)
             val start = rnd.nextLong(math.max(nextId - 10, 1L))
@@ -150,7 +155,9 @@ class FuzzModelSpec extends SparkSpec {
               if (live(i)) { if (i % 3 == 0) live -= i }
               else if (i % 3 != 0) live += i
             }
-          case 10 => g.compactPositionDeletes().commit()
+          case 10 => // both tombstone rewrites are model no-ops
+            if (rnd.nextBoolean()) g.compactPositionDeletes().commit()
+            else g.rewritePositionDeletesToDVs().commit()
           case 8 => // expiry: no commit, drops time travel past the horizon
             val keep = 1 + rnd.nextInt(3)
             g.expireSnapshots(keep)
@@ -171,6 +178,15 @@ class FuzzModelSpec extends SparkSpec {
         val want = if (live.isEmpty) None
           else Some((live.min.toString, live.max.toString))
         assert(mm == want, s"seed=$seed step=$step: fastMinMax=$mm want=$want")
+        // row lineage: every live row carries an id (all fuzz writers
+        // assign) and ids stay unique through every op interleaving —
+        // compaction materialization, upsert retirement, DV folds
+        val rids = MorReader.readLineage(spark, g.tableDir.toString)
+          .select("_row_id").collect()
+          .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+        assert(!rids.contains(-1L), s"seed=$seed step=$step: null row id")
+        assert(rids.distinct.length == rids.length,
+          s"seed=$seed step=$step: duplicate row ids")
       }
 
       // time travel replays every retained model state

@@ -51,7 +51,13 @@ class ShardedManifestSpec extends SparkSpec {
 
     val st = log.load()
     assert(st.snapshots.map(_.id) == Seq(1L, 2L))
-    assert(st.snapshots.head.dataFiles == data)  // exact, order included
+    // exact, order included — modulo commit-time row-id assignment, which
+    // must be contiguous in entry order (50k files × 100 rows)
+    val loaded = st.snapshots.head.dataFiles
+    assert(loaded.map(_.copy(firstRowId = -1L)) == data)
+    assert(loaded.map(_.firstRowId) == (0 until 50000).map(_ * 100L),
+      "firstRowId assignment must be contiguous in entry order")
+    assert(st.snapshots.head.nextRowId == 50000L * 100)
     assert(st.snapshots(1).deleteFiles == dels)
   }
 

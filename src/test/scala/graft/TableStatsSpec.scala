@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.TableStats
+import graft.scenarios.Scenarios
+import graft.table.GraftTableGenerator
+
+/** ANALYZE TABLE: NDV exactness at sparse cardinalities, MoR-merged
+  * inputs (dead rows never counted), the staleness contract, and the
+  * persisted round-trip. */
+class TableStatsSpec extends SparkSpec {
+
+  private def fresh(tag: String): GraftTableGenerator = {
+    val wh = java.nio.file.Files.createTempDirectory(s"ts_$tag").toString
+    val g = new GraftTableGenerator(spark, wh, "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 1, 100).commit()
+    g
+  }
+
+  test("stats are computed over the MoR-merged live rows, sparse-exact") {
+    val g = fresh("exact")
+    g.equalityDelete(Seq("widget"), col("product_id") % 5 === 0,
+      Seq("product_id")).commit()
+    val s = g.analyze(Seq("product_id", "color", "category"))
+    assert(s.rowCount == 80)
+    val by = s.cols.toMap
+    assert(by("product_id").ndv == 80 && by("product_id").min == Some("1") &&
+      by("product_id").max == Some("99"))
+    assert(by("color").ndv == 8, "colors black/green die with ids ≡ 0 (mod 5)")
+    assert(by("category").ndv == 1)
+    assert(s.cols.forall(_._2.nulls == 0))
+  }
+
+  test("stale flips when the head advances; re-analyze freshens") {
+    val g = fresh("stale")
+    g.analyze(Seq("product_id"))
+    assert(!TableStats.frame(spark, g.tableDir.toString)
+      .select("stale").head().getBoolean(0))
+    g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+    assert(TableStats.frame(spark, g.tableDir.toString)
+      .select("stale").head().getBoolean(0),
+      "a commit past the stats snapshot marks them stale")
+    val s2 = g.analyze(Seq("product_id"))
+    assert(s2.rowCount == 110)
+    assert(!TableStats.frame(spark, g.tableDir.toString)
+      .select("stale").head().getBoolean(0))
+  }
+
+  test("persisted round-trip preserves every field; newest file wins") {
+    val g = fresh("rt")
+    val written = g.analyze(Seq("product_id", "name"))
+    val loaded = TableStats.read(g.tableDir.toString)
+    assert(loaded.contains(written))
+    g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+    val w2 = g.analyze(Seq("product_id", "name"))
+    assert(TableStats.read(g.tableDir.toString).contains(w2),
+      "the newer stats file supersedes")
+  }
+}
