@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftTableFunction.changesInfo, GraftTableFunction.changesBuilder))
     ext.injectTableFunction((GraftTableFunction.atIdentifier,
       GraftTableFunction.atInfo, GraftTableFunction.atBuilder))
+    ext.injectTableFunction((GraftTableFunction.lineageIdentifier,
+      GraftTableFunction.lineageInfo, GraftTableFunction.lineageBuilder))
+    ext.injectTableFunction((GraftTableFunction.statsIdentifier,
+      GraftTableFunction.statsInfo, GraftTableFunction.statsBuilder))
     graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }

@@ -105,6 +105,49 @@ object GraftTableFunction {
     }
   }
 
+  val lineageIdentifier: FunctionIdentifier =
+    FunctionIdentifier("graft_table_lineage")
+
+  val lineageInfo: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftTableFunction", "graft_table_lineage")
+
+  /** `graft_table_lineage('/wh/tbl')` — the live rows plus Iceberg-v3 row
+    * lineage (`_row_id`, `_last_updated_seq`) from plain SQL, so an
+    * incremental SQL consumer can key its downstream state on identity
+    * that survives compaction. */
+  val lineageBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    args match {
+      case Seq(p) =>
+        require(p.foldable, s"graft_table_lineage argument must be a literal, got $p")
+        MorReader.readLineage(spark, p.eval().toString)
+          .queryExecution.analyzed
+      case _ =>
+        throw new IllegalArgumentException("graft_table_lineage(path)")
+    }
+  }
+
+  val statsIdentifier: FunctionIdentifier =
+    FunctionIdentifier("graft_table_stats")
+
+  val statsInfo: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftTableFunction", "graft_table_stats")
+
+  /** `graft_table_stats('/wh/tbl')` — the persisted ANALYZE statistics
+    * (per-column NDV / nulls / min-max, row count, staleness) as a SQL
+    * metadata table ([[graft.meta.TableStats]]). */
+  val statsBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    args match {
+      case Seq(p) =>
+        require(p.foldable, s"graft_table_stats argument must be a literal, got $p")
+        graft.meta.TableStats.frame(spark, p.eval().toString)
+          .queryExecution.analyzed
+      case _ =>
+        throw new IllegalArgumentException("graft_table_stats(path)")
+    }
+  }
+
   /** Idempotent live-session registration (mirrors the scalar-function
     * path in `GraftFunctions.ensureRegistered`). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -117,6 +160,12 @@ object GraftTableFunction {
     }
     if (!reg.functionExists(atIdentifier)) {
       reg.registerFunction(atIdentifier, atInfo, atBuilder)
+    }
+    if (!reg.functionExists(lineageIdentifier)) {
+      reg.registerFunction(lineageIdentifier, lineageInfo, lineageBuilder)
+    }
+    if (!reg.functionExists(statsIdentifier)) {
+      reg.registerFunction(statsIdentifier, statsInfo, statsBuilder)
     }
   }
 }

@@ -151,6 +151,20 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Metadata-delete fixture: sorted layout (5 files × 20 contiguous
+    * ids), deleteWhere [20,59] drops two files as pure metadata,
+    * deleteWhere [90,94] overlaps one file and pays a tombstone. */
+  private def metaDeleteTable(spark: SparkSession): String =
+    built.computeIfAbsent("metadelete_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_mdel")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 1, 100).commit()
+        .compactSorted("product_id", 20).commit()
+      g.deleteWhere("product_id", 20, 59).commit()
+      g.deleteWhere("product_id", 90, 94).commit()
+      g.tableDir.toString
+    })
+
   /** ANALYZE fixture: widget 100, eq-delete ids %5 (80 live — colors
     * black/green die with them), stats persisted at the delete head. */
   private def statsTable(spark: SparkSession): String =
@@ -558,6 +572,32 @@ object MorQueries {
            |GROUP BY category ORDER BY category""".stripMargin)
     }),
 
+    // row lineage from plain SQL: graft_table_lineage(path) exposes the
+    // stable _row_id / _last_updated_seq columns — the same end state the
+    // Scala surface answers in mor_row_lineage, reached through the TVF
+    "sql_tvf_lineage" -> ((s, _) => {
+      graft.plans.GraftTableFunction.ensureRegistered(s)
+      val dir = lineageTable(s)
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt, SUM(_row_id) AS id_sum,
+           |       SUM(CASE WHEN _row_id = product_id THEN 1 ELSE 0 END)
+           |         AS n_stable,
+           |       MAX(_last_updated_seq) AS max_seq
+           |FROM graft_table_lineage('$dir')""".stripMargin)
+    }),
+
+    // persisted ANALYZE stats from plain SQL: graft_table_stats(path) —
+    // the metadata table a SQL planner (or operator) reads cardinalities
+    // from; 'stale' reports whether the head moved past the stats
+    "sql_tvf_stats" -> ((s, _) => {
+      graft.plans.GraftTableFunction.ensureRegistered(s)
+      val dir = statsTable(s)
+      s.sql(
+        s"""SELECT col_name, ndv, row_count, stale
+           |FROM graft_table_stats('$dir')
+           |ORDER BY col_name""".stripMargin)
+    }),
+
     // CDC from SQL: graft_table_changes(path, from, to) — same changelog
     // as changelog_scan, reached through the TVF surface (the Iceberg
     // `table_changes` parity entry point)
@@ -933,6 +973,21 @@ object MorQueries {
           max(col("_row_id")).as("max_id"),
           sum(when(col("_row_id") === col("product_id").cast("long"), 1L)
             .otherwise(0L)).as("n_stable"))),
+
+    // metadata-accelerated range DELETE, driver-oracled END STATE: the
+    // two fully-covered files dropped with ZERO tombstones (pure manifest
+    // edit — the retention-window shape at 100 TB), the one overlapping
+    // file pays a positional tombstone, disjoint files never opened
+    "mor_metadata_delete" -> ((s, _) => {
+      val dir = metaDeleteTable(s)
+      val st = graft.meta.SnapshotLog(dir).load().mainOnly
+      MorReader.read(s, dir)
+        .agg(count(lit(1)).as("live_cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
+        .select(col("live_cnt"), col("id_sum"),
+          lit(st.dataFiles.size).as("n_files"),
+          lit(st.deleteFiles.count(_.kind == "pos")).as("n_tombstones"))
+    }),
 
     // ANALYZE TABLE / Puffin-stats analog, driver-oracled EXACTLY: one
     // aggregate pass persists per-column NDV (HLL++ — sparse-exact at
@@ -1526,6 +1581,28 @@ object MorQueries {
         |  ('widget', '0', '99', true))
         |  AS t(scope, min_id, max_id, metadata_only)
         |ORDER BY scope""".stripMargin,
+
+    // 55 live: 0..19, 60..89, 95..99; sum = 4950 - 1580 - 460; the two
+    // covered files dropped metadata-only, one tombstone for [90,94]
+    "mor_metadata_delete" ->
+      """SELECT CAST(55 AS BIGINT) AS live_cnt,
+        |       CAST(2910 AS BIGINT) AS id_sum,
+        |       3 AS n_files, 1 AS n_tombstones""".stripMargin,
+
+    // same end state as mor_row_lineage via SQL; survivors keep their
+    // producing seq 1 through the rewrite, the fresh append stamps seq 4
+    "sql_tvf_lineage" ->
+      """SELECT CAST(100 AS BIGINT) AS cnt, CAST(5850 AS BIGINT) AS id_sum,
+        |       CAST(100 AS BIGINT) AS n_stable,
+        |       CAST(4 AS BIGINT) AS max_seq""".stripMargin,
+
+    "sql_tvf_stats" ->
+      """SELECT * FROM (VALUES
+        |  ('category', CAST(1 AS BIGINT), CAST(80 AS BIGINT), FALSE),
+        |  ('color', CAST(8 AS BIGINT), CAST(80 AS BIGINT), FALSE),
+        |  ('product_id', CAST(80 AS BIGINT), CAST(80 AS BIGINT), FALSE))
+        |  AS t(col_name, ndv, row_count, stale)
+        |ORDER BY col_name""".stripMargin,
 
     // 80 live after the %5 delete; colors black/green die with ids ≡0
     // (pmod 0 and 5), leaving 8 colors spanning blue..yellow

@@ -332,6 +332,38 @@ object MorReader {
     }
   }
 
+  /** Row-count threshold at or below which [[readHinted]] adds a
+    * broadcast hint from fresh ANALYZE stats. */
+  val StatsBroadcastThresholdConf = "graft.stats.broadcastRowThreshold"
+  val DefaultStatsBroadcastThreshold = 1000000L
+
+  /** Read with a STATS-INFORMED broadcast hint. A MoR scan is a COMPOSED
+    * plan (parquet scans + delete anti-joins), so Spark's size-based
+    * broadcast detection sees the sum of the file sizes — it has no idea
+    * the merged LIVE set is dimension-sized, and a 100-file dim table
+    * with delete history ends up on the shuffle path of every join.
+    * Persisted ANALYZE statistics know the live row count; when they are
+    * FRESH (stats snapshot == head — stale counts could under-estimate a
+    * since-grown table, an unsafe broadcast) and at most
+    * [[StatsBroadcastThresholdConf]] rows, the read carries an explicit
+    * broadcast hint and joins against it build a broadcast hash join.
+    * No stats / stale stats / big tables read exactly like [[read]]. */
+  def readHinted(spark: SparkSession, tableDir: String,
+                 columns: Seq[String] = Nil): DataFrame = {
+    val base = read(spark, tableDir)
+    // project BEFORE hinting: Spark's hint resolution reads the join's
+    // immediate child, so a projection layered on top of the hint would
+    // silently drop it — column pruning is a parameter instead
+    val df = if (columns.nonEmpty) base.select(columns.map(col): _*) else base
+    val threshold = spark.conf.getOption(StatsBroadcastThresholdConf)
+      .map(_.toLong).getOrElse(DefaultStatsBroadcastThreshold)
+    TableStats.read(tableDir) match {
+      case Some(s) if s.snapshotId == SnapshotLog(tableDir).lastSnapshotId &&
+          s.rowCount <= threshold => broadcast(df)
+      case _ => df
+    }
+  }
+
   /** Live rows plus Iceberg-v3 ROW LINEAGE: `_row_id` (stable identity —
     * assigned once at commit, preserved through compaction via
     * materialized columns, never reused by later appends) and
@@ -510,7 +542,7 @@ object MorReader {
     * plain decimal rendering (NaN/Infinity from a float column — Spark
     * casts them to those literal strings). Callers must treat None as
     * "cannot prune" — skipping a file on an unparseable stat is unsound. */
-  private def cmpMetric(dt: DataType, a: String, b: String): Option[Int] = dt match {
+  private[graft] def cmpMetric(dt: DataType, a: String, b: String): Option[Int] = dt match {
     case _: NumericType =>
       try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
       catch { case _: NumberFormatException => None }

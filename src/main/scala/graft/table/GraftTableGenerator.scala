@@ -309,6 +309,77 @@ final class GraftTableGenerator(
     * via a running-sum window; fake generation is pure Spark expressions —
     * ~10^8 rows never touch the driver (SURVEY.md §7.4.5).
     */
+  /** Metadata-accelerated range DELETE (Iceberg's delete-by-filter with
+    * metadata deletes): rows with `lo <= colName <= hi` (inclusive,
+    * canonical-string bounds in the metrics rendering) are deleted in two
+    * tiers decided ENTIRELY from the snapshot log —
+    *
+    *   - files whose recorded [min, max] envelope sits FULLY inside the
+    *     range with ZERO recorded nulls (a null never matches a range
+    *     predicate, so a file with nulls must keep its null rows) are
+    *     dropped from the live set as PURE METADATA: no tombstone, no
+    *     scan, no file I/O. Dropping a 100 TB retention window costs a
+    *     manifest edit.
+    *   - files that merely OVERLAP the range get their matching rows
+    *     deleted through the ordinary positional machinery — tombstone
+    *     files, or the partition's merged deletion vector when
+    *     [[vectorDeletes]] is on. Files with no metrics are treated as
+    *     overlapping (conservative: scanned, never mis-dropped).
+    *   - disjoint files are untouched — not even opened.
+    *
+    * The dropped files stay on disk for time travel, exactly like a
+    * compaction's removed files; the row-lineage changelog reports their
+    * rows as ordinary delete events (state-based diff — no tombstone
+    * needed to witness them). */
+  def deleteWhere(colName: String, lo: Any, hi: Any): this.type = {
+    requireCreated("deleteWhere()")
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column $colName in ${schema.names}"))
+    val st = lineage(log.load())
+    val loS = String.valueOf(lo)
+    val hiS = String.valueOf(hi)
+    def cmp(a: String, b: String): Option[Int] =
+      MorReader.cmpMetric(field.dataType, a, b)
+    val opSeq = nextOpSeq()
+    val (fullyInside, others) = st.dataFiles.partition { f =>
+      f.metrics.get(field.id).exists { m =>
+        m.nullCount == 0 && m.min.zip(m.max).exists { case (mn, mx) =>
+          cmp(mn, loS).exists(_ >= 0) && cmp(mx, hiS).exists(_ <= 0)
+        }
+      }
+    }
+    stagedRemovedData ++= fullyInside.map(_.path)
+    // provably-disjoint files are skipped; unknown metrics are scanned
+    val overlapping = others.filterNot { f =>
+      f.metrics.get(field.id).exists { m =>
+        m.min.zip(m.max).exists { case (mn, mx) =>
+          cmp(mn, hiS).exists(_ > 0) || cmp(mx, loS).exists(_ < 0)
+        }
+      }
+    }
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    for ((partition, fs) <- overlapping.groupBy(_.partition).toSeq
+           .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))) {
+      val matches = rawScan(fs).where(pred)
+        .select(col(MorReader.FilePathCol).as("file_path"),
+          col(MorReader.PosCol).as("pos"))
+      if (vectorDeleteMode)
+        stageMergedVector(partition, matches,
+          st.deleteFiles.filter(f => f.kind == "dv" && f.partition == partition),
+          opSeq)
+      else {
+        val target = deleteFileTarget("delete", partition)
+        writeSingleFile(
+          matches.repartition(1).sortWithinPartitions("file_path", "pos"), target)
+        stagedDeletes :+= DeleteFileEntry(target.toString, partition, "pos",
+          Nil, Nil, opSeq,
+          metrics = deleteColMetrics(target,
+            Seq(DeleteFileEntry.PathFieldId -> "file_path")))
+      }
+    }
+    this
+  }
+
   /** Toggle Iceberg-v3 NATIVE deletion-vector writes: while enabled,
     * [[positionalDelete]] merges its matches into the partition's single
     * deletion vector (read old vector, OR bitmaps, stage replacement)
@@ -1254,8 +1325,9 @@ final class GraftTableGenerator(
     // data+deletes together is an upsert ("overwrite")
     val operation =
       if (stagedHasRewrite) "replace"
-      else if (stagedData.nonEmpty && stagedDeletes.nonEmpty) "overwrite"
-      else if (stagedDeletes.nonEmpty) "delete"
+      else if (stagedData.nonEmpty &&
+        (stagedDeletes.nonEmpty || stagedRemovedData.nonEmpty)) "overwrite"
+      else if (stagedDeletes.nonEmpty || stagedRemovedData.nonEmpty) "delete"
       else "append"
     log.commit(Snapshot(committedSnapId + 1, committedSeq + stagedOps, schemaV,
       specId, stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes,

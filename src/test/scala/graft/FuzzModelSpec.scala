@@ -121,15 +121,23 @@ class FuzzModelSpec extends SparkSpec {
             val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
             g.equalityDelete(col("order_id") % m === r, Seq("order_id")).commit()
             live.filterInPlace(_ % m != r)
-          case 3 => // positional-delete an id band — randomly as a classic
-            // tombstone file or a NATIVE merged deletion vector (model
-            // identical either way)
-            val a = rnd.nextLong(math.max(nextId, 1L)); val b = a + 1 + rnd.nextInt(40)
-            g.vectorDeletes(rnd.nextBoolean())
-              .positionalDelete(col("order_id") >= a && col("order_id") < b)
-              .commit()
-            g.vectorDeletes(false)
-            live.filterInPlace(i => i < a || i >= b)
+          case 3 => // delete an inclusive id band [a, b] — randomly as a
+            // classic tombstone file, a NATIVE merged deletion vector, or
+            // the metadata-accelerated deleteWhere (file drops + overlap
+            // tombstones). Model identical for all three.
+            val a = rnd.nextLong(math.max(nextId, 1L)); val b = a + rnd.nextInt(40)
+            rnd.nextInt(3) match {
+              case 0 =>
+                g.positionalDelete(col("order_id") >= a &&
+                  col("order_id") <= b).commit()
+              case 1 =>
+                g.vectorDeletes(true)
+                  .positionalDelete(col("order_id") >= a &&
+                    col("order_id") <= b).commit()
+                g.vectorDeletes(false)
+              case 2 => g.deleteWhere("order_id", a, b).commit()
+            }
+            live.filterInPlace(i => i < a || i > b)
           case 4 => // upsert an existing-id window (re-adds deleted ids)
             val start = rnd.nextLong(math.max(nextId - 10, 1L))
             val n = 1 + rnd.nextInt(10)

@@ -48,6 +48,37 @@ class TableStatsSpec extends SparkSpec {
       .select("stale").head().getBoolean(0))
   }
 
+  test("fresh stats put a delete-bearing dim table on the broadcast path") {
+    val g = fresh("bcast")
+    g.equalityDelete(Seq("widget"), col("product_id") % 5 === 0,
+      Seq("product_id")).commit() // composed MoR plan: scan + anti-join
+    val fact = spark.range(0, 10000)
+      .select((col("id") % 100).cast("int").as("product_id"),
+        col("id").as("v"))
+    def planOf(): String =
+      fact.join(graft.read.MorReader.readHinted(spark, g.tableDir.toString,
+          Seq("product_id", "color")), Seq("product_id"))
+        .queryExecution.executedPlan.toString
+    // size-based auto-broadcast off: only OUR stats hint can broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the MoR plan's INTERNAL metadata joins are always broadcast;
+      // the FACT-dim join is the one keyed on product_id
+      def factJoinBroadcast(): Boolean =
+        planOf().contains("BroadcastHashJoin [product_id")
+      assert(!factJoinBroadcast(),
+        "no stats: readHinted must behave exactly like read")
+      g.analyze(Seq("product_id"))
+      assert(factJoinBroadcast(),
+        "fresh small-count stats must broadcast the dim side")
+      // stale stats (head advanced) must NOT hint — they could
+      // under-estimate a since-grown table
+      g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+      assert(!factJoinBroadcast(),
+        "stale stats must not drive an unsafe broadcast")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("persisted round-trip preserves every field; newest file wins") {
     val g = fresh("rt")
     val written = g.analyze(Seq("product_id", "name"))
