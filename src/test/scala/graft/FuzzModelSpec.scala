@@ -57,11 +57,18 @@ class FuzzModelSpec extends SparkSpec {
       val live = scala.collection.mutable.Set.empty[Long]
       var snapId = 0L
       var history = Vector.empty[(Long, Set[Long])]
+      // columns added by mid-sequence schema evolution (name -> default);
+      // generated frames must carry them, and evolved tables must append
+      // through appendData (the reference append path conforms strictly)
+      var extraCols = Vector.empty[(String, Int)]
+
+      def withExtras(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        extraCols.foldLeft(df) { case (d, (c, v)) => d.withColumn(c, lit(v)) }
 
       def appendFile(target: scala.collection.mutable.Set[Long] = live): Unit = {
-        if (appendViaData)
-          g.appendData(Bundles.ordersUnpartitioned()
-            .frame(spark, nextId, 20, None, Scenarios.OrdersSchema))
+        if (appendViaData || extraCols.nonEmpty)
+          g.appendData(withExtras(Bundles.ordersUnpartitioned()
+            .frame(spark, nextId, 20, None, Scenarios.OrdersSchema)))
         else g.append(Bundles.ordersUnpartitioned(), 1, 20)
         (nextId until nextId + 20).foreach(target += _)
         nextId += 20
@@ -72,7 +79,7 @@ class FuzzModelSpec extends SparkSpec {
 
       for (step <- 1 to steps) {
         var committed = true
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case 11 => // branch cycle: fork, 1-3 branch ops, FF or drop.
             // Branch commits must stay invisible to main throughout; a
             // fast-forward publishes the branch model as the main model, a
@@ -141,8 +148,8 @@ class FuzzModelSpec extends SparkSpec {
           case 4 => // upsert an existing-id window (re-adds deleted ids)
             val start = rnd.nextLong(math.max(nextId - 10, 1L))
             val n = 1 + rnd.nextInt(10)
-            val incoming = Bundles.ordersUnpartitioned()
-              .frame(spark, start, n, None, Scenarios.OrdersSchema)
+            val incoming = withExtras(Bundles.ordersUnpartitioned()
+              .frame(spark, start, n, None, Scenarios.OrdersSchema))
             g.upsert(incoming, Seq("order_id")).commit()
             (start until start + n).foreach(live += _)
           case 5 => g.compact().commit()
@@ -151,8 +158,8 @@ class FuzzModelSpec extends SparkSpec {
           case 9 => // conditional merge over an id window
             val start = rnd.nextLong(math.max(nextId - 10, 1L))
             val n = 1 + rnd.nextInt(10)
-            val src = Bundles.ordersUnpartitioned()
-              .frame(spark, start, n, None, Scenarios.OrdersSchema)
+            val src = withExtras(Bundles.ordersUnpartitioned()
+              .frame(spark, start, n, None, Scenarios.OrdersSchema))
               .withColumn("op",
                 when(col("order_id") % 3 === 0, lit("D")).otherwise(lit("U")))
             g.mergeInto(src, Seq("order_id"),
@@ -166,6 +173,22 @@ class FuzzModelSpec extends SparkSpec {
           case 10 => // both tombstone rewrites are model no-ops
             if (rnd.nextBoolean()) g.compactPositionDeletes().commit()
             else g.rewritePositionDeletesToDVs().commit()
+          case 12 => // schema evolution mid-sequence: add a DEFAULTED
+            // column (pure metadata — every pre-add row reads the
+            // default), sometimes dropping the newest one instead. The id
+            // model is untouched; what this stresses is the epoch
+            // projection interleaved with every other op.
+            if (extraCols.nonEmpty && rnd.nextBoolean()) {
+              val (c, _) = extraCols.last
+              g.updateSchema(Nil, Seq(c))
+              extraCols = extraCols.init
+            } else {
+              val c = s"fz_c$step"; val v = rnd.nextInt(100)
+              g.addColumn(c, org.apache.spark.sql.types.IntegerType,
+                Some(v.toString))
+              extraCols :+= (c -> v)
+            }
+            g.commit() // metadata-only snapshot stamps the new schemaV
           case 8 => // expiry: no commit, drops time travel past the horizon
             val keep = 1 + rnd.nextInt(3)
             g.expireSnapshots(keep)
