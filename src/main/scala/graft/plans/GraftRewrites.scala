@@ -68,6 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftTableFunction.lineageInfo, GraftTableFunction.lineageBuilder))
     ext.injectTableFunction((GraftTableFunction.statsIdentifier,
       GraftTableFunction.statsInfo, GraftTableFunction.statsBuilder))
+    ext.injectTableFunction((GraftTableFunction.metaIdentifier,
+      GraftTableFunction.metaInfo, GraftTableFunction.metaBuilder))
     graft.functions.GraftFunctions.descriptors.foreach(ext.injectFunction)
   }
 }

@@ -148,6 +148,42 @@ object GraftTableFunction {
     }
   }
 
+  val metaIdentifier: FunctionIdentifier =
+    FunctionIdentifier("graft_table_meta")
+
+  val metaInfo: ExpressionInfo = new ExpressionInfo(
+    "graft.plans.GraftTableFunction", "graft_table_meta")
+
+  /** `graft_table_meta('/wh/tbl', 'files' | 'delete_files' | 'snapshots'
+    * | 'partitions' | 'history' | 'refs' | 'all_files')` — the Iceberg
+    * `tbl.files`-style metadata tables from plain SQL, one TVF keyed by
+    * table name (Spark's TVF registry has no dotted-suffix syntax, so the
+    * selector is an argument). */
+  val metaBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    args match {
+      case Seq(p, which) =>
+        require(p.foldable && which.foldable,
+          "graft_table_meta arguments must be literals")
+        val dir = p.eval().toString
+        val df = which.eval().toString match {
+          case "files" => graft.read.MetaTables.files(spark, dir)
+          case "delete_files" => graft.read.MetaTables.deleteFiles(spark, dir)
+          case "snapshots" => graft.read.MetaTables.snapshots(spark, dir)
+          case "partitions" => graft.read.MetaTables.partitions(spark, dir)
+          case "history" => graft.read.MetaTables.history(spark, dir)
+          case "refs" => graft.read.MetaTables.refs(spark, dir)
+          case "all_files" => graft.read.MetaTables.allDataFiles(spark, dir)
+          case other => throw new IllegalArgumentException(
+            s"unknown metadata table '$other' (files, delete_files, " +
+              "snapshots, partitions, history, refs, all_files)")
+        }
+        df.queryExecution.analyzed
+      case _ =>
+        throw new IllegalArgumentException("graft_table_meta(path, which)")
+    }
+  }
+
   /** Idempotent live-session registration (mirrors the scalar-function
     * path in `GraftFunctions.ensureRegistered`). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -166,6 +202,9 @@ object GraftTableFunction {
     }
     if (!reg.functionExists(statsIdentifier)) {
       reg.registerFunction(statsIdentifier, statsInfo, statsBuilder)
+    }
+    if (!reg.functionExists(metaIdentifier)) {
+      reg.registerFunction(metaIdentifier, metaInfo, metaBuilder)
     }
   }
 }

@@ -586,6 +586,17 @@ object MorQueries {
            |FROM graft_table_lineage('$dir')""".stripMargin)
     }),
 
+    // metadata tables from plain SQL: graft_table_meta(path, which) — the
+    // Iceberg tbl.files-style surface; same delete-unaware partitions
+    // rollup the Scala MetaTables answers in meta_partitions
+    "sql_tvf_meta" -> ((s, _) => {
+      graft.plans.GraftTableFunction.ensureRegistered(s)
+      val dir = s10(s)
+      s.sql(
+        s"""SELECT * FROM graft_table_meta('$dir', 'partitions')
+           |ORDER BY `partition`""".stripMargin)
+    }),
+
     // persisted ANALYZE stats from plain SQL: graft_table_stats(path) —
     // the metadata table a SQL planner (or operator) reads cardinalities
     // from; 'stale' reports whether the head moved past the stats
@@ -1552,6 +1563,15 @@ object MorQueries {
 
     // delete-unaware manifest rollup (Iceberg partitions-table semantics)
     "meta_partitions" ->
+      s"""$s10Rows
+         |SELECT 'category=' || category AS "partition",
+         |       CAST(COUNT(DISTINCT seq) AS BIGINT) AS file_count,
+         |       CAST(COUNT(*) AS BIGINT) AS record_count
+         |FROM rows_ GROUP BY category ORDER BY "partition"""".stripMargin,
+
+    // identical to meta_partitions — the TVF must answer exactly what the
+    // Scala MetaTables surface answers
+    "sql_tvf_meta" ->
       s"""$s10Rows
          |SELECT 'category=' || category AS "partition",
          |       CAST(COUNT(DISTINCT seq) AS BIGINT) AS file_count,
