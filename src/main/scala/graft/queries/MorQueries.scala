@@ -151,6 +151,40 @@ object MorQueries {
       g.tableDir.toString
     })
 
+  /** Eq-conversion fixture: %5 eq wave (20 dead), upsert 40..49 (revives
+    * 40/45, replaces the rest at higher seq), CONVERT all eq deletes to
+    * vectors (28 exact positions), then one more eq delete on top. */
+  private def eqConvertTable(spark: SparkSession): String =
+    built.computeIfAbsent("eqconvert_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "products_eqc")
+      g.create(Scenarios.ProductsSchema, Seq("category"))
+        .append(Seq("widget"), graft.gen.Bundles.products(), 2, 50).commit()
+        .equalityDelete(Seq("widget"), col("product_id") % 5 === 0,
+          Seq("product_id")).commit()
+      val incoming = graft.gen.Bundles.products()
+        .frame(spark, 40, 10, Some("widget"), Scenarios.ProductsSchema)
+      g.upsert(incoming, Seq("product_id")).commit()
+      g.rewriteEqualityDeletes().commit()
+      g.equalityDelete(Seq("widget"), col("product_id") === 71,
+        Seq("product_id")).commit()
+      g.tableDir.toString
+    })
+
+  /** Write-order fixture: declared sort on order_id, 400 SHUFFLED rows
+    * bulk-appended into 4 range-partitioned files — per-file envelopes
+    * must come out disjoint with no rewrite ever run. */
+  private def writeOrderedTable(spark: SparkSession): String =
+    built.computeIfAbsent("writeorder_q", _ => {
+      val g = new graft.table.GraftTableGenerator(spark, wh, "orders_worder")
+      g.create(Scenarios.OrdersSchema, Nil)
+      g.writeOrdered("order_id")
+      val shuffled = graft.gen.Bundles.ordersUnpartitioned()
+        .frame(spark, 0, 400, None, Scenarios.OrdersSchema)
+        .orderBy(xxhash64(col("order_id")))
+      g.appendBulk(shuffled, 4).commit()
+      g.tableDir.toString
+    })
+
   /** Metadata-delete fixture: sorted layout (5 files × 20 contiguous
     * ids), deleteWhere [20,59] drops two files as pure metadata,
     * deleteWhere [90,94] overlaps one file and pays a tombstone. */
@@ -985,6 +1019,58 @@ object MorQueries {
           sum(when(col("_row_id") === col("product_id").cast("long"), 1L)
             .otherwise(0L)).as("n_stable"))),
 
+    // equality-delete conversion (the convert-equality-deletes action),
+    // driver-oracled END STATE: the exact 28-position kill set became one
+    // vector (strict-seq revivals preserved — 40/45 stay alive), the eq
+    // files are gone, and a post-conversion eq delete composes on top
+    "mor_eq_convert" -> ((s, _) => {
+      val dir = eqConvertTable(s)
+      val entries = graft.meta.SnapshotLog(dir).load().mainOnly.deleteFiles
+      val dv = entries.filter(_.kind == "dv")
+      val card = s.read.parquet(dv.map(_.path): _*)
+        .agg(coalesce(sum("cardinality"), lit(0L))).collect()(0).getLong(0)
+      MorReader.read(s, dir)
+        .agg(count(lit(1)).as("live_cnt"),
+          sum(col("product_id").cast("long")).as("id_sum"))
+        .select(col("live_cnt"), col("id_sum"),
+          lit(dv.size).as("n_vectors"),
+          lit(entries.count(_.kind == "eq")).as("n_eq_files"),
+          lit(card).as("dv_cardinality"))
+    }),
+
+    // the first_row_id metadata surface, driver-oracled over the lineage
+    // fixture: the three sorted-rewrite files carry ids IN-FILE (-1 in
+    // the manifest), the fresh append file holds base id 100
+    "meta_lineage_files" -> ((s, _) =>
+      graft.read.MetaTables.lineageFiles(s, lineageTable(s))
+        .groupBy("lineage_in_file")
+        .agg(count(lit(1)).as("n_files"),
+          sum("record_count").as("declared_rows"),
+          min("first_row_id").as("min_frid"),
+          max("first_row_id").as("max_frid"))
+        .orderBy("lineage_in_file")),
+
+    // table write order (Iceberg write.sort-order), driver-oracled: bulk
+    // ingest of SHUFFLED input under a declared order yields 4 files
+    // with pairwise-DISJOINT order_id envelopes (no rewrite ever ran),
+    // and a band read answers exactly over the sorted layout
+    "mor_write_ordered" -> ((s, _) => {
+      val dir = writeOrderedTable(s)
+      val st = graft.meta.SnapshotLog(dir).load().mainOnly
+      val fid = st.schema.fieldId("order_id")
+      val es = st.dataFiles.map(_.metrics(fid))
+        .map(m => (m.min.get.toLong, m.max.get.toLong))
+      val overlapping = es.combinations(2).count {
+        case Seq((a1, a2), (b1, b2)) => a1 <= b2 && b1 <= a2 }
+      MorReader.readRange(s, dir,
+          Map("order_id" -> MorReader.ColRange(Some("100"), Some("199"))))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("order_id").cast("long")).as("id_sum"))
+        .select(col("cnt"), col("id_sum"),
+          lit(st.dataFiles.size).as("n_files"),
+          lit(overlapping).as("overlapping_pairs"))
+    }),
+
     // metadata-accelerated range DELETE, driver-oracled END STATE: the
     // two fully-covered files dropped with ZERO tombstones (pure manifest
     // edit — the retention-window shape at 100 TB), the one overlapping
@@ -1601,6 +1687,31 @@ object MorQueries {
         |  ('widget', '0', '99', true))
         |  AS t(scope, min_id, max_id, metadata_only)
         |ORDER BY scope""".stripMargin,
+
+    // 110 physical rows; 28 dead by converted eq (18 still-dead %5 + 10
+    // replaced upsert originals), 71 by the later eq: 81 live,
+    // sum = 4950 - 950 + 85 - 71
+    "mor_eq_convert" ->
+      """SELECT CAST(81 AS BIGINT) AS live_cnt,
+        |       CAST(4014 AS BIGINT) AS id_sum,
+        |       1 AS n_vectors, 1 AS n_eq_files,
+        |       CAST(28 AS BIGINT) AS dv_cardinality""".stripMargin,
+
+    // fresh append file: base id 100, 10 rows; 3 rewrite files: 90 rows,
+    // ids materialized in-file (manifest reports -1)
+    "meta_lineage_files" ->
+      """SELECT * FROM (VALUES
+        |  (FALSE, CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+        |   CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+        |  (TRUE, CAST(3 AS BIGINT), CAST(90 AS BIGINT),
+        |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)))
+        |  AS t(lineage_in_file, n_files, declared_rows, min_frid, max_frid)
+        |ORDER BY lineage_in_file""".stripMargin,
+
+    // band [100,199] over the sorted layout; 4 disjoint files
+    "mor_write_ordered" ->
+      """SELECT CAST(100 AS BIGINT) AS cnt, CAST(14950 AS BIGINT) AS id_sum,
+        |       4 AS n_files, 0 AS overlapping_pairs""".stripMargin,
 
     // 55 live: 0..19, 60..89, 95..99; sum = 4950 - 1580 - 460; the two
     // covered files dropped metadata-only, one tombstone for [90,94]

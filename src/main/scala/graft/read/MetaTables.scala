@@ -55,6 +55,21 @@ object MetaTables {
       .toDF("file_path", "partition", "spec_id", "seq", "record_count")
   }
 
+  /** Row-lineage view of the live data files (Iceberg-v3 `first_row_id`
+    * surface): plain files carry the manifest-assigned base id (rows are
+    * `first_row_id + position`); rewritten files report -1 with
+    * `lineage_in_file = true` — their ids travel MATERIALIZED inside the
+    * file, which is how identity survives compaction. */
+  def lineageFiles(spark: SparkSession, tableDir: String,
+                   asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    state(tableDir, asOf).dataFiles
+      .map(f => (rel(tableDir, f.path), partStr(f.partition), f.recordCount,
+        f.firstRowId, f.lineageInFile))
+      .toDF("file_path", "partition", "record_count", "first_row_id",
+        "lineage_in_file")
+  }
+
   /** `tbl.delete_files`: one row per live delete file (pos + eq). */
   def deleteFiles(spark: SparkSession, tableDir: String,
                   asOf: Option[Long] = None): DataFrame = {

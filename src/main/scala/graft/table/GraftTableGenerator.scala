@@ -57,6 +57,7 @@ final class GraftTableGenerator(
   private var stagedData: Vector[DataFileEntry] = Vector.empty
   private var stagedDeletes: Vector[DeleteFileEntry] = Vector.empty
   private var vectorDeleteMode: Boolean = false
+  private var sortOrderCols: Seq[String] = Nil
   private var stagedRemovedData: Vector[String] = Vector.empty
   private var stagedRemovedDeletes: Vector[String] = Vector.empty
   // one snapshot has exactly ONE operation: user writes (append/delete/
@@ -144,6 +145,7 @@ final class GraftTableGenerator(
     this.stagedOps = 0; this.stagedData = Vector.empty; this.stagedDeletes = Vector.empty
     this.stagedRemovedData = Vector.empty; this.stagedRemovedDeletes = Vector.empty
     this.stagedHasUserWrite = false; this.stagedHasRewrite = false
+    this.sortOrderCols = Nil // create() wiped metadata/write-order.json
     this.created = true
     log.init()
     log.writeSchema(0, schema)
@@ -185,7 +187,7 @@ final class GraftTableGenerator(
         bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, Some(pv), schema))
       val pdir = dataDir.resolve(pv.toString)
       val target = uniqueNumberedFile(pdir, s"$pv-%02d.parquet")
-      writeSingleFile(df, target)
+      writeSingleFile(ordered(df), target)
       stagedData :+= DataFileEntry(target.toString,
         Map(partitionCols.head -> pv.toString), specId, schemaV, opSeq, rowsPerFile,
         metrics = fileMetrics(target))
@@ -200,7 +202,7 @@ final class GraftTableGenerator(
       val df = conformed(
         bundle.frame(spark, claimIds(rowsPerFile), rowsPerFile, None, schema))
       val target = uniqueNumberedFile(dataDir, "%02d.parquet")
-      writeSingleFile(df, target)
+      writeSingleFile(ordered(df), target)
       stagedData :+= DataFileEntry(target.toString, Map.empty, specId, schemaV,
         opSeq, rowsPerFile, metrics = fileMetrics(target))
     }
@@ -219,7 +221,15 @@ final class GraftTableGenerator(
     val staging = Files.createTempDirectory(tableDir, ".staging")
     def list(dir: Path): Seq[Path] = listDir(dir)
     if (partitionCols.isEmpty) {
-      df.repartition(numFiles).write.options(props).mode("overwrite")
+      // with a declared write order: range-partition so each produced
+      // file covers a DISJOINT sort-key range (tight manifest envelopes
+      // from the first write); otherwise plain round-robin
+      val laid =
+        if (sortOrderCols.nonEmpty)
+          df.repartitionByRange(numFiles, sortOrderCols.map(col): _*)
+            .sortWithinPartitions(sortOrderCols.map(col): _*)
+        else df.repartition(numFiles)
+      laid.write.options(props).mode("overwrite")
         .parquet(staging.toString)
       val stats = bulkMetrics(staging)
       list(staging).filter(_.getFileName.toString.endsWith(".parquet"))
@@ -237,8 +247,14 @@ final class GraftTableGenerator(
       // transform keeps partition values as data columns — partition on a
       // duplicate so the real column stays in the files
       val dup = s"__part_$pcol"
-      df.withColumn(dup, col(pcol)).repartition(numFiles, col(pcol))
-        .write.options(props)
+      val base = df.withColumn(dup, col(pcol))
+      val laid =
+        if (sortOrderCols.nonEmpty)
+          base.repartitionByRange(numFiles,
+              col(pcol) +: sortOrderCols.map(col): _*)
+            .sortWithinPartitions((dup +: sortOrderCols).map(col): _*)
+        else base.repartition(numFiles, col(pcol))
+      laid.write.options(props)
         .partitionBy(dup).mode("overwrite").parquet(staging.toString)
       val stats = bulkMetrics(staging)
       list(staging).filter(p => p.getFileName.toString.startsWith(s"$dup="))
@@ -538,7 +554,7 @@ final class GraftTableGenerator(
           uniqueNumberedFile(dataDir.resolve(partitionString),
             s"$partitionString-%02d.parquet")
         else uniqueNumberedFile(dataDir, "%02d.parquet")
-      writeSingleFile(rows.select(schema.names.map(col): _*), target)
+      writeSingleFile(ordered(rows.select(schema.names.map(col): _*)), target)
       // real count from the just-written footer (driver-side, no job) —
       // readers still never TRUST it, but row-lineage assignment needs it
       stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
@@ -984,6 +1000,57 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Convert every EQUALITY delete into deletion-vector entries (the
+    * Iceberg convert-equality-deletes maintenance action): compute the
+    * exact (file, position) set the eq files kill — the difference
+    * between the merge WITHOUT them and the full merge, so sequence
+    * visibility and partition scoping are inherited from the read path
+    * itself, never re-implemented — then OR those positions into each
+    * affected partition's single vector and drop the eq files.
+    *
+    * Why a 100 TB table wants this: every eq-delete file adds an
+    * anti-join against the scan keyed on the equality columns; a table
+    * ingesting upserts all day accumulates hundreds of them, and the
+    * read pays all of them forever. Conversion is EXACT with no
+    * semantic drift: strict-seq visibility means an eq delete can never
+    * apply to files appended after it, so the kill set is fully
+    * determined at conversion time. Commits as a rewrite ("replace") —
+    * changelog-invisible, time travel still sees the eq files. */
+  def rewriteEqualityDeletes(): this.type = {
+    requireCreated("rewriteEqualityDeletes()")
+    val st = lineage(log.load())
+    val eqs = st.deleteFiles.filter(_.kind == "eq")
+    if (eqs.isEmpty) return this // nothing staged — callers can skip commit
+    nextOpSeq(rewrite = true)
+    val noEq = st.copy(snapshots = st.snapshots.map(s =>
+      s.copy(deleteFiles = s.deleteFiles.filterNot(_.kind == "eq"))))
+    val fp = MorReader.FilePathCol
+    val pos = MorReader.PosCol
+    val withoutEq = MorReader.withMeta(spark, noEq, schema, Map.empty)
+      .select(col(fp), col(pos))
+    val full = MorReader.withMeta(spark, st, schema, Map.empty)
+      .select(col(fp), col(pos))
+    // one materialization; per-partition filters below re-read it
+    val deadByEq = withoutEq.join(full, Seq(fp, pos), "left_anti")
+      .localCheckpoint()
+    val partOf = st.dataFiles.map(f => f.path -> f.partition).toMap
+    val affected = deadByEq.select(fp).distinct().collect()
+      .map(_.getString(0)).flatMap(partOf.get).distinct
+      .sortBy(_.toSeq.sortBy(_._1).mkString(","))
+    val maxSeq = eqs.map(_.seq).max
+    for (partition <- affected) {
+      val paths = partOf.collect {
+        case (p, pt) if pt == partition => p }.toSeq
+      val tomb = deadByEq.where(col(fp).isin(paths: _*))
+        .select(col(fp).as("file_path"), col(pos).as("pos"))
+      stageMergedVector(partition, tomb,
+        st.deleteFiles.filter(f => f.kind == "dv" && f.partition == partition),
+        maxSeq)
+    }
+    stagedRemovedDeletes ++= eqs.map(_.path)
+    this
+  }
+
   /** Stage ONE merged deletion vector for `partition`: fresh tombstone
     * rows `(file_path, pos)` aggregated into per-file bitmaps
     * ([[graft.functions.BitsetAgg]], map-side partial OR), then OR-merged
@@ -1357,8 +1424,47 @@ final class GraftTableGenerator(
       s"table $name does not exist — open() attaches to committed tables only")
     nextId = -1L // poison generated-id appends (claimIds)
     created = true
+    sortOrderCols = loadWriteOrder()
     refresh()
   }
+
+  /** Declare a table WRITE ORDER (Iceberg `write.sort-order`): every
+    * subsequent append — per-file, appendData slices, and the distributed
+    * appendBulk — lays rows out sorted on `cols` (bulk: range-partitioned
+    * so each produced file covers a DISJOINT range). The point is the
+    * manifest metrics: sorted ingest gives non-overlapping per-file
+    * [min, max] envelopes from the first write, so range reads prune to
+    * the few matching files WITHOUT ever paying a compactSorted rewrite —
+    * at 100 TB, the difference between sorting on ingest (one shuffle you
+    * were paying anyway) and re-clustering the table later. Persisted in
+    * the table metadata; open()ed writers inherit it. */
+  def writeOrdered(cols: String*): this.type = {
+    requireCreated("writeOrdered()")
+    cols.foreach(c => require(schema.names.contains(c), s"no column $c"))
+    sortOrderCols = cols
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val arr = root.putArray("cols")
+    cols.foreach(arr.add)
+    Files.writeString(tableDir.resolve("metadata").resolve("write-order.json"),
+      m.writeValueAsString(root))
+    this
+  }
+
+  private def loadWriteOrder(): Seq[String] = {
+    val p = tableDir.resolve("metadata").resolve("write-order.json")
+    if (!Files.exists(p)) Nil
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(p))
+      import scala.jdk.CollectionConverters._
+      n.get("cols").elements().asScala.map(_.asText).toSeq
+    }
+  }
+
+  /** Apply the declared write order to rows about to become ONE file. */
+  private def ordered(df: DataFrame): DataFrame =
+    if (sortOrderCols.isEmpty) df else df.sort(sortOrderCols.map(col): _*)
 
   /** Re-sync with the table's committed state after another writer
     * advanced it — the [[graft.meta.CommitConflictException]] recovery

@@ -153,6 +153,44 @@ class DeleteVectorSpec extends SparkSpec {
     assert(liveIds(g) == (0 until 200).toSet -- (0 until 5) - 30)
   }
 
+  test("equality-delete conversion: row-identical, eq files gone, strict-seq preserved") {
+    val g = fresh("eqconv")
+    g.equalityDelete(Seq("widget"), col("product_id") % 5 === 0,
+      Seq("product_id")).commit()
+    // upsert re-adds 40..49 at a higher seq (40 and 45 come back to life)
+    val incoming = graft.gen.Bundles.products()
+      .frame(spark, 40, 10, Some("widget"), Scenarios.ProductsSchema)
+    g.upsert(incoming, Seq("product_id")).commit()
+    val before = liveIds(g)
+    g.rewriteEqualityDeletes().commit()
+    assert(liveIds(g) == before, "conversion must not change the live set")
+    val entries = SnapshotLog(g.tableDir.toString).load().mainOnly.deleteFiles
+    assert(entries.forall(_.kind == "dv"),
+      s"all eq files converted, got kinds ${entries.map(_.kind)}")
+    // the kill set was exact: 18 still-dead %5 rows + 10 upsert-replaced
+    // old versions (40/45's old rows counted once each)
+    val card = spark.read.parquet(entries.map(_.path): _*)
+      .agg(sum("cardinality")).collect()(0).getLong(0)
+    assert(card == 28, s"expected 28 converted positions, got $card")
+    // a FUTURE eq delete still composes on top of the vectors
+    g.equalityDelete(Seq("gizmo"), col("product_id") === 150,
+      Seq("product_id")).commit()
+    assert(liveIds(g) == before - 150)
+  }
+
+  test("conversion of a dropped-key eq delete (S11 shape) stays exact") {
+    val g = fresh("eqdrop")
+    g.equalityDelete(Seq("widget"), col("color") === "black",
+      Seq("color")).commit()
+    g.updateSchema(Nil, Seq("color")) // the eq KEY column is dropped
+    val before = liveIds(g)
+    g.rewriteEqualityDeletes().commit()
+    assert(liveIds(g) == before,
+      "field-id key resolution must survive the conversion")
+    assert(SnapshotLog(g.tableDir.toString).load().mainOnly
+      .deleteFiles.forall(_.kind == "dv"))
+  }
+
   test("compaction drops the vector with the other delete files") {
     val g = fresh("compact")
     g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()

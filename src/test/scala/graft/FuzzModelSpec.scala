@@ -170,9 +170,12 @@ class FuzzModelSpec extends SparkSpec {
               if (live(i)) { if (i % 3 == 0) live -= i }
               else if (i % 3 != 0) live += i
             }
-          case 10 => // both tombstone rewrites are model no-ops
-            if (rnd.nextBoolean()) g.compactPositionDeletes().commit()
-            else g.rewritePositionDeletesToDVs().commit()
+          case 10 => // all three delete-file rewrites are model no-ops
+            rnd.nextInt(3) match {
+              case 0 => g.compactPositionDeletes().commit()
+              case 1 => g.rewritePositionDeletesToDVs().commit()
+              case 2 => g.rewriteEqualityDeletes().commit()
+            }
           case 12 => // schema evolution mid-sequence: add a DEFAULTED
             // column (pure metadata — every pre-add row reads the
             // default), sometimes dropping the newest one instead. The id
