@@ -1270,21 +1270,28 @@ final class GraftTableGenerator(
 
   /** The steady-state table-maintenance job — what a production scheduler
     * runs beside continuous ingest (Iceberg's rewrite_data_files +
-    * rewrite_position_delete_files + expire_snapshots +
-    * remove_orphan_files, in that order): policy-compact fragmented
-    * partitions, consolidate pos-delete tombstones, cap history, GC
-    * strays. Each step commits its OWN snapshot and stages nothing when
-    * there is nothing to do; pair with [[commitWithRetry]]-based ingest —
-    * a conflicting writer costs the ingester one refresh, never a lost
-    * batch (StreamingSpec's race test shape). */
+    * convert_equality_deletes + rewrite_position_delete_files +
+    * expire_snapshots + remove_orphan_files, in that order):
+    * policy-compact fragmented partitions, convert accumulated eq
+    * deletes into the partition vectors, fold pos tombstones into the
+    * same vectors, cap history, GC strays, and refresh the ANALYZE
+    * statistics so readHinted keeps trusting them. Each step commits its
+    * OWN snapshot and stages nothing when there is nothing to do; pair
+    * with [[commitWithRetry]]-based ingest — a conflicting writer costs
+    * the ingester one refresh, never a lost batch (StreamingSpec's race
+    * test shape). */
   def maintain(minFragFiles: Int = 4, keepLast: Int = 5,
-               orphanGraceMs: Long = 3600L * 1000): this.type = {
+               orphanGraceMs: Long = 3600L * 1000,
+               refreshStats: Boolean = false): this.type = {
     require(stagedOps == 0, "commit staged work before maintain()")
     if (compactFragmented(minFragFiles).nonEmpty) commit()
-    compactPositionDeletes()
+    rewriteEqualityDeletes()
+    if (stagedOps > 0) commit()
+    rewritePositionDeletesToDVs()
     if (stagedOps > 0) commit()
     expireSnapshots(keepLast)
     removeOrphanFiles(orphanGraceMs)
+    if (refreshStats) analyze()
     this
   }
 

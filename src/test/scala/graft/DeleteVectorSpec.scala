@@ -191,6 +191,29 @@ class DeleteVectorSpec extends SparkSpec {
       .deleteFiles.forall(_.kind == "dv"))
   }
 
+  test("racing writers: native vector delete beats a stale fold — retry re-stages exactly") {
+    val g = fresh("race")
+    g.positionalDelete(Seq("widget"), col("product_id") < 5).commit()
+    // maintenance writer attaches BEFORE the ingest writer's next commit
+    val gMaint = new GraftTableGenerator(spark,
+      g.tableDir.getParent.toString, "t").open()
+    // ingest writer lands a native vector delete first
+    g.vectorDeletes(true)
+    g.positionalDelete(Seq("widget"),
+      col("product_id") >= 20 && col("product_id") < 25).commit()
+    // the stale maintenance fold must conflict, refresh, and re-stage
+    // against the NEW state (vector generations merge, nothing lost)
+    gMaint.commitWithRetry() { w => w.rewritePositionDeletesToDVs() }
+    val entries = SnapshotLog(g.tableDir.toString).load().mainOnly.deleteFiles
+    assert(entries.forall(_.kind == "dv"))
+    assert(entries.count(_.partition == Map("category" -> "widget")) == 1,
+      "post-race: exactly one vector for the partition")
+    val rows = spark.read.parquet(entries.map(_.path): _*)
+    assert(rows.select("file_path").distinct().count() == rows.count(),
+      "per-file uniqueness holds through the retry")
+    assert(liveIds(g) == (0 until 200).toSet -- (0 until 5) -- (20 until 25))
+  }
+
   test("compaction drops the vector with the other delete files") {
     val g = fresh("compact")
     g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()

@@ -239,4 +239,10 @@ class FuzzModelSpec extends SparkSpec {
     for (seed <- seeds)
       runFuzz(seed, s"fuzzb_$seed", Seq("bucket(4,order_id)"), appendViaData = true)
   }
+
+  test("multi-spec fuzz: the same op model over a source_id × bucket(2) tuple layout") {
+    for (seed <- seeds)
+      runFuzz(seed, s"fuzzm_$seed",
+        Seq("source_id", "bucket(2,order_id)"), appendViaData = true)
+  }
 }

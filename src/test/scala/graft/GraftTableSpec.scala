@@ -673,9 +673,10 @@ class GraftTableSpec extends SparkSpec {
     g.maintain(minFragFiles = 5, keepLast = 2, orphanGraceMs = 0L)
     val st = graft.meta.SnapshotLog(g.tableDir.toString).load()
     // a rewritten to one file (its tombstones die with the rewrite);
-    // b keeps its single file and gets ONE consolidated tombstone file
+    // b keeps its single file and its tombstones fold into ONE vector
     assert(st.dataFiles.count(_.partition.get("part").contains("a")) == 1)
-    assert(st.deleteFiles.count(_.kind == "pos") == 1)
+    assert(st.deleteFiles.count(_.kind == "pos") == 0)
+    assert(st.deleteFiles.count(_.kind == "dv") == 1)
     assert(st.snapshots.size <= 3) // rebased baseline + keepLast
     assert(!Files.exists(stray))
     assert(g.read.select("id").collect().map(_.getLong(0)).sorted.toSeq == before)

@@ -72,6 +72,22 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(ids == (0 until 5).toSet, "exactly the null-weight rows survive")
   }
 
+  test("dropping a whole partition by value is a pure metadata edit") {
+    val wh = java.nio.file.Files.createTempDirectory("md_part").toString
+    val g = new GraftTableGenerator(spark, wh, "t")
+    g.create(Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 2, 50).commit()
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 2, 50).commit()
+    // identity partition column → every widget file's envelope is the
+    // single value → full cover, zero tombstones, zero scans
+    g.deleteWhere("category", "widget", "widget").commit()
+    val st = SnapshotLog(g.tableDir.toString).load().mainOnly
+    assert(st.deleteFiles.isEmpty, "partition drop must write no tombstone")
+    assert(st.dataFiles.forall(_.partition == Map("category" -> "gizmo")))
+    assert(g.read.count() == 100 &&
+      g.read.where(col("category") === "widget").count() == 0)
+  }
+
   test("lineage changelog witnesses metadata-dropped rows as deletes") {
     val g = sortedTable("cdc")
     val dir = g.tableDir.toString
