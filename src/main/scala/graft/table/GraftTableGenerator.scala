@@ -1265,6 +1265,20 @@ final class GraftTableGenerator(
     val tail = st.snapshots.filter(_.id > horizon)
     log.rewrite(baseline +: tail)
     orphaned.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // superseded ANALYZE stats files ride along with history expiry:
+    // TableStats.read only ever consults the newest, so older
+    // generations are unreadable garbage once the history caps
+    val statsFiles = listDir(tableDir.resolve("metadata"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("stats-") && n.endsWith(".json")
+      }
+    if (statsFiles.size > 1) {
+      val newest = statsFiles.map(_.getFileName.toString
+        .stripPrefix("stats-").stripSuffix(".json").toLong).max
+      statsFiles.filterNot(_.getFileName.toString ==
+        s"stats-$newest.json").foreach(Files.deleteIfExists(_))
+    }
     this
   }
 

@@ -79,6 +79,23 @@ class TableStatsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("history expiry sweeps superseded stats generations, keeps the newest") {
+    val g = fresh("expire")
+    g.analyze(Seq("product_id"))
+    g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+    val s2 = g.analyze(Seq("product_id"))
+    g.append(Seq("widget"), graft.gen.Bundles.products(), 1, 10).commit()
+    g.expireSnapshots(1)
+    val left = java.nio.file.Files.list(
+      g.tableDir.resolve("metadata")).iterator()
+    val stats = scala.jdk.CollectionConverters.IteratorHasAsScala(left)
+      .asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("stats-") && n.endsWith(".json")).toSeq
+    assert(stats == Seq(s"stats-${s2.snapshotId}.json"),
+      s"only the newest stats generation survives expiry, got $stats")
+    assert(TableStats.read(g.tableDir.toString).contains(s2))
+  }
+
   test("persisted round-trip preserves every field; newest file wins") {
     val g = fresh("rt")
     val written = g.analyze(Seq("product_id", "name"))
