@@ -77,9 +77,12 @@ class FuzzModelSpec extends SparkSpec {
       appendFile(); g.commit(); snapId += 1
       history :+= (snapId, live.toSet)
 
+      val debug = sys.env.contains("SPARK_GRAFT_FUZZ_DEBUG")
       for (step <- 1 to steps) {
         var committed = true
-        rnd.nextInt(13) match {
+        val op = rnd.nextInt(13)
+        if (debug) println(s"FUZZDBG step=$step op=$op")
+        op match {
           case 11 => // branch cycle: fork, 1-3 branch ops, FF or drop.
             // Branch commits must stay invisible to main throughout; a
             // fast-forward publishes the branch model as the main model, a
@@ -87,8 +90,10 @@ class FuzzModelSpec extends SparkSpec {
             val bname = s"br$step"
             g.createBranch(bname); g.writeTo(bname)
             val braLive = live.clone()
-            for (_ <- 1 to 1 + rnd.nextInt(3)) {
-              rnd.nextInt(3) match {
+            for (bi <- 1 to 1 + rnd.nextInt(3)) {
+              val bop = rnd.nextInt(3)
+              if (debug) println(s"FUZZDBG step=$step branch op#$bi bop=$bop")
+              bop match {
                 case 0 => appendFile(braLive); g.commit()
                 case 1 =>
                   val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
