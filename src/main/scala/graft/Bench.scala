@@ -19,6 +19,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -41,7 +41,8 @@ object SparkEntry {
       MediaQueries.queries ++ BreadthQueries.queries ++
       RelevanceQueries.queries ++ AnalyticsQueries.queries ++
       AnalyticsQueries.queries2 ++
-      CorpusSourceQueries.queries ++ DepthQueries.queries).map { case (k, fn) =>
+      CorpusSourceQueries.queries ++ DepthQueries.queries ++
+      CatalogQueries.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.ensureRegistered(s); fn(s, d)
       })
@@ -53,5 +54,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ MorQueries.oracleSql ++ ExtQueries.oracleSql ++
       MediaQueries.oracleSql ++ BreadthQueries.oracleSql ++
       RelevanceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      CorpusSourceQueries.oracleSql ++ DepthQueries.oracleSql
+      CorpusSourceQueries.oracleSql ++ DepthQueries.oracleSql ++
+      CatalogQueries.oracleSql
 }

@@ -1,0 +1,214 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.schema.{GraftField, GraftSchema}
+import graft.table.GraftTableGenerator
+
+/** `TableCatalog` plugin making graft tables first-class SQL citizens —
+  * the Spark-native analog of the reference's HadoopCatalog entry point
+  * (`IcebergTableGenerator.java:62-65`): a warehouse directory of
+  * `<warehouse>/<namespace...>/<table>` graft table dirs.
+  *
+  * Register with
+  * `spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")`
+  * and `spark.conf.set("spark.sql.catalog.graft.warehouse", dir)` — the
+  * warehouse conf is re-read on every resolution, so tests and harnesses
+  * can point one session at several warehouses over its lifetime.
+  *
+  * Time travel: `VERSION AS OF <snapshot-id | tag | branch>` and
+  * `TIMESTAMP AS OF <ts>` resolve here to a pinned [[GraftSparkTable]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var initOptions: CaseInsensitiveStringMap =
+    CaseInsensitiveStringMap.empty()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options
+  }
+
+  override def name(): String = catalogName
+
+  /** Warehouse root: the session conf wins (dynamic — settable per query),
+    * falling back to the plugin's initialize-time options. */
+  private def warehouse: Path = {
+    val fromConf = SparkSession.active.conf
+      .getOption(s"spark.sql.catalog.$catalogName.warehouse")
+    val wh = fromConf.orElse(Option(initOptions.get("warehouse"))).getOrElse(
+      throw new IllegalStateException(
+        s"catalog $catalogName: set spark.sql.catalog.$catalogName.warehouse"))
+    Paths.get(wh)
+  }
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(_.resolve(_))
+
+  private def tableDir(ident: Identifier): Path =
+    nsDir(ident.namespace).resolve(ident.name)
+
+  private def isTable(p: Path): Boolean =
+    Files.isDirectory(p.resolve("metadata"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(ident.toString, d.toString)
+  }
+
+  /** `VERSION AS OF` — digits resolve as a snapshot id, anything else as a
+    * named ref (tag or branch). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val travel =
+      if (version.forall(_.isDigit)) GraftTravel.AtSnapshot(version.toLong)
+      else GraftTravel.AtRef(version)
+    new GraftSparkTable(ident.toString, d.toString, Some(travel))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val d = tableDir(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(ident.toString, d.toString,
+      Some(GraftTravel.AtTime(timestampMicros / 1000L)))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val d = tableDir(ident)
+    if (isTable(d)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    val gschema = GraftSchema(schema.fields.zipWithIndex.map { case (f, i) =>
+      GraftField(i + 1, f.name, f.dataType)
+    }.toSeq)
+    val specStrs = partitions.map { tr =>
+      def ref0: String = tr.references()(0).fieldNames.mkString(".")
+      tr.name() match {
+        case "identity" => ref0
+        case "bucket" =>
+          val n = tr.arguments().collectFirst {
+            case l: V2Literal[_] => String.valueOf(l.value())
+          }.getOrElse(throw new UnsupportedOperationException(s"bucket: $tr"))
+          s"bucket($n,$ref0)"
+        case "days" => s"day($ref0)"
+        case "months" => s"month($ref0)"
+        case "hours" => s"hour($ref0)"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform $other")
+      }
+    }.toSeq
+    Files.createDirectories(d.getParent)
+    new GraftTableGenerator(SparkSession.active, d.getParent.toString, ident.name)
+      .create(gschema, specStrs,
+        properties.asScala.filter(_._1.startsWith("parquet.")).toMap)
+    new GraftSparkTable(ident.toString, d.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the GraftTableGenerator schema/spec evolution API " +
+        "(updateSchema/addColumn/renameColumn/updateSpec)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    if (!isTable(d)) false
+    else { deleteRecursively(d); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---- namespaces: plain directories under the warehouse ----------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!Files.isDirectory(warehouse)) return Array.empty
+    val s = Files.list(warehouse)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+    finally s.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit =
+    Files.createDirectories(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) false
+    else {
+      if (!cascade) {
+        val s = Files.list(d)
+        val nonEmpty = try s.iterator().hasNext finally s.close()
+        if (nonEmpty) throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
+      }
+      deleteRecursively(d); true
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,385 @@
+package graft.catalog
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{AnalysisException, Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.read.MorReader
+
+/** Unwrap a (possibly aliased) DSv2 relation over a graft table. */
+private[catalog] object GraftRel {
+  def unapply(p: LogicalPlan): Option[(DataSourceV2Relation, GraftSparkTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSparkTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+}
+
+// ---- logical commands (analysis output; executed eagerly) ---------------
+
+/** `DELETE FROM graft.db.t WHERE cond` → the engine's delete primitives:
+  * a single-column range/equality condition takes [[graft.table
+  * .GraftTableGenerator.deleteWhere]] (metadata-tier file drops + scans
+  * only overlapping files); anything else is a positional delete (scan
+  * matches once, write tombstones/vectors — O(matches), no rewrite). */
+case class GraftDeleteCommand(
+    table: GraftSparkTable,
+    cond: Column,
+    range: Option[(String, Any, Any)]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `UPDATE graft.db.t SET ... WHERE cond` → delete-the-old + append-the-new
+  * composed in ONE transaction (positional delete at seq s, append at
+  * s+1 — MoR semantics, no data file rewritten, O(matches) write cost). */
+case class GraftUpdateCommand(
+    table: GraftSparkTable,
+    sets: Seq[(String, Column)],
+    cond: Column) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `MERGE INTO graft.db.t USING src ON t.k = s.k WHEN ...` → the engine's
+  * [[graft.table.GraftTableGenerator.mergeInto]] (file-pruned target read,
+  * one source join, eq-delete + append — O(source) write cost). The
+  * supported clause shape mirrors mergeInto's contract: equality key join,
+  * UPDATE SET * / DELETE / INSERT * actions with optional conditions.
+  * `source` is a CHILD (kept analyzed; executed as a DataFrame at run). */
+case class GraftMergeCommand(
+    table: GraftSparkTable,
+    source: LogicalPlan,
+    keyCols: Seq[String],
+    updateWhen: Column,
+    deleteWhen: Column,
+    insertWhen: Column) extends UnaryNode with Command {
+  override def child: LogicalPlan = source
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
+    copy(source = newChild)
+}
+
+// ---- physical execution --------------------------------------------------
+
+/** Driver-side DML runner: the body stages through the generator API and
+  * commits one snapshot; row work happens in the Spark jobs those calls
+  * launch, never here. */
+case class GraftDmlExec(label: String, body: () => Unit) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    body()
+    sparkContext.emptyRDD
+  }
+}
+
+case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftDeleteCommand(t, cond, range) =>
+      GraftDmlExec(s"graft delete ${t.name()}", () => {
+        val g = t.openGenerator(spark)
+        range match {
+          case Some((c, lo, hi)) => g.deleteWhere(c, lo, hi)
+          case None => g.positionalDelete(cond)
+        }
+        g.commit()
+      }) :: Nil
+    case GraftUpdateCommand(t, sets, cond) =>
+      GraftDmlExec(s"graft update ${t.name()}", () => {
+        val g = t.openGenerator(spark)
+        val names = g.liveSchema.names
+        // the updated rows are computed from the COMMITTED state (the
+        // staged delete is invisible to reads until commit), then the
+        // delete (seq s) + append (seq s+1) publish atomically
+        val updated = sets.foldLeft(g.read.where(cond)) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }.select(names.map(col): _*).localCheckpoint()
+        g.positionalDelete(cond)
+        g.appendData(updated)
+        g.commit()
+      }) :: Nil
+    case m @ GraftMergeCommand(t, _, keys, up, del, ins) =>
+      GraftDmlExec(s"graft merge ${t.name()}", () => {
+        val src = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, m.source)
+        t.openGenerator(spark)
+          .mergeInto(src, keys, updateWhen = up, deleteWhen = del,
+            insertWhen = ins)
+          .commit()
+      }) :: Nil
+    case _ => Nil
+  }
+}
+
+// ---- the resolution rule --------------------------------------------------
+
+/** Analysis-time substitution making graft tables SQL-native:
+  *
+  *   - a bare graft relation becomes the MoR read plan (Project preserving
+  *     the relation's attribute ids over [[MorReader.read]]'s analyzed
+  *     plan), so Catalyst's own pushdown/pruning applies to the underlying
+  *     parquet scans;
+  *   - `Filter(cond, relation)` additionally extracts partition values and
+  *     column ranges from `cond` and hands them to the MoR PLANNER — the
+  *     manifest-level file pruning SQL can't reach through a post-scan
+  *     Filter (the full condition stays above for row-level exactness);
+  *   - DELETE / UPDATE / MERGE over a graft target become the Graft*Command
+  *     nodes above (planned by [[GraftDmlStrategy]]). The target relation
+  *     is deliberately NOT substituted while the command is still
+  *     resolving — interception owns the whole command.
+  *
+  * Runs in the analyzer's resolution fixed point (injected via
+  * `graft.plans.GraftExtensions`), so the commands are captured before
+  * Spark's own row-level rewrites would reject the table. */
+case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    case d @ DeleteFromTable(GraftRel(r, t), cond) =>
+      if (d.resolved) makeDelete(r, t, cond) else d
+    case u @ UpdateTable(GraftRel(r, t), assignments, cond) =>
+      if (u.resolved) makeUpdate(r, t, assignments, cond) else u
+    case m: MergeIntoTable if GraftRel.unapply(m.targetTable).isDefined =>
+      if (m.resolved) makeMerge(m)
+      else m.withNewChildren(Seq(m.targetTable, rewrite(m.sourceTable)))
+    case f @ Filter(cond, GraftRel(r, t)) if cond.resolved =>
+      val (partFilter, ranges) = extractPruning(cond, r, t)
+      Filter(cond, substitute(r, t, f.child.output, partFilter, ranges))
+    case GraftRel(r, t) => substitute(r, t, p.output, Map.empty, Map.empty)
+    case other =>
+      val withChildren = other.mapChildren(rewrite)
+      withChildren.transformExpressions {
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+      }
+  }
+
+  /** Replace the relation with the analyzed MoR plan, aliasing its output
+    * to the relation's attribute names AND ids (the plan above was
+    * resolved against those ids). */
+  private def substitute(r: DataSourceV2Relation, t: GraftSparkTable,
+                         out: Seq[Attribute],
+                         partFilter: Map[String, Set[String]],
+                         ranges: Map[String, MorReader.ColRange]): LogicalPlan = {
+    val mor = t.readDf(spark, partFilter, ranges).queryExecution.analyzed
+    val proj = out.map { a =>
+      val src = mor.output.find(o => conf.resolver(o.name, a.name)).getOrElse(
+        throw new AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            s"graft substitution: no column ${a.name} in ${mor.output.map(_.name)}")))
+      Alias(src, a.name)(exprId = a.exprId)
+    }
+    Project(proj, mor)
+  }
+
+  /** Canonical-string rendering of a literal, matching the renderings
+    * [[graft.meta.ColMetrics]] stores (numerics/strings only — other
+    * types never prune, which is always sound). */
+  private def render(l: Literal): Option[String] = l.dataType match {
+    case _: org.apache.spark.sql.types.NumericType | org.apache.spark.sql.types.StringType =>
+      Option(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+        .map(String.valueOf)
+    case _ => None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case x => Seq(x)
+  }
+
+  /** Extract manifest-prunable predicates from a SQL filter: equality/IN
+    * on identity partition columns → partition-value pruning; range
+    * comparisons on any column → min/max metrics pruning (strict bounds
+    * over-approximate to inclusive — sound at file granularity). */
+  private def extractPruning(cond: Expression, r: DataSourceV2Relation,
+                             t: GraftSparkTable)
+      : (Map[String, Set[String]], Map[String, MorReader.ColRange]) = {
+    val relIds = r.output.map(_.exprId).toSet
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference if relIds.contains(a.exprId) => Some(a.name)
+      case _ => None
+    }
+    val partCols = t.identityPartitionCols.toSet
+    var partFilter = Map.empty[String, Set[String]]
+    var ranges = Map.empty[String, MorReader.ColRange]
+    def addRange(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val cur = ranges.getOrElse(c, MorReader.ColRange())
+      // intersect: keep the TIGHTER bound (lexical callers only ever add
+      // one bound per conjunct; comparing canonically is cmpMetric's job —
+      // last-wins on repeats stays sound because both conjuncts re-apply
+      // row-level above)
+      ranges += c -> MorReader.ColRange(lo.orElse(cur.lo), hi.orElse(cur.hi))
+    }
+    splitConjuncts(cond).foreach {
+      case EqualTo(a, l: Literal) if attrName(a).isDefined =>
+        val c = attrName(a).get
+        render(l).foreach { v =>
+          addRange(c, Some(v), Some(v))
+          if (partCols(c)) partFilter += c -> Set(v)
+        }
+      case EqualTo(l: Literal, a) if attrName(a).isDefined =>
+        val c = attrName(a).get
+        render(l).foreach { v =>
+          addRange(c, Some(v), Some(v))
+          if (partCols(c)) partFilter += c -> Set(v)
+        }
+      case In(a, vs) if attrName(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
+        val c = attrName(a).get
+        val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
+        if (rendered.forall(_.isDefined) && partCols(c))
+          partFilter += c -> rendered.flatten.toSet
+      case GreaterThanOrEqual(a, l: Literal) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
+      case GreaterThan(a, l: Literal) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
+      case LessThanOrEqual(a, l: Literal) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
+      case LessThan(a, l: Literal) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
+      // flipped operand order
+      case GreaterThanOrEqual(l: Literal, a) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
+      case GreaterThan(l: Literal, a) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
+      case LessThanOrEqual(l: Literal, a) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
+      case LessThan(l: Literal, a) if attrName(a).isDefined =>
+        render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
+      case _ => // not prunable — the row-level Filter above handles it
+    }
+    (partFilter, ranges)
+  }
+
+  /** Rewrite target-relation attribute refs to plain names and build a
+    * Column the exec can resolve against a fresh read of the table. */
+  private def toNamedColumn(e: Expression, relIds: Set[ExprId],
+                            prefix: String = ""): Column =
+    org.apache.spark.sql.graft.GraftSqlShim.column(e.transform {
+      case a: AttributeReference if relIds.contains(a.exprId) =>
+        UnresolvedAttribute(Seq(prefix + a.name))
+      case a: AttributeReference =>
+        UnresolvedAttribute(Seq(a.name))
+    })
+
+  private def makeDelete(r: DataSourceV2Relation, t: GraftSparkTable,
+                         cond: Expression): LogicalPlan = {
+    val relIds = r.output.map(_.exprId).toSet
+    def scalaV(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    // single-column inclusive range / equality → the metadata-tier path
+    val range: Option[(String, Any, Any)] = cond match {
+      case EqualTo(a: AttributeReference, l: Literal) if relIds(a.exprId) =>
+        Some((a.name, scalaV(l), scalaV(l)))
+      case And(GreaterThanOrEqual(a: AttributeReference, lo: Literal),
+               LessThanOrEqual(b: AttributeReference, hi: Literal))
+          if relIds(a.exprId) && a.name == b.name =>
+        Some((a.name, scalaV(lo), scalaV(hi)))
+      case _ => None
+    }
+    GraftDeleteCommand(t, toNamedColumn(cond, relIds), range)
+  }
+
+  private def makeUpdate(r: DataSourceV2Relation, t: GraftSparkTable,
+                         assignments: Seq[Assignment],
+                         cond: Option[Expression]): LogicalPlan = {
+    val relIds = r.output.map(_.exprId).toSet
+    val sets = assignments.flatMap { asg =>
+      val name = asg.key match {
+        case a: AttributeReference => a.name
+        case other => throw new UnsupportedOperationException(
+          s"graft UPDATE: unsupported assignment target $other")
+      }
+      // aligned assignments list EVERY column; identity assignments
+      // (col = col) are no-ops — skip them so untouched columns ride along
+      asg.value match {
+        case v: AttributeReference if relIds(v.exprId) && v.name == name => None
+        case v => Some(name -> toNamedColumn(v, relIds))
+      }
+    }
+    GraftUpdateCommand(t, sets,
+      cond.map(toNamedColumn(_, relIds)).getOrElse(lit(true)))
+  }
+
+  private def makeMerge(m: MergeIntoTable): LogicalPlan = {
+    val (r, t) = GraftRel.unapply(m.targetTable).get
+    val tgtIds = m.targetTable.output.map(_.exprId).toSet
+    val srcIds = m.sourceTable.output.map(_.exprId).toSet
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft MERGE supports equality-key ON, WHEN MATCHED [AND c] THEN " +
+          s"UPDATE SET * | DELETE, WHEN NOT MATCHED [AND c] THEN INSERT *; " +
+          s"got $what")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE")
+    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    // ON: conjunction of target.k = source.k (same column name — the
+    // engine's mergeInto joins source columns by the target's key names)
+    def stripAlias(e: Expression): Expression = e match {
+      case Alias(c, _) => stripAlias(c)
+      case Cast(c, _, _, _) => stripAlias(c)
+      case x => x
+    }
+    val keyCols = splitConjuncts(m.mergeCondition).map { c =>
+      c match {
+        case EqualTo(x, y) => (stripAlias(x), stripAlias(y)) match {
+          case (a: AttributeReference, b: AttributeReference)
+              if tgtIds(a.exprId) && srcIds(b.exprId) && a.name == b.name => a.name
+          case (b: AttributeReference, a: AttributeReference)
+              if tgtIds(a.exprId) && srcIds(b.exprId) && a.name == b.name => a.name
+          case _ => unsupported(s"ON conjunct ${c.sql}")
+        }
+        case _ => unsupported(s"ON conjunct ${c.sql}")
+      }
+    }
+    // the merge conditions evaluate over the engine's joined frame: source
+    // columns under their own names, matched-target columns under _t_
+    def condCol(e: Option[Expression], default: Column): Column =
+      e.map(x => org.apache.spark.sql.graft.GraftSqlShim.column(x.transform {
+        case a: AttributeReference if tgtIds(a.exprId) =>
+          UnresolvedAttribute(Seq(s"_t_${a.name}"))
+        case a: AttributeReference if srcIds(a.exprId) =>
+          UnresolvedAttribute(Seq(a.name))
+      })).getOrElse(default)
+    // assignments must be the aligned SET * / INSERT * shape: every value
+    // is the same-named source column (possibly cast)
+    def requireStar(assignments: Seq[Assignment], what: String): Unit =
+      assignments.foreach { asg =>
+        val tname = asg.key match {
+          case a: AttributeReference if tgtIds(a.exprId) => a.name
+          case other => unsupported(s"$what target ${other.sql}")
+        }
+        stripAlias(asg.value) match {
+          case v: AttributeReference if srcIds(v.exprId) && v.name == tname =>
+          case other => unsupported(s"$what assignment ${tname} = ${other.sql}")
+        }
+      }
+    var updateWhen: Column = lit(false)
+    var deleteWhen: Column = lit(false)
+    var insertWhen: Column = lit(false)
+    m.matchedActions.foreach {
+      case UpdateAction(c, assignments, _) =>
+        requireStar(assignments, "UPDATE")
+        updateWhen = condCol(c, lit(true))
+      case DeleteAction(c) => deleteWhen = condCol(c, lit(true))
+      case other => unsupported(s"matched action $other")
+    }
+    m.notMatchedActions.foreach {
+      case InsertAction(c, assignments) =>
+        requireStar(assignments, "INSERT")
+        insertWhen = condCol(c, lit(true))
+      case other => unsupported(s"not-matched action $other")
+    }
+    GraftMergeCommand(t, m.sourceTable, keyCols,
+      updateWhen, deleteWhen, insertWhen)
+  }
+}

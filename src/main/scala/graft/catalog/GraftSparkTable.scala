@@ -1,0 +1,162 @@
+package graft.catalog
+
+import java.util.{Collections => JCollections, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.meta.{SnapshotLog, TableState}
+import graft.read.MorReader
+import graft.table.GraftTableGenerator
+
+/** How a loaded [[GraftSparkTable]] is pinned in time — the DSv2 carrier
+  * of `VERSION AS OF` / `TIMESTAMP AS OF` (the catalog resolves the clause
+  * to a pinned Table instance; reads plan against the pinned state). */
+sealed trait GraftTravel
+object GraftTravel {
+  final case class AtSnapshot(id: Long) extends GraftTravel
+  final case class AtTime(ms: Long) extends GraftTravel
+  final case class AtRef(name: String) extends GraftTravel
+}
+
+/** The DSv2 `Table` facade over a graft table directory — what makes graft
+  * tables first-class SQL citizens (`SELECT * FROM graft.db.t`,
+  * `INSERT INTO`, `DELETE FROM`, `MERGE INTO`). The reference's own entry
+  * point is a catalog (`IcebergTableGenerator.java:62-65`, HadoopCatalog);
+  * this is the Spark-native analog over [[graft.meta.SnapshotLog]] /
+  * [[graft.read.MorReader]] / [[graft.table.GraftTableGenerator]].
+  *
+  * READ path: a MoR scan is a COMPOSED plan (multi-epoch parquet scans +
+  * delete anti-joins + DV bitmap application) — not a single DSv2 Batch.
+  * Reads therefore substitute at analysis time ([[GraftCatalogRule]]):
+  * the relation is replaced by the MorReader plan (with partition/metrics
+  * file pruning extracted from an adjacent Filter), so Catalyst sees plain
+  * parquet relations and pushes residual predicates into the scans. The
+  * [[newScanBuilder]] below exists to satisfy the SupportsRead contract
+  * and fails loudly if the substitution rule is not installed.
+  *
+  * WRITE path: `INSERT INTO` goes through the supported V1 fallback
+  * ([[V1Write]] → [[InsertableRelation]]) — the driver hands the source
+  * DataFrame to [[GraftTableGenerator.appendBulk]], which writes all files
+  * in ONE distributed job and registers them with footer row counts.
+  * DELETE/UPDATE/MERGE are intercepted as whole commands by
+  * [[GraftCatalogRule]] and routed to the engine's row-level primitives.
+  */
+final class GraftSparkTable(
+    val identName: String,
+    val dir: String,
+    val travel: Option[GraftTravel] = None)
+  extends Table with SupportsRead with SupportsWrite {
+
+  /** Travel-resolved table state (main lineage; branch travel resolves the
+    * branch lineage exactly like [[MorReader.readRef]]). */
+  def state: TableState = {
+    val log = SnapshotLog(dir)
+    val st0 = log.load()
+    travel match {
+      case None => st0.mainOnly
+      case Some(GraftTravel.AtSnapshot(id)) => st0.mainOnly.asOf(id)
+      case Some(GraftTravel.AtTime(ms)) => st0.mainOnly.asOfTime(ms)
+      case Some(GraftTravel.AtRef(name)) =>
+        val refs = log.refs
+        if (refs.contains(s"branch:$name")) st0.onBranch(name, refs(s"branch:$name"))
+        else if (name.startsWith("branch:"))
+          st0.onBranch(name.stripPrefix("branch:"), refs(name))
+        else st0.mainOnly.asOf(refs.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unknown ref '$name' (known: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+    }
+  }
+
+  /** The travel-pinned MoR read, optionally file-pruned (partition values /
+    * column ranges extracted from a SQL filter by [[GraftCatalogRule]]). */
+  def readDf(spark: SparkSession,
+             partitionFilter: Map[String, Set[String]] = Map.empty,
+             ranges: Map[String, MorReader.ColRange] = Map.empty): DataFrame =
+    travel match {
+      case None =>
+        MorReader.read(spark, dir, None, partitionFilter, ranges)
+      case Some(GraftTravel.AtSnapshot(id)) =>
+        MorReader.read(spark, dir, Some(id), partitionFilter, ranges)
+      case Some(GraftTravel.AtTime(ms)) => MorReader.readAtTime(spark, dir, ms)
+      case Some(GraftTravel.AtRef(name)) => MorReader.readRef(spark, dir, name)
+    }
+
+  /** Identity-transform partition column names of the CURRENT spec — the
+    * columns SQL equality/IN filters can file-prune on. */
+  def identityPartitionCols: Seq[String] = {
+    val st = state
+    st.specs.getOrElse(st.currentSpecId, Nil)
+      .map(graft.meta.PartitionTransform.parse)
+      .filter(_.isIdentity).map(_.source)
+  }
+
+  /** A maintenance writer over this table (the open() surface: DataFrame
+    * appends, deletes, upserts, merges — never generated-id appends). */
+  def openGenerator(spark: SparkSession): GraftTableGenerator = {
+    require(travel.isEmpty, s"cannot write to time-travelled table $identName")
+    val p = java.nio.file.Paths.get(dir)
+    new GraftTableGenerator(spark, p.getParent.toString,
+      p.getFileName.toString).open()
+  }
+
+  override def name(): String = identName
+
+  override def schema(): StructType = state.schema.struct
+
+  override def partitioning(): Array[Transform] = {
+    import graft.meta.PartitionTransform._
+    val st = state
+    st.specs.getOrElse(st.currentSpecId, Nil).map { s =>
+      parse(s) match {
+        case Bucket(n, src) => Expressions.bucket(n, src)
+        case Day(src) => Expressions.days(src)
+        case Month(src) => Expressions.months(src)
+        case Hour(src) => Expressions.hours(src)
+        case t => Expressions.identity(t.source)
+      }
+    }.toArray
+  }
+
+  override def capabilities(): JSet[TableCapability] =
+    JCollections.unmodifiableSet(new java.util.HashSet(
+      Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => throw new UnsupportedOperationException(
+      s"graft table $identName: reads substitute the MoR plan at analysis " +
+        "time — build the session with spark.sql.extensions=" +
+        "graft.plans.GraftExtensions")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            (data, overwrite) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"graft table $identName: INSERT OVERWRITE is not supported " +
+                  "— use DELETE FROM + INSERT INTO")
+              val spark = data.sparkSession
+              val g = openGenerator(spark)
+              val conformed = data.select(
+                g.liveSchema.fields.map(f =>
+                  org.apache.spark.sql.functions.col(f.name)
+                    .cast(f.dataType).as(f.name)): _*)
+              val nFiles = math.max(1,
+                math.min(data.rdd.getNumPartitions, 64))
+              g.appendBulk(conformed, nFiles).commit()
+            }
+        }
+    }
+
+  override def toString: String = s"GraftSparkTable($identName)"
+}

@@ -325,9 +325,14 @@ final class SnapshotLog(tableDir: Path) {
   }
 
   /** The `nextRowId` stamp of snapshot `id` — one-file parse for
-    * commit-time row-id assignment. Falls back to the snapshot's own
-    * entries when the stamp is absent (pre-field logs, rebased baselines
-    * from old code); 0 when nothing is assigned yet. */
+    * commit-time row-id assignment. When the stamp is absent (a last
+    * snapshot written by a pre-field binary in a mixed-version history)
+    * the fallback folds over ALL retained snapshots' data files — the
+    * last snapshot alone is not enough: a delete-only snapshot carries no
+    * data files, and a single-snapshot fallback would reset the counter
+    * to 0 and reassign row ids already used by earlier files (duplicate
+    * row identities). The full load is paid only on that legacy path;
+    * stamped logs stay a one-file parse. */
   private def nextRowIdOf(id: Long): Long = {
     val p = snapFile(id)
     val node: Option[JsonNode] =
@@ -339,11 +344,10 @@ final class SnapshotLog(tableDir: Path) {
       else None
     node.flatMap(n => Option(n.get("nextRowId")).map(_.asLong))
       .getOrElse {
-        node.map(parseSnapshot).map(s =>
-          (0L +: s.dataFiles.collect {
-            case f if f.firstRowId >= 0 && f.recordCount >= 0 =>
-              f.firstRowId + f.recordCount
-          }).max).getOrElse(0L)
+        (0L +: load().snapshots.flatMap(_.dataFiles).collect {
+          case f if f.firstRowId >= 0 && f.recordCount >= 0 =>
+            f.firstRowId + f.recordCount
+        }).max
       }
   }
 
@@ -381,7 +385,12 @@ final class SnapshotLog(tableDir: Path) {
       if (lastId == 0) 0L else nextRowIdOf(lastId))
     var ctr = base
     val assigned = s.dataFiles.map { f =>
-      if (f.firstRowId >= 0 || f.lineageInFile || f.recordCount < 0) f
+      // a "replace" snapshot's files re-express EXISTING rows (compaction):
+      // they either carry materialized lineage or — when a source file was
+      // legacy — honestly none; minting fresh ids here would give old rows
+      // new identities and corrupt the changelog's row-id diff
+      if (s.operation == "replace" ||
+          f.firstRowId >= 0 || f.lineageInFile || f.recordCount < 0) f
       else { val a = f.copy(firstRowId = ctr); ctr += f.recordCount; a }
     }
     val stampedCtr = (ctr +: assigned.collect {

@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => GraftRewrites)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
+    // DSv2 catalog surface: MoR plan substitution for graft relations and
+    // DELETE/UPDATE/MERGE command capture + their execution strategy
+    ext.injectResolutionRule(s => graft.catalog.GraftCatalogRule(s))
+    ext.injectPlannerStrategy(s => graft.catalog.GraftDmlStrategy(s))
     ext.injectTableFunction((GraftTableFunction.identifier,
       GraftTableFunction.info, GraftTableFunction.builder))
     ext.injectTableFunction((GraftTableFunction.changesIdentifier,

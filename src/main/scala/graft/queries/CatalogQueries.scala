@@ -1,0 +1,248 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.GraftSchema
+import graft.table.GraftTableGenerator
+
+/** One JVM-wide catalog warehouse: the `spark.sql.catalog.graft.warehouse`
+  * conf is session-global, so every catalog consumer (queries, specs)
+  * points at the SAME directory — a per-consumer warehouse would race the
+  * conf under sbt's concurrent suite execution. */
+object CatalogFixture {
+  lazy val warehouse: String =
+    Files.createTempDirectory("graft-catalog-wh").toString
+  def ensure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+  }
+}
+
+/** Declared keys for the DSv2 catalog surface (SQL by table name —
+  * SELECT / INSERT / DELETE / UPDATE / MERGE / time travel). Fixtures are
+  * spark.range-derived (exact integer arithmetic), built once per JVM with
+  * ALL mutation (the SQL DML under test) inside the builder, so the query
+  * functions are pure reads and re-runnable by the bench harness.
+  *
+  * The fixtures REQUIRE the session to carry
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (scan substitution +
+  * DML capture are analyzer rules, which cannot be injected post-hoc) —
+  * Verify/Bench/Smoke and the shared test session all do.
+  */
+object CatalogQueries {
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def idVal: GraftSchema = GraftSchema.of(
+    "id" -> LongType, "part" -> StringType, "val" -> LongType)
+
+  private def baseRows(spark: SparkSession, n: Int): DataFrame =
+    spark.range(0, n).toDF("id")
+      .withColumn("part", when(col("id") < n / 2, lit("a")).otherwise(lit("b")))
+      .withColumn("val", col("id") * 2)
+
+  /** ids 0..399 (part a/b at 200), val = 2·id; SQL DELETE kills id%10=7. */
+  private def scanT(spark: SparkSession): Unit =
+    built.computeIfAbsent("scan_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "scan_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 400)).commit()
+      spark.sql("DELETE FROM graft.cq.scan_t WHERE id % 10 = 7")
+      "scan_t"
+    })
+
+  /** ids 0..99 part a; SQL INSERT VALUES (part c) + INSERT SELECT (part d). */
+  private def insT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ins_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "ins_t")
+        .create(idVal, Seq("part"))
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("part", lit("a")).withColumn("val", col("id") * 2))
+        .commit()
+      spark.sql("INSERT INTO graft.cq.ins_t VALUES " +
+        "(1000, 'c', 7), (1001, 'c', 9), (1002, 'c', 11)")
+      spark.sql("INSERT INTO graft.cq.ins_t " +
+        "SELECT id, 'd' AS part, id * 5 AS val FROM range(2000, 2050)")
+      "ins_t"
+    })
+
+  /** ids 0..399; DELETE of part a's whole range (metadata-tier file drop)
+    * then a modulo DELETE (positional tombstones) on the rest. */
+  private def delT(spark: SparkSession): Unit =
+    built.computeIfAbsent("del_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "del_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 400)).commit()
+      spark.sql("DELETE FROM graft.cq.del_t WHERE id >= 0 AND id <= 199")
+      spark.sql("DELETE FROM graft.cq.del_t WHERE id % 7 = 0")
+      "del_t"
+    })
+
+  /** ids 0..199; two SQL UPDATEs: constant-set over a range, then an
+    * expression set (val = val + 1) over another. */
+  private def updT(spark: SparkSession): Unit =
+    built.computeIfAbsent("upd_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "upd_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 200)).commit()
+      spark.sql("UPDATE graft.cq.upd_t SET val = id * 10 " +
+        "WHERE id >= 50 AND id <= 99")
+      spark.sql("UPDATE graft.cq.upd_t SET val = val + 1 WHERE id < 10")
+      "upd_t"
+    })
+
+  /** The mor_merge twin driven from SQL: base ids 0..399 val 2·id, source
+    * 300..499 val 3·id with op D on id%10=0; MERGE INTO with conditional
+    * DELETE / UPDATE SET * / INSERT *. End state must hash-match the API
+    * twin's oracle. */
+  private def mergeT(spark: SparkSession): Unit =
+    built.computeIfAbsent("merge_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "merge_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 400).toDF("id")
+          .withColumn("val", col("id") * 2))
+        .commit()
+      spark.range(300, 500).toDF("id")
+        .withColumn("val", col("id") * 3)
+        .withColumn("op",
+          when(col("id") % 10 === 0, lit("D")).otherwise(lit("U")))
+        .createOrReplaceTempView("graft_sql_merge_src")
+      spark.sql(
+        """MERGE INTO graft.cq.merge_t t USING graft_sql_merge_src s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND s.id % 7 <> 0 THEN UPDATE SET *
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+          |""".stripMargin)
+      "merge_t"
+    })
+
+  /** snapshot 1 = ids 0..99 (a), snapshot 2 = ids 100..199 (b). */
+  private def travelT(spark: SparkSession): Unit =
+    built.computeIfAbsent("travel_t", _ => {
+      CatalogFixture.ensure(spark)
+      val g = new GraftTableGenerator(spark,
+        s"${CatalogFixture.warehouse}/cq", "travel_t")
+      g.create(idVal, Seq("part"))
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("part", lit("a")).withColumn("val", col("id") * 2))
+        .commit()
+        .appendData(spark.range(100, 200).toDF("id")
+          .withColumn("part", lit("b")).withColumn("val", col("id") * 2))
+        .commit()
+      "travel_t"
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SELECT by name: the MoR merge (positional deletes applied) behind
+    // plain SQL — the catalog's read path
+    "sql_catalog_scan" -> ((s, _) => {
+      scanT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.scan_t GROUP BY part ORDER BY part")
+    }),
+
+    // SQL WHERE → manifest file pruning (partition value + id range reach
+    // the planner; CatalogSpec gates the planned-file count)
+    "sql_catalog_prune" -> ((s, _) => {
+      scanT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum FROM graft.cq.scan_t " +
+        "WHERE part = 'a' AND id >= 50 AND id <= 149")
+    }),
+
+    "sql_catalog_insert" -> ((s, _) => {
+      insT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.ins_t GROUP BY part ORDER BY part")
+    }),
+
+    "sql_catalog_delete" -> ((s, _) => {
+      delT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, MIN(id) AS min_id, " +
+        "MAX(id) AS max_id FROM graft.cq.del_t")
+    }),
+
+    "sql_catalog_update" -> ((s, _) => {
+      updT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(val) AS val_sum FROM graft.cq.upd_t")
+    }),
+
+    "sql_merge_into" -> ((s, _) => {
+      mergeT(s)
+      s.sql("SELECT id, val FROM graft.cq.merge_t")
+    }),
+
+    "sql_catalog_travel" -> ((s, _) => {
+      travelT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum " +
+        "FROM graft.cq.travel_t VERSION AS OF 1")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // live = ids 0..399 minus id%10=7, part by id<200, val 2·id
+    "sql_catalog_scan" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(id * 2) AS BIGINT) AS val_sum
+        |FROM (SELECT range AS id,
+        |             CASE WHEN range < 200 THEN 'a' ELSE 'b' END AS part
+        |      FROM range(0, 400) WHERE range % 10 <> 7)
+        |GROUP BY part ORDER BY part""".stripMargin,
+
+    "sql_catalog_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM (SELECT range AS id FROM range(50, 150) WHERE range % 10 <> 7)""".stripMargin,
+
+    // a: 0..99 val 2·id; c: 3 literal rows; d: 2000..2049 val 5·id
+    "sql_catalog_insert" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(val) AS BIGINT) AS val_sum
+        |FROM (
+        |  SELECT range AS id, 'a' AS part, range * 2 AS val FROM range(0, 100)
+        |  UNION ALL SELECT * FROM (VALUES (1000, 'c', 7), (1001, 'c', 9),
+        |                                  (1002, 'c', 11)) v(id, part, val)
+        |  UNION ALL
+        |  SELECT range, 'd', range * 5 FROM range(2000, 2050)
+        |) GROUP BY part ORDER BY part""".stripMargin,
+
+    // survivors: 200..399 where id % 7 <> 0
+    "sql_catalog_delete" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM (SELECT range AS id FROM range(200, 400) WHERE range % 7 <> 0)""".stripMargin,
+
+    // val: 0..9 → 2id+1, 10..49 → 2id, 50..99 → 10id, 100..199 → 2id
+    "sql_catalog_update" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(val) AS BIGINT) AS val_sum
+        |FROM (SELECT CASE WHEN range < 10 THEN range * 2 + 1
+        |                  WHEN range BETWEEN 50 AND 99 THEN range * 10
+        |                  ELSE range * 2 END AS val
+        |      FROM range(0, 200))""".stripMargin,
+
+    // identical to the API twin mor_merge's end state
+    "sql_merge_into" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id, range * 2 AS val FROM range(0, 300)
+        |  UNION ALL
+        |  SELECT range, CASE WHEN range % 7 = 0 THEN range * 2
+        |                     ELSE range * 3 END
+        |  FROM range(300, 400) WHERE range % 10 <> 0
+        |  UNION ALL
+        |  SELECT range, range * 3 FROM range(400, 500) WHERE range % 10 <> 0
+        |)""".stripMargin,
+
+    "sql_catalog_travel" ->
+      """SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS id_sum""".stripMargin
+  )
+}

@@ -81,6 +81,12 @@ object MorReader {
     * group FILE path instead of the entries themselves. */
   val ManifestGroupSize = 4096
 
+  /** Deletion-vector delete-file count up to which the DV application
+    * join carries an explicit broadcast hint (one build row per data
+    * file — broadcast-size by construction; the bound only guards the
+    * pathological million-vector manifest). */
+  val DvBroadcastFileBound = 100000
+
   /** Inclusive bounds (equality when `lo == hi`) over one column, rendered
     * as canonical strings — the same representation [[graft.meta.ColMetrics]]
     * stores, so file pruning compares without opening anything. */
@@ -512,10 +518,18 @@ object MorReader {
             removedDataFiles = Nil, removedDeleteFiles = Nil)
           else s
         })
+        // post-state of the FROM rows: strip in-window file additions, and
+        // strip removals ONLY for rewrites ("replace" — their removals
+        // re-express rows that are still live). A user delete/overwrite
+        // snapshot's removals (deleteWhere's metadata-tier file drops) are
+        // REAL deletions and must stay, or the dropped files' rows survive
+        // the anti-join and the window reports zero delete events.
         val oldAtTo = stTo.copy(snapshots = stTo.snapshots.map { s =>
-          if (s.id > fromExclusive) s.copy(dataFiles = Nil,
-            removedDataFiles = Nil, removedDeleteFiles = Nil)
-          else s
+          if (s.id > fromExclusive) {
+            if (s.operation == "replace") s.copy(dataFiles = Nil,
+              removedDataFiles = Nil, removedDeleteFiles = Nil)
+            else s.copy(dataFiles = Nil)
+          } else s
         })
         val ins = withMeta(spark, insState, live, Map.empty)
         val pre = withMeta(spark, stFrom, live, Map.empty)
@@ -851,7 +865,15 @@ object MorReader {
       val word = when(col("_dv_w").isNotNull && wordIdx <= size(col("_dv_w")),
         element_at(col("_dv_w"), wordIdx)).otherwise(lit(0L))
       val bitIdx = col(PosCol).bitwiseAND(lit(63L)).cast("int")
-      data = data.join(dvs, col(FilePathCol) === col("_dv_fp"), "left")
+      // EXPLICIT broadcast under a file-count bound: the build side is one
+      // row per data FILE, but Spark's size-based detection reads the
+      // delete files' on-disk size and can silently degrade this to a
+      // SortMergeJoin that shuffles the entire fact scan on file_path —
+      // the scale-killer DVs exist to avoid. Mirrors the seqMap treatment;
+      // beyond the bound (≫ any real manifest) size-based planning decides.
+      val dvSide =
+        if (dvFiles.size <= DvBroadcastFileBound) broadcast(dvs) else dvs
+      data = data.join(dvSide, col(FilePathCol) === col("_dv_fp"), "left")
         .where(call_function("shiftright", word, bitIdx)
           .bitwiseAND(lit(1L)) === lit(0L))
         .drop("_dv_fp", "_dv_w")

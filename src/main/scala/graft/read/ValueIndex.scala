@@ -77,13 +77,14 @@ object ValueIndex {
     val st = SnapshotLog(tableDir).load().mainOnly
     val to = st.snapshots.lastOption.map(_.id).getOrElse(0L)
     if (to == from) return
-    require(st.snapshots.exists(_.id == from),
+    // from == 0 is a valid watermark (index built on an empty table — no
+    // snapshot 0 ever exists), same escape TableFollower.poll has
+    require(from == 0L || st.snapshots.exists(_.id == from),
       s"index watermark $from predates retained history (snapshot expiry " +
         "crossed it) — rebuild with build()")
-    val delta = MorReader.appendsBetween(spark, tableDir, from, to)
-    // appendsBetween projects the live schema WITHOUT service columns —
-    // re-derive (value, file) from the in-range files via a restricted
-    // metadata read
+    // the postings need (value, file) pairs, which the incremental append
+    // scan's live-schema projection drops — derive them from the in-range
+    // files via a restricted metadata read instead
     val inRange = st.snapshots
       .filter(s => s.id > from && s.operation != "replace")
       .flatMap(_.dataFiles).map(_.path).toSet

@@ -824,10 +824,23 @@ final class GraftTableGenerator(
         s.copy(dataFiles = s.dataFiles.filter(f => groupPaths(f.path)))))
       // survivors carry their ORIGINAL row ids and last-updated seqs into
       // the rewritten file as physical columns (Iceberg-v3 row lineage:
-      // identity survives compaction)
-      val merged = MorReader.withMeta(spark, restricted, schema, Map.empty)
-        .select(schema.names.map(col)
-          :+ col(MorReader.RowIdCol) :+ col(MorReader.LastSeqCol): _*)
+      // identity survives compaction) — but ONLY when every source file in
+      // the group HAS lineage. A legacy file (firstRowId=-1, no materialized
+      // ids) reads null row ids; stamping lineageInFile=true over nulls
+      // would make changelogBetween's lineage-completeness check pass and
+      // then misreport every null-id row (spurious deletes, dropped
+      // inserts). Honest metadata instead: the rewritten file stays a
+      // legacy file and the changelog keeps its (path, pos) fallback.
+      val groupHasLineage =
+        files.forall(f => f.lineageInFile || f.firstRowId >= 0)
+      val merged =
+        if (groupHasLineage)
+          MorReader.withMeta(spark, restricted, schema, Map.empty)
+            .select(schema.names.map(col)
+              :+ col(MorReader.RowIdCol) :+ col(MorReader.LastSeqCol): _*)
+        else
+          MorReader.withMeta(spark, restricted, schema, Map.empty)
+            .select(schema.names.map(col): _*)
       val partitionString = partitionDirName(partition)
       val target =
         if (partitionString.nonEmpty)
@@ -837,7 +850,8 @@ final class GraftTableGenerator(
       val rows = merged.count()
       writeSingleFile(merged, target)
       stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-        opSeq, rows, metrics = fileMetrics(target), lineageInFile = true)
+        opSeq, rows, metrics = fileMetrics(target),
+        lineageInFile = groupHasLineage)
       stagedRemovedData ++= files.map(_.path)
       stagedRemovedDeletes ++=
         st.deleteFiles.filter(_.partition == partition).map(_.path)
@@ -1190,9 +1204,16 @@ final class GraftTableGenerator(
       val groupPaths = files.map(_.path).toSet
       val restricted = st.copy(snapshots = st.snapshots.map(s =>
         s.copy(dataFiles = s.dataFiles.filter(f => groupPaths(f.path)))))
+      // same lineage-honesty rule as [[compact]]: materialized row-id
+      // columns only when every source file has lineage — never stamp
+      // lineageInFile over null ids
+      val groupHasLineage =
+        files.forall(f => f.lineageInFile || f.firstRowId >= 0)
+      val lineageCols: Seq[Column] =
+        if (groupHasLineage) Seq(col(MorReader.RowIdCol), col(MorReader.LastSeqCol))
+        else Nil
       val merged = MorReader.withMeta(spark, restricted, schema, Map.empty)
-        .select(schema.names.map(col)
-          :+ col(MorReader.RowIdCol) :+ col(MorReader.LastSeqCol): _*)
+        .select(schema.names.map(col) ++ lineageCols: _*)
         .localCheckpoint()
       val indexed = graft.operators.Ops
         .withGlobalIndex(merged, Seq(orderOf(merged)), "_cidx")
@@ -1211,10 +1232,11 @@ final class GraftTableGenerator(
               s"$partitionString-%02d.parquet")
           else uniqueNumberedFile(dataDir, "%02d.parquet")
         val sliceRows = math.min(rows - i.toLong * rowsPerFile, rowsPerFile.toLong)
-        writeSingleFile(slice.select(schema.names.map(col)
-          :+ col(MorReader.RowIdCol) :+ col(MorReader.LastSeqCol): _*), target)
+        writeSingleFile(slice.select(schema.names.map(col) ++ lineageCols: _*),
+          target)
         stagedData :+= DataFileEntry(target.toString, partition, specId, schemaV,
-          opSeq, sliceRows, metrics = fileMetrics(target), lineageInFile = true)
+          opSeq, sliceRows, metrics = fileMetrics(target),
+          lineageInFile = groupHasLineage)
       }
       stagedRemovedData ++= files.map(_.path)
       stagedRemovedDeletes ++=

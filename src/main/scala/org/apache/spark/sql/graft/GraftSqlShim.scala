@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Two `private[sql]` bridges the DSv2 catalog integration needs
+  * (`graft.catalog.GraftDml`): turning an analyzed LogicalPlan back into a
+  * DataFrame (to hand a SQL MERGE's source subquery to the engine's
+  * mergeInto API) and wrapping a catalyst Expression as a user-facing
+  * Column (to carry rewritten DML conditions). Lives under
+  * `org.apache.spark.sql` for the access scope only — the standard
+  * extension-author escape hatch; nothing here overrides Spark behavior. */
+object GraftSqlShim {
+
+  /** `Dataset.ofRows` — analyzed plan → DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `ExpressionUtils.column` — catalyst Expression → Column (unresolved
+    * attributes re-resolve against whatever frame the Column is used on). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

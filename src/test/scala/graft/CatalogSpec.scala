@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.SnapshotLog
+import graft.read.MorReader
+import graft.table.GraftTableGenerator
+
+/** The DSv2 catalog surface: graft tables as first-class SQL citizens —
+  * SELECT / INSERT / DELETE / UPDATE / MERGE by name, time travel, CREATE
+  * TABLE, with manifest-level file pruning wired through SQL filters. */
+class CatalogSpec extends SparkSpec {
+
+  // the JVM-wide catalog warehouse — the conf is session-global, so every
+  // catalog consumer shares ONE directory (no conf races across suites)
+  private lazy val wh: String = {
+    graft.queries.CatalogFixture.ensure(spark)
+    graft.queries.CatalogFixture.warehouse
+  }
+
+  /** products table `graft.db.t`: ids 0..99 widget + 100..199 gizmo. */
+  private def fresh(name: String): GraftTableGenerator = {
+    val g = new GraftTableGenerator(spark, s"$wh/db", name)
+    g.create(graft.scenarios.Scenarios.ProductsSchema, Seq("category"))
+      .append(Seq("widget"), graft.gen.Bundles.products(), 2, 50).commit()
+      .append(Seq("gizmo"), graft.gen.Bundles.products(), 2, 50).commit()
+    g
+  }
+
+  test("SELECT by name equals the MoR read; deletes apply") {
+    val g = fresh("t_scan")
+    g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+    val sql = spark.sql("SELECT product_id FROM graft.db.t_scan")
+      .collect().map(_.getInt(0)).toSet
+    val api = MorReader.read(spark, g.tableDir.toString)
+      .select("product_id").collect().map(_.getInt(0)).toSet
+    assert(sql == api && sql == (10 until 200).toSet)
+  }
+
+  test("SQL partition filter reaches the manifest planner (file pruning)") {
+    fresh("t_prune")
+    val before = MorReader.dataFilesPlanned.get()
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_prune WHERE category = 'widget'")
+      .collect()(0).getLong(0)
+    val planned = MorReader.dataFilesPlanned.get() - before
+    assert(n == 100L)
+    assert(planned == 2,
+      s"partition filter must plan only widget's 2 files, planned $planned")
+  }
+
+  test("SQL range filter prunes via per-file metrics") {
+    fresh("t_range")
+    val before = MorReader.dataFilesPlanned.get()
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_range " +
+        "WHERE product_id >= 150 AND product_id <= 199")
+      .collect()(0).getLong(0)
+    val planned = MorReader.dataFilesPlanned.get() - before
+    assert(n == 50L)
+    assert(planned == 1,
+      s"range must open only the file holding 150..199, planned $planned")
+  }
+
+  test("INSERT INTO appends through the distributed bulk writer") {
+    val g = fresh("t_ins")
+    spark.sql(
+      "INSERT INTO graft.db.t_ins VALUES " +
+        "(500, 'n1', 'widget', 'red', DATE'2024-01-01', 1.5, 3), " +
+        "(501, 'n2', 'gadget', 'blue', DATE'2024-01-02', 2.5, 4)")
+    val rows = spark.sql(
+      "SELECT product_id, category FROM graft.db.t_ins WHERE product_id >= 500")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((500, "widget"), (501, "gadget")))
+    assert(MorReader.read(spark, g.tableDir.toString).count() == 202)
+    // the new gadget partition exists as a registered file
+    val parts = SnapshotLog(g.tableDir.toString).load().mainOnly.dataFiles
+      .flatMap(_.partition.get("category")).toSet
+    assert(parts == Set("widget", "gizmo", "gadget"))
+  }
+
+  test("DELETE FROM with a range condition takes the metadata tier") {
+    val g = fresh("t_del")
+    spark.sql("DELETE FROM graft.db.t_del " +
+      "WHERE product_id >= 0 AND product_id <= 49")
+    val st = SnapshotLog(g.tableDir.toString).load().mainOnly
+    assert(st.snapshots.last.removedDataFiles.nonEmpty,
+      "fully-covered file must drop as pure metadata")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_del")
+      .collect()(0).getLong(0) == 150L)
+  }
+
+  test("DELETE FROM with an arbitrary condition writes positional deletes") {
+    val g = fresh("t_del2")
+    spark.sql("DELETE FROM graft.db.t_del2 WHERE product_id % 10 = 3")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_del2")
+      .collect()(0).getLong(0) == 180L)
+    assert(SnapshotLog(g.tableDir.toString).load().mainOnly
+      .deleteFiles.nonEmpty)
+  }
+
+  test("UPDATE rewrites matching rows in one delete+append transaction") {
+    val g = fresh("t_upd")
+    val preSnaps = SnapshotLog(g.tableDir.toString).lastSnapshotId
+    spark.sql("UPDATE graft.db.t_upd SET quantity = 0, color = 'void' " +
+      "WHERE product_id < 20")
+    assert(SnapshotLog(g.tableDir.toString).lastSnapshotId == preSnaps + 1,
+      "UPDATE must commit exactly one snapshot")
+    val out = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_upd WHERE color = 'void'")
+      .collect()(0).getLong(0)
+    assert(out == 20L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_upd")
+      .collect()(0).getLong(0) == 200L, "row count unchanged by UPDATE")
+    assert(spark.sql("SELECT sum(quantity) AS s FROM graft.db.t_upd " +
+      "WHERE product_id < 20").collect()(0).getLong(0) == 0L)
+  }
+
+  test("MERGE INTO routes to the engine's mergeInto (upsert + delete + insert)") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_merge")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 400).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    spark.range(300, 500).toDF("id")
+      .withColumn("val", col("id") * 3)
+      .withColumn("op", when(col("id") % 10 === 0, lit("D")).otherwise(lit("U")))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO graft.db.t_merge t USING merge_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.id % 7 <> 0 THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+        |""".stripMargin)
+    // same end state as the API twin (mor_merge's arithmetic):
+    // 0..299 val 2id; 300..399 minus %10==0, val 3id unless %7==0 (2id);
+    // 400..499 minus %10==0, val 3id
+    val got = spark.sql("SELECT id, val FROM graft.db.t_merge")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L until 300L).map(i => i -> i * 2) ++
+      (300L until 400L).filter(_ % 10 != 0)
+        .map(i => i -> (if (i % 7 == 0) i * 2 else i * 3)) ++
+      (400L until 500L).filter(_ % 10 != 0).map(i => i -> (i * 3))).toMap
+    assert(got == want)
+  }
+
+  test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
+    val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100L)
+    val ts = SnapshotLog(g.tableDir.toString).load().mainOnly
+      .snapshots.head.timestampMs
+    // session zone is UTC, so the literal renders in UTC
+    val lit = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.t_travel TIMESTAMP AS OF '$lit'")
+      .collect()(0).getLong(0) == 100L)
+  }
+
+  test("VERSION AS OF a tag; SHOW TABLES lists the warehouse") {
+    val g = fresh("t_tag")
+    g.tag("v1", 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_tag VERSION AS OF 'v1'")
+      .collect()(0).getLong(0) == 100L)
+    val tables = spark.sql("SHOW TABLES IN graft.db")
+      .collect().map(_.getString(1)).toSet
+    assert(tables.contains("t_tag"))
+  }
+
+  test("CREATE TABLE + INSERT + SELECT round trip, partitioned") {
+    spark.sql("CREATE TABLE graft.db.t_created " +
+      "(id BIGINT, part STRING, v DOUBLE) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft.db.t_created VALUES " +
+      "(1, 'a', 1.5), (2, 'b', 2.5), (3, 'a', 3.5)")
+    assert(spark.sql(
+      "SELECT sum(id) AS s FROM graft.db.t_created WHERE part = 'a'")
+      .collect()(0).getLong(0) == 4L)
+    val st = SnapshotLog(s"$wh/db/t_created").load().mainOnly
+    assert(st.partitionCols == Seq("part"))
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("t_created"))
+    spark.sql("DROP TABLE graft.db.t_created")
+    assert(!new java.io.File(s"$wh/db/t_created").exists())
+  }
+}

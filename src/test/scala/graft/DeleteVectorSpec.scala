@@ -88,6 +88,25 @@ class DeleteVectorSpec extends SparkSpec {
       (5 until 200).toSet)
   }
 
+  test("dv application is an explicit BroadcastHashJoin, threshold-independent") {
+    val g = fresh("bhj")
+    g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+    g.rewritePositionDeletesToDVs().commit()
+    // size-based auto-broadcast OFF: only the explicit hint can save the
+    // join — without it this silently degrades to a SortMergeJoin that
+    // shuffles the entire fact scan on file_path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = g.read.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("_dv_fp")),
+        s"dv application must broadcast the per-file bitmap side:\n$plan")
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("_dv_fp")),
+        s"dv application must never sort-merge on file_path:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("vector application replaces the anti-join: no LeftAnti in the plan") {
     val g = fresh("plan")
     g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
