@@ -71,6 +71,43 @@ object MediaOps {
     }(enc)
   }
 
+  /** Container-sniffing raster decode: BMP or PNG → (w, h, logical RGB). */
+  private[ext] def decodeRaster(payload: Array[Byte]): (Int, Int, Array[Int]) =
+    if (MediaCodecs.isPng(payload)) MediaCodecs.decodePng(payload)
+    else MediaCodecs.decodeBmp(payload)
+
+  /** The [[synthesizeFromDocs]] corpus with IMAGE rows carried as real
+    * PNGs (8-bit truecolor, all five scanline filters exercised by the
+    * encoder's y%5 cycling) instead of BMPs — same closed-form pixel
+    * values, so decoded-feature oracles share the arithmetic while the
+    * payload bytes go through DEFLATE and full filter reconstruction.
+    * Audio stays WAV, video posters stay BMP (the mixed-container shape a
+    * real corpus has). */
+  def synthesizeMixedFromDocs(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"), col("n_chars")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload = kind match {
+          case "audio" =>
+            MediaCodecs.encodeWav(nSamples(id), SampleRate, sample(id, _))
+          case "image" =>
+            val (w, h) = bmpDims(id)
+            MediaCodecs.encodePng(w, h, pixel(id, _))
+          case _ =>
+            val (w, h) = bmpDims(id)
+            MediaCodecs.encodeBmp(w, h, pixel(id, _))
+        }
+        Row(id, kind, payload,
+          Row(((id % 8) * 160 + 320).toInt, ((id % 8) * 90 + 180).toInt,
+            (r.getLong(1) * 40).toInt, s"media/x-fake-$kind"))
+      }
+    }(enc)
+  }
+
   /** REAL decoder: sniffs the container magic and parses the payload.
     *   BMP → [ΣR, ΣG, ΣB, w·h] (channel sums over decoded pixels)
     *   WAV → [Σs, Σ|s|, nSamples, max|s|]
@@ -78,8 +115,9 @@ object MediaOps {
     * aggregate without float-order hazards. */
   private[ext] def realDecode(payload: Array[Byte], dims: Int): Array[Double] = {
     require(dims == 4, s"decoder emits 4 dims, asked for $dims")
-    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
-      val (w, h, px) = MediaCodecs.decodeBmp(payload)
+    if (MediaCodecs.isPng(payload) ||
+        (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')) {
+      val (w, h, px) = decodeRaster(payload)
       val sums = new Array[Long](3)
       var i = 0
       while (i < px.length) { sums(i % 3) += px(i); i += 1 }
@@ -214,7 +252,7 @@ object MediaOps {
       .select("media_id", "kind", "payload").mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
-            val (w, h, px) = MediaCodecs.decodeBmp(r.getAs[Array[Byte]](2))
+            val (w, h, px) = decodeRaster(r.getAs[Array[Byte]](2))
             val (pw, ph) = (w / grid, h / grid)
             val emb = new Array[Double](grid * grid * 3)
             var gy = 0

@@ -324,6 +324,72 @@ final class SnapshotLog(tableDir: Path) {
     TableState(schemas, specs, snapshots)
   }
 
+  /** Outline load: like [[load]], but sharded DATA manifest groups are
+    * NOT materialized — their group-file names ride on the outline and
+    * [[graft.read.MorReader]] plans them inside Spark tasks. Delete
+    * manifests (the metadata-scale side) still parse eagerly. The driver
+    * footprint of a 10^7-file snapshot becomes its ~2.4k group names. */
+  def loadOutline(): OutlineState = {
+    val schemas = listVersioned("schema-").map { case (v, p) =>
+      v -> GraftSchema.fromJson(Files.readString(p))
+    }.toMap
+    val specs = listVersioned("spec-").map { case (v, p) =>
+      val node = mapper.readTree(Files.readString(p))
+      v -> node.get("partitionCols").elements().asScala.map(_.asText).toSeq
+    }.toMap
+    val legacy =
+      if (!Files.exists(logFile)) Seq.empty
+      else Files.readAllLines(logFile).asScala.filter(_.nonEmpty)
+        .map(l => SnapshotOutline(parseSnapshot(mapper.readTree(l)), Nil)).toSeq
+    val perFile = listSnapFiles()
+      .map(p => parseSnapshotOutline(mapper.readTree(Files.readString(p))))
+    val perFileIds = perFile.map(_.snapshot.id).toSet
+    val outlines =
+      (legacy.filterNot(o => perFileIds(o.snapshot.id)) ++ perFile)
+        .sortBy(_.snapshot.id)
+    OutlineState(schemas, specs, outlines, metaDir.toString)
+  }
+
+  /** [[parseSnapshot]] minus data-manifest materialization. */
+  private def parseSnapshotOutline(n: JsonNode): SnapshotOutline = {
+    // branch on FIELD PRESENCE: a sharded render always writes the
+    // manifests array (possibly empty — zero groups = empty list) and
+    // omits the inline array entirely
+    val dataMansOpt = Option(n.get("dataManifests"))
+      .map(_.elements().asScala.map(_.asText).toSeq)
+    val dataMans = dataMansOpt.getOrElse(Nil)
+    val dfs = dataMansOpt match {
+      case Some(_) => Nil
+      case None => n.get("dataFiles").asInstanceOf[ArrayNode].elements().asScala
+        .map(parseDataEntry).toSeq
+    }
+    val dels = Option(n.get("deleteManifests")) match {
+      case Some(man) =>
+        readManifestGroups(man.elements().asScala.map(_.asText).toSeq,
+          parseDeleteEntry)
+      case None =>
+        n.get("deleteFiles").asInstanceOf[ArrayNode].elements().asScala
+          .map(parseDeleteEntry).toSeq
+    }
+    def strArr(field: String): Seq[String] = Option(n.get(field))
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val removedData = strArr("removedDataFiles")
+    val removedDeletes = strArr("removedDeleteFiles")
+    val op = Option(n.get("operation")).map(_.asText).getOrElse {
+      if (removedData.nonEmpty || removedDeletes.nonEmpty) "replace"
+      else if (dels.nonEmpty && (dfs.nonEmpty || dataMans.nonEmpty)) "overwrite"
+      else if (dels.nonEmpty) "delete"
+      else "append"
+    }
+    SnapshotOutline(
+      Snapshot(n.get("id").asLong, n.get("seq").asLong, n.get("schemaV").asInt,
+        n.get("specId").asInt, dfs, dels, removedData, removedDeletes,
+        Option(n.get("timestampMs")).map(_.asLong).getOrElse(0L), op,
+        Option(n.get("branch")).map(_.asText).getOrElse("main"),
+        Option(n.get("nextRowId")).map(_.asLong).getOrElse(-1L)),
+      dataMans)
+  }
+
   /** The `nextRowId` stamp of snapshot `id` — one-file parse for
     * commit-time row-id assignment. When the stamp is absent (a last
     * snapshot written by a pre-field binary in a mixed-version history)
@@ -608,15 +674,7 @@ final class SnapshotLog(tableDir: Path) {
     }
 
   private def metricsOf(n: JsonNode): Map[Int, ColMetrics] =
-    Option(n.get("metrics")).map { m =>
-      m.asInstanceOf[ObjectNode].properties().asScala.map { e =>
-        val v = e.getValue
-        e.getKey.toInt -> ColMetrics(
-          Option(v.get("min")).map(_.asText), Option(v.get("max")).map(_.asText),
-          Option(v.get("nulls")).map(_.asLong).getOrElse(0L),
-          Option(v.get("bloom")).map(_.asText))
-      }.toMap
-    }.getOrElse(Map.empty[Int, ColMetrics])
+    SnapshotLog.metricsOfNode(n)
 
   private def dataFileNode(f: DataFileEntry): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -655,7 +713,7 @@ final class SnapshotLog(tableDir: Path) {
     // default-omitted: main snapshots render byte-identical to pre-branch
     // logs, and legacy logs parse back as main
     if (s.branch != "main") root.put("branch", s.branch)
-    val big = s.dataFiles.size + s.deleteFiles.size > SnapshotLog.ShardThreshold
+    val big = s.dataFiles.size + s.deleteFiles.size > SnapshotLog.shardThreshold
     if (shard && big) {
       val token = java.util.UUID.randomUUID().toString.take(8)
       val dm = root.putArray("dataManifests")
@@ -677,17 +735,11 @@ final class SnapshotLog(tableDir: Path) {
     mapper.writeValueAsString(root)
   }
 
-  private def partitionOf(n: JsonNode): Map[String, String] = {
-    val p = n.get("partition").asInstanceOf[ObjectNode]
-    p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-  }
+  private def partitionOf(n: JsonNode): Map[String, String] =
+    SnapshotLog.partitionOfNode(n)
 
   private def parseDataEntry(o: JsonNode): DataFileEntry =
-    DataFileEntry(o.get("path").asText, partitionOf(o), o.get("specId").asInt,
-      o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong,
-      metricsOf(o),
-      Option(o.get("firstRowId")).map(_.asLong).getOrElse(-1L),
-      Option(o.get("lineageInFile")).exists(_.asBoolean))
+    SnapshotLog.dataEntryOfNode(o)
 
   private def parseDeleteEntry(o: JsonNode): DeleteFileEntry =
     DeleteFileEntry(o.get("path").asText, partitionOf(o), o.get("kind").asText,
@@ -738,13 +790,118 @@ final class SnapshotLog(tableDir: Path) {
 
 object SnapshotLog {
   /** Entry count above which a snapshot's file lists shard into manifest
-    * groups instead of inlining in the snap file. */
+    * groups instead of inlining in the snap file. Overridable via system
+    * property (integration tests shard tiny tables to drive the
+    * outline-planning path end-to-end). */
   val ShardThreshold = 10000
+  def shardThreshold: Int =
+    sys.props.get("graft.shard.threshold").map(_.toInt).getOrElse(ShardThreshold)
   /** Entries per manifest-group file — matches the planning task size in
     * [[graft.read.MorReader.ManifestGroupSize]]. */
   val ManifestGroupSize = 4096
 
   def apply(tableDir: String): SnapshotLog = new SnapshotLog(Paths.get(tableDir))
+
+  // ---- static entry parsing (shared by the driver loader and the
+  // distributed outline planner, whose tasks parse group files without a
+  // SnapshotLog instance) ------------------------------------------------
+
+  private[meta] def partitionOfNode(n: JsonNode): Map[String, String] = {
+    val p = n.get("partition").asInstanceOf[ObjectNode]
+    p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  }
+
+  private[meta] def metricsOfNode(n: JsonNode): Map[Int, ColMetrics] =
+    Option(n.get("metrics")).map { m =>
+      m.asInstanceOf[ObjectNode].properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey.toInt -> ColMetrics(
+          Option(v.get("min")).map(_.asText), Option(v.get("max")).map(_.asText),
+          Option(v.get("nulls")).map(_.asLong).getOrElse(0L),
+          Option(v.get("bloom")).map(_.asText))
+      }.toMap
+    }.getOrElse(Map.empty[Int, ColMetrics])
+
+  private[meta] def dataEntryOfNode(o: JsonNode): DataFileEntry =
+    DataFileEntry(o.get("path").asText, partitionOfNode(o), o.get("specId").asInt,
+      o.get("schemaV").asInt, o.get("seq").asLong, o.get("recordCount").asLong,
+      metricsOfNode(o),
+      Option(o.get("firstRowId")).map(_.asLong).getOrElse(-1L),
+      Option(o.get("lineageInFile")).exists(_.asBoolean))
+
+  /** Read ONE data-manifest group file — designed to run inside a Spark
+    * planning task (pure function of (metaDir, name); the metadata
+    * directory is shared storage on a real cluster, the local FS here). */
+  def readDataManifestFile(metaDir: String, name: String): Seq[DataFileEntry] = {
+    val p = Paths.get(metaDir, name)
+    require(Files.exists(p), s"missing manifest group $name — " +
+      "metadata corrupted or expiry raced this reader")
+    new ObjectMapper().readTree(Files.readString(p))
+      .asInstanceOf[ArrayNode].elements().asScala.map(dataEntryOfNode).toVector
+  }
+}
+
+/** One snapshot as an OUTLINE: sharded DATA file lists are NOT
+  * materialized — `dataManifests` carries the group-file names and
+  * `snapshot.dataFiles` is empty for them (inline lists parse as usual;
+  * delete files are always materialized — the small side). The driver's
+  * footprint for a 10^7-file snapshot is the group-name list, not the
+  * entries; [[graft.read.MorReader]] plans the groups inside Spark tasks. */
+final case class SnapshotOutline(snapshot: Snapshot, dataManifests: Seq[String])
+
+/** Outline-loaded table state: schemas/specs/delete files materialized,
+  * sharded data-file lists represented by manifest-group names. */
+final case class OutlineState(
+    schemas: Map[Int, GraftSchema],
+    specs: Map[Int, Seq[String]],
+    outlines: Seq[SnapshotOutline],
+    metaDir: String) {
+
+  def mainOnly: OutlineState =
+    copy(outlines = outlines.filter(_.snapshot.branch == "main"))
+
+  def onBranch(name: String, forkId: Long): OutlineState =
+    copy(outlines = outlines.filter(o =>
+      (o.snapshot.branch == "main" && o.snapshot.id <= forkId) ||
+        o.snapshot.branch == name))
+
+  def asOf(snapshotId: Long): OutlineState =
+    copy(outlines = outlines.filter(_.snapshot.id <= snapshotId))
+
+  def asOfTime(tsMs: Long): OutlineState = {
+    val upTo = outlines.filter(_.snapshot.timestampMs <= tsMs)
+    require(upTo.nonEmpty,
+      s"no snapshot committed at or before $tsMs (oldest: " +
+        s"${outlines.headOption.map(_.snapshot.timestampMs).getOrElse("none")})")
+    copy(outlines = upTo)
+  }
+
+  /** Does any retained snapshot keep its data entries sharded? */
+  def hasShardedData: Boolean = outlines.exists(_.dataManifests.nonEmpty)
+
+  def removedDataPaths: Set[String] =
+    outlines.flatMap(_.snapshot.removedDataFiles).toSet
+
+  def currentSchemaV: Int = outlines.lastOption.map(_.snapshot.schemaV).getOrElse(0)
+  def schema: GraftSchema = schemas(currentSchemaV)
+
+  /** The state with `planned` standing in for ALL data files (survivors of
+    * outline planning) — delete files, schemas, specs, snapshot ordering
+    * intact. Only for scan construction; never re-persisted. */
+  def withPlannedData(planned: Seq[DataFileEntry]): TableState = {
+    val snaps = outlines.map(_.snapshot.copy(dataFiles = Nil,
+      removedDataFiles = Nil))
+    val carrier = snaps.lastOption.map(_.copy(dataFiles = planned))
+    TableState(schemas, specs, snaps.dropRight(1) ++ carrier.toSeq)
+  }
+
+  /** Fully materialize (the eager-load equivalent) — the fallback when no
+    * snapshot is sharded, where entries are already inline. */
+  def toTableState: TableState = {
+    require(!hasShardedData,
+      "toTableState on a sharded outline would materialize the full list")
+    TableState(schemas, specs, outlines.map(_.snapshot))
+  }
 }
 
 /** A commit staged against a table version another writer has already

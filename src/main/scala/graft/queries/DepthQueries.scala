@@ -287,6 +287,62 @@ object DepthQueries {
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
 
+    // TPC-H Q7 (volume shipping): the two-hop fact chain (lineitem →
+    // orders → customer) with the supplier and BOTH nation dims filtered
+    // BEFORE their broadcasts (dim-side pushdown — only the two probed
+    // nations ever ship), year extracted from the pushed shipdate slice,
+    // and the asymmetric pair condition applied as a residual. Nation
+    // pairs parameterized to the generator's populated lanes.
+    "tpch_q7" -> ((s, d) => {
+      val n1 = tbl(s, d, "nation")
+        .where(col("n_name").isin("NATION_20", "NATION_18"))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = tbl(s, d, "nation")
+        .where(col("n_name").isin("NATION_11", "NATION_19"))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      tbl(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100, 0) as long)")
+            .as("volume_c"))
+        .join(broadcast(tbl(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(tbl(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+               (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("volume_c").as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q18 (large-volume customers): the grouped-HAVING semi-join —
+    // the per-order quantity aggregate reduces the fact table to a tiny
+    // qualifying set that BROADCASTS back onto orders (no fact-fact
+    // shuffle), then the customer dim resolves names. Total order on
+    // (total, date, key) keeps the LIMIT deterministic.
+    "tpch_q18" -> ((s, d) => {
+      val big = tbl(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      tbl(s, d, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, d, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).as("total_cents"),
+          col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // per-group weighted reservoir (A-Res per language, k=5): the same
     // deterministic ln(u)/w ranking as sample_weighted, but ranked inside
     // each group through Ops.topKPerGroup's two-level decomposition — no
@@ -557,6 +613,40 @@ object DepthQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |      OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  CAST(sq AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
 
     "sample_reservoir_group" ->
       """SELECT lang, doc_id, n_chars,

@@ -29,6 +29,38 @@ object ExtQueries {
     Q.events(s, d)
   private def evts(s: SparkSession, d: String): DataFrame = eventsWithTs(s, d)
 
+  /** Stage micro-batch feed FILES for a file-source stream: each frame is
+    * written as ONE parquet file (a distributed write job — nothing is
+    * ever materialized on the driver) into a fresh directory, with
+    * strictly increasing names and modification times. A
+    * `readStream.parquet(dir)` with `maxFilesPerTrigger=1` then replays
+    * exactly these micro-batches in order — the production shape (a file
+    * drop-box / object-store prefix), replacing the old MemoryStream
+    * feeds whose driver-side collects were flagged as the one
+    * non-distributed step in the declared streaming keys. */
+  private def stageBatchFiles(batches: Seq[DataFrame]): String = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val dir = Files.createTempDirectory("graft-stream-feed")
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val staging = Files.createTempDirectory("graft-stream-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = ls(staging)
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val tgt = dir.resolve(f"batch-$i%03d.parquet")
+      Files.move(part, tgt)
+      Files.setLastModifiedTime(tgt, java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L + i * 60000L))
+      ls(staging).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staging)
+    }
+    dir.toString
+  }
+
   /** Run `body` (which starts and fully drains a streaming query) under a
     * reduced `spark.sql.shuffle.partitions`, restoring the session setting
     * after — streaming state partitions are fixed at query start, and at
@@ -583,11 +615,14 @@ object ExtQueries {
     // ---- streaming operators, driven to completion under the oracle ----
     // These run the ACTUAL Structured Streaming operators (bounded-state
     // dropDuplicatesWithinWatermark / stream-stream interval join) over a
-    // replayed MemoryStream of the events table and hand the drained sink
-    // to the driver's DuckDB compare — the streaming semantics themselves
-    // get a correctness row, not just a spec. The MemoryStream collect is
-    // harness plumbing (the operator under test is bounded-state; a real
-    // deployment reads Kafka/files).
+    // FILE-SOURCE stream of the events table — per-micro-batch parquet
+    // files staged by a distributed write ([[stageBatchFiles]]), replayed
+    // via maxFilesPerTrigger=1 — and hand the drained sink to the driver's
+    // DuckDB compare, so the streaming semantics themselves get a
+    // correctness row, not just a spec. Batch boundaries are event-time
+    // halves (approxQuantile median), which keeps watermark advancement
+    // monotone exactly like a production time-ordered source; nothing in
+    // the feed path materializes the table on the driver.
     //
     // Micro-batch streams want FEW state partitions at this volume: state
     // partition count is pinned to shuffle partitions at query start, and
@@ -598,31 +633,32 @@ object ExtQueries {
 
     // at-least-once delivery made effectively-exactly-once: every event is
     // re-delivered in-batch AND a tail re-delivered cross-batch; the
-    // oracle is the distinct corpus
+    // oracle is the distinct corpus. Feed = file-source stream (one
+    // parquet file per micro-batch, time-split halves) — no driver
+    // materialization anywhere; the far-future sentinel file advances the
+    // watermark so every row emits.
     "stream_dedup" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val base = Q.events(s, d)
-        .select(col("event_id"), col("event_type"), col("_us"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-        .sortBy(_._3).toSeq
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
-      val in = stream.toDS().toDF("event_id", "event_type", "us")
+      val ev = Q.events(s, d)
+        .select(col("event_id"), col("event_type"), col("_us").as("us"))
+      val mid = ev.stat.approxQuantile("us", Array(0.5), 0.001)(0).toLong
+      val a = ev.where(col("us") <= mid)
+      val b = ev.where(col("us") > mid)
+      val redeliver = a.orderBy(col("us").desc, col("event_id")).limit(50)
+      val maxUs = ev.agg(max("us")).head().getLong(0)
+      val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+        lit("__sentinel__").as("event_type"),
+        lit(maxUs + 100L * 3600L * 1000000L).as("us"))
+      val feed = stageBatchFiles(Seq(
+        a.unionAll(a), b.unionAll(redeliver), sentinel))
+      val in = s.readStream.schema(sentinel.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
         .select(col("event_id"), col("event_type"),
           expr("timestamp_micros(us)").as("ts"))
       withStreamShuffle(s, 4) {
         val sq = graft.streaming.EventDedup.dedup(in, Seq("event_id"))
           .writeStream.format("memory").queryName("stream_dedup_sink")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-        try {
-          val (a, b) = base.splitAt(base.length / 2)
-          stream.addData(a ++ a); sq.processAllAvailable()
-          stream.addData(b ++ a.takeRight(50)); sq.processAllAvailable()
-          // far-future sentinel advances the watermark so every row emits
-          stream.addData(Seq((-1L, "__sentinel__",
-            base.last._3 + 100L * 3600L * 1000000L)))
-          sq.processAllAvailable()
-        } finally sq.stop()
+        try sq.processAllAvailable() finally sq.stop()
       }
       s.table("stream_dedup_sink").where(col("event_id") >= 0)
         .groupBy("event_type")
@@ -639,16 +675,23 @@ object ExtQueries {
     // batch hourly aggregate — a dropped late row or a double-emitted
     // window breaks the hash.
     "stream_window_agg" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val base = Q.events(s, d)
-        .select(col("event_id"), col("event_type"), col("_us"),
+      val ev = Q.events(s, d)
+        .select(col("event_id"), col("event_type"), col("_us").as("us"),
           cents(col("value")).as("vc"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          r.getLong(3))).sortBy(t => (t._3, t._1)).toSeq
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Long, Long)]
-      val in = stream.toDS().toDF("event_id", "event_type", "us", "vc")
+      val mid = ev.stat.approxQuantile("us", Array(0.5), 0.001)(0).toLong
+      val a = ev.where(col("us") <= mid)
+      val b = ev.where(col("us") > mid)
+      // every 7th id of the first half arrives DELAYED in batch two, so
+      // window partials must merge across batches in the state store
+      val late = a.where(col("event_id") % 7 === 0)
+      val onTime = a.where(col("event_id") % 7 =!= 0)
+      val maxUs = ev.agg(max("us")).head().getLong(0)
+      val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+        lit("__sentinel__").as("event_type"),
+        lit(maxUs + 1000L * 3600L * 1000000L).as("us"), lit(0L).as("vc"))
+      val feed = stageBatchFiles(Seq(onTime, late.unionAll(b), sentinel))
+      val in = s.readStream.schema(sentinel.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
         .select(col("event_type"), expr("timestamp_micros(us)").as("ts"),
           col("vc"))
       withStreamShuffle(s, 4) {
@@ -661,15 +704,7 @@ object ExtQueries {
           .queryName("stream_window_sink")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .start()
-        try {
-          val (a, b) = base.splitAt(base.length / 2)
-          val (late, onTime) = a.zipWithIndex.partition(_._2 % 7 == 0)
-          stream.addData(onTime.map(_._1)); sq.processAllAvailable()
-          stream.addData(late.map(_._1) ++ b); sq.processAllAvailable()
-          stream.addData(Seq((-1L, "__sentinel__",
-            base.last._3 + 1000L * 3600L * 1000000L, 0L)))
-          sq.processAllAvailable()
-        } finally sq.stop()
+        try sq.processAllAvailable() finally sq.stop()
       }
       s.table("stream_window_sink")
         .where(col("event_type") =!= "__sentinel__")
@@ -681,34 +716,34 @@ object ExtQueries {
     // the batch boundary via buffered state; oracle is the batch BETWEEN
     // join
     "stream_join" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       val ev = Q.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("_us"))
       val purchases = ev.where(col("event_type") === "purchase")
-        .select("event_id", "user_id", "_us").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+        .select(col("event_id"), col("user_id"), col("_us").as("p_us"))
       val clicks = ev.where(col("event_type") === "click")
-        .select("user_id", "_us").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
-      val pS = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
-      val cS = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
-      val pIn = pS.toDS().toDF("event_id", "user_id", "p_us")
+        .select(col("user_id").as("c_user"), col("_us").as("c_us"))
+      // time-split halves on EACH side; the two file sources advance in
+      // lockstep (one file per side per trigger), so cross-boundary pairs
+      // must match through buffered stream-stream state
+      val pMid = purchases.stat.approxQuantile("p_us", Array(0.5), 0.001)(0).toLong
+      val cMid = clicks.stat.approxQuantile("c_us", Array(0.5), 0.001)(0).toLong
+      val pFeed = stageBatchFiles(Seq(
+        purchases.where(col("p_us") <= pMid), purchases.where(col("p_us") > pMid)))
+      val cFeed = stageBatchFiles(Seq(
+        clicks.where(col("c_us") <= cMid), clicks.where(col("c_us") > cMid)))
+      val pIn = s.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1").parquet(pFeed)
         .select(col("event_id"), col("user_id"),
           expr("timestamp_micros(p_us)").as("p_ts"))
-      val cIn = cS.toDS().toDF("c_user", "c_us")
+      val cIn = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1").parquet(cFeed)
         .select(col("c_user"), expr("timestamp_micros(c_us)").as("c_ts"))
       withStreamShuffle(s, 4) {
         val sq = graft.streaming.EventJoin
           .purchasesWithClicks(pIn, cIn, windowSec = 1800)
           .writeStream.format("memory").queryName("stream_join_sink")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-        try {
-          val (p1, p2) = purchases.splitAt(purchases.length / 2)
-          val (c1, c2) = clicks.splitAt(clicks.length / 2)
-          pS.addData(p1); cS.addData(c1); sq.processAllAvailable()
-          pS.addData(p2); cS.addData(c2); sq.processAllAvailable()
-        } finally sq.stop()
+        try sq.processAllAvailable() finally sq.stop()
       }
       s.table("stream_join_sink")
         .agg(count(lit(1)).as("n_pairs"),
@@ -724,18 +759,18 @@ object ExtQueries {
     // micro-batch boundaries (proven by the two-batch split). Same
     // contract and oracle as asof_join_native.
     "stream_asof" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       val ev = Q.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("_us"))
       val clickArr = ev.where(col("event_type") === "click")
         .groupBy(col("user_id").as("c_user"))
         .agg(sort_array(collect_list(col("_us"))).as("c_arr"))
-      val base = ev.where(col("event_type") === "purchase")
-        .select("event_id", "user_id", "_us").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
-      val in = stream.toDS().toDF("event_id", "user_id", "p_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("_us").as("p_us"))
+      val mid = purchases.stat.approxQuantile("p_us", Array(0.5), 0.001)(0).toLong
+      val feed = stageBatchFiles(Seq(
+        purchases.where(col("p_us") <= mid), purchases.where(col("p_us") > mid)))
+      val in = s.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
       withStreamShuffle(s, 4) {
         val enriched = in
           .join(broadcast(clickArr), col("user_id") === col("c_user"), "left")
@@ -744,11 +779,7 @@ object ExtQueries {
         val sq = enriched.writeStream.format("memory")
           .queryName("stream_asof_sink")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
-        try {
-          val (a, b) = base.splitAt(base.length / 2)
-          stream.addData(a); sq.processAllAvailable()
-          stream.addData(b); sq.processAllAvailable()
-        } finally sq.stop()
+        try sq.processAllAvailable() finally sq.stop()
       }
       s.table("stream_asof_sink")
         .agg(count(lit(1)).as("n_purchases"),

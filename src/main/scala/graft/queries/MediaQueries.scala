@@ -29,6 +29,23 @@ object MediaQueries {
         .orderBy("kind")
     }),
 
+    // PNG corpus through the full DEFLATE + 5-filter reconstruction path:
+    // image rows are REAL 8-bit truecolor PNGs (encoder cycles scanline
+    // filters y%5, so None/Sub/Up/Average/Paeth all sit in every payload);
+    // the decoded channel sums must equal the same closed-form pixel
+    // arithmetic the BMP keys mirror — byte-level codec bugs (filter
+    // reconstruction, IDAT reassembly, stride) break the hash
+    "multimodal_png_decode" -> ((s, d) => {
+      val media = MediaOps.synthesizeMixedFromDocs(tbl(s, d, "documents"))
+        .where(col("kind") === "image")
+      MediaOps.decodeFeatures(media, dims = 4, batchSize = 64)
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col("features"), 1).cast("long")).as("r_sum"),
+          sum(element_at(col("features"), 2).cast("long")).as("g_sum"),
+          sum(element_at(col("features"), 3).cast("long")).as("b_sum"),
+          sum(element_at(col("features"), 4).cast("long")).as("px_sum"))
+    }),
+
     // REAL raster resize: decode BMP → 2×2 box-average (integer div) →
     // re-encode BMP → decode AGAIN for the aggregate, so the oracle's
     // closed-form resized grid checks both directions of the codec
@@ -119,6 +136,19 @@ object MediaQueries {
          |           p -> (doc_id * 31 + p * 21) % 256))
          |  END) AS BIGINT) AS f0_sum
          |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // channel c sum over images (id%3=0): Σ_p (id·31 + (3p+c)·7) % 256
+    "multimodal_png_decode" ->
+      s"""WITH $mediaCte
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(list_sum(list_transform(range(0, w * h),
+         |    p -> (doc_id * 31 + (3 * p) * 7) % 256))) AS BIGINT) AS r_sum,
+         |  CAST(SUM(list_sum(list_transform(range(0, w * h),
+         |    p -> (doc_id * 31 + (3 * p + 1) * 7) % 256))) AS BIGINT) AS g_sum,
+         |  CAST(SUM(list_sum(list_transform(range(0, w * h),
+         |    p -> (doc_id * 31 + (3 * p + 2) * 7) % 256))) AS BIGINT) AS b_sum,
+         |  CAST(SUM(w * h) AS BIGINT) AS px_sum
+         |FROM m WHERE kind = 'image'""".stripMargin,
 
     // every patch mean recomputed in closed form: patch d (= (gy·2+gx)·3+c)
     // of media doc_id is floor(Σ pixel((gy·ph + k÷pw)·w + gx·pw + k%pw, c)

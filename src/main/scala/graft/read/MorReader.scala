@@ -224,8 +224,19 @@ object MorReader {
   def read(spark: SparkSession, tableDir: String, asOf: Option[Long],
            partitionFilter: Map[String, Set[String]],
            ranges: Map[String, ColRange] = Map.empty): DataFrame = {
-    val st0 = SnapshotLog(tableDir).load().mainOnly
-    val st = asOf.map(st0.asOf).getOrElse(st0)
+    // OUTLINE load: sharded manifest groups stay unmaterialized — when any
+    // retained snapshot shards its data list, per-file plan predicates
+    // evaluate inside Spark tasks that each read ONE group file, so the
+    // driver holds group names + survivors, never the full file list (the
+    // 10^7-file manifest problem). Non-sharded logs take the eager path
+    // unchanged (same parse work, zero job latency).
+    val o0 = SnapshotLog(tableDir).loadOutline().mainOnly
+    val o = asOf.map(o0.asOf).getOrElse(o0)
+    val st =
+      if (o.hasShardedData)
+        o.withPlannedData(
+          planDataFilesOutline(spark, o, o.schema, partitionFilter, ranges))
+      else o.toTableState
     val live = st.schema
     val partPred = partitionFilter.collect {
       case (k, vs) if live.names.contains(k) =>
@@ -636,6 +647,53 @@ object MorReader {
         }
         .collect().sortBy(_._1).map(_._2).toSeq
     }
+  }
+
+  /** Outline planning: per-file predicates over UNMATERIALIZED manifest
+    * groups. Inline entries (non-sharded snapshots) filter on the driver;
+    * each sharded group file is read + filtered inside ONE Spark task
+    * ([[graft.meta.SnapshotLog.readDataManifestFile]] — a pure function of
+    * (metaDir, groupName), which on a real cluster is shared storage).
+    * Selection is IDENTICAL to the eager path: same predicates, same
+    * removed-path set (broadcast), order restored by (snapshot, group,
+    * position) keys. Driver memory: group names + survivors. */
+  private[graft] def planDataFilesOutline(spark: SparkSession,
+                                          o: graft.meta.OutlineState,
+                                          live: GraftSchema,
+                                          partitionFilter: Map[String, Set[String]],
+                                          ranges: Map[String, ColRange])
+      : Seq[DataFileEntry] = {
+    val removed = o.removedDataPaths
+    val keepInline = o.outlines.zipWithIndex.flatMap { case (out, si) =>
+      out.snapshot.dataFiles.zipWithIndex.collect {
+        case (f, i) if !removed(f.path) &&
+          matchesPartition(f.partition, partitionFilter) &&
+          matchesRanges(f, live, ranges) => ((si, 0, i), f)
+      }
+    }
+    val groupTasks = o.outlines.zipWithIndex.flatMap { case (out, si) =>
+      out.dataManifests.zipWithIndex.map { case (name, gi) => (si, gi, name) }
+    }
+    val fromGroups: Seq[((Int, Int, Int), DataFileEntry)] =
+      if (groupTasks.isEmpty) Nil
+      else {
+        distributedPlans.incrementAndGet()
+        val removedB = spark.sparkContext.broadcast(removed)
+        val metaDir = o.metaDir
+        val pf = partitionFilter
+        val rg = ranges
+        val lv = live
+        spark.sparkContext.parallelize(groupTasks, groupTasks.size)
+          .flatMap { case (si, gi, name) =>
+            graft.meta.SnapshotLog.readDataManifestFile(metaDir, name)
+              .iterator.zipWithIndex.collect {
+                case (f, i) if !removedB.value(f.path) &&
+                  matchesPartition(f.partition, pf) &&
+                  matchesRanges(f, lv, rg) => ((si, gi, i), f)
+              }
+          }.collect().toSeq
+      }
+    (keepInline ++ fromGroups).sortBy(_._1).map(_._2).distinctBy(_.path)
   }
 
   private[graft] def withMeta(spark: SparkSession, st: TableState, live: GraftSchema,

@@ -7,8 +7,8 @@ import graft.ext.MediaOps
 class MediaSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  private lazy val media =
-    MediaOps.synthesizeFromDocs(spark.read.parquet(s"$dir/documents.parquet"))
+  private lazy val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val media = MediaOps.synthesizeFromDocs(docsDf)
 
   test("media schema: binary payload + typed metadata") {
     assert(media.schema("payload").dataType.typeName == "binary")
@@ -128,5 +128,79 @@ class MediaSpec extends SparkSpec {
     val expected = media.where(col("kind").isin("audio", "video"))
       .agg(sum(col("meta.duration_ms").cast("long"))).head().getLong(0)
     assert(total == expected)
+  }
+
+  test("PNG codec: round-trip exercises all five scanline filters") {
+    import graft.ext.MediaCodecs
+    // 7x11: seven rows → filters 0,1,2,3,4,0,1 all appear; non-trivial
+    // values so Sub/Up/Average/Paeth reconstruction must be exact
+    val (w, h) = (11, 7)
+    def pix(i: Int): Int = (i * 37 + (i * i) % 251) % 256
+    val png = MediaCodecs.encodePng(w, h, pix)
+    assert(MediaCodecs.isPng(png))
+    val (dw, dh, px) = MediaCodecs.decodePng(png)
+    assert(dw == w && dh == h)
+    assert(px.length == w * h * 3)
+    val bad = (0 until w * h * 3).filter(i => px(i) != pix(i))
+    assert(bad.isEmpty, s"mismatched logical indices: ${bad.take(5)}")
+  }
+
+  test("PNG codec: 1-pixel-wide and 1-row images (filter edge cases)") {
+    import graft.ext.MediaCodecs
+    for ((w, h) <- Seq((1, 6), (6, 1), (1, 1))) {
+      def pix(i: Int): Int = (i * 101 + 7) % 256
+      val (dw, dh, px) = MediaCodecs.decodePng(MediaCodecs.encodePng(w, h, pix))
+      assert((dw, dh) == (w, h))
+      assert((0 until w * h * 3).forall(i => px(i) == pix(i)))
+    }
+  }
+
+  test("PNG codec: RGBA (color type 6) decodes, alpha dropped; ancillary chunks skipped") {
+    import graft.ext.MediaCodecs
+    // hand-build a 2x2 RGBA PNG with filter 0 rows and a tEXt chunk the
+    // decoder must skip; alpha bytes must not leak into the RGB output
+    val (w, h) = (2, 2)
+    val rgba = Array(
+      10, 20, 30, 255, 40, 50, 60, 128,
+      70, 80, 90, 0, 100, 110, 120, 200)
+    val stride = 4 * w
+    val raw = new Array[Byte]((1 + stride) * h)
+    for (y <- 0 until h; i <- 0 until stride)
+      raw(y * (1 + stride) + 1 + i) = rgba(y * stride + i).toByte
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(6.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(MediaCodecs.pngChunk("IHDR", ihdr))
+    out.write(MediaCodecs.pngChunk("tEXt",
+      "Comment synthetic".getBytes("US-ASCII")))
+    out.write(MediaCodecs.pngChunk("IDAT", comp.toByteArray))
+    out.write(MediaCodecs.pngChunk("IEND", Array.emptyByteArray))
+    val (dw, dh, px) = MediaCodecs.decodePng(out.toByteArray)
+    assert((dw, dh) == (w, h))
+    val expected = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    assert(px.toSeq == expected.toSeq)
+  }
+
+  test("mixed corpus: PNG images decode to the same features as their BMP twins") {
+    val mixed = MediaOps.synthesizeMixedFromDocs(docsDf)
+    val bmp = MediaOps.synthesizeFromDocs(docsDf)
+    def feats(df: org.apache.spark.sql.DataFrame) =
+      MediaOps.decodeFeatures(df.where(col("kind") === "image"))
+        .select("media_id", "features").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val (fm, fb) = (feats(mixed), feats(bmp))
+    assert(fm.nonEmpty && fm == fb,
+      "container change must be invisible to decoded features")
+    // and the payloads really are different containers
+    val kinds = mixed.where(col("kind") === "image")
+      .select(col("payload")).limit(1).collect()
+    assert(graft.ext.MediaCodecs.isPng(kinds(0).getAs[Array[Byte]](0)))
   }
 }

@@ -304,6 +304,23 @@ class PlanSpec extends SparkSpec {
       s"dimension edge shuffled:\n$p")
   }
 
+  test("tpch_q7: nation/supplier dims broadcast; shipdate slice pushed to lineitem") {
+    val p = plan("tpch_q7")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"supplier + both nation edges must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q18: grouped-HAVING side broadcasts back onto orders; partial agg") {
+    val p = plan("tpch_q18")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("o_orderkey")),
+      s"the qualifying-order set must broadcast, not shuffle orders:\n$p")
+    assert(p.contains("partial_sum"), s"quantity aggregate must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graph_triangles: wedge + closing-edge probes are hash joins, never nested loop") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

@@ -86,6 +86,68 @@ class ShardedManifestSpec extends SparkSpec {
     assert(mans.nonEmpty && mans.forall(_.startsWith("manifest-2-")), s"got $mans")
   }
 
+  test("outline load leaves sharded data lists unmaterialized; task planning matches eager") {
+    val (log, _) = freshLog()
+    log.commit(Snapshot(1L, 1L, 1, 0, (0 until 50000).map(entry), Nil,
+      Nil, Nil, 1000L, "append"))
+    // a later snapshot REMOVES every 1000th file (metadata delete) — the
+    // outline planner must honor removals inside its tasks
+    log.commit(Snapshot(2L, 2L, 1, 0, Nil, Nil,
+      (0 until 50000 by 1000).map(i => f"/wh/t/data/f$i%06d.parquet"),
+      Nil, 2000L, "delete"))
+    val o = log.loadOutline().mainOnly
+    assert(o.hasShardedData)
+    assert(o.outlines.head.snapshot.dataFiles.isEmpty,
+      "outline must not materialize sharded entries on the driver")
+    assert(o.outlines.head.dataManifests.size == 13) // ceil(50000/4096)
+    val live = o.schema
+    val pf = Map("p" -> Set("3"))
+    val rg = Map("v" -> graft.read.MorReader.ColRange(Some("10000"), Some("19999")))
+    val before = graft.read.MorReader.distributedPlans.get()
+    val viaOutline =
+      graft.read.MorReader.planDataFilesOutline(spark, o, live, pf, rg)
+    assert(graft.read.MorReader.distributedPlans.get() == before + 1,
+      "group files must plan in a Spark job")
+    val eager = log.load().mainOnly
+    val viaEager =
+      graft.read.MorReader.planDataFiles(spark, eager.dataFiles, live, pf, rg)
+    assert(viaOutline.nonEmpty && viaOutline == viaEager,
+      s"outline selection must be identical (outline=${viaOutline.size}, " +
+        s"eager=${viaEager.size})")
+    assert(viaOutline.forall(_.partition("p") == "3"))
+    val removedKept = viaOutline.map(_.path)
+      .filter(_.matches(""".*f\d*000\.parquet"""))
+    assert(removedKept.isEmpty, s"removed files must not plan: $removedKept")
+  }
+
+  test("read() over a sharded table plans manifest groups in tasks end-to-end") {
+    import org.apache.spark.sql.functions._
+    sys.props("graft.shard.threshold") = "4"
+    try {
+      val wh = Files.createTempDirectory("shard-read").toString
+      val g = new graft.table.GraftTableGenerator(spark, wh, "t")
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> org.apache.spark.sql.types.LongType,
+        "part" -> org.apache.spark.sql.types.StringType), Seq("part"))
+      // 6 partition values → 6 files > threshold 4 → the snapshot shards
+      g.appendData(spark.range(0, 600).toDF("id")
+        .withColumn("part", concat(lit("p"), (col("id") % 6).cast("string"))))
+        .commit()
+      assert(SnapshotLog(g.tableDir.toString).loadOutline().hasShardedData,
+        "precondition: the commit must have sharded")
+      g.positionalDelete(col("id") < 60).commit()
+      val before = graft.read.MorReader.distributedPlans.get()
+      val ids = g.read.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids == (60L until 600L).toSet)
+      assert(graft.read.MorReader.distributedPlans.get() > before,
+        "the sharded read must plan through the outline job")
+      // partition-pruned read keeps pruning through the outline path
+      val p3 = graft.read.MorReader.readWhere(spark, g.tableDir.toString,
+        Map("part" -> Set("p3"))).select("id").collect().map(_.getLong(0)).toSet
+      assert(p3 == (63L until 600L by 6).toSet)
+    } finally sys.props.remove("graft.shard.threshold")
+  }
+
   test("sharded state plans through the distributed path with correct selection") {
     val (log, _) = freshLog()
     log.commit(Snapshot(1L, 1L, 1, 0, (0 until 20000).map(entry), Nil,
