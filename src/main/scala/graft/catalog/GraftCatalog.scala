@@ -42,6 +42,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** DEFAULT-value column clauses allowed (ALTER/CREATE) — they map to
+    * Iceberg-v3 initial defaults in [[alterTable]]. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.Collections.singleton(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** Warehouse root: the session conf wins (dynamic — settable per query),
     * falling back to the plugin's initialize-time options. */
   private def warehouse: Path = {
@@ -132,10 +138,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(ident.toString, d.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the GraftTableGenerator schema/spec evolution API " +
-        "(updateSchema/addColumn/renameColumn/updateSpec)")
+  /** `ALTER TABLE` → the engine's id-based schema evolution (add with
+    * Iceberg-v3 initial default, rename in place, drop retiring the field
+    * id). Changes apply as metadata, then ONE empty snapshot publishes the
+    * new schema version (readers resolve the current schema from the last
+    * snapshot — the Iceberg current-schema-id bump). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val g = new GraftTableGenerator(SparkSession.active, d.getParent.toString,
+      ident.name).open()
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested column ${a.fieldNames.mkString(".")} not supported")
+        val default = Option(a.defaultValue()).map { dv =>
+          val v = Option(dv.getValue).map(_.value()).getOrElse(
+            throw new UnsupportedOperationException(
+              s"non-literal DEFAULT for ${a.fieldNames()(0)}"))
+          v match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => String.valueOf(other)
+          }
+        }
+        g.addColumn(a.fieldNames()(0), a.dataType(), default)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested column ${r.fieldNames.mkString(".")} not supported")
+        g.renameColumn(r.fieldNames()(0), r.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"nested column ${del.fieldNames.mkString(".")} not supported")
+        g.updateSchema(Nil, Seq(del.fieldNames()(0)))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    g.commit() // pure-metadata snapshot: publishes the new schema version
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)

@@ -145,6 +145,21 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
 
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    // SQL COUNT(*) over a bare current-state graft relation answers from
+    // the MANIFEST when no delete can apply and every count is declared
+    // (Iceberg's count aggregate pushdown): the whole query collapses to a
+    // LocalRelation — zero scans, zero jobs. The probe itself is a pure
+    // driver metadata fold, so running it at analysis time is free; any
+    // state needing the exact scan falls through to the MoR plan.
+    case agg @ Aggregate(groupings, aggExprs, GraftRel(_, t), _)
+        if groupings.isEmpty && agg.resolved && t.travel.isEmpty &&
+          countStarOnly(aggExprs) =>
+      MorReader.fastCountMetadataOnly(t.dir) match {
+        case Some(n) =>
+          LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+        case None => agg.mapChildren(rewrite)
+      }
     case d @ DeleteFromTable(GraftRel(r, t), cond) =>
       if (d.resolved) makeDelete(r, t, cond) else d
     case u @ UpdateTable(GraftRel(r, t), assignments, cond) =>
@@ -162,6 +177,19 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
       }
   }
+
+  /** Every aggregate a plain `COUNT(*)`/`COUNT(1)` (no DISTINCT, no
+    * FILTER)? — the shape the manifest can answer. */
+  private def countStarOnly(exprs: Seq[NamedExpression]): Boolean =
+    exprs.nonEmpty && exprs.forall {
+      case Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(_: Literal)) => true
+          case _ => false
+        }
+      case _ => false
+    }
 
   /** Replace the relation with the analyzed MoR plan, aliasing its output
     * to the relation's attribute names AND ids (the plan above was

@@ -54,7 +54,15 @@ final class GraftSparkTable(
     val identName: String,
     val dir: String,
     val travel: Option[GraftTravel] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE` — one metadata-tier snapshot, bytes reclaimed by
+    * snapshot expiry (time travel intact). */
+  override def truncateTable(): Boolean = {
+    openGenerator(SparkSession.active).truncate().commit()
+    true
+  }
 
   /** Travel-resolved table state (main lineage; branch travel resolves the
     * branch lineage exactly like [[MorReader.readRef]]). */
@@ -128,7 +136,8 @@ final class GraftSparkTable(
 
   override def capabilities(): JSet[TableCapability] =
     JCollections.unmodifiableSet(new java.util.HashSet(
-      Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava))
+      Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => throw new UnsupportedOperationException(
@@ -137,16 +146,19 @@ final class GraftSparkTable(
         "graft.plans.GraftExtensions")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // INSERT OVERWRITE (static): Spark calls truncate() on the builder;
+      // the V1 write then stages the metadata-tier truncate and the bulk
+      // append into ONE "overwrite" snapshot
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new V1Write {
           override def toInsertableRelation: InsertableRelation =
             (data, overwrite) => {
-              if (overwrite) throw new UnsupportedOperationException(
-                s"graft table $identName: INSERT OVERWRITE is not supported " +
-                  "— use DELETE FROM + INSERT INTO")
               val spark = data.sparkSession
               val g = openGenerator(spark)
+              if (overwriteAll || overwrite) g.truncate()
               val conformed = data.select(
                 g.liveSchema.fields.map(f =>
                   org.apache.spark.sql.functions.col(f.name)

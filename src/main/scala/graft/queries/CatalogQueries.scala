@@ -126,6 +126,37 @@ object CatalogQueries {
       "merge_t"
     })
 
+  /** ids 0..99; ALTER adds `bonus` with DEFAULT 5 (old rows read it as an
+    * initial default), renames `val`→`score`, then an INSERT carries REAL
+    * bonus values for ids 100..119. */
+  private def alterT(spark: SparkSession): Unit =
+    built.computeIfAbsent("alter_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "alter_t")
+        .create(idVal, Seq("part"))
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("part", lit("a")).withColumn("val", col("id") * 2))
+        .commit()
+      spark.sql("ALTER TABLE graft.cq.alter_t ADD COLUMN bonus BIGINT DEFAULT 5")
+      spark.sql("ALTER TABLE graft.cq.alter_t RENAME COLUMN val TO score")
+      spark.sql("INSERT INTO graft.cq.alter_t " +
+        "SELECT id, 'b' AS part, id * 3 AS score, id AS bonus FROM range(100, 120)")
+      "alter_t"
+    })
+
+  /** ids 0..399; INSERT OVERWRITE replaces everything with 500..549 ('z',
+    * val 7·id) in one metadata-truncate + append snapshot. */
+  private def overwriteT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ovw_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "ovw_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 400)).commit()
+      spark.sql("INSERT OVERWRITE graft.cq.ovw_t " +
+        "SELECT id, 'z' AS part, id * 7 AS val FROM range(500, 550)")
+      "ovw_t"
+    })
+
   /** snapshot 1 = ids 0..99 (a), snapshot 2 = ids 100..199 (b). */
   private def travelT(spark: SparkSession): Unit =
     built.computeIfAbsent("travel_t", _ => {
@@ -179,6 +210,26 @@ object CatalogQueries {
     "sql_merge_into" -> ((s, _) => {
       mergeT(s)
       s.sql("SELECT id, val FROM graft.cq.merge_t")
+    }),
+
+    // manifest-answered COUNT(*) (Iceberg count pushdown): the plan is a
+    // LocalTableScan — CatalogSpec gates the absence of any file scan
+    "sql_catalog_fast_count" -> ((s, _) => {
+      travelT(s)
+      s.sql("SELECT COUNT(*) AS n FROM graft.cq.travel_t")
+    }),
+
+    "sql_catalog_overwrite" -> ((s, _) => {
+      overwriteT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.ovw_t GROUP BY part ORDER BY part")
+    }),
+
+    "sql_catalog_alter" -> ((s, _) => {
+      alterT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(score) AS score_sum, " +
+        "SUM(bonus) AS bonus_sum FROM graft.cq.alter_t " +
+        "GROUP BY part ORDER BY part")
     }),
 
     "sql_catalog_travel" -> ((s, _) => {
@@ -241,6 +292,27 @@ object CatalogQueries {
         |  UNION ALL
         |  SELECT range, range * 3 FROM range(400, 500) WHERE range % 10 <> 0
         |)""".stripMargin,
+
+    "sql_catalog_fast_count" ->
+      """SELECT CAST(200 AS BIGINT) AS n""",
+
+    "sql_catalog_overwrite" ->
+      """SELECT 'z' AS part, CAST(50 AS BIGINT) AS n,
+        |       CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 7) AS BIGINT) AS val_sum
+        |FROM range(500, 550)""".stripMargin,
+
+    // a: ids 0..99, score 2·id, bonus = initial default 5;
+    // b: ids 100..119, score 3·id, bonus = id
+    "sql_catalog_alter" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(score) AS BIGINT) AS score_sum,
+        |       CAST(SUM(bonus) AS BIGINT) AS bonus_sum
+        |FROM (
+        |  SELECT 'a' AS part, range * 2 AS score, 5 AS bonus FROM range(0, 100)
+        |  UNION ALL
+        |  SELECT 'b', range * 3, range FROM range(100, 120)
+        |) GROUP BY part ORDER BY part""".stripMargin,
 
     "sql_catalog_travel" ->
       """SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS id_sum""".stripMargin

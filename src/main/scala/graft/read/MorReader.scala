@@ -295,6 +295,25 @@ object MorReader {
     }
   }
 
+  /** The PURE-METADATA half of [[fastCount]]: Some(count) when the answer
+    * is a driver fold over the manifest (no applicable delete, all counts
+    * declared), None when only an exact scan can answer. Never launches a
+    * job or opens a file — safe to call from analysis-time rules (the SQL
+    * COUNT(*) pushdown, [[graft.catalog.GraftCatalogRule]]). */
+  def fastCountMetadataOnly(tableDir: String): Option[Long] = {
+    val st = SnapshotLog(tableDir).load().mainOnly
+    val files = st.dataFiles
+    val deleteMayApply = st.deleteFiles.exists { d =>
+      files.exists { f =>
+        deleteScopeTouches(d, f) &&
+          (if (d.kind == "eq") f.seq < d.seq else f.seq <= d.seq)
+      }
+    }
+    if (!deleteMayApply && files.forall(_.recordCount >= 0))
+      Some(files.map(_.recordCount).sum)
+    else None
+  }
+
   /** Metadata-only MIN/MAX for a column (Iceberg's aggregate pushdown for
     * MIN/MAX): when no delete file can apply to any selected file
     * (same rule as [[fastCount]]) AND every selected file carries metrics

@@ -396,6 +396,22 @@ final class GraftTableGenerator(
     this
   }
 
+  /** TRUNCATE: drop EVERY live data and delete file at the metadata tier —
+    * one manifest edit, nothing scanned, nothing deleted from disk (time
+    * travel to pre-truncate snapshots stays intact; snapshot expiry is
+    * what eventually reclaims the bytes). Composes with staged appends in
+    * the same transaction — `truncate(); appendBulk(df); commit()` is the
+    * INSERT OVERWRITE shape: one "overwrite" snapshot whose reader sees
+    * only the new rows. */
+  def truncate(): this.type = {
+    requireCreated("truncate()")
+    nextOpSeq()
+    val st = lineage(log.load())
+    stagedRemovedData ++= st.dataFiles.map(_.path)
+    stagedRemovedDeletes ++= st.deleteFiles.map(_.path)
+    this
+  }
+
   /** Toggle Iceberg-v3 NATIVE deletion-vector writes: while enabled,
     * [[positionalDelete]] merges its matches into the partition's single
     * deletion vector (read old vector, OR bitmaps, stage replacement)

@@ -171,6 +171,86 @@ class CatalogSpec extends SparkSpec {
     assert(tables.contains("t_tag"))
   }
 
+  test("COUNT(*) answers from the manifest: no scan in the plan") {
+    fresh("t_cnt") // appends only — no delete can apply
+    val df = spark.sql("SELECT count(*) AS n FROM graft.db.t_cnt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"metadata count must not scan:\n$plan")
+    assert(df.collect()(0).getLong(0) == 200L)
+    // a delete forces the exact MoR fallback — and the answer stays right
+    val g2 = fresh("t_cnt2")
+    g2.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+    val df2 = spark.sql("SELECT count(*) AS n FROM graft.db.t_cnt2")
+    assert(df2.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(df2.collect()(0).getLong(0) == 190L)
+  }
+
+  test("INSERT OVERWRITE truncates at the metadata tier and appends in one snapshot") {
+    val g = fresh("t_ovw")
+    val pre = SnapshotLog(g.tableDir.toString).lastSnapshotId
+    spark.sql("INSERT OVERWRITE graft.db.t_ovw VALUES " +
+      "(700, 'n', 'widget', 'red', DATE'2024-01-01', 1.0, 2)")
+    val st = SnapshotLog(g.tableDir.toString).load().mainOnly
+    assert(SnapshotLog(g.tableDir.toString).lastSnapshotId == pre + 1,
+      "overwrite must be ONE snapshot")
+    assert(st.snapshots.last.operation == "overwrite")
+    assert(spark.sql("SELECT count(*) AS n, max(product_id) AS m " +
+      "FROM graft.db.t_ovw").collect()(0).toSeq == Seq(1L, 700))
+    // pre-overwrite state still time-travels
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.t_ovw VERSION AS OF $pre")
+      .collect()(0).getLong(0) == 200L)
+  }
+
+  test("TRUNCATE TABLE: metadata-only empty; history intact") {
+    val g = fresh("t_trunc")
+    val pre = SnapshotLog(g.tableDir.toString).lastSnapshotId
+    spark.sql("TRUNCATE TABLE graft.db.t_trunc")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_trunc")
+      .collect()(0).getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.t_trunc VERSION AS OF $pre")
+      .collect()(0).getLong(0) == 200L)
+    // the data files are still on disk (expiry reclaims them, not truncate)
+    val removed = SnapshotLog(g.tableDir.toString).load().mainOnly
+      .snapshots.last.removedDataFiles
+    assert(removed.nonEmpty && removed.forall(p => new java.io.File(p).exists()))
+  }
+
+  test("ALTER TABLE: add with DEFAULT, rename, drop — id-based evolution via SQL") {
+    val g = fresh("t_alter")
+    spark.sql("ALTER TABLE graft.db.t_alter ADD COLUMN score INT DEFAULT 7")
+    // pre-existing rows read the initial default — no file rewritten
+    assert(spark.sql("SELECT sum(score) AS s FROM graft.db.t_alter")
+      .collect()(0).getLong(0) == 200L * 7)
+    spark.sql("ALTER TABLE graft.db.t_alter RENAME COLUMN color TO hue")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_alter WHERE hue IS NOT NULL")
+      .collect()(0).getLong(0) == 200L)
+    spark.sql("ALTER TABLE graft.db.t_alter DROP COLUMN weight")
+    assert(!spark.table("graft.db.t_alter").columns.contains("weight"))
+    // post-alter INSERT carries a REAL score; defaults stay on old rows
+    spark.sql("INSERT INTO graft.db.t_alter VALUES " +
+      "(900, 'n', 'widget', 'red', DATE'2024-01-01', 5, 99)")
+    val rows = spark.sql("SELECT product_id, score FROM graft.db.t_alter " +
+      "WHERE product_id IN (0, 900)").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rows == Map(0 -> 7, 900 -> 99))
+    assert(SnapshotLog(g.tableDir.toString).load().mainOnly
+      .snapshots.last.dataFiles.nonEmpty)
+  }
+
+  test("CREATE TABLE AS SELECT materializes through the catalog write path") {
+    fresh("t_ctas_src")
+    spark.sql("CREATE TABLE graft.db.t_ctas AS " +
+      "SELECT product_id, category FROM graft.db.t_ctas_src WHERE product_id < 50")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_ctas")
+      .collect()(0).getLong(0) == 50L)
+    assert(SnapshotLog(s"$wh/db/t_ctas").load().mainOnly.dataFiles.nonEmpty)
+    spark.sql("DROP TABLE graft.db.t_ctas")
+  }
+
   test("CREATE TABLE + INSERT + SELECT round trip, partitioned") {
     spark.sql("CREATE TABLE graft.db.t_created " +
       "(id BIGINT, part STRING, v DOUBLE) PARTITIONED BY (part)")
