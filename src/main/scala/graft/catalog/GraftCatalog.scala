@@ -29,7 +29,8 @@ import graft.table.GraftTableGenerator
   * Time travel: `VERSION AS OF <snapshot-id | tag | branch>` and
   * `TIMESTAMP AS OF <ts>` resolve here to a pinned [[GraftSparkTable]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var initOptions: CaseInsensitiveStringMap =
@@ -105,6 +106,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  // ---- procedures (`CALL graft.system.<proc>(...)`) ---------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
+
+  /** Resolve a procedure's dotted table argument (`db.t` or `t`) against
+    * this catalog's warehouse. */
+  private[catalog] def dirByName(table: String): String = {
+    val parts = table.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val d = tableDir(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    d.toString
+  }
+
+  private[catalog] def openGeneratorByName(table: String): GraftTableGenerator = {
+    val d = Paths.get(dirByName(table))
+    new GraftTableGenerator(SparkSession.active, d.getParent.toString,
+      d.getFileName.toString).open()
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

@@ -1,0 +1,215 @@
+package graft.catalog
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.GraftTableGenerator
+
+/** `CALL graft.system.<proc>(...)` — the SQL maintenance surface over the
+  * engine's table-service API, the Spark-native analog of Iceberg's stored
+  * procedures (`CALL cat.system.rewrite_data_files(...)`; the reference's
+  * tables get these from the Iceberg runtime — here they route to
+  * [[GraftTableGenerator]]'s maintenance methods).
+  *
+  * Every procedure takes the table as a dotted name resolved against the
+  * catalog's own warehouse, runs ONE maintenance action, and returns a
+  * single summary row (a [[LocalScan]] — counts and ids, driver-scale by
+  * construction: maintenance row work happens in the Spark jobs the engine
+  * methods launch, never in the procedure result).
+  *
+  * Scale: each procedure is a metadata transaction plus (for compact /
+  * maintain) distributed rewrite jobs — the same cost model as calling the
+  * API directly; nothing here adds a collect or a driver loop.
+  */
+object GraftProcedures {
+
+  /** One procedure: fixed parameters, fixed one-row output schema, a body
+    * from (catalog, coerced args) to the summary row values. */
+  private final class Proc(
+      val pname: String,
+      params: Seq[ProcedureParameter],
+      outSchema: StructType,
+      body: (GraftCatalog, InternalRow) => Seq[Any])
+    extends UnboundProcedure {
+
+    override def name(): String = pname
+    override def description(): String = s"graft maintenance procedure $pname"
+
+    def boundFor(catalog: GraftCatalog): BoundProcedure = new BoundProcedure {
+      override def name(): String = pname
+      override def description(): String = Proc.this.description()
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val values = body(catalog, input).map {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }
+        val row: InternalRow = new GenericInternalRow(values.toArray)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+
+    // bind() has no catalog handle — GraftCatalog.loadProcedure wraps via
+    // boundFor; this default keeps the interface total if Spark ever binds
+    // the unbound form directly.
+    override def bind(inputType: StructType): BoundProcedure =
+      throw new IllegalStateException(
+        s"procedure $pname must be loaded through GraftCatalog")
+  }
+
+  /** The UnboundProcedure handed to Spark: binds to a catalog-carrying
+    * BoundProcedure regardless of the input struct (Spark's
+    * ProcedureArgumentCoercion casts arguments to the declared types). */
+  private final class CatalogBound(p: Proc, catalog: GraftCatalog)
+    extends UnboundProcedure {
+    override def name(): String = p.pname
+    override def description(): String = p.description()
+    override def bind(inputType: StructType): BoundProcedure = p.boundFor(catalog)
+  }
+
+  private def in(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def inDefault(n: String, t: DataType, d: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+
+  private def gen(c: GraftCatalog, table: String): GraftTableGenerator =
+    c.openGeneratorByName(table)
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  private def state(c: GraftCatalog, table: String): graft.meta.TableState =
+    graft.meta.SnapshotLog(c.dirByName(table)).load().mainOnly
+
+  /** Live file counts (data, delete) — the before/after summary compact
+    * and maintain report. */
+  private def liveCounts(c: GraftCatalog, table: String): (Long, Long) = {
+    val st = state(c, table)
+    (st.dataFiles.size.toLong, st.deleteFiles.size.toLong)
+  }
+
+  private def snapshotCount(c: GraftCatalog, table: String): Long =
+    state(c, table).snapshots.size.toLong
+
+  private def headId(c: GraftCatalog, table: String): Long =
+    state(c, table).snapshots.lastOption.map(_.id).getOrElse(0L)
+
+  private val all: Seq[Proc] = Seq(
+    // rewrite_data_files: MoR → one fresh file per partition, deletes folded
+    new Proc("compact",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("data_files_before", LongType, nullable = false),
+        StructField("delete_files_before", LongType, nullable = false),
+        StructField("data_files_after", LongType, nullable = false),
+        StructField("delete_files_after", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val (db, xb) = liveCounts(c, t)
+        gen(c, t).compact().commit()
+        val (da, xa) = liveCounts(c, t)
+        Seq(db, xb, da, xa)
+      }),
+
+    new Proc("expire_snapshots",
+      Seq(in("table", StringType), inDefault("keep_last", IntegerType, "5")),
+      StructType(Seq(
+        StructField("snapshots_before", LongType, nullable = false),
+        StructField("snapshots_after", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val before = snapshotCount(c, t)
+        gen(c, t).expireSnapshots(keepLast = r.getInt(1))
+        Seq(before, snapshotCount(c, t))
+      }),
+
+    new Proc("rollback_to_snapshot",
+      Seq(in("table", StringType), in("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("previous_head", LongType, nullable = false),
+        StructField("current_head", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val prev = headId(c, t)
+        gen(c, t).rollbackTo(r.getLong(1))
+        Seq(prev, headId(c, t))
+      }),
+
+    new Proc("remove_orphan_files",
+      Seq(in("table", StringType), inDefault("grace_ms", LongType, "0")),
+      StructType(Seq(
+        StructField("deleted_files", LongType, nullable = false))),
+      (c, r) => {
+        val g = gen(c, str(r, 0))
+        Seq(g.removeOrphanFiles(graceMs = r.getLong(1)).size.toLong)
+      }),
+
+    // ANALYZE TABLE: persisted stats generation (row count + per-column
+    // NDV/min/max for the named columns, comma-separated)
+    new Proc("analyze",
+      Seq(in("table", StringType), inDefault("columns", StringType, "''")),
+      StructType(Seq(
+        StructField("row_count", LongType, nullable = false),
+        StructField("analyzed_columns", LongType, nullable = false))),
+      (c, r) => {
+        val cols = str(r, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val stats = gen(c, str(r, 0)).analyze(cols)
+        Seq(stats.rowCount, stats.cols.size.toLong)
+      }),
+
+    new Proc("fast_forward",
+      Seq(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(
+        StructField("current_head", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        gen(c, t).fastForward(str(r, 1))
+        Seq(headId(c, t))
+      }),
+
+    // the one-call service loop: fragment compaction, DV consolidation,
+    // expiry, orphan GC
+    new Proc("maintain",
+      Seq(in("table", StringType),
+        inDefault("min_frag_files", IntegerType, "4"),
+        inDefault("keep_last", IntegerType, "5")),
+      StructType(Seq(
+        StructField("data_files_after", LongType, nullable = false),
+        StructField("delete_files_after", LongType, nullable = false),
+        StructField("snapshots_after", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        gen(c, t).maintain(minFragFiles = r.getInt(1), keepLast = r.getInt(2),
+          orphanGraceMs = 0L)
+        val (d, x) = liveCounts(c, t)
+        Seq(d, x, snapshotCount(c, t))
+      })
+  )
+
+  private val byName: Map[String, Proc] = all.map(p => p.pname -> p).toMap
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the `system` namespace, got $ident")
+    byName.get(ident.name()).map(new CatalogBound(_, catalog)).getOrElse(
+      throw new UnsupportedOperationException(
+        s"no graft procedure ${ident.name()}; available: " +
+          byName.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      byName.keys.toSeq.sorted.map(n =>
+        Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+}

@@ -157,6 +157,58 @@ object CatalogQueries {
       "ovw_t"
     })
 
+  /** CTAS from scan_t's live rows below 100 — the catalog's non-atomic
+    * CREATE TABLE AS SELECT (createTable + one bulk write). */
+  private def ctasT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ctas_t", _ => {
+      scanT(spark)
+      spark.sql("CREATE TABLE graft.cq.ctas_t AS " +
+        "SELECT id, part, val FROM graft.cq.scan_t WHERE id < 100")
+      "ctas_t"
+    })
+
+  /** ids 0..199, SQL DELETE id%10=3, then `CALL graft.system.compact` —
+    * the post-compact state must still hash the pre-compact live rows. */
+  private def callCompactT(spark: SparkSession): Unit =
+    built.computeIfAbsent("callc_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "callc_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 200)).commit()
+      spark.sql("DELETE FROM graft.cq.callc_t WHERE id % 10 = 3")
+      spark.sql("CALL graft.system.compact(table => 'cq.callc_t')")
+      "callc_t"
+    })
+
+  /** two appends + compact, then `CALL expire_snapshots(keep_last => 1)` —
+    * the rebased baseline must read identically. */
+  private def callExpireT(spark: SparkSession): Unit =
+    built.computeIfAbsent("callx_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "callx_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 200).where(col("id") < 100)).commit()
+        .appendData(baseRows(spark, 200).where(col("id") >= 100)).commit()
+      spark.sql("CALL graft.system.compact(table => 'cq.callx_t')")
+      spark.sql("CALL graft.system.expire_snapshots(" +
+        "table => 'cq.callx_t', keep_last => 1)")
+      "callx_t"
+    })
+
+  /** snapshot 1 = ids 0..99, snapshot 2 = 100..199, then
+    * `CALL rollback_to_snapshot(1)` — reads rewind to the first append. */
+  private def callRollbackT(spark: SparkSession): Unit =
+    built.computeIfAbsent("callr_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "callr_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 200).where(col("id") < 100)).commit()
+        .appendData(baseRows(spark, 200).where(col("id") >= 100)).commit()
+      spark.sql("CALL graft.system.rollback_to_snapshot(" +
+        "table => 'cq.callr_t', snapshot_id => 1)")
+      "callr_t"
+    })
+
   /** snapshot 1 = ids 0..99 (a), snapshot 2 = ids 100..199 (b). */
   private def travelT(spark: SparkSession): Unit =
     built.computeIfAbsent("travel_t", _ => {
@@ -236,6 +288,32 @@ object CatalogQueries {
       travelT(s)
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum " +
         "FROM graft.cq.travel_t VERSION AS OF 1")
+    }),
+
+    "sql_catalog_ctas" -> ((s, _) => {
+      ctasT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.ctas_t GROUP BY part ORDER BY part")
+    }),
+
+    // CALL compact: live rows unchanged through the rewrite (the file
+    // convergence itself is spec-gated in CatalogSpec)
+    "sql_call_compact" -> ((s, _) => {
+      callCompactT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.callc_t")
+    }),
+
+    "sql_call_expire" -> ((s, _) => {
+      callExpireT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.callx_t")
+    }),
+
+    "sql_call_rollback" -> ((s, _) => {
+      callRollbackT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.callr_t")
     })
   )
 
@@ -315,6 +393,31 @@ object CatalogQueries {
         |) GROUP BY part ORDER BY part""".stripMargin,
 
     "sql_catalog_travel" ->
-      """SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS id_sum""".stripMargin
+      """SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS id_sum""".stripMargin,
+
+    // scan_t live rows below 100: part 'a', id%10<>7
+    "sql_catalog_ctas" ->
+      """SELECT 'a' AS part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 100) WHERE range % 10 <> 7""".stripMargin,
+
+    // ids 0..199 minus id%10=3, val 2·id — unchanged by the rewrite
+    "sql_call_compact" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 200) WHERE range % 10 <> 3""".stripMargin,
+
+    // full 0..199 — unchanged by compaction + history expiry
+    "sql_call_expire" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 200)""".stripMargin,
+
+    // rolled back to snapshot 1 = ids 0..99
+    "sql_call_rollback" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 100)""".stripMargin
   )
 }

@@ -266,4 +266,69 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.t_created")
     assert(!new java.io.File(s"$wh/db/t_created").exists())
   }
+
+  test("CALL graft.system.compact folds deletes and reports file counts") {
+    val g = fresh("t_proc_compact")
+    g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+    val row = spark.sql(
+      "CALL graft.system.compact(table => 'db.t_proc_compact')").collect()(0)
+    // before: 2 widget + 2 gizmo data files + 1 delete file; after: one
+    // file per partition, deletes folded
+    assert(row.getLong(0) == 4L && row.getLong(1) == 1L)
+    assert(row.getLong(2) == 2L && row.getLong(3) == 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_proc_compact")
+      .collect()(0).getLong(0) == 190L)
+  }
+
+  test("CALL expire_snapshots + remove_orphan_files reclaim history") {
+    val g = fresh("t_proc_expire")
+    g.compact().commit() // snapshot 3: rewrite makes snapshots 1-2 disposable
+    val exp = spark.sql(
+      "CALL graft.system.expire_snapshots(table => 'db.t_proc_expire', " +
+        "keep_last => 1)").collect()(0)
+    // retained = rebased baseline + the keepLast tail
+    assert(exp.getLong(0) == 3L && exp.getLong(1) == 2L)
+    // expiry already deleted the stranded pre-compact files itself —
+    // orphan GC finds nothing left behind
+    val orphans = spark.sql(
+      "CALL graft.system.remove_orphan_files(table => 'db.t_proc_expire')")
+      .collect()(0).getLong(0)
+    assert(orphans == 0L, s"expiry already reclaimed files, got $orphans strays")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_proc_expire")
+      .collect()(0).getLong(0) == 200L)
+  }
+
+  test("CALL rollback_to_snapshot rewinds the head") {
+    fresh("t_proc_rb") // snapshots 1 (widget) and 2 (gizmo)
+    val row = spark.sql(
+      "CALL graft.system.rollback_to_snapshot(table => 'db.t_proc_rb', " +
+        "snapshot_id => 1)").collect()(0)
+    assert(row.getLong(0) == 2L && row.getLong(1) == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_proc_rb")
+      .collect()(0).getLong(0) == 100L)
+  }
+
+  test("CALL analyze persists a stats generation") {
+    fresh("t_proc_an")
+    val row = spark.sql(
+      "CALL graft.system.analyze(table => 'db.t_proc_an', " +
+        "columns => 'product_id,category')").collect()(0)
+    assert(row.getLong(0) == 200L && row.getLong(1) == 2L)
+  }
+
+  test("CALL maintain converges the table; procedures are listable") {
+    val g = fresh("t_proc_maint")
+    g.positionalDelete(Seq("widget"), col("product_id") < 5).commit()
+    val row = spark.sql(
+      "CALL graft.system.maintain(table => 'db.t_proc_maint', " +
+        "min_frag_files => 2, keep_last => 1)").collect()(0)
+    assert(row.getLong(1) == 0L, "maintain must leave no delete files")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_proc_maint")
+      .collect()(0).getLong(0) == 195L)
+    val out = spark.sql("SHOW PROCEDURES IN graft.system")
+    val nameIdx = out.schema.fieldNames.indexWhere(n =>
+      n == "procedure_name" || n == "name")
+    val procs = out.collect().map(_.getString(nameIdx))
+    assert(procs.contains("compact") && procs.contains("expire_snapshots"))
+  }
 }
