@@ -80,9 +80,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     finally s.close()
   }
 
+  /** The Iceberg metadata-table suffixes resolvable as `graft.db.t.<kind>`. */
+  private val metaKinds = Set("files", "lineage_files", "delete_files",
+    "partitions", "snapshots", "refs", "history", "all_data_files")
+
+  /** `db.t.<kind>` — when the identifier itself is no table but its
+    * namespace tail names one and the leaf is a known metadata kind,
+    * resolve the metadata table (Iceberg's dotted metadata-table names). */
+  private def metaTable(ident: Identifier, travel: Option[GraftTravel])
+      : Option[GraftSparkTable] = {
+    val ns = ident.namespace()
+    if (ns.isEmpty || !metaKinds(ident.name())) return None
+    val parent = Identifier.of(ns.init, ns.last)
+    val pd = tableDir(parent)
+    if (!isTable(pd)) return None
+    Some(new GraftSparkTable(s"${parent.toString}.${ident.name()}",
+      pd.toString, travel, Some(ident.name())))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val d = tableDir(ident)
-    if (!isTable(d)) throw new NoSuchTableException(ident)
+    if (!isTable(d))
+      return metaTable(ident, None).getOrElse(throw new NoSuchTableException(ident))
     new GraftSparkTable(ident.toString, d.toString)
   }
 
@@ -90,10 +109,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * named ref (tag or branch). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = tableDir(ident)
-    if (!isTable(d)) throw new NoSuchTableException(ident)
     val travel =
       if (version.forall(_.isDigit)) GraftTravel.AtSnapshot(version.toLong)
       else GraftTravel.AtRef(version)
+    if (!isTable(d))
+      return metaTable(ident, Some(travel)).getOrElse(
+        throw new NoSuchTableException(ident))
     new GraftSparkTable(ident.toString, d.toString, Some(travel))
   }
 

@@ -153,7 +153,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // state needing the exact scan falls through to the MoR plan.
     case agg @ Aggregate(groupings, aggExprs, GraftRel(_, t), _)
         if groupings.isEmpty && agg.resolved && t.travel.isEmpty &&
-          countStarOnly(aggExprs) =>
+          t.metaKind.isEmpty && countStarOnly(aggExprs) =>
       MorReader.fastCountMetadataOnly(t.dir) match {
         case Some(n) =>
           LocalRelation(agg.output,

@@ -53,13 +53,15 @@ object GraftTravel {
 final class GraftSparkTable(
     val identName: String,
     val dir: String,
-    val travel: Option[GraftTravel] = None)
+    val travel: Option[GraftTravel] = None,
+    val metaKind: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** `TRUNCATE TABLE` — one metadata-tier snapshot, bytes reclaimed by
     * snapshot expiry (time travel intact). */
   override def truncateTable(): Boolean = {
+    require(metaKind.isEmpty, s"cannot truncate metadata table $identName")
     openGenerator(SparkSession.active).truncate().commit()
     true
   }
@@ -85,18 +87,49 @@ final class GraftSparkTable(
   }
 
   /** The travel-pinned MoR read, optionally file-pruned (partition values /
-    * column ranges extracted from a SQL filter by [[GraftCatalogRule]]). */
+    * column ranges extracted from a SQL filter by [[GraftCatalogRule]]);
+    * for a metadata table ([[metaKind]]), the driver-built metadata frame
+    * instead (rows are file/snapshot scale — never data scale). */
   def readDf(spark: SparkSession,
              partitionFilter: Map[String, Set[String]] = Map.empty,
              ranges: Map[String, MorReader.ColRange] = Map.empty): DataFrame =
-    travel match {
-      case None =>
-        MorReader.read(spark, dir, None, partitionFilter, ranges)
-      case Some(GraftTravel.AtSnapshot(id)) =>
-        MorReader.read(spark, dir, Some(id), partitionFilter, ranges)
-      case Some(GraftTravel.AtTime(ms)) => MorReader.readAtTime(spark, dir, ms)
-      case Some(GraftTravel.AtRef(name)) => MorReader.readRef(spark, dir, name)
+    metaKind match {
+      case Some(kind) => metaDf(spark, kind)
+      case None => travel match {
+        case None =>
+          MorReader.read(spark, dir, None, partitionFilter, ranges)
+        case Some(GraftTravel.AtSnapshot(id)) =>
+          MorReader.read(spark, dir, Some(id), partitionFilter, ranges)
+        case Some(GraftTravel.AtTime(ms)) => MorReader.readAtTime(spark, dir, ms)
+        case Some(GraftTravel.AtRef(name)) => MorReader.readRef(spark, dir, name)
+      }
     }
+
+  /** `SELECT * FROM graft.db.t.<kind>` — the Iceberg metadata-table family
+    * by dotted name, over the same builders as the `graft_table_*` TVFs.
+    * `VERSION AS OF` pins the file-level views to that snapshot. */
+  private def metaDf(spark: SparkSession, kind: String): DataFrame = {
+    import graft.read.MetaTables
+    val asOf: Option[Long] = travel match {
+      case None => None
+      case Some(GraftTravel.AtSnapshot(id)) => Some(id)
+      case Some(other) => throw new UnsupportedOperationException(
+        s"metadata table $identName: only VERSION AS OF <snapshot-id> " +
+          s"travel is supported, got $other")
+    }
+    kind match {
+      case "files" => MetaTables.files(spark, dir, asOf)
+      case "lineage_files" => MetaTables.lineageFiles(spark, dir, asOf)
+      case "delete_files" => MetaTables.deleteFiles(spark, dir, asOf)
+      case "partitions" => MetaTables.partitions(spark, dir, asOf)
+      case "snapshots" => MetaTables.snapshots(spark, dir)
+      case "refs" => MetaTables.refs(spark, dir)
+      case "history" => MetaTables.history(spark, dir)
+      case "all_data_files" => MetaTables.allDataFiles(spark, dir)
+      case other => throw new UnsupportedOperationException(
+        s"unknown graft metadata table kind $other")
+    }
+  }
 
   /** Identity-transform partition column names of the CURRENT spec — the
     * columns SQL equality/IN filters can file-prune on. */
@@ -111,6 +144,7 @@ final class GraftSparkTable(
     * appends, deletes, upserts, merges — never generated-id appends). */
   def openGenerator(spark: SparkSession): GraftTableGenerator = {
     require(travel.isEmpty, s"cannot write to time-travelled table $identName")
+    require(metaKind.isEmpty, s"cannot write to metadata table $identName")
     val p = java.nio.file.Paths.get(dir)
     new GraftTableGenerator(spark, p.getParent.toString,
       p.getFileName.toString).open()
@@ -118,7 +152,10 @@ final class GraftSparkTable(
 
   override def name(): String = identName
 
-  override def schema(): StructType = state.schema.struct
+  override def schema(): StructType = metaKind match {
+    case Some(kind) => metaDf(SparkSession.active, kind).schema
+    case None => state.schema.struct
+  }
 
   override def partitioning(): Array[Transform] = {
     import graft.meta.PartitionTransform._
@@ -135,9 +172,10 @@ final class GraftSparkTable(
   }
 
   override def capabilities(): JSet[TableCapability] =
-    JCollections.unmodifiableSet(new java.util.HashSet(
-      Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava))
+    JCollections.unmodifiableSet(new java.util.HashSet((
+      if (metaKind.isDefined) Seq(TableCapability.BATCH_READ)
+      else Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)).asJava))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => throw new UnsupportedOperationException(
@@ -145,7 +183,8 @@ final class GraftSparkTable(
         "time — build the session with spark.sql.extensions=" +
         "graft.plans.GraftExtensions")
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(metaKind.isEmpty, s"cannot write to metadata table $identName")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       // INSERT OVERWRITE (static): Spark calls truncate() on the builder;
       // the V1 write then stages the metadata-tier truncate and the bulk
@@ -169,6 +208,7 @@ final class GraftSparkTable(
             }
         }
     }
+  }
 
   override def toString: String = s"GraftSparkTable($identName)"
 }

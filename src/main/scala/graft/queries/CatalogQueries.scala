@@ -314,6 +314,19 @@ object CatalogQueries {
       callRollbackT(s)
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
         "FROM graft.cq.callr_t")
+    }),
+
+    // Iceberg-style dotted metadata tables: graft.db.t.snapshots / .partitions
+    "sql_meta_snapshots" -> ((s, _) => {
+      travelT(s)
+      s.sql("SELECT snapshot_id, operation, added_rows " +
+        "FROM graft.cq.travel_t.snapshots ORDER BY snapshot_id")
+    }),
+
+    "sql_meta_partitions" -> ((s, _) => {
+      scanT(s)
+      s.sql("SELECT partition, record_count " +
+        "FROM graft.cq.scan_t.partitions ORDER BY partition")
     })
   )
 
@@ -418,6 +431,21 @@ object CatalogQueries {
     "sql_call_rollback" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
         |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
-        |FROM range(0, 100)""".stripMargin
+        |FROM range(0, 100)""".stripMargin,
+
+    // travel_t: two appends of 100 rows each
+    "sql_meta_snapshots" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'append', CAST(100 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append', CAST(100 AS BIGINT)))
+        |  v(snapshot_id, operation, added_rows)
+        |ORDER BY snapshot_id""".stripMargin,
+
+    // partitions view is delete-unaware: full 200 per partition
+    "sql_meta_partitions" ->
+      """SELECT * FROM (VALUES
+        |  ('part=a', CAST(200 AS BIGINT)), ('part=b', CAST(200 AS BIGINT)))
+        |  v(partition, record_count)
+        |ORDER BY partition""".stripMargin
   )
 }

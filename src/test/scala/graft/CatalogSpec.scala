@@ -267,6 +267,38 @@ class CatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/db/t_created").exists())
   }
 
+  test("metadata tables by dotted name: snapshots/files/history/partitions/delete_files") {
+    val g = fresh("t_meta")
+    g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
+    val snaps = spark.sql("SELECT snapshot_id, operation, added_rows " +
+      "FROM graft.db.t_meta.snapshots ORDER BY snapshot_id").collect()
+    assert(snaps.length == 3)
+    assert(snaps.take(2).map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((1L, "append", 100L), (2L, "append", 100L)))
+    // COUNT(*) over a metadata table must count ITS rows (the manifest
+    // fast-count guard must not fire on meta relations)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_meta.snapshots")
+      .collect()(0).getLong(0) == 3L)
+    val files = spark.sql(
+      "SELECT record_count FROM graft.db.t_meta.files").collect()
+    assert(files.length == 4 && files.map(_.getLong(0)).sum == 200L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_meta.delete_files")
+      .collect()(0).getLong(0) == 1L)
+    val parts = spark.sql("SELECT partition, record_count " +
+      "FROM graft.db.t_meta.partitions ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts == Seq(("category=gizmo", 100L), ("category=widget", 100L)))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_meta.history")
+      .collect()(0).getLong(0) == 3L)
+    // VERSION AS OF pins the file-level views
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_meta.files VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2L)
+    // metadata tables are read-only
+    intercept[Exception](spark.sql(
+      "INSERT INTO graft.db.t_meta.snapshots VALUES (9)"))
+  }
+
   test("CALL graft.system.compact folds deletes and reports file counts") {
     val g = fresh("t_proc_compact")
     g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
