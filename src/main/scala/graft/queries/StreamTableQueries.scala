@@ -1,0 +1,132 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.read.MorReader
+import graft.schema.GraftSchema
+import graft.table.GraftTableGenerator
+
+/** Declared keys for the graft STREAMING endpoints
+  * (`spark.readStream.format("graft")` — snapshot-incremental source;
+  * `writeStream.format("graft")` — exactly-once table sink): the Iceberg
+  * streaming-read/write shape driven to completion under the DuckDB
+  * oracle. Source tables are built once per JVM from exact integer
+  * ranges; each run replays the stream from a FRESH checkpoint, so the
+  * delivered corpus is deterministic (append-mode delivery is
+  * exactly-once per checkpoint by construction). */
+object StreamTableQueries {
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val wh: String =
+    Files.createTempDirectory("graft-stream-q").toString
+
+  private def idVal = GraftSchema.of("id" -> LongType, "val" -> LongType)
+
+  private def rows(s: SparkSession, from: Long, to: Long): DataFrame =
+    s.range(from, to).toDF("id").withColumn("val", col("id") * 2)
+
+  /** 3 append snapshots (0..99, 100..199, 200..259) + a compaction the
+    * stream must NOT re-deliver. */
+  private def srcT(s: SparkSession): String = {
+    built.computeIfAbsent("src_t", _ => {
+      val g = new GraftTableGenerator(s, wh, "src_t")
+      g.create(idVal, Nil)
+        .appendData(rows(s, 0, 100)).commit()
+        .appendData(rows(s, 100, 200)).commit()
+        .appendData(rows(s, 200, 260)).commit()
+      g.compact().commit()
+      "src_t"
+    })
+    s"$wh/src_t"
+  }
+
+  /** append 0..99, positional delete id%10=3, append 100..149. */
+  private def cdcT(s: SparkSession): String = {
+    built.computeIfAbsent("cdc_t", _ => {
+      val g = new GraftTableGenerator(s, wh, "cdc_t")
+      g.create(idVal, Nil).appendData(rows(s, 0, 100)).commit()
+      g.positionalDelete(col("id") % 10 === 3).commit()
+      g.appendData(rows(s, 100, 150)).commit()
+      "cdc_t"
+    })
+    s"$wh/cdc_t"
+  }
+
+  /** Drain a graft-source stream into a memory sink, fresh checkpoint. */
+  private def drain(s: SparkSession, dir: String, sinkName: String,
+                    mode: String): Unit = {
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val sq = s.readStream.format("graft")
+      .option("mode", mode)
+      .option("maxSnapshotsPerBatch", "1").load(dir)
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // snapshot-incremental append consumption: one micro-batch per commit,
+    // rewrites skipped — the drained corpus is exactly the table
+    "stream_graft_source" -> ((s, _) => {
+      drain(s, srcT(s), "graft_source_sink", "appends")
+      s.table("graft_source_sink")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"),
+          sum("val").as("val_sum"))
+    }),
+
+    // row-level CDC consumption: the delete commit arrives as change rows
+    "stream_graft_cdc" -> ((s, _) => {
+      drain(s, cdcT(s), "graft_cdc_sink", "changelog")
+      s.table("graft_cdc_sink")
+        .groupBy("change_kind")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+        .orderBy("change_kind")
+    }),
+
+    // graft → graft: stream one table into another through the
+    // exactly-once sink; the replica must read as the source
+    "stream_graft_replicate" -> ((s, _) => {
+      val src = srcT(s)
+      val tmp = Files.createTempDirectory("graft-repl").toString
+      new GraftTableGenerator(s, tmp, "dst").create(idVal, Nil)
+      val sq = s.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", s"$tmp/dst")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try sq.processAllAvailable() finally sq.stop()
+      MorReader.read(s, s"$tmp/dst")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"),
+          sum("val").as("val_sum"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_graft_source" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 260)""".stripMargin,
+
+    // inserts: initial 100 + appended 50; deletes: ids 3,13,...,93
+    "stream_graft_cdc" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_kind, CAST(10 AS BIGINT) AS n,
+        |         CAST(SUM(range) AS BIGINT) AS id_sum
+        |  FROM range(0, 100) WHERE range % 10 = 3
+        |  UNION ALL
+        |  SELECT 'insert', CAST(150 AS BIGINT), CAST(SUM(range) AS BIGINT)
+        |  FROM range(0, 150)
+        |) ORDER BY change_kind""".stripMargin,
+
+    "stream_graft_replicate" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 260)""".stripMargin
+  )
+}

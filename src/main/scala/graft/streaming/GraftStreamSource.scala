@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.meta.SnapshotLog
+import graft.read.MorReader
+import graft.table.GraftTableGenerator
+
+/** `spark.readStream.format("graft").load(tableDir)` /
+  * `df.writeStream.format("graft")...` — graft tables as Structured
+  * Streaming endpoints, the Iceberg streaming read/write shape
+  * (`spark.readStream.format("iceberg")`) over the engine's own
+  * snapshot-incremental scans.
+  *
+  * SOURCE offsets are snapshot ids (the engine assigns them densely, so
+  * `maxSnapshotsPerBatch` caps a micro-batch by commit count). Batch
+  * semantics follow [[TableFollower]] / Iceberg streaming-read defaults:
+  *
+  *   - `mode=appends` (default): the first batch is the table's full
+  *     state as of the latched head (MoR read — deletes applied), every
+  *     later batch exactly the rows appended in `(start, end]`
+  *     ([[MorReader.appendsBetween]] — rewrite snapshots skipped, so
+  *     compaction never re-delivers);
+  *   - `mode=changelog`: row-level changes with a leading `change_kind`
+  *     (`insert`/`delete`) column ([[MorReader.changelogBetween]]); an
+  *     upstream update arrives as delete(old)+insert(new).
+  *
+  * Each getBatch builds the SAME composed MoR/delta plan the batch reader
+  * uses — distributed parquet scans with manifest pruning — wrapped as a
+  * streaming frame; nothing is materialized on the driver. A poll is one
+  * driver metadata read plus a scan of only the delta files: O(new data),
+  * independent of table size — the 100 TB incremental-ETL primitive.
+  *
+  * SINK: every micro-batch appends through [[GraftTableGenerator
+  * .appendBulk]] (one distributed write job) with the batch id persisted
+  * in a sink epoch file NEXT TO the commit; a replayed batch (restart
+  * between sink commit and engine checkpoint) is recognized and skipped,
+  * so at-least-once delivery lands exactly-once in the table.
+  */
+class GraftStreamSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def dirOf(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "graft stream: set the table directory via .load(<dir>) or " +
+        ".option(\"path\", <dir>)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            params: Map[String, String]): (String, StructType) =
+    ("graft", GraftSource.schemaFor(ctx.sparkSession, dirOf(params),
+      params.getOrElse("mode", "appends")))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            params: Map[String, String]): Source =
+    new GraftSource(ctx.sparkSession, dirOf(params),
+      params.getOrElse("mode", "appends"),
+      params.getOrElse("maxSnapshotsPerBatch", "0").toLong)
+
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink =
+    new GraftSink(ctx.sparkSession, dirOf(params))
+}
+
+private[streaming] case class GraftSourceOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
+}
+
+object GraftSource {
+  def schemaFor(spark: SparkSession, dir: String, mode: String): StructType = {
+    val base = MorReader.read(spark, dir).schema
+    if (mode == "changelog")
+      StructType(StructField("change_kind", StringType, nullable = false) +:
+        base.fields)
+    else base
+  }
+}
+
+class GraftSource(spark: SparkSession, dir: String, mode: String,
+                  maxSnapshotsPerBatch: Long) extends Source {
+
+  require(mode == "appends" || mode == "changelog",
+    s"graft stream mode must be appends|changelog, got $mode")
+
+  override val schema: StructType = GraftSource.schemaFor(spark, dir, mode)
+
+  /** Highest snapshot id this source has OFFERED (getOffset) or been asked
+    * to deliver (getBatch) — the cap base for maxSnapshotsPerBatch. Engine
+    * recovery re-seeds it through getBatch's end offset. */
+  private var latest = 0L
+
+  private def idOf(o: Offset): Long = o.json().trim.toLong
+
+  override def getOffset: Option[Offset] = {
+    val head = SnapshotLog(dir).load().mainOnly
+      .snapshots.lastOption.map(_.id).getOrElse(0L)
+    if (head == 0L) return None
+    val capped =
+      if (maxSnapshotsPerBatch <= 0L) head
+      else math.min(head, latest + maxSnapshotsPerBatch)
+    latest = math.max(latest, capped)
+    Some(GraftSourceOffset(capped))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = idOf(end)
+    latest = math.max(latest, to)
+    val rows = (start.map(idOf), mode) match {
+      // initial batch: the full state at the latched head
+      case (None, "appends") =>
+        MorReader.read(spark, dir, Some(to), Map.empty)
+      case (None, "changelog") =>
+        MorReader.read(spark, dir, Some(to), Map.empty)
+          .selectExpr("'insert' AS change_kind", "*")
+      case (Some(from), _) if from == to =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case (Some(from), "appends") =>
+        MorReader.appendsBetween(spark, dir, from, to)
+      case (Some(from), "changelog") =>
+        MorReader.changelogBetween(spark, dir, from, to)
+    }
+    org.apache.spark.sql.graft.GraftSqlShim.asStreaming(rows)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftSource[$dir, $mode]"
+}
+
+/** Exactly-once table sink: batch id gate + distributed bulk append. The
+  * epoch file lives in the TABLE's metadata dir (not the checkpoint), so
+  * the gate survives checkpoint relocation and guards the table itself. */
+class GraftSink(spark: SparkSession, dir: String) extends Sink {
+
+  private val epochFile = Paths.get(dir, "metadata", "sink-epoch.txt")
+
+  private def lastBatch: Long =
+    if (Files.exists(epochFile)) Files.readString(epochFile).trim.toLong
+    else -1L
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= lastBatch) return // replay after restart — already landed
+    val p = Paths.get(dir)
+    val g = new GraftTableGenerator(spark, p.getParent.toString,
+      p.getFileName.toString).open()
+    // streaming micro-batch frames can't be written directly — pull the
+    // rows through the batch writer via the micro-batch's analyzed plan
+    val batchDf = org.apache.spark.sql.graft.GraftSqlShim.asBatch(data)
+    val conformed = batchDf.selectExpr(g.liveSchema.names: _*)
+    g.appendBulk(conformed, math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, 16))).commit()
+    val tmp = epochFile.resolveSibling(s"sink-epoch-$batchId.tmp")
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, epochFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def name(): String = s"GraftSink[$dir]"
+  override def schema(): StructType = StructType(Nil)
+  override def toString: String = name()
+}

@@ -21,4 +21,25 @@ object GraftSqlShim {
   /** `ExpressionUtils.column` — catalyst Expression → Column (unresolved
     * attributes re-resolve against whatever frame the Column is used on). */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Wrap a BATCH plan as a streaming frame (`isStreaming = true`) — the
+    * V1 `Source.getBatch` contract. The plan stays lazy: the LogicalRDD
+    * carries `queryExecution.toRdd`, which launches its jobs only when
+    * the micro-batch sink consumes it. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = df.queryExecution
+    classic.Dataset.ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
+  }
+
+  /** The inverse for V1 `Sink.addBatch`: a micro-batch's streaming frame
+    * re-expressed as a batch frame over the SAME physical rows (the
+    * ForeachBatchSink pattern), so it can go through batch writers. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = df.queryExecution
+    classic.Dataset.ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = false)(spark))
+  }
 }
