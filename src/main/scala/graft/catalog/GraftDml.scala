@@ -168,9 +168,10 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (m.resolved) makeMerge(m)
       else m.withNewChildren(Seq(m.targetTable, rewrite(m.sourceTable)))
     case f @ Filter(cond, GraftRel(r, t)) if cond.resolved =>
-      val (partFilter, ranges) = extractPruning(cond, r, t)
-      Filter(cond, substitute(r, t, f.child.output, partFilter, ranges))
-    case GraftRel(r, t) => substitute(r, t, p.output, Map.empty, Map.empty)
+      val (partFilter, ranges, points) = extractPruning(cond, r, t)
+      Filter(cond, substitute(r, t, f.child.output, partFilter, ranges, points))
+    case GraftRel(r, t) =>
+      substitute(r, t, p.output, Map.empty, Map.empty, Map.empty)
     case other =>
       val withChildren = other.mapChildren(rewrite)
       withChildren.transformExpressions {
@@ -197,8 +198,9 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def substitute(r: DataSourceV2Relation, t: GraftSparkTable,
                          out: Seq[Attribute],
                          partFilter: Map[String, Set[String]],
-                         ranges: Map[String, MorReader.ColRange]): LogicalPlan = {
-    val mor = t.readDf(spark, partFilter, ranges).queryExecution.analyzed
+                         ranges: Map[String, MorReader.ColRange],
+                         points: Map[String, Set[String]] = Map.empty): LogicalPlan = {
+    val mor = t.readDf(spark, partFilter, ranges, points).queryExecution.analyzed
     val proj = out.map { a =>
       val src = mor.output.find(o => conf.resolver(o.name, a.name)).getOrElse(
         throw new AnalysisException(
@@ -208,6 +210,19 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(src, a.name)(exprId = a.exprId)
     }
     Project(proj, mor)
+  }
+
+  /** Foldable literal, possibly under the implicit Cast the analyzer
+    * inserts for mixed-type comparisons (`BIGINT col = 42` arrives as
+    * `col = CAST(42 AS BIGINT)`): evaluate the cast to a plain Literal so
+    * equality/range extraction still fires. */
+  private object Lit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        Some(Literal.create(c.eval(null), c.dataType))
+      case _ => None
+    }
   }
 
   /** Canonical-string rendering of a literal, matching the renderings
@@ -228,18 +243,40 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Extract manifest-prunable predicates from a SQL filter: equality/IN
     * on identity partition columns → partition-value pruning; range
     * comparisons on any column → min/max metrics pruning (strict bounds
-    * over-approximate to inclusive — sound at file granularity). */
+    * over-approximate to inclusive — sound at file granularity);
+    * equality/IN on ANY column → point-value pruning (per-value metrics
+    * envelope + manifest Bloom probe + hidden-partition transform mapping
+    * — what makes a bucket(n, col) point lookup open 1/n of the files). */
   private def extractPruning(cond: Expression, r: DataSourceV2Relation,
                              t: GraftSparkTable)
-      : (Map[String, Set[String]], Map[String, MorReader.ColRange]) = {
+      : (Map[String, Set[String]], Map[String, MorReader.ColRange],
+         Map[String, Set[String]]) = {
     val relIds = r.output.map(_.exprId).toSet
+    // peel IDENTITY/WIDENING casts the analyzer wraps around the attribute
+    // for mixed-type predicates (`BIGINT col IN (42, ...)` arrives as
+    // `cast(col as bigint) IN ...`): equality through an integral-widening
+    // cast is equality on the column, so extraction through it is sound;
+    // any other cast (string↔numeric, narrowing) blocks extraction — those
+    // can change which values match.
+    def widens(from: org.apache.spark.sql.types.DataType,
+               to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      if (from == to) true
+      else {
+        val order: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+        val (f, t) = (order.indexOf(from), order.indexOf(to))
+        f >= 0 && t >= 0 && f <= t
+      }
+    }
     def attrName(e: Expression): Option[String] = e match {
       case a: AttributeReference if relIds.contains(a.exprId) => Some(a.name)
+      case c: Cast if widens(c.child.dataType, c.dataType) => attrName(c.child)
       case _ => None
     }
     val partCols = t.identityPartitionCols.toSet
     var partFilter = Map.empty[String, Set[String]]
     var ranges = Map.empty[String, MorReader.ColRange]
+    var points = Map.empty[String, Set[String]]
     def addRange(c: String, lo: Option[String], hi: Option[String]): Unit = {
       val cur = ranges.getOrElse(c, MorReader.ColRange())
       // intersect: keep the TIGHTER bound (lexical callers only ever add
@@ -249,43 +286,47 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       ranges += c -> MorReader.ColRange(lo.orElse(cur.lo), hi.orElse(cur.hi))
     }
     splitConjuncts(cond).foreach {
-      case EqualTo(a, l: Literal) if attrName(a).isDefined =>
+      case EqualTo(a, Lit(l)) if attrName(a).isDefined =>
         val c = attrName(a).get
         render(l).foreach { v =>
           addRange(c, Some(v), Some(v))
+          points += c -> Set(v)
           if (partCols(c)) partFilter += c -> Set(v)
         }
-      case EqualTo(l: Literal, a) if attrName(a).isDefined =>
+      case EqualTo(Lit(l), a) if attrName(a).isDefined =>
         val c = attrName(a).get
         render(l).foreach { v =>
           addRange(c, Some(v), Some(v))
+          points += c -> Set(v)
           if (partCols(c)) partFilter += c -> Set(v)
         }
-      case In(a, vs) if attrName(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
+      case In(a, vs) if attrName(a).isDefined && vs.forall(Lit.unapply(_).isDefined) =>
         val c = attrName(a).get
-        val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
-        if (rendered.forall(_.isDefined) && partCols(c))
-          partFilter += c -> rendered.flatten.toSet
-      case GreaterThanOrEqual(a, l: Literal) if attrName(a).isDefined =>
+        val rendered = vs.map(v => render(Lit.unapply(v).get))
+        if (rendered.forall(_.isDefined)) {
+          points += c -> rendered.flatten.toSet
+          if (partCols(c)) partFilter += c -> rendered.flatten.toSet
+        }
+      case GreaterThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
-      case GreaterThan(a, l: Literal) if attrName(a).isDefined =>
+      case GreaterThan(a, Lit(l)) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
-      case LessThanOrEqual(a, l: Literal) if attrName(a).isDefined =>
+      case LessThanOrEqual(a, Lit(l)) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
-      case LessThan(a, l: Literal) if attrName(a).isDefined =>
+      case LessThan(a, Lit(l)) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
       // flipped operand order
-      case GreaterThanOrEqual(l: Literal, a) if attrName(a).isDefined =>
+      case GreaterThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
-      case GreaterThan(l: Literal, a) if attrName(a).isDefined =>
+      case GreaterThan(Lit(l), a) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, None, Some(v)))
-      case LessThanOrEqual(l: Literal, a) if attrName(a).isDefined =>
+      case LessThanOrEqual(Lit(l), a) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
-      case LessThan(l: Literal, a) if attrName(a).isDefined =>
+      case LessThan(Lit(l), a) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
       case _ => // not prunable — the row-level Filter above handles it
     }
-    (partFilter, ranges)
+    (partFilter, ranges, points)
   }
 
   /** Rewrite target-relation attribute refs to plain names and build a
@@ -306,10 +347,10 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
     // single-column inclusive range / equality → the metadata-tier path
     val range: Option[(String, Any, Any)] = cond match {
-      case EqualTo(a: AttributeReference, l: Literal) if relIds(a.exprId) =>
+      case EqualTo(a: AttributeReference, Lit(l)) if relIds(a.exprId) =>
         Some((a.name, scalaV(l), scalaV(l)))
-      case And(GreaterThanOrEqual(a: AttributeReference, lo: Literal),
-               LessThanOrEqual(b: AttributeReference, hi: Literal))
+      case And(GreaterThanOrEqual(a: AttributeReference, Lit(lo)),
+               LessThanOrEqual(b: AttributeReference, Lit(hi)))
           if relIds(a.exprId) && a.name == b.name =>
         Some((a.name, scalaV(lo), scalaV(hi)))
       case _ => None

@@ -92,14 +92,15 @@ final class GraftSparkTable(
     * instead (rows are file/snapshot scale — never data scale). */
   def readDf(spark: SparkSession,
              partitionFilter: Map[String, Set[String]] = Map.empty,
-             ranges: Map[String, MorReader.ColRange] = Map.empty): DataFrame =
+             ranges: Map[String, MorReader.ColRange] = Map.empty,
+             pointValues: Map[String, Set[String]] = Map.empty): DataFrame =
     metaKind match {
       case Some(kind) => metaDf(spark, kind)
       case None => travel match {
         case None =>
-          MorReader.read(spark, dir, None, partitionFilter, ranges)
+          MorReader.read(spark, dir, None, partitionFilter, ranges, pointValues)
         case Some(GraftTravel.AtSnapshot(id)) =>
-          MorReader.read(spark, dir, Some(id), partitionFilter, ranges)
+          MorReader.read(spark, dir, Some(id), partitionFilter, ranges, pointValues)
         case Some(GraftTravel.AtTime(ms)) => MorReader.readAtTime(spark, dir, ms)
         case Some(GraftTravel.AtRef(name)) => MorReader.readRef(spark, dir, name)
       }

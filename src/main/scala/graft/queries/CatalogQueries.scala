@@ -209,6 +209,20 @@ object CatalogQueries {
       "callr_t"
     })
 
+  /** Hidden bucket(4, id) partitioning through SQL DDL + DML: CREATE
+    * PARTITIONED BY (bucket(4, id)), bulk INSERT, point DELETE — the
+    * bucket-pruned read path (CatalogSpec gates the planned-file count). */
+  private def bucketT(spark: SparkSession): Unit =
+    built.computeIfAbsent("bucket_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.bucket_t (id BIGINT, val BIGINT) " +
+        "PARTITIONED BY (bucket(4, id))")
+      spark.sql("INSERT INTO graft.cq.bucket_t " +
+        "SELECT id, id * 2 AS val FROM range(0, 400)")
+      spark.sql("DELETE FROM graft.cq.bucket_t WHERE id = 77")
+      "bucket_t"
+    })
+
   /** snapshot 1 = ids 0..99 (a), snapshot 2 = ids 100..199 (b). */
   private def travelT(spark: SparkSession): Unit =
     built.computeIfAbsent("travel_t", _ => {
@@ -314,6 +328,13 @@ object CatalogQueries {
       callRollbackT(s)
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
         "FROM graft.cq.callr_t")
+    }),
+
+    // bucket-partitioned table: point lookups open one bucket's files
+    "sql_catalog_bucket" -> ((s, _) => {
+      bucketT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.bucket_t WHERE id IN (42, 77, 200)")
     }),
 
     // Iceberg-style dotted metadata tables: graft.db.t.snapshots / .partitions
@@ -432,6 +453,11 @@ object CatalogQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
         |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
         |FROM range(0, 100)""".stripMargin,
+
+    // probes 42 and 200 live (val 2·id); 77 was SQL-deleted
+    "sql_catalog_bucket" ->
+      """SELECT CAST(2 AS BIGINT) AS n, CAST(242 AS BIGINT) AS id_sum,
+        |       CAST(484 AS BIGINT) AS val_sum""".stripMargin,
 
     // travel_t: two appends of 100 rows each
     "sql_meta_snapshots" ->

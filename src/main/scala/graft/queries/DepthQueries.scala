@@ -343,6 +343,219 @@ object DepthQueries {
         .limit(100)
     }),
 
+    // TPC-H Q6 (forecasting revenue): the pure pushdown showcase — every
+    // predicate reaches the parquet scan (shipdate slice, discount band,
+    // quantity cap), one partial-final aggregate, zero joins, zero shuffles
+    // beyond the final single-row combine
+    "tpch_q6" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+               col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+               col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q4 shape (order priority checking): EXISTS → LEFT SEMI join
+    // with a mixed equi + non-equi condition (shipped after the order
+    // date, the commit/receipt adaptation for this schema); semi build
+    // never duplicates orders whatever the lineitem fan-out
+    "tpch_q4" -> ((s, d) => {
+      val ord = tbl(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = tbl(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q8 shape (national market share): 5-way star with the region
+    // filter pushed into the customer dim BEFORE broadcast and a CASE
+    // numerator; the share division is left to the consumer (numerator +
+    // denominator cents are exact integers — no FP hazard in the oracle)
+    "tpch_q8" -> ((s, d) => {
+      val asiaCust = tbl(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(tbl(s, d, "nation")
+          .join(tbl(s, d, "region").where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val econParts = tbl(s, d, "part").where(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      tbl(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("vol_c"))
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .join(tbl(s, d, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                   col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(tbl(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("n_name") === "NATION_20", col("vol_c"))
+            .otherwise(0L)).as("nation_cents"),
+          sum(col("vol_c")).as("total_cents"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): part-name substring filter
+    // broadcast into the fact, supplier nation × ship year rollup
+    "tpch_q9" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("o_year"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("amount_c"))
+        .join(broadcast(tbl(s, d, "part")
+            .where(col("p_name").contains("widget")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(tbl(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum("amount_c").as("profit_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q10 (returned item reporting): quarter of orders × returned
+    // lines, customer/nation dims broadcast, top 20 by revenue with a
+    // total order (revenue, custkey) so the LIMIT is deterministic
+    "tpch_q10" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_c"))
+        .join(tbl(s, d, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                   col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              cents(col("c_acctbal")).as("acctbal_cents"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"),
+          col("n_name"))
+        .agg(sum("rev_c").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q13 (customer distribution): LEFT OUTER fact join with the
+    // filter on the JOIN (not the customer), then a two-level aggregate —
+    // orders-per-customer, customers-per-count
+    "tpch_q13" -> ((s, d) => {
+      val ord = tbl(s, d, "orders")
+        .where(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey")
+      tbl(s, d, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14 (promotion effect): CASE numerator over the part-type
+    // dim join; promo and total cents returned as exact integers
+    "tpch_q14" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_c"))
+        .join(broadcast(tbl(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+            .as("promo_cents"),
+          sum(col("rev_c")).as("total_cents"))
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated AVG
+    // subquery decorrelated into a per-part aggregate joined back; the
+    // 20%-of-average threshold is evaluated in EXACT integer arithmetic
+    // (5·qty·cnt < Σqty — quantities are integral, products stay exact)
+    "tpch_q17" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_c"))
+      val partAvg = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg(sum("qty").as("qty_sum"), count(lit(1)).as("qty_cnt"))
+      li.join(broadcast(tbl(s, d, "part")
+            .where(col("p_brand") === "Brand#11" && col("p_type") === "SMALL")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("ap_key"))
+        .where(col("qty") * 5 * col("qty_cnt") < col("qty_sum"))
+        .agg(sum("price_c").as("total_cents"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity): global-average scalar
+    // (integer cents; folded in as a broadcast one-row aggregate) +
+    // NOT EXISTS anti join to orders, grouped by nation code
+    "tpch_q22" -> ((s, d) => {
+      val cust = tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("cntrycode"),
+          cents(col("c_acctbal")).as("bal_c"))
+        .where(col("cntrycode").isin(1L, 3L, 5L, 7L, 9L, 11L, 13L))
+      val avgBal = cust.where(col("bal_c") > 0)
+        .agg((sum("bal_c") / count(lit(1))).as("avg_c"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("bal_c") > col("avg_c"))
+        // every generated customer HAS orders — anti-join the selective
+        // urgent subset so the NOT EXISTS leg keeps real survivors
+        .join(tbl(s, d, "orders")
+            .where(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_cents"))
+        .orderBy("cntrycode")
+    }),
+
+    // TPC-H Q12 shape (shipping mode priority): fact join + conditional
+    // priority counts, grouped on the line status lane
+    "tpch_q12" -> ((s, d) => {
+      tbl(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(tbl(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+              col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     // per-group weighted reservoir (A-Res per language, k=5): the same
     // deterministic ln(u)/w ranking as sample_weighted, but ranked inside
     // each group through Ops.topKPerGroup's two-level decomposition — no
@@ -647,6 +860,132 @@ object DepthQueries {
         |  ON o_orderkey = b.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_cents DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0)
+        |                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_20'
+        |                THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                          AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |              JOIN region ON n1.n_regionkey = r_regionkey
+        |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS profit_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+        |  n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+        |      FROM customer
+        |      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q14" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                          AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "tpch_q17" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |  AND p_brand = 'Brand#11' AND p_type = 'SMALL'
+        |JOIN (SELECT l_partkey AS ap_key,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |             CAST(COUNT(*) AS BIGINT) AS qty_cnt
+        |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_key
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * qty_cnt < qty_sum""".stripMargin,
+
+    "tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(bal_c) AS BIGINT) AS totacctbal_cents
+        |FROM cust
+        |WHERE bal_c > (SELECT SUM(bal_c) * 1.0 / COUNT(*) FROM cust WHERE bal_c > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "sample_reservoir_group" ->
       """SELECT lang, doc_id, n_chars,

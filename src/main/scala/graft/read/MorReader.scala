@@ -223,7 +223,8 @@ object MorReader {
 
   def read(spark: SparkSession, tableDir: String, asOf: Option[Long],
            partitionFilter: Map[String, Set[String]],
-           ranges: Map[String, ColRange] = Map.empty): DataFrame = {
+           ranges: Map[String, ColRange] = Map.empty,
+           pointValues: Map[String, Set[String]] = Map.empty): DataFrame = {
     // OUTLINE load: sharded manifest groups stay unmaterialized — when any
     // retained snapshot shards its data list, per-file plan predicates
     // evaluate inside Spark tasks that each read ONE group file, so the
@@ -251,8 +252,54 @@ object MorReader {
           r.hi.map(hi => col(k) <= lit(hi).cast(dt)))
           .reduceOption(_ && _).getOrElse(lit(true)) // ColRange() = unbounded
     }.foldLeft(lit(true))(_ && _)
-    withMeta(spark, st, live, partitionFilter, ranges)
-      .where(partPred && rangePred)
+    // point-value (equality / IN-set) file pruning beyond what min/max
+    // ranges can express: per value, the metrics envelope AND the manifest
+    // Bloom filter (the [[readValues]] test), PLUS hidden-partition
+    // pruning — each file's own spec epoch maps the probe values through
+    // its transform (bucket/truncate/day/...) and requires the file's
+    // partition value to match one. This is what makes a SQL point lookup
+    // on a bucket(n, col) table open 1/n of the files instead of all of
+    // them. Missing stats/spec/partName keep the file — never unsound.
+    val keep: DataFileEntry => Boolean =
+      if (pointValues.isEmpty) _ => true
+      else f => pointValues.forall { case (c, values) =>
+        live.fields.find(_.name == c).forall { field =>
+          val statsOk = f.metrics.get(field.id).forall { m =>
+            values.exists { v =>
+              val envOk = (m.min, m.max) match {
+                case (Some(mn), Some(mx)) =>
+                  cmpMetric(field.dataType, mx, v).forall(_ >= 0) &&
+                    cmpMetric(field.dataType, mn, v).forall(_ <= 0)
+                case _ => false // all-NULL column: no value can match
+              }
+              envOk && m.bloom.forall(b =>
+                graft.meta.BloomFilter.mightContain(b, v))
+            }
+          }
+          val partOk = st.specs.get(f.specId).forall { specStrs =>
+            specStrs.map(graft.meta.PartitionTransform.parse)
+              .find(_.source == c).forall { t =>
+                f.partition.get(t.partName).forall { pv =>
+                  // unparseable probe value (e.g. an out-of-domain literal
+                  // that arrived through a widening cast) keeps the file
+                  values.exists(v =>
+                    scala.util.Try(t.apply(v, field.dataType))
+                      .getOrElse(None).forall(_ == pv))
+                }
+              }
+          }
+          statsOk && partOk
+        }
+      }
+    // surviving files re-apply the IN-set row-level (same soundness rule
+    // as partPred/rangePred: stats intersect, not every row does)
+    val pointPred = pointValues.collect {
+      case (k, vs) if live.names.contains(k) && vs.nonEmpty =>
+        val dt = live.fields.find(_.name == k).get.dataType
+        vs.toSeq.map(v => col(k) === lit(v).cast(dt)).reduce(_ || _)
+    }.foldLeft(lit(true))(_ && _)
+    withMeta(spark, st, live, partitionFilter, ranges, keep)
+      .where(partPred && rangePred && pointPred)
       .select(live.names.map(col): _*)
   }
 

@@ -242,36 +242,51 @@ final class GraftTableGenerator(
             schemaV, opSeq, footerRowCount(target), metrics = m)
         }
     } else {
-      val pcol = partitionCols.head
-      // partitionBy strips its column from file contents, but identity
-      // transform keeps partition values as data columns — partition on a
-      // duplicate so the real column stays in the files
-      val dup = s"__part_$pcol"
-      val base = df.withColumn(dup, col(pcol))
+      // one partition-value column per spec transform (identity keeps the
+      // data column; bucket/truncate/day/... compute the hidden value).
+      // partitionBy strips its columns from file contents, so always
+      // partition on DUPLICATES — the real columns stay in the files.
+      val ts = transforms
+      val dups = ts.indices.map(i => s"__gpart$i")
+      val base = ts.zip(dups).foldLeft(df) { case (d, (t, dup)) =>
+        val dt = schema.fields.find(_.name == t.source)
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition transform source ${t.source} not in schema")).dataType
+        d.withColumn(dup, t.valueExpr(dt).cast("string"))
+      }
       val laid =
         if (sortOrderCols.nonEmpty)
           base.repartitionByRange(numFiles,
-              col(pcol) +: sortOrderCols.map(col): _*)
-            .sortWithinPartitions((dup +: sortOrderCols).map(col): _*)
-        else base.repartition(numFiles, col(pcol))
+              dups.map(col) ++ sortOrderCols.map(col): _*)
+            .sortWithinPartitions((dups ++ sortOrderCols).map(col): _*)
+        else base.repartition(numFiles, dups.map(col): _*)
       laid.write.options(props)
-        .partitionBy(dup).mode("overwrite").parquet(staging.toString)
+        .partitionBy(dups: _*).mode("overwrite").parquet(staging.toString)
       val stats = bulkMetrics(staging)
-      list(staging).filter(p => p.getFileName.toString.startsWith(s"$dup="))
-        .sortBy(_.toString).foreach { pdir =>
-          val value = pdir.getFileName.toString.stripPrefix(s"$dup=")
-          list(pdir).filter(_.getFileName.toString.endsWith(".parquet"))
-            .sortBy(_.toString).foreach { part =>
-              val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
-              val target = uniqueNumberedFile(dataDir.resolve(value),
-                s"$value-%02d.parquet")
-              Files.createDirectories(target.getParent)
-              Files.move(part, target)
-              stagedData :+= DataFileEntry(target.toString,
-                Map(pcol -> value), specId, schemaV, opSeq,
-                footerRowCount(target), metrics = m)
-            }
+      // walk the nested __gpart0=v0/__gpart1=v1/... layout, rebuilding the
+      // partition tuple from the directory chain
+      def walk(dir: Path, acc: Seq[String]): Seq[(Seq[String], Path)] =
+        if (acc.size == dups.size)
+          list(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.toString).map(p => (acc, p))
+        else {
+          val prefix = s"${dups(acc.size)}="
+          list(dir).filter(_.getFileName.toString.startsWith(prefix))
+            .sortBy(_.toString)
+            .flatMap(d => walk(d,
+              acc :+ d.getFileName.toString.stripPrefix(prefix)))
         }
+      walk(staging, Nil).foreach { case (vals, part) =>
+        val pmap = ts.zip(vals).map { case (t, v) => t.partName -> v }.toMap
+        val pdir = partitionDirName(pmap)
+        val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
+        val target = uniqueNumberedFile(dataDir.resolve(pdir),
+          s"$pdir-%02d.parquet")
+        Files.createDirectories(target.getParent)
+        Files.move(part, target)
+        stagedData :+= DataFileEntry(target.toString, pmap, specId, schemaV,
+          opSeq, footerRowCount(target), metrics = m)
+      }
     }
     deleteRecursively(staging)
     this

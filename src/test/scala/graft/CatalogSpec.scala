@@ -267,6 +267,34 @@ class CatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/db/t_created").exists())
   }
 
+  test("SQL point lookup on a bucket-partitioned table prunes to one bucket") {
+    graft.queries.CatalogFixture.ensure(spark)
+    spark.sql("CREATE TABLE graft.db.t_bucket (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO graft.db.t_bucket " +
+      "SELECT id, id * 2 AS v FROM range(0, 400)")
+    val total = SnapshotLog(s"$wh/db/t_bucket").load().mainOnly.dataFiles.size
+    assert(total >= 4, s"expected at least one file per bucket, got $total")
+    val before = MorReader.dataFilesPlanned.get()
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_bucket WHERE id = 42")
+      .collect()(0).getLong(0)
+    val planned = MorReader.dataFilesPlanned.get() - before
+    assert(n == 1L)
+    assert(planned <= total / 4,
+      s"point lookup must open only id's bucket: planned $planned of $total")
+    // IN-set across two buckets still prunes the other buckets
+    val before2 = MorReader.dataFilesPlanned.get()
+    val n2 = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_bucket WHERE id IN (42, 43, 44)")
+      .collect()(0).getLong(0)
+    val planned2 = MorReader.dataFilesPlanned.get() - before2
+    assert(n2 == 3L)
+    assert(planned2 < total,
+      s"IN-set lookup must bucket-prune: planned $planned2 of $total")
+    spark.sql("DROP TABLE graft.db.t_bucket")
+  }
+
   test("metadata tables by dotted name: snapshots/files/history/partitions/delete_files") {
     val g = fresh("t_meta")
     g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()

@@ -321,6 +321,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch_q6: every predicate pushed to the scan; no join, no wide shuffle") {
+    val p = plan("tpch_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"),
+      s"all three predicates must reach the parquet scan: $pushed")
+    assert(!p.contains("Join"), s"Q6 has no join:\n$p")
+    assert(p.contains("partial_sum"), s"map-side combine expected:\n$p")
+  }
+
+  test("tpch_q4: EXISTS plans as a broadcast/shuffled hash LEFT SEMI, no dup-count") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q8: dims broadcast; orderdate slice pushed; no cartesian") {
+    val p = plan("tpch_q8")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"part/supplier/nation edges must broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q13: left outer + two-level aggregate, both with partial combine") {
+    val p = plan("tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("partial_count"), s"both aggregates map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q17: decorrelated per-part average joins hash-side, brand filter broadcast") {
+    val p = plan("tpch_q17")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("p_partkey")),
+      s"the filtered part dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q22: global average folds in as a one-row broadcast; anti join to orders") {
+    val p = plan("tpch_q22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the scalar average must broadcast, never shuffle customers against it:\n$p")
+  }
+
   test("graph_triangles: wedge + closing-edge probes are hash joins, never nested loop") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
