@@ -142,9 +142,31 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   * Spark's own row-level rewrites would reject the table. */
 case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // attr ids referenced anywhere — used to detect METADATA columns
+    // (`_file`, `_pos`, ...) resolved from a relation's metadataOutput
+    // that Spark's AddMetadataColumns has not yet folded into the
+    // relation's own output. Substituting before that fold would strand
+    // the references (the analyzer would never converge), so those
+    // relations wait one fixed-point iteration.
+    val referenced = scala.collection.mutable.Set.empty[ExprId]
+    plan.foreach(n => n.expressions.foreach(_.foreach {
+      case a: AttributeReference => referenced += a.exprId
+      case _ =>
+    }))
+    rewrite(plan, referenced.toSet)
+  }
 
-  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+  /** Metadata attrs referenced above but not yet part of the relation's
+    * output → AddMetadataColumns must extend the relation first. */
+  private def metaPending(r: DataSourceV2Relation, referenced: Set[ExprId]): Boolean = {
+    val outIds = r.output.map(_.exprId).toSet
+    r.metadataOutput.exists(a => referenced(a.exprId) && !outIds(a.exprId))
+  }
+
+  private def rewrite(p: LogicalPlan, referenced: Set[ExprId]): LogicalPlan = {
+    def rewriteChild(c: LogicalPlan): LogicalPlan = rewrite(c, referenced)
+    p match {
     // SQL COUNT(*) over a bare current-state graft relation answers from
     // the MANIFEST when no delete can apply and every count is declared
     // (Iceberg's count aggregate pushdown): the whole query collapses to a
@@ -158,7 +180,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(n) =>
           LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
-        case None => agg.mapChildren(rewrite)
+        case None => agg.mapChildren(rewriteChild)
       }
     case d @ DeleteFromTable(GraftRel(r, t), cond) =>
       if (d.resolved) makeDelete(r, t, cond) else d
@@ -166,17 +188,19 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (u.resolved) makeUpdate(r, t, assignments, cond) else u
     case m: MergeIntoTable if GraftRel.unapply(m.targetTable).isDefined =>
       if (m.resolved) makeMerge(m)
-      else m.withNewChildren(Seq(m.targetTable, rewrite(m.sourceTable)))
-    case f @ Filter(cond, GraftRel(r, t)) if cond.resolved =>
+      else m.withNewChildren(Seq(m.targetTable, rewriteChild(m.sourceTable)))
+    case f @ Filter(cond, GraftRel(r, t))
+        if cond.resolved && !metaPending(r, referenced) =>
       val (partFilter, ranges, points) = extractPruning(cond, r, t)
       Filter(cond, substitute(r, t, f.child.output, partFilter, ranges, points))
-    case GraftRel(r, t) =>
+    case GraftRel(r, t) if !metaPending(r, referenced) =>
       substitute(r, t, p.output, Map.empty, Map.empty, Map.empty)
     case other =>
-      val withChildren = other.mapChildren(rewrite)
+      val withChildren = other.mapChildren(rewriteChild)
       withChildren.transformExpressions {
-        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+        case se: SubqueryExpression => se.withNewPlan(rewriteChild(se.plan))
       }
+  }
   }
 
   /** Every aggregate a plain `COUNT(*)`/`COUNT(1)` (no DISTINCT, no
@@ -200,9 +224,17 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
                          partFilter: Map[String, Set[String]],
                          ranges: Map[String, MorReader.ColRange],
                          points: Map[String, Set[String]] = Map.empty): LogicalPlan = {
-    val mor = t.readDf(spark, partFilter, ranges, points).queryExecution.analyzed
+    // requested METADATA columns (`_file`, `_pos`, row lineage) resolve to
+    // the MoR plan's internal columns — ask readDf to keep them
+    val metaMap = GraftSparkTable.MetadataColMap
+    val requestedMeta = out.collect {
+      case a if metaMap.contains(a.name) => a.name
+    }
+    val mor = t.readDf(spark, partFilter, ranges, points,
+      requestedMeta.map(metaMap)).queryExecution.analyzed
     val proj = out.map { a =>
-      val src = mor.output.find(o => conf.resolver(o.name, a.name)).getOrElse(
+      val srcName = metaMap.getOrElse(a.name, a.name)
+      val src = mor.output.find(o => conf.resolver(o.name, srcName)).getOrElse(
         throw new AnalysisException(
           errorClass = "INTERNAL_ERROR",
           messageParameters = Map("message" ->

@@ -56,7 +56,22 @@ final class GraftSparkTable(
     val travel: Option[GraftTravel] = None,
     val metaKind: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Iceberg-parity metadata columns (`SELECT _file, _pos, _row_id, ...`):
+    * resolved by Spark from this declaration, then mapped onto the MoR
+    * plan's internal columns by [[GraftCatalogRule.substitute]]. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (metaKind.isDefined) Array.empty
+    else GraftSparkTable.MetadataCols.map { case (n, dt, doc) =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def comment(): String = doc
+      }
+    }.toArray
 
   /** `TRUNCATE TABLE` — one metadata-tier snapshot, bytes reclaimed by
     * snapshot expiry (time travel intact). */
@@ -93,16 +108,25 @@ final class GraftSparkTable(
   def readDf(spark: SparkSession,
              partitionFilter: Map[String, Set[String]] = Map.empty,
              ranges: Map[String, MorReader.ColRange] = Map.empty,
-             pointValues: Map[String, Set[String]] = Map.empty): DataFrame =
+             pointValues: Map[String, Set[String]] = Map.empty,
+             internalCols: Seq[String] = Nil): DataFrame =
     metaKind match {
       case Some(kind) => metaDf(spark, kind)
       case None => travel match {
         case None =>
-          MorReader.read(spark, dir, None, partitionFilter, ranges, pointValues)
+          MorReader.read(spark, dir, None, partitionFilter, ranges,
+            pointValues, internalCols)
         case Some(GraftTravel.AtSnapshot(id)) =>
-          MorReader.read(spark, dir, Some(id), partitionFilter, ranges, pointValues)
-        case Some(GraftTravel.AtTime(ms)) => MorReader.readAtTime(spark, dir, ms)
-        case Some(GraftTravel.AtRef(name)) => MorReader.readRef(spark, dir, name)
+          MorReader.read(spark, dir, Some(id), partitionFilter, ranges,
+            pointValues, internalCols)
+        case Some(GraftTravel.AtTime(ms)) =>
+          require(internalCols.isEmpty,
+            s"metadata columns with TIMESTAMP AS OF are not supported")
+          MorReader.readAtTime(spark, dir, ms)
+        case Some(GraftTravel.AtRef(name)) =>
+          require(internalCols.isEmpty,
+            s"metadata columns with ref travel are not supported")
+          MorReader.readRef(spark, dir, name)
       }
     }
 
@@ -212,4 +236,26 @@ final class GraftSparkTable(
   }
 
   override def toString: String = s"GraftSparkTable($identName)"
+}
+
+object GraftSparkTable {
+  /** SQL metadata-column name → (type, doc); mapped to the MoR plan's
+    * internal columns by [[MetadataColMap]] (the Iceberg `_file`/`_pos`
+    * reserved columns plus the v3 row-lineage pair). */
+  val MetadataCols: Seq[(String, org.apache.spark.sql.types.DataType, String)] = {
+    import org.apache.spark.sql.types._
+    Seq(
+      ("_file", StringType, "data file path of the row"),
+      ("_pos", LongType, "row position in its data file"),
+      ("_row_id", LongType, "Iceberg-v3 row lineage id"),
+      ("_last_updated_seq", LongType,
+        "sequence number that last updated the row"))
+  }
+
+  /** SQL name → MoR internal column. */
+  val MetadataColMap: Map[String, String] = Map(
+    "_file" -> MorReader.FilePathCol,
+    "_pos" -> MorReader.PosCol,
+    "_row_id" -> MorReader.RowIdCol,
+    "_last_updated_seq" -> MorReader.LastSeqCol)
 }

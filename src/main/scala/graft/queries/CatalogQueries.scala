@@ -337,6 +337,14 @@ object CatalogQueries {
         "FROM graft.cq.bucket_t WHERE id IN (42, 77, 200)")
     }),
 
+    // Iceberg reserved metadata columns through SQL: _file / _pos /
+    // _row_id ride the MoR plan's internal columns
+    "sql_meta_columns" -> ((s, _) => {
+      travelT(s)
+      s.sql("SELECT COUNT(DISTINCT _file) AS n_files, SUM(_pos) AS pos_sum, " +
+        "COUNT(DISTINCT _row_id) AS n_row_ids FROM graft.cq.travel_t")
+    }),
+
     // Iceberg-style dotted metadata tables: graft.db.t.snapshots / .partitions
     "sql_meta_snapshots" -> ((s, _) => {
       travelT(s)
@@ -458,6 +466,12 @@ object CatalogQueries {
     "sql_catalog_bucket" ->
       """SELECT CAST(2 AS BIGINT) AS n, CAST(242 AS BIGINT) AS id_sum,
         |       CAST(484 AS BIGINT) AS val_sum""".stripMargin,
+
+    // travel_t: 2 one-file appends of 100 rows → pos 0..99 twice,
+    // 200 distinct row ids
+    "sql_meta_columns" ->
+      """SELECT CAST(2 AS BIGINT) AS n_files, CAST(9900 AS BIGINT) AS pos_sum,
+        |       CAST(200 AS BIGINT) AS n_row_ids""".stripMargin,
 
     // travel_t: two appends of 100 rows each
     "sql_meta_snapshots" ->

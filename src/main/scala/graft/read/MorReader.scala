@@ -224,7 +224,8 @@ object MorReader {
   def read(spark: SparkSession, tableDir: String, asOf: Option[Long],
            partitionFilter: Map[String, Set[String]],
            ranges: Map[String, ColRange] = Map.empty,
-           pointValues: Map[String, Set[String]] = Map.empty): DataFrame = {
+           pointValues: Map[String, Set[String]] = Map.empty,
+           keepInternal: Seq[String] = Nil): DataFrame = {
     // OUTLINE load: sharded manifest groups stay unmaterialized — when any
     // retained snapshot shards its data list, per-file plan predicates
     // evaluate inside Spark tasks that each read ONE group file, so the
@@ -300,7 +301,7 @@ object MorReader {
     }.foldLeft(lit(true))(_ && _)
     withMeta(spark, st, live, partitionFilter, ranges, keep)
       .where(partPred && rangePred && pointPred)
-      .select(live.names.map(col): _*)
+      .select((live.names ++ keepInternal).map(col): _*)
   }
 
   /** Metadata-only COUNT(*) — Iceberg's manifest-count path: when NO

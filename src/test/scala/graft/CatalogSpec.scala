@@ -327,6 +327,17 @@ class CatalogSpec extends SparkSpec {
       "INSERT INTO graft.db.t_meta.snapshots VALUES (9)"))
   }
 
+  test("metadata columns: _file, _pos, _row_id resolve through SQL") {
+    fresh("t_metacols") // 4 files (2 per category), 50 rows each
+    val r = spark.sql("SELECT count(DISTINCT _file) AS nf, sum(_pos) AS ps, " +
+      "count(DISTINCT _row_id) AS ni FROM graft.db.t_metacols").collect()(0)
+    assert(r.getLong(0) == 4L, s"4 data files expected, got ${r.getLong(0)}")
+    assert(r.getLong(1) == 4L * (0L to 49L).sum, s"pos sum ${r.getLong(1)}")
+    assert(r.getLong(2) == 200L, s"row ids must be unique: ${r.getLong(2)}")
+    // metadata columns stay hidden from SELECT *
+    assert(!spark.sql("SELECT * FROM graft.db.t_metacols").columns.contains("_file"))
+  }
+
   test("CALL graft.system.compact folds deletes and reports file counts") {
     val g = fresh("t_proc_compact")
     g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
