@@ -143,12 +143,18 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
 case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast exit for the overwhelmingly common case: no graft relation
+    // anywhere (subquery plans included) — this rule runs on EVERY
+    // analyzer fixed-point iteration of EVERY query, so the non-graft
+    // path must cost one early-exit walk, not a rebuild
+    if (!hasGraftRel(plan)) return plan
     // attr ids referenced anywhere — used to detect METADATA columns
     // (`_file`, `_pos`, ...) resolved from a relation's metadataOutput
     // that Spark's AddMetadataColumns has not yet folded into the
     // relation's own output. Substituting before that fold would strand
     // the references (the analyzer would never converge), so those
-    // relations wait one fixed-point iteration.
+    // relations wait one fixed-point iteration. Only computed when a
+    // graft relation is actually present (the walk above gates it).
     val referenced = scala.collection.mutable.Set.empty[ExprId]
     plan.foreach(n => n.expressions.foreach(_.foreach {
       case a: AttributeReference => referenced += a.exprId
@@ -156,6 +162,16 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }))
     rewrite(plan, referenced.toSet)
   }
+
+  /** Any graft relation in the tree, descending into subquery plans. */
+  private def hasGraftRel(plan: LogicalPlan): Boolean =
+    plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftSparkTable]
+      case n => n.expressions.exists(_.exists {
+        case se: SubqueryExpression => hasGraftRel(se.plan)
+        case _ => false
+      })
+    }
 
   /** Metadata attrs referenced above but not yet part of the relation's
     * output → AddMetadataColumns must extend the relation first. */

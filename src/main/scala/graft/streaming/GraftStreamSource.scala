@@ -64,7 +64,8 @@ class GraftStreamSourceProvider extends StreamSourceProvider
                             params: Map[String, String]): Source =
     new GraftSource(ctx.sparkSession, dirOf(params),
       params.getOrElse("mode", "appends"),
-      params.getOrElse("maxSnapshotsPerBatch", "0").toLong)
+      params.getOrElse("maxSnapshotsPerBatch", "0").toLong,
+      params.getOrElse("startSnapshotId", "0").toLong)
 
   override def createSink(ctx: SQLContext, params: Map[String, String],
                           partitionColumns: Seq[String],
@@ -87,7 +88,8 @@ object GraftSource {
 }
 
 class GraftSource(spark: SparkSession, dir: String, mode: String,
-                  maxSnapshotsPerBatch: Long) extends Source {
+                  maxSnapshotsPerBatch: Long,
+                  startSnapshotId: Long = 0L) extends Source {
 
   require(mode == "appends" || mode == "changelog",
     s"graft stream mode must be appends|changelog, got $mode")
@@ -96,8 +98,10 @@ class GraftSource(spark: SparkSession, dir: String, mode: String,
 
   /** Highest snapshot id this source has OFFERED (getOffset) or been asked
     * to deliver (getBatch) — the cap base for maxSnapshotsPerBatch. Engine
-    * recovery re-seeds it through getBatch's end offset. */
-  private var latest = 0L
+    * recovery re-seeds it through getBatch's end offset. Seeded by
+    * `startSnapshotId` (Iceberg `stream-from-snapshot`): consumption
+    * begins with the deltas AFTER that snapshot — no initial full load. */
+  private var latest = math.max(0L, startSnapshotId)
 
   private def idOf(o: Offset): Long = o.json().trim.toLong
 
@@ -105,9 +109,12 @@ class GraftSource(spark: SparkSession, dir: String, mode: String,
     val head = SnapshotLog(dir).load().mainOnly
       .snapshots.lastOption.map(_.id).getOrElse(0L)
     if (head == 0L) return None
-    val capped =
+    val capped0 =
       if (maxSnapshotsPerBatch <= 0L) head
       else math.min(head, latest + maxSnapshotsPerBatch)
+    // never regress below what was already offered/configured (a start
+    // snapshot at or beyond head yields an empty first batch, not a rewind)
+    val capped = math.max(capped0, latest)
     latest = math.max(latest, capped)
     Some(GraftSourceOffset(capped))
   }
@@ -115,7 +122,11 @@ class GraftSource(spark: SparkSession, dir: String, mode: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = idOf(end)
     latest = math.max(latest, to)
-    val rows = (start.map(idOf), mode) match {
+    // a configured start snapshot replaces the initial-full-load batch
+    // with an incremental one from that point (stream-from-snapshot)
+    val from0 = start.map(idOf).orElse(
+      if (startSnapshotId > 0L) Some(startSnapshotId) else None)
+    val rows = (from0, mode) match {
       // initial batch: the full state at the latched head
       case (None, "appends") =>
         MorReader.read(spark, dir, Some(to), Map.empty)

@@ -22,6 +22,10 @@ object MicroBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same session surface as Bench/Verify — catalog-SQL keys need the
+      // analyzer substitution and the graft catalog plugin
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -65,6 +65,26 @@ class GraftStreamSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("startSnapshotId: consumption begins after the given snapshot") {
+    val wh = Files.createTempDirectory("graft-stream-start").toString
+    val g = new GraftTableGenerator(spark, wh, "start_t")
+    g.create(idVal, Nil)
+      .appendData(rows(0, 100)).commit()   // snapshot 1 — skipped
+      .appendData(rows(100, 150)).commit() // snapshot 2 — delivered
+    val sq = spark.readStream.format("graft")
+      .option("startSnapshotId", "1").load(s"$wh/start_t")
+      .writeStream.format("memory").queryName("graft_start_sink")
+      .option("checkpointLocation", s"$wh/ckpt")
+      .outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      val ids = spark.table("graft_start_sink").select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (100L until 150L),
+        s"only snapshot 2's appends must stream, got ${ids.size} rows")
+    } finally sq.stop()
+  }
+
   test("graft-to-graft replication: stream a table into another table") {
     val wh = Files.createTempDirectory("graft-stream-repl").toString
     val g = new GraftTableGenerator(spark, wh, "repl_src")
