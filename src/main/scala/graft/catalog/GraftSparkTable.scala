@@ -202,11 +202,37 @@ final class GraftSparkTable(
       else Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)).asJava))
 
+  /** Reads never reach this Batch (the analysis-time substitution owns
+    * them), but DSv2 consumers like `DESCRIBE TABLE EXTENDED` legitimately
+    * ask the scan for STATISTICS — answer those from the manifest (pure
+    * metadata: declared record counts, no file I/O, no jobs). `toBatch`
+    * stays a loud error so a session missing the extensions fails with
+    * the fix in the message rather than returning wrong (delete-blind)
+    * rows. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => throw new UnsupportedOperationException(
-      s"graft table $identName: reads substitute the MoR plan at analysis " +
-        "time — build the session with spark.sql.extensions=" +
-        "graft.plans.GraftExtensions")
+    () => new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      override def readSchema(): StructType = GraftSparkTable.this.schema()
+      override def description(): String =
+        s"graft MoR scan $identName (analysis-substituted)"
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics = {
+        val counts = state.dataFiles.map(_.recordCount).filter(_ >= 0)
+        val rows = counts.sum
+        val rowWidth = math.max(8L, readSchema().defaultSize.toLong)
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows * rowWidth)
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows)
+        }
+      }
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        throw new UnsupportedOperationException(
+          s"graft table $identName: reads substitute the MoR plan at " +
+            "analysis time — build the session with spark.sql.extensions=" +
+            "graft.plans.GraftExtensions")
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(metaKind.isEmpty, s"cannot write to metadata table $identName")

@@ -295,6 +295,22 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.t_bucket")
   }
 
+  test("DESCRIBE TABLE surfaces schema + partitioning; SHOW CREATE round-trips") {
+    fresh("t_desc")
+    val desc = spark.sql("DESCRIBE TABLE graft.db.t_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("product_id").contains("int") &&
+      desc.get("category").contains("string"), s"DESCRIBE missing columns: $desc")
+    val descExt = spark.sql("DESCRIBE TABLE EXTENDED graft.db.t_desc")
+      .collect().map(_.getString(0))
+    assert(descExt.exists(_.contains("Part")), // partition info section
+      s"DESCRIBE EXTENDED must show partitioning: ${descExt.mkString("|")}")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.db.t_desc")
+      .collect()(0).getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("product_id") &&
+      ddl.contains("category"), s"SHOW CREATE TABLE incomplete:\n$ddl")
+  }
+
   test("metadata tables by dotted name: snapshots/files/history/partitions/delete_files") {
     val g = fresh("t_meta")
     g.positionalDelete(Seq("widget"), col("product_id") < 10).commit()
