@@ -105,12 +105,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(ident.toString, d.toString)
   }
 
-  /** `VERSION AS OF` — digits resolve as a snapshot id, anything else as a
-    * named ref (tag or branch). */
+  /** `VERSION AS OF` — a parseable all-digit version resolves as a
+    * snapshot id; anything else (named refs, the empty string, digit runs
+    * past Long range) resolves as a ref, whose lookup produces the clear
+    * unknown-ref error instead of a raw NumberFormatException. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = tableDir(ident)
     val travel =
-      if (version.forall(_.isDigit)) GraftTravel.AtSnapshot(version.toLong)
+      if (version.nonEmpty && version.forall(_.isDigit))
+        scala.util.Try(version.toLong).toOption
+          .map[GraftTravel](GraftTravel.AtSnapshot).getOrElse(GraftTravel.AtRef(version))
       else GraftTravel.AtRef(version)
     if (!isTable(d))
       return metaTable(ident, Some(travel)).getOrElse(

@@ -33,10 +33,13 @@ private[catalog] object GraftRel {
   * a single-column range/equality condition takes [[graft.table
   * .GraftTableGenerator.deleteWhere]] (metadata-tier file drops + scans
   * only overlapping files); anything else is a positional delete (scan
-  * matches once, write tombstones/vectors — O(matches), no rewrite). */
+  * matches once, write tombstones/vectors — O(matches), no rewrite).
+  * `cond` is a THUNK: `IN (<subquery>)` conditions materialize their
+  * subquery to a bounded literal set when the command EXECUTES, not while
+  * the analyzer is still resolving the statement. */
 case class GraftDeleteCommand(
     table: GraftSparkTable,
-    cond: Column,
+    cond: () => Column,
     range: Option[(String, Any, Any)]) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -47,7 +50,7 @@ case class GraftDeleteCommand(
 case class GraftUpdateCommand(
     table: GraftSparkTable,
     sets: Seq[(String, Column)],
-    cond: Column) extends LeafNode with Command {
+    cond: () => Column) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -90,7 +93,7 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         val g = t.openGenerator(spark)
         range match {
           case Some((c, lo, hi)) => g.deleteWhere(c, lo, hi)
-          case None => g.positionalDelete(cond)
+          case None => g.positionalDelete(cond())
         }
         g.commit()
       }) :: Nil
@@ -100,11 +103,17 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         val names = g.liveSchema.names
         // the updated rows are computed from the COMMITTED state (the
         // staged delete is invisible to reads until commit), then the
-        // delete (seq s) + append (seq s+1) publish atomically
-        val updated = sets.foldLeft(g.read.where(cond)) {
-          case (df, (n, c)) => df.withColumn(n, c)
-        }.select(names.map(col): _*).localCheckpoint()
-        g.positionalDelete(cond)
+        // delete (seq s) + append (seq s+1) publish atomically.
+        // SQL assignment is SIMULTANEOUS: every SET expression evaluates
+        // against the ORIGINAL row (UPDATE t SET a = b, b = a swaps), so
+        // all assignments go into ONE projection — a sequential
+        // withColumn chain would let later assignments read earlier ones.
+        val setsMap = sets.toMap
+        val condCol = cond()
+        val updated = g.read.where(condCol)
+          .select(names.map(n => setsMap.getOrElse(n, col(n)).as(n)): _*)
+          .localCheckpoint()
+        g.positionalDelete(condCol)
         g.appendData(updated)
         g.commit()
       }) :: Nil
@@ -140,6 +149,13 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   * Runs in the analyzer's resolution fixed point (injected via
   * `graft.plans.GraftExtensions`), so the commands are captured before
   * Spark's own row-level rewrites would reject the table. */
+object GraftCatalogRule {
+  /** Bound on the literal set a DML `IN (<subquery>)` may materialize to —
+    * beyond it the correct tool is MERGE INTO (a join, not a literal
+    * list), and the error says so. */
+  val MaxDmlInSetValues = 100000
+}
+
 case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -183,19 +199,24 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(p: LogicalPlan, referenced: Set[ExprId]): LogicalPlan = {
     def rewriteChild(c: LogicalPlan): LogicalPlan = rewrite(c, referenced)
     p match {
-    // SQL COUNT(*) over a bare current-state graft relation answers from
-    // the MANIFEST when no delete can apply and every count is declared
-    // (Iceberg's count aggregate pushdown): the whole query collapses to a
-    // LocalRelation — zero scans, zero jobs. The probe itself is a pure
-    // driver metadata fold, so running it at analysis time is free; any
+    // SQL COUNT(*) / MIN(col) / MAX(col) over a bare current-state graft
+    // relation answers from the MANIFEST when no delete can apply, counts
+    // are declared, and every selected file carries column metrics
+    // (Iceberg's aggregate pushdown family): the whole query collapses to
+    // a LocalRelation — zero scans, zero jobs. The probe itself is a pure
+    // driver metadata fold (outline-driven — sharded manifests answer from
+    // inline group stats), so running it at analysis time is free; any
     // state needing the exact scan falls through to the MoR plan.
-    case agg @ Aggregate(groupings, aggExprs, GraftRel(_, t), _)
+    case agg @ Aggregate(groupings, aggExprs, GraftRel(r, t), _)
         if groupings.isEmpty && agg.resolved && t.travel.isEmpty &&
-          t.metaKind.isEmpty && countStarOnly(aggExprs) =>
-      MorReader.fastCountMetadataOnly(t.dir) match {
-        case Some(n) =>
-          LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+          t.metaKind.isEmpty && metaAggsOf(aggExprs, r).isDefined =>
+      val reqs = metaAggsOf(aggExprs, r).get
+      MorReader.fastAggsMetadataOnly(t.dir, reqs) match {
+        case Some(vals) =>
+          metaAggRow(agg.output, reqs, vals) match {
+            case Some(row) => LocalRelation(agg.output, Seq(row))
+            case None => agg.mapChildren(rewriteChild)
+          }
         case None => agg.mapChildren(rewriteChild)
       }
     case d @ DeleteFromTable(GraftRel(r, t), cond) =>
@@ -219,18 +240,56 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
   }
 
-  /** Every aggregate a plain `COUNT(*)`/`COUNT(1)` (no DISTINCT, no
-    * FILTER)? — the shape the manifest can answer. */
-  private def countStarOnly(exprs: Seq[NamedExpression]): Boolean =
-    exprs.nonEmpty && exprs.forall {
-      case Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(_: Literal)) => true
-          case _ => false
-        }
+  /** The manifest-answerable shape of an ungrouped aggregate list: every
+    * expression a plain `COUNT(*)`/`COUNT(1)`, `MIN(col)` or `MAX(col)`
+    * (no DISTINCT, no FILTER) over a relation column whose type orders
+    * correctly under canonical metric strings. */
+  private def metaAggsOf(exprs: Seq[NamedExpression],
+                         r: DataSourceV2Relation): Option[Seq[MorReader.MetaAgg]] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.types._
+    val relIds = r.output.map(_.exprId).toSet
+    def okType(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
       case _ => false
     }
+    val reqs: Seq[Option[MorReader.MetaAgg]] = exprs.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(_: Literal)) => Some(MorReader.MetaAgg.Count)
+          case Min(a: AttributeReference)
+              if relIds(a.exprId) && okType(a.dataType) =>
+            Some(MorReader.MetaAgg.MinOf(a.name))
+          case Max(a: AttributeReference)
+              if relIds(a.exprId) && okType(a.dataType) =>
+            Some(MorReader.MetaAgg.MaxOf(a.name))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (reqs.nonEmpty && reqs.forall(_.isDefined)) Some(reqs.map(_.get)) else None
+  }
+
+  /** Convert metadata-agg answers (canonical strings) to one InternalRow
+    * of the aggregate's output types. None when any value does not round-
+    * trip through a string cast (e.g. a NaN rendering) — caller falls back
+    * to the exact plan rather than answering wrong. */
+  private def metaAggRow(out: Seq[Attribute], reqs: Seq[MorReader.MetaAgg],
+                         vals: Seq[Option[String]]): Option[InternalRow] = {
+    val cells = out.zip(reqs.zip(vals)).map {
+      case (_, (MorReader.MetaAgg.Count, v)) => Some(v.get.toLong)
+      case (_, (_, None)) => Some(null) // MIN/MAX of empty or all-null: NULL
+      case (a, (_, Some(s))) =>
+        val cast = Cast(Literal.create(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType), a.dataType,
+          Some(conf.sessionLocalTimeZone), EvalMode.TRY)
+        Option(cast.eval(null)) // TRY-cast null on a non-null stat → bail
+    }
+    if (cells.exists(_.isEmpty)) None
+    else Some(InternalRow.fromSeq(cells.map(_.get)))
+  }
 
   /** Replace the relation with the analyzed MoR plan, aliasing its output
     * to the relation's attribute names AND ids (the plan above was
@@ -388,6 +447,39 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         UnresolvedAttribute(Seq(a.name))
     })
 
+  /** Deferred variant for DML conditions that may carry subqueries:
+    * `IN (<subquery>)` runs its subquery as a normal Spark query WHEN THE
+    * COMMAND EXECUTES and folds the result into a bounded literal IN set
+    * (the subquery may itself read graft tables — its plan re-analyzes
+    * through this rule). Any other subquery shape fails loudly with the
+    * graft error, not a dangling-reference Spark internal. */
+  private def toNamedColumnDeferred(e: Expression, relIds: Set[ExprId])
+      : () => Column = { () =>
+    val materialized = e.transform {
+      case InSubquery(values, lq) =>
+        if (values.size != 1) throw new UnsupportedOperationException(
+          "graft DML: only single-column IN (<subquery>) is supported")
+        val df = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, lq.plan)
+        require(df.schema.fields.length == 1,
+          s"graft DML: IN subquery must produce one column, got ${df.schema}")
+        val dt = df.schema.fields(0).dataType
+        val rows = df.distinct().limit(GraftCatalogRule.MaxDmlInSetValues + 1)
+          .collect()
+        if (rows.length > GraftCatalogRule.MaxDmlInSetValues)
+          throw new UnsupportedOperationException(
+            s"graft DML: IN (<subquery>) materialized more than " +
+              s"${GraftCatalogRule.MaxDmlInSetValues} values — rewrite as " +
+              "MERGE INTO (joins at scale instead of a literal set)")
+        if (rows.isEmpty) Literal.FalseLiteral
+        else In(values.head, rows.map(r => Literal.create(r.get(0), dt)).toSeq)
+      case s: SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          s"graft DML supports IN (<subquery>) conditions only; got " +
+            s"${s.getClass.getSimpleName} — rewrite as MERGE INTO")
+    }
+    toNamedColumn(materialized, relIds)
+  }
+
   private def makeDelete(r: DataSourceV2Relation, t: GraftSparkTable,
                          cond: Expression): LogicalPlan = {
     val relIds = r.output.map(_.exprId).toSet
@@ -403,7 +495,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some((a.name, scalaV(lo), scalaV(hi)))
       case _ => None
     }
-    GraftDeleteCommand(t, toNamedColumn(cond, relIds), range)
+    GraftDeleteCommand(t, toNamedColumnDeferred(cond, relIds), range)
   }
 
   private def makeUpdate(r: DataSourceV2Relation, t: GraftSparkTable,
@@ -420,11 +512,15 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // (col = col) are no-ops — skip them so untouched columns ride along
       asg.value match {
         case v: AttributeReference if relIds(v.exprId) && v.name == name => None
+        case v if v.exists(_.isInstanceOf[SubqueryExpression]) =>
+          throw new UnsupportedOperationException(
+            "graft UPDATE: subqueries in SET expressions are not supported " +
+              "— rewrite as MERGE INTO")
         case v => Some(name -> toNamedColumn(v, relIds))
       }
     }
     GraftUpdateCommand(t, sets,
-      cond.map(toNamedColumn(_, relIds)).getOrElse(lit(true)))
+      cond.map(toNamedColumnDeferred(_, relIds)).getOrElse(() => lit(true)))
   }
 
   private def makeMerge(m: MergeIntoTable): LogicalPlan = {

@@ -88,6 +88,22 @@ object GraftProcedures {
 
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
 
+  /** Split a transform list on TOP-LEVEL commas only — `bucket(4,id),day(ts)`
+    * is two transforms, the comma inside `bucket(...)` is not a separator. */
+  private[catalog] def splitTransforms(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case ch => cur += ch
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   private def state(c: GraftCatalog, table: String): graft.meta.TableState =
     graft.meta.SnapshotLog(c.dirByName(table)).load().mainOnly
 
@@ -175,6 +191,83 @@ object GraftProcedures {
         val t = str(r, 0)
         gen(c, t).fastForward(str(r, 1))
         Seq(headId(c, t))
+      }),
+
+    // partition-spec evolution from SQL (reference op #2,
+    // `IcebergTableGenerator.java:94-101`): `add`/`drop` are top-level-
+    // comma-separated transform strings — `bucket(4,source_id)` stays one
+    // transform. Later INSERTs lay out under the new spec; existing files
+    // keep theirs (the hidden-partitioning evolution contract), published
+    // by one pure-metadata snapshot like ALTER TABLE.
+    new Proc("update_spec",
+      Seq(in("table", StringType),
+        inDefault("add", StringType, "''"),
+        inDefault("drop", StringType, "''")),
+      StructType(Seq(
+        StructField("spec_id", IntegerType, nullable = false),
+        StructField("partition_spec", StringType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val g = gen(c, t)
+          .updateSpec(splitTransforms(str(r, 1)), splitTransforms(str(r, 2)))
+        g.commit() // publish the new spec version (readers resolve from head)
+        val st = state(c, t)
+        Seq(st.currentSpecId, st.partitionCols.mkString(", "))
+      }),
+
+    // branch/tag lifecycle (Iceberg's branch DDL ships as procedures too)
+    new Proc("create_branch",
+      Seq(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("fork_snapshot_id", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0); val b = str(r, 1)
+        val g = gen(c, t).createBranch(b)
+        Seq(b, g.branchForkId(b))
+      }),
+
+    new Proc("drop_branch",
+      Seq(in("table", StringType), in("branch", StringType)),
+      StructType(Seq(
+        StructField("dropped", StringType, nullable = false),
+        StructField("current_head", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0); val b = str(r, 1)
+        gen(c, t).dropBranch(b)
+        Seq(b, headId(c, t))
+      }),
+
+    new Proc("create_tag",
+      Seq(in("table", StringType), in("tag", StringType),
+        inDefault("snapshot_id", LongType, "-1")),
+      StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0); val name = str(r, 1)
+        gen(c, t).tag(name, r.getLong(2))
+        Seq(name, graft.meta.SnapshotLog(c.dirByName(t)).refs(name))
+      }),
+
+    new Proc("drop_tag",
+      Seq(in("table", StringType), in("tag", StringType)),
+      StructType(Seq(StructField("dropped", StringType, nullable = false))),
+      (c, r) => {
+        gen(c, str(r, 0)).removeTag(str(r, 1))
+        Seq(str(r, 1))
+      }),
+
+    // WAP publish: re-register an audit-branch snapshot's files onto main
+    new Proc("cherrypick_snapshot",
+      Seq(in("table", StringType), in("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("source_snapshot_id", LongType, nullable = false),
+        StructField("current_head", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        gen(c, t).cherrypick(r.getLong(1))
+        Seq(r.getLong(1), headId(c, t))
       }),
 
     // the one-call service loop: fragment compaction, DV consolidation,

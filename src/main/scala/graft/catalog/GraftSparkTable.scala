@@ -101,6 +101,28 @@ final class GraftSparkTable(
     }
   }
 
+  /** Travel-resolved OUTLINE state — the analysis-time view: schema, spec
+    * and snapshot metadata WITHOUT materializing sharded data manifests
+    * (a 10^7-file table's schema() must not parse 10^7 entries on the
+    * driver every time the analyzer touches the relation). */
+  def outlineState: graft.meta.OutlineState = {
+    val log = SnapshotLog(dir)
+    val o0 = log.loadOutline()
+    travel match {
+      case None => o0.mainOnly
+      case Some(GraftTravel.AtSnapshot(id)) => o0.mainOnly.asOf(id)
+      case Some(GraftTravel.AtTime(ms)) => o0.mainOnly.asOfTime(ms)
+      case Some(GraftTravel.AtRef(name)) =>
+        val refs = log.refs
+        if (refs.contains(s"branch:$name")) o0.onBranch(name, refs(s"branch:$name"))
+        else if (name.startsWith("branch:"))
+          o0.onBranch(name.stripPrefix("branch:"), refs(name))
+        else o0.mainOnly.asOf(refs.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unknown ref '$name' (known: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+    }
+  }
+
   /** The travel-pinned MoR read, optionally file-pruned (partition values /
     * column ranges extracted from a SQL filter by [[GraftCatalogRule]]);
     * for a metadata table ([[metaKind]]), the driver-built metadata frame
@@ -158,12 +180,10 @@ final class GraftSparkTable(
 
   /** Identity-transform partition column names of the CURRENT spec — the
     * columns SQL equality/IN filters can file-prune on. */
-  def identityPartitionCols: Seq[String] = {
-    val st = state
-    st.specs.getOrElse(st.currentSpecId, Nil)
+  def identityPartitionCols: Seq[String] =
+    outlineState.partitionCols
       .map(graft.meta.PartitionTransform.parse)
       .filter(_.isIdentity).map(_.source)
-  }
 
   /** A maintenance writer over this table (the open() surface: DataFrame
     * appends, deletes, upserts, merges — never generated-id appends). */
@@ -179,13 +199,13 @@ final class GraftSparkTable(
 
   override def schema(): StructType = metaKind match {
     case Some(kind) => metaDf(SparkSession.active, kind).schema
-    case None => state.schema.struct
+    case None => outlineState.schema.struct
   }
 
   override def partitioning(): Array[Transform] = {
     import graft.meta.PartitionTransform._
-    val st = state
-    st.specs.getOrElse(st.currentSpecId, Nil).map { s =>
+    val st = outlineState
+    st.partitionCols.map { s =>
       parse(s) match {
         case Bucket(n, src) => Expressions.bucket(n, src)
         case Day(src) => Expressions.days(src)
@@ -217,8 +237,16 @@ final class GraftSparkTable(
         s"graft MoR scan $identName (analysis-substituted)"
       override def estimateStatistics()
           : org.apache.spark.sql.connector.read.Statistics = {
-        val counts = state.dataFiles.map(_.recordCount).filter(_ >= 0)
-        val rows = counts.sum
+        // outline-driven: sharded snapshots contribute their inline group
+        // row sums — a 10^7-file table estimates from ~2.4k group stats,
+        // not 10^7 parsed entries (estimates may ignore removals/deletes;
+        // fine for a size hint)
+        val out = outlineState
+        val rows =
+          out.outlines.flatMap(_.snapshot.dataFiles)
+            .map(_.recordCount).filter(_ >= 0).sum +
+          out.outlines.flatMap(_.dataManifestStats)
+            .map(_.rows).filter(_ >= 0).sum
         val rowWidth = math.max(8L, readSchema().defaultSize.toLong)
         new org.apache.spark.sql.connector.read.Statistics {
           override def sizeInBytes(): java.util.OptionalLong =

@@ -71,18 +71,29 @@ object MediaOps {
     }(enc)
   }
 
-  /** Container-sniffing raster decode: BMP or PNG → (w, h, logical RGB). */
+  /** Container-sniffing raster decode: BMP, PNG or JPEG → (w, h, RGB). */
   private[ext] def decodeRaster(payload: Array[Byte]): (Int, Int, Array[Int]) =
     if (MediaCodecs.isPng(payload)) MediaCodecs.decodePng(payload)
+    else if (MediaCodecs.isJpeg(payload)) MediaCodecs.decodeJpeg(payload)
     else MediaCodecs.decodeBmp(payload)
+
+  /** JPEG geometry for doc `id`: 8-pixel block grid (the format's MCU
+    * quantum) — (blocksX, blocksY); dims are blocks·8. */
+  private[graft] def jpegBlocks(id: Long): (Int, Int) =
+    (((id % 6) + 1).toInt, ((id % 4) + 1).toInt)
+
+  /** Closed-form block value: block b (raster order) of doc `id` is the
+    * constant (id·37 + b·11) % 256 — the oracle re-derives channel sums as
+    * 64·Σ v since a DC-only block round-trips exactly. */
+  private[graft] def jpegBlockVal(id: Long, b: Int): Int =
+    ((id * 37 + b.toLong * 11) % 256).toInt
 
   /** The [[synthesizeFromDocs]] corpus with IMAGE rows carried as real
     * PNGs (8-bit truecolor, all five scanline filters exercised by the
-    * encoder's y%5 cycling) instead of BMPs — same closed-form pixel
-    * values, so decoded-feature oracles share the arithmetic while the
-    * payload bytes go through DEFLATE and full filter reconstruction.
-    * Audio stays WAV, video posters stay BMP (the mixed-container shape a
-    * real corpus has). */
+    * encoder's y%5 cycling) and VIDEO poster rows as real baseline JPEGs
+    * (grayscale block-constant — DC-only blocks round-trip the DCT
+    * exactly, so the lossy container still carries closed-form oracles).
+    * Audio stays WAV — the mixed-container shape a real corpus has. */
   def synthesizeMixedFromDocs(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     docs.select(col("doc_id"), col("n_chars")).mapPartitions { it =>
@@ -98,8 +109,9 @@ object MediaOps {
             val (w, h) = bmpDims(id)
             MediaCodecs.encodePng(w, h, pixel(id, _))
           case _ =>
-            val (w, h) = bmpDims(id)
-            MediaCodecs.encodeBmp(w, h, pixel(id, _))
+            val (nbx, nby) = jpegBlocks(id)
+            MediaCodecs.encodeJpegBlocks(nbx * 8, nby * 8, gray = true,
+              (bx, by, _) => jpegBlockVal(id, by * nbx + bx))
         }
         Row(id, kind, payload,
           Row(((id % 8) * 160 + 320).toInt, ((id % 8) * 90 + 180).toInt,
@@ -115,7 +127,7 @@ object MediaOps {
     * aggregate without float-order hazards. */
   private[ext] def realDecode(payload: Array[Byte], dims: Int): Array[Double] = {
     require(dims == 4, s"decoder emits 4 dims, asked for $dims")
-    if (MediaCodecs.isPng(payload) ||
+    if (MediaCodecs.isPng(payload) || MediaCodecs.isJpeg(payload) ||
         (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')) {
       val (w, h, px) = decodeRaster(payload)
       val sums = new Array[Long](3)

@@ -185,7 +185,24 @@ final case class Snapshot(
     timestampMs: Long = 0L,
     operation: String = "append",
     branch: String = "main",
-    nextRowId: Long = -1L)
+    nextRowId: Long = -1L,
+    summary: Map[String, String] = Map.empty)
+
+/** Aggregate stats of ONE sharded data manifest group, inlined in the snap
+  * file next to the group name (the Iceberg manifest-LIST entry analog:
+  * added-rows / sequence bounds / per-column envelopes without opening the
+  * manifest). What lets metadata-only COUNT/MIN/MAX answer at 10^7-file
+  * scale from the snap file alone — the group files stay unread.
+  *
+  * `rows` is -1 when any file in the group has an unknown declared count.
+  * `metrics` carries a field id ONLY when every file in the group has
+  * metrics for it; min/max are the folded envelope, nullCount the sum. */
+final case class ManifestGroupStats(
+    files: Int,
+    rows: Long,
+    minSeq: Long,
+    maxSeq: Long,
+    metrics: Map[Int, ColMetrics] = Map.empty)
 
 /** Loaded table state as of a snapshot.
   *
@@ -386,8 +403,11 @@ final class SnapshotLog(tableDir: Path) {
         n.get("specId").asInt, dfs, dels, removedData, removedDeletes,
         Option(n.get("timestampMs")).map(_.asLong).getOrElse(0L), op,
         Option(n.get("branch")).map(_.asText).getOrElse("main"),
-        Option(n.get("nextRowId")).map(_.asLong).getOrElse(-1L)),
-      dataMans)
+        Option(n.get("nextRowId")).map(_.asLong).getOrElse(-1L),
+        SnapshotLog.summaryOfNode(n)),
+      dataMans,
+      Option(n.get("dataManifestStats"))
+        .map(_.elements().asScala.map(parseGroupStats).toSeq).getOrElse(Nil))
   }
 
   /** The `nextRowId` stamp of snapshot `id` — one-file parse for
@@ -632,8 +652,10 @@ final class SnapshotLog(tableDir: Path) {
         // a local ObjectMapper per task: Jackson mappers are thread-safe
         // for read but sharing one across a pool serializes on nothing —
         // keep tasks independent
-        new ObjectMapper().readTree(Files.readString(p))
+        val vec = new ObjectMapper().readTree(Files.readString(p))
           .asInstanceOf[ArrayNode].elements().asScala.map(convert).toVector
+        SnapshotLog.driverGroupEntriesParsed.addAndGet(vec.size)
+        vec
       }
     }
     Await.result(Future.sequence(perGroup), Duration.Inf).flatten
@@ -700,6 +722,62 @@ final class SnapshotLog(tableDir: Path) {
     o
   }
 
+  /** Fold ONE manifest group's entries into its inline stats node. The
+    * metrics fold is type-aware through the snapshot's schema (numerics
+    * compare as BigDecimal); a field rides the group stats only when EVERY
+    * file in the group carries its metrics and every bound compares
+    * cleanly (NaN/Infinity renderings drop the field — sound: absence just
+    * forces the exact path). */
+  private def groupStatsNode(g: Seq[DataFileEntry], schemaV: Int): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("files", g.size)
+    o.put("rows", if (g.forall(_.recordCount >= 0)) g.map(_.recordCount).sum else -1L)
+    o.put("minSeq", g.map(_.seq).min)
+    o.put("maxSeq", g.map(_.seq).max)
+    val schemaPath = metaDir.resolve(s"schema-$schemaV.json")
+    val fields: Seq[(Int, org.apache.spark.sql.types.DataType)] =
+      if (!Files.exists(schemaPath)) Nil
+      else GraftSchema.fromJson(Files.readString(schemaPath)).fields
+        .map(f => f.id -> f.dataType)
+    val cmp = graft.read.MorReader.cmpMetric _
+    val folded: Map[Int, ColMetrics] = fields.flatMap { case (fid, dt) =>
+      val per = g.map(_.metrics.get(fid))
+      if (!per.forall(_.isDefined)) None
+      else {
+        val ms = per.flatten
+        val bounds = ms.flatMap(m => m.min.zip(m.max))
+        val nulls = ms.map(_.nullCount).sum
+        if (bounds.isEmpty) Some(fid -> ColMetrics(None, None, nulls))
+        else {
+          var ok = true
+          var mn = bounds.head._1
+          var mx = bounds.head._2
+          bounds.tail.foreach { case (lo, hi) =>
+            cmp(dt, lo, mn) match {
+              case Some(c) => if (c < 0) mn = lo
+              case None => ok = false
+            }
+            cmp(dt, hi, mx) match {
+              case Some(c) => if (c > 0) mx = hi
+              case None => ok = false
+            }
+          }
+          // self-compares reject NaN-style renderings on 1-element groups
+          if (ok && cmp(dt, mn, mn).isDefined && cmp(dt, mx, mx).isDefined)
+            Some(fid -> ColMetrics(Some(mn), Some(mx), nulls))
+          else None
+        }
+      }
+    }.toMap
+    putMetrics(o, folded)
+    o
+  }
+
+  private def parseGroupStats(n: JsonNode): ManifestGroupStats =
+    ManifestGroupStats(n.get("files").asInt, n.get("rows").asLong,
+      n.get("minSeq").asLong, n.get("maxSeq").asLong,
+      SnapshotLog.metricsOfNode(n))
+
   /** Render a snapshot. With `shard = true` (the on-disk snap files),
     * oversized file lists move into manifest-group files and only their
     * names are inlined; `shard = false` (the legacy single-file log)
@@ -713,12 +791,23 @@ final class SnapshotLog(tableDir: Path) {
     // default-omitted: main snapshots render byte-identical to pre-branch
     // logs, and legacy logs parse back as main
     if (s.branch != "main") root.put("branch", s.branch)
+    if (s.summary.nonEmpty) {
+      val sm = root.putObject("summary")
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
+    }
     val big = s.dataFiles.size + s.deleteFiles.size > SnapshotLog.shardThreshold
     if (shard && big) {
       val token = java.util.UUID.randomUUID().toString.take(8)
       val dm = root.putArray("dataManifests")
       writeManifestGroups(s.id, token, "data", s.dataFiles.map(dataFileNode))
         .foreach(dm.add)
+      // manifest-LIST stats: per-group aggregate entries (counts, seq
+      // bounds, folded column envelopes) inline in the snap file — what
+      // lets COUNT/MIN/MAX answer at 10^7-file scale without parsing the
+      // groups (Iceberg's manifest-list added-rows/bounds analog)
+      val stArr = root.putArray("dataManifestStats")
+      s.dataFiles.grouped(SnapshotLog.ManifestGroupSize)
+        .foreach(g => stArr.add(groupStatsNode(g, s.schemaV)))
       val xm = root.putArray("deleteManifests")
       writeManifestGroups(s.id, token, "delete", s.deleteFiles.map(deleteFileNode))
         .foreach(xm.add)
@@ -784,7 +873,32 @@ final class SnapshotLog(tableDir: Path) {
       n.get("specId").asInt, dfs, dels, removedData, removedDeletes,
       Option(n.get("timestampMs")).map(_.asLong).getOrElse(0L), op,
       Option(n.get("branch")).map(_.asText).getOrElse("main"),
-      Option(n.get("nextRowId")).map(_.asLong).getOrElse(-1L))
+      Option(n.get("nextRowId")).map(_.asLong).getOrElse(-1L),
+      SnapshotLog.summaryOfNode(n))
+  }
+
+  /** LIGHT parse of every committed snapshot's (id, branch, summary) —
+    * no file-list or manifest-group materialization. The streaming sink's
+    * exactly-once gate scans this per micro-batch; keeping it O(snap
+    * files) rather than O(entries) is what makes the gate free on a
+    * 10^7-file table. */
+  def summaries(): Seq[(Long, String, Map[String, String])] = {
+    val perFile = listSnapFiles().map { p =>
+      val n = mapper.readTree(Files.readString(p))
+      (n.get("id").asLong,
+        Option(n.get("branch")).map(_.asText).getOrElse("main"),
+        SnapshotLog.summaryOfNode(n))
+    }
+    val legacy =
+      if (!Files.exists(logFile)) Seq.empty
+      else Files.readAllLines(logFile).asScala.filter(_.nonEmpty).map { l =>
+        val n = mapper.readTree(l)
+        (n.get("id").asLong,
+          Option(n.get("branch")).map(_.asText).getOrElse("main"),
+          SnapshotLog.summaryOfNode(n))
+      }.toSeq
+    val ids = perFile.map(_._1).toSet
+    (legacy.filterNot(s => ids(s._1)) ++ perFile).sortBy(_._1)
   }
 }
 
@@ -800,6 +914,12 @@ object SnapshotLog {
     * [[graft.read.MorReader.ManifestGroupSize]]. */
   val ManifestGroupSize = 4096
 
+  /** Cumulative manifest-group ENTRIES materialized on the DRIVER (the
+    * eager `load()` path — outline planning reads groups inside Spark
+    * tasks through [[readDataManifestFile]] instead and must keep this
+    * flat; ShardedManifestSpec gates a zero delta at 100k files). */
+  val driverGroupEntriesParsed = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def apply(tableDir: String): SnapshotLog = new SnapshotLog(Paths.get(tableDir))
 
   // ---- static entry parsing (shared by the driver loader and the
@@ -810,6 +930,12 @@ object SnapshotLog {
     val p = n.get("partition").asInstanceOf[ObjectNode]
     p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
+
+  private[meta] def summaryOfNode(n: JsonNode): Map[String, String] =
+    Option(n.get("summary")).map { s =>
+      s.asInstanceOf[ObjectNode].properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty)
 
   private[meta] def metricsOfNode(n: JsonNode): Map[Int, ColMetrics] =
     Option(n.get("metrics")).map { m =>
@@ -847,7 +973,8 @@ object SnapshotLog {
   * delete files are always materialized — the small side). The driver's
   * footprint for a 10^7-file snapshot is the group-name list, not the
   * entries; [[graft.read.MorReader]] plans the groups inside Spark tasks. */
-final case class SnapshotOutline(snapshot: Snapshot, dataManifests: Seq[String])
+final case class SnapshotOutline(snapshot: Snapshot, dataManifests: Seq[String],
+                                 dataManifestStats: Seq[ManifestGroupStats] = Nil)
 
 /** Outline-loaded table state: schemas/specs/delete files materialized,
   * sharded data-file lists represented by manifest-group names. */
@@ -884,6 +1011,16 @@ final case class OutlineState(
 
   def currentSchemaV: Int = outlines.lastOption.map(_.snapshot.schemaV).getOrElse(0)
   def schema: GraftSchema = schemas(currentSchemaV)
+  def currentSpecId: Int = outlines.lastOption.map(_.snapshot.specId).getOrElse(0)
+  def partitionCols: Seq[String] = specs.getOrElse(currentSpecId, Nil)
+
+  /** Live delete files (removals applied) — always materialized, even on
+    * sharded outlines (deletes are the metadata-scale side). */
+  def liveDeleteFiles: Seq[DeleteFileEntry] = {
+    val removed = outlines.flatMap(_.snapshot.removedDeleteFiles).toSet
+    outlines.flatMap(_.snapshot.deleteFiles)
+      .filterNot(f => removed(f.path)).distinctBy(_.path)
+  }
 
   /** The state with `planned` standing in for ALL data files (survivors of
     * outline planning) — delete files, schemas, specs, snapshot ordering

@@ -223,6 +223,73 @@ object CatalogQueries {
       "bucket_t"
     })
 
+  /** Partition-spec evolution through SQL: identity(part) epoch →
+    * `CALL graft.system.update_spec` evolves to bucket(4,id) — epoch-1
+    * files keep their layout, epoch-2 INSERTs bucket. The read is the
+    * union across epochs (the hidden-partitioning evolution contract). */
+  private def specEvolT(spark: SparkSession): Unit =
+    built.computeIfAbsent("spec_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.spec_t (id BIGINT, part STRING, " +
+        "val BIGINT) PARTITIONED BY (part)")
+      spark.sql("INSERT INTO graft.cq.spec_t " +
+        "SELECT id, CASE WHEN id < 100 THEN 'a' ELSE 'b' END, id * 2 " +
+        "FROM range(0, 200)")
+      spark.sql("CALL graft.system.update_spec(table => 'cq.spec_t', " +
+        "add => 'bucket(4,id)', drop => 'part')")
+      spark.sql("INSERT INTO graft.cq.spec_t " +
+        "SELECT id, 'c', id * 3 FROM range(200, 300)")
+      "spec_t"
+    })
+
+  /** Branch lifecycle through CALL procedures: create_branch, API writes
+    * routed to the branch (invisible to main), fast_forward publishes. */
+  private def branchLifeT(spark: SparkSession): Unit =
+    built.computeIfAbsent("branch_t", _ => {
+      CatalogFixture.ensure(spark)
+      val g = new GraftTableGenerator(spark,
+        s"${CatalogFixture.warehouse}/cq", "branch_t")
+        .create(idVal, Nil)
+        .appendData(baseRows(spark, 100)).commit()
+      spark.sql("CALL graft.system.create_branch(" +
+        "table => 'cq.branch_t', branch => 'ingest')")
+      g.refresh().writeTo("ingest")
+        .appendData(spark.range(100, 160).toDF("id")
+          .withColumn("part", lit("x")).withColumn("val", col("id") * 2))
+        .commit()
+      // branch rows must be invisible to main until fast-forward
+      require(spark.sql("SELECT COUNT(*) AS n FROM graft.cq.branch_t")
+        .collect()(0).getLong(0) == 100L, "branch leaked into main")
+      spark.sql("CALL graft.system.fast_forward(" +
+        "table => 'cq.branch_t', branch => 'ingest')")
+      "branch_t"
+    })
+
+  /** WAP publish: audit branch write + `CALL cherrypick_snapshot` onto
+    * main; the audit branch is then dropped. */
+  private def wapPublishT(spark: SparkSession): Unit =
+    built.computeIfAbsent("wap_t", _ => {
+      CatalogFixture.ensure(spark)
+      val g = new GraftTableGenerator(spark,
+        s"${CatalogFixture.warehouse}/cq", "wap_t")
+        .create(idVal, Nil)
+        .appendData(baseRows(spark, 100)).commit()
+      spark.sql("CALL graft.system.create_branch(" +
+        "table => 'cq.wap_t', branch => 'audit')")
+      g.refresh().writeTo("audit")
+        .appendData(spark.range(500, 540).toDF("id")
+          .withColumn("part", lit("w")).withColumn("val", col("id") * 5))
+        .commit()
+      val auditHead = graft.meta.SnapshotLog(
+        s"${CatalogFixture.warehouse}/cq/wap_t").load()
+        .snapshots.filter(_.branch == "audit").last.id
+      spark.sql("CALL graft.system.cherrypick_snapshot(" +
+        s"table => 'cq.wap_t', snapshot_id => $auditHead)")
+      spark.sql("CALL graft.system.drop_branch(" +
+        "table => 'cq.wap_t', branch => 'audit')")
+      "wap_t"
+    })
+
   /** snapshot 1 = ids 0..99 (a), snapshot 2 = ids 100..199 (b). */
   private def travelT(spark: SparkSession): Unit =
     built.computeIfAbsent("travel_t", _ => {
@@ -285,6 +352,15 @@ object CatalogQueries {
       s.sql("SELECT COUNT(*) AS n FROM graft.cq.travel_t")
     }),
 
+    // manifest-answered MIN/MAX (Iceberg aggregate pushdown): per-file
+    // metric envelopes fold on the driver — zero scans (plan-gated in
+    // CatalogSpec; the delete-fallback exactness is gated there too)
+    "sql_catalog_fast_minmax" -> ((s, _) => {
+      travelT(s)
+      s.sql("SELECT MIN(id) AS mn, MAX(id) AS mx, MIN(val) AS mnv, " +
+        "MAX(val) AS mxv, COUNT(*) AS n FROM graft.cq.travel_t")
+    }),
+
     "sql_catalog_overwrite" -> ((s, _) => {
       overwriteT(s)
       s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
@@ -335,6 +411,27 @@ object CatalogQueries {
       bucketT(s)
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
         "FROM graft.cq.bucket_t WHERE id IN (42, 77, 200)")
+    }),
+
+    // partition-spec evolution via CALL update_spec: union across epochs
+    "sql_catalog_spec_evol" -> ((s, _) => {
+      specEvolT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.spec_t GROUP BY part ORDER BY part")
+    }),
+
+    // branch lifecycle via CALL create_branch/fast_forward
+    "sql_branch_lifecycle" -> ((s, _) => {
+      branchLifeT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.branch_t")
+    }),
+
+    // WAP: audit-branch write published by CALL cherrypick_snapshot
+    "sql_wap_publish" -> ((s, _) => {
+      wapPublishT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.wap_t")
     }),
 
     // Iceberg reserved metadata columns through SQL: _file / _pos /
@@ -416,6 +513,12 @@ object CatalogQueries {
     "sql_catalog_fast_count" ->
       """SELECT CAST(200 AS BIGINT) AS n""",
 
+    // travel_t: ids 0..199, val = 2·id, no deletes → exact manifest bounds
+    "sql_catalog_fast_minmax" ->
+      """SELECT CAST(0 AS BIGINT) AS mn, CAST(199 AS BIGINT) AS mx,
+        |       CAST(0 AS BIGINT) AS mnv, CAST(398 AS BIGINT) AS mxv,
+        |       CAST(200 AS BIGINT) AS n""".stripMargin,
+
     "sql_catalog_overwrite" ->
       """SELECT 'z' AS part, CAST(50 AS BIGINT) AS n,
         |       CAST(SUM(range) AS BIGINT) AS id_sum,
@@ -466,6 +569,36 @@ object CatalogQueries {
     "sql_catalog_bucket" ->
       """SELECT CAST(2 AS BIGINT) AS n, CAST(242 AS BIGINT) AS id_sum,
         |       CAST(484 AS BIGINT) AS val_sum""".stripMargin,
+
+    // epoch 1 (identity part): a = 0..99 val 2id, b = 100..199 val 2id;
+    // epoch 2 (bucket(4,id)): c = 200..299 val 3id
+    "sql_catalog_spec_evol" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(val) AS BIGINT) AS val_sum
+        |FROM (
+        |  SELECT range AS id,
+        |         CASE WHEN range < 100 THEN 'a' ELSE 'b' END AS part,
+        |         range * 2 AS val FROM range(0, 200)
+        |  UNION ALL SELECT range, 'c', range * 3 FROM range(200, 300)
+        |) GROUP BY part ORDER BY part""".stripMargin,
+
+    // base 0..99 (val 2id) + fast-forwarded branch rows 100..159 (val 2id)
+    "sql_branch_lifecycle" ->
+      """SELECT CAST(160 AS BIGINT) AS n,
+        |       CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 160)""".stripMargin,
+
+    // base 0..99 (val 2id) + cherry-picked audit rows 500..539 (val 5id)
+    "sql_wap_publish" ->
+      """SELECT CAST(140 AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(val) AS BIGINT) AS val_sum
+        |FROM (
+        |  SELECT range AS id, range * 2 AS val FROM range(0, 100)
+        |  UNION ALL SELECT range, range * 5 FROM range(500, 540)
+        |)""".stripMargin,
 
     // travel_t: 2 one-file appends of 100 rows → pos 0..99 twice,
     // 200 distinct row ids

@@ -46,6 +46,22 @@ object MediaQueries {
           sum(element_at(col("features"), 4).cast("long")).as("px_sum"))
     }),
 
+    // JPEG corpus through the full baseline path (markers, canonical
+    // Huffman, dequant, IDCT): video rows are REAL grayscale JPEGs whose
+    // 8×8 blocks are constant — DC-only blocks survive the lossy DCT
+    // exactly, so the decoded channel sums equal 64·Σ blockVal in closed
+    // form; any entropy/IDCT/marker bug breaks the hash
+    "multimodal_jpeg_decode" -> ((s, d) => {
+      val media = MediaOps.synthesizeMixedFromDocs(tbl(s, d, "documents"))
+        .where(col("kind") === "video")
+      MediaOps.decodeFeatures(media, dims = 4, batchSize = 64)
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col("features"), 1).cast("long")).as("r_sum"),
+          sum(element_at(col("features"), 2).cast("long")).as("g_sum"),
+          sum(element_at(col("features"), 3).cast("long")).as("b_sum"),
+          sum(element_at(col("features"), 4).cast("long")).as("px_sum"))
+    }),
+
     // REAL raster resize: decode BMP → 2×2 box-average (integer div) →
     // re-encode BMP → decode AGAIN for the aggregate, so the oracle's
     // closed-form resized grid checks both directions of the codec
@@ -149,6 +165,24 @@ object MediaQueries {
          |    p -> (doc_id * 31 + (3 * p + 2) * 7) % 256))) AS BIGINT) AS b_sum,
          |  CAST(SUM(w * h) AS BIGINT) AS px_sum
          |FROM m WHERE kind = 'image'""".stripMargin,
+
+    // gray block b of video doc_id is constant (id·37 + b·11) % 256 over
+    // 64 pixels; r=g=b for grayscale output
+    "multimodal_jpeg_decode" ->
+      """WITH j AS (
+        |  SELECT doc_id, doc_id % 6 + 1 AS nbx, doc_id % 4 + 1 AS nby
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |s AS (
+        |  SELECT doc_id, nbx * 8 * nby * 8 AS px,
+        |    64 * list_sum(list_transform(range(0, nbx * nby),
+        |      b -> (doc_id * 37 + b * 11) % 256)) AS csum
+        |  FROM j)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(csum) AS BIGINT) AS r_sum,
+        |  CAST(SUM(csum) AS BIGINT) AS g_sum,
+        |  CAST(SUM(csum) AS BIGINT) AS b_sum,
+        |  CAST(SUM(px) AS BIGINT) AS px_sum
+        |FROM s""".stripMargin,
 
     // every patch mean recomputed in closed form: patch d (= (gy·2+gx)·3+c)
     // of media doc_id is floor(Σ pixel((gy·ph + k÷pw)·w + gx·pw + k%pw, c)

@@ -87,6 +87,12 @@ object MorReader {
     * pathological million-vector manifest). */
   val DvBroadcastFileBound = 100000
 
+  /** Estimated DV bitmap payload (bytes — words arrays are rows/64 longs
+    * over the scoped data files) above which the forced broadcast is NOT
+    * applied: a few thousand vectors over billion-row files would blow the
+    * 8 GB BroadcastExchange limit a bare file-count bound ignores. */
+  val DvBroadcastMaxBytes: Long = 64L << 20
+
   /** Inclusive bounds (equality when `lo == hi`) over one column, rendered
     * as canonical strings — the same representation [[graft.meta.ColMetrics]]
     * stores, so file pruning compares without opening anything. */
@@ -347,19 +353,163 @@ object MorReader {
     * is a driver fold over the manifest (no applicable delete, all counts
     * declared), None when only an exact scan can answer. Never launches a
     * job or opens a file — safe to call from analysis-time rules (the SQL
-    * COUNT(*) pushdown, [[graft.catalog.GraftCatalogRule]]). */
-  def fastCountMetadataOnly(tableDir: String): Option[Long] = {
-    val st = SnapshotLog(tableDir).load().mainOnly
-    val files = st.dataFiles
-    val deleteMayApply = st.deleteFiles.exists { d =>
-      files.exists { f =>
-        deleteScopeTouches(d, f) &&
-          (if (d.kind == "eq") f.seq < d.seq else f.seq <= d.seq)
+    * COUNT(*) pushdown, [[graft.catalog.GraftCatalogRule]]). Outline-driven:
+    * a sharded 10^7-file snapshot answers from its inline manifest-group
+    * stats without materializing a single group file. */
+  def fastCountMetadataOnly(tableDir: String): Option[Long] =
+    fastAggsMetadataOnly(tableDir, Seq(MetaAgg.Count)).flatMap(_.head).map(_.toLong)
+
+  /** One ungrouped aggregate the manifest might answer without a scan. */
+  sealed trait MetaAgg
+  object MetaAgg {
+    case object Count extends MetaAgg
+    final case class MinOf(col: String) extends MetaAgg
+    final case class MaxOf(col: String) extends MetaAgg
+  }
+
+  /** Metadata-only evaluation of a set of ungrouped COUNT(*)/MIN/MAX
+    * aggregates (Iceberg's aggregate pushdown family, extended to sharded
+    * manifests). Returns `Some(values)` — per-aggregate canonical strings,
+    * `None` value = SQL NULL (MIN/MAX of an empty or all-null column) —
+    * when EVERY aggregate is answerable; outer `None` when any needs the
+    * exact scan (possible deletes, unknown counts, missing metrics,
+    * NaN-ish bounds). Count trusts declared record counts (the documented
+    * Iceberg caveat, see [[fastCount]]); MIN/MAX metrics are always
+    * computed from real file content, so that path is exact.
+    *
+    * Drives from [[SnapshotLog.loadOutline]]: non-sharded logs fold the
+    * inline entries exactly as before; sharded snapshots answer from their
+    * inline [[graft.meta.ManifestGroupStats]] with CONSERVATIVE delete
+    * checks (a delete may apply if any group's seq range could admit it —
+    * partition scopes are not consulted), falling back to the scan when a
+    * sharded snapshot predates group stats or anything was removed. */
+  def fastAggsMetadataOnly(tableDir: String, aggs: Seq[MetaAgg])
+      : Option[Seq[Option[String]]] = {
+    val out = SnapshotLog(tableDir).loadOutline().mainOnly
+    if (out.outlines.isEmpty)
+      return Some(aggs.map { case MetaAgg.Count => Some("0"); case _ => None })
+    val live = out.schema
+    if (!out.hasShardedData) {
+      val st = out.toTableState
+      val files = st.dataFiles
+      val deleteMayApply = st.deleteFiles.exists { d =>
+        files.exists { f =>
+          deleteScopeTouches(d, f) &&
+            (if (d.kind == "eq") f.seq < d.seq else f.seq <= d.seq)
+        }
+      }
+      if (deleteMayApply) return None
+      sequenceAggs(aggs.map(evalAggInline(_, files, live)))
+    } else {
+      // removals can't be attributed to unread groups — only the scan knows
+      if (out.outlines.exists(_.snapshot.removedDataFiles.nonEmpty)) return None
+      val inline = out.outlines.flatMap(_.snapshot.dataFiles)
+      val shardedOutlines = out.outlines.filter(_.dataManifests.nonEmpty)
+      // every sharded snapshot must carry aligned group stats (logs written
+      // before the field force the scan — sound, never wrong)
+      if (shardedOutlines.exists(o =>
+        o.dataManifestStats.size != o.dataManifests.size)) return None
+      val groups = shardedOutlines.flatMap(_.dataManifestStats)
+      val deletes = out.liveDeleteFiles
+      val deleteMayApply = deletes.exists { d =>
+        inline.exists { f =>
+          deleteScopeTouches(d, f) &&
+            (if (d.kind == "eq") f.seq < d.seq else f.seq <= d.seq)
+        } || groups.exists { g =>
+          if (d.kind == "eq") g.minSeq < d.seq else g.minSeq <= d.seq
+        }
+      }
+      if (deleteMayApply) return None
+      sequenceAggs(aggs.map { a =>
+        (evalAggInline(a, inline, live), evalAggGroups(a, groups, live)) match {
+          case (Some(x), Some(y)) => mergeAgg(a, x, y, live)
+          case _ => None
+        }
+      })
+    }
+  }
+
+  private def sequenceAggs(rs: Seq[Option[Option[String]]])
+      : Option[Seq[Option[String]]] =
+    if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+
+  private def aggField(a: MetaAgg, live: GraftSchema) = a match {
+    case MetaAgg.MinOf(c) => live.fields.find(_.name == c)
+    case MetaAgg.MaxOf(c) => live.fields.find(_.name == c)
+    case MetaAgg.Count => None
+  }
+
+  /** Fold canonical bounds; None when any compare is undecidable (NaN). */
+  private def foldBound(dt: DataType, vals: Seq[String], wantMin: Boolean)
+      : Option[String] = {
+    var acc = vals.head
+    // a self-compare rejects NaN-ish single values too
+    if (cmpMetric(dt, acc, acc).isEmpty) return None
+    vals.tail.foreach { v =>
+      cmpMetric(dt, v, acc) match {
+        case Some(c) => if ((wantMin && c < 0) || (!wantMin && c > 0)) acc = v
+        case None => return None
       }
     }
-    if (!deleteMayApply && files.forall(_.recordCount >= 0))
-      Some(files.map(_.recordCount).sum)
-    else None
+    Some(acc)
+  }
+
+  /** Evaluate one aggregate over INLINE entries. Outer None = scan needed;
+    * inner None = SQL NULL. Empty entry list answers count 0 / NULL. */
+  private def evalAggInline(a: MetaAgg, files: Seq[DataFileEntry],
+                            live: GraftSchema): Option[Option[String]] = a match {
+    case MetaAgg.Count =>
+      if (files.forall(_.recordCount >= 0))
+        Some(Some(files.map(_.recordCount).sum.toString))
+      else None
+    case _ =>
+      val field = aggField(a, live).getOrElse(return None)
+      val perFile = files.map(_.metrics.get(field.id))
+      if (!perFile.forall(_.isDefined)) return None
+      val bounds = perFile.flatten.flatMap(m => m.min.zip(m.max))
+      if (bounds.isEmpty) Some(None)
+      else {
+        val wantMin = a.isInstanceOf[MetaAgg.MinOf]
+        foldBound(field.dataType, bounds.map(b => if (wantMin) b._1 else b._2),
+          wantMin).map(Some(_))
+      }
+  }
+
+  /** Evaluate one aggregate over manifest-GROUP stats (sharded path). */
+  private def evalAggGroups(a: MetaAgg, groups: Seq[graft.meta.ManifestGroupStats],
+                            live: GraftSchema): Option[Option[String]] = a match {
+    case MetaAgg.Count =>
+      if (groups.forall(_.rows >= 0))
+        Some(Some(groups.map(_.rows).sum.toString))
+      else None
+    case _ =>
+      val field = aggField(a, live).getOrElse(return None)
+      val per = groups.map(_.metrics.get(field.id))
+      if (!per.forall(_.isDefined)) return None
+      val bounds = per.flatten.flatMap(m => m.min.zip(m.max))
+      if (bounds.isEmpty) Some(None)
+      else {
+        val wantMin = a.isInstanceOf[MetaAgg.MinOf]
+        foldBound(field.dataType, bounds.map(b => if (wantMin) b._1 else b._2),
+          wantMin).map(Some(_))
+      }
+  }
+
+  /** Merge the inline and group halves of one aggregate's answer. */
+  private def mergeAgg(a: MetaAgg, x: Option[String], y: Option[String],
+                       live: GraftSchema): Option[Option[String]] = a match {
+    case MetaAgg.Count =>
+      Some(Some((x.map(_.toLong).getOrElse(0L) + y.map(_.toLong).getOrElse(0L))
+        .toString))
+    case _ =>
+      val field = aggField(a, live).getOrElse(return None)
+      val wantMin = a.isInstanceOf[MetaAgg.MinOf]
+      (x, y) match {
+        case (None, r) => Some(r)
+        case (l, None) => Some(l)
+        case (Some(l), Some(r)) =>
+          foldBound(field.dataType, Seq(l, r), wantMin).map(Some(_))
+      }
   }
 
   /** Metadata-only MIN/MAX for a column (Iceberg's aggregate pushdown for
@@ -990,14 +1140,25 @@ object MorReader {
       val word = when(col("_dv_w").isNotNull && wordIdx <= size(col("_dv_w")),
         element_at(col("_dv_w"), wordIdx)).otherwise(lit(0L))
       val bitIdx = col(PosCol).bitwiseAND(lit(63L)).cast("int")
-      // EXPLICIT broadcast under a file-count bound: the build side is one
+      // EXPLICIT broadcast under a PAYLOAD bound: the build side is one
       // row per data FILE, but Spark's size-based detection reads the
       // delete files' on-disk size and can silently degrade this to a
       // SortMergeJoin that shuffles the entire fact scan on file_path —
-      // the scale-killer DVs exist to avoid. Mirrors the seqMap treatment;
-      // beyond the bound (≫ any real manifest) size-based planning decides.
+      // the scale-killer DVs exist to avoid. The real broadcast payload is
+      // the bitmap words (rows/64 longs per referenced file), so the bound
+      // estimates BYTES from the scoped data files' record counts — a
+      // file-count bound alone would happily broadcast a few thousand
+      // vectors over billion-row files past the 8 GB exchange limit.
+      // Unknown record counts estimate at the bound (never force a bad
+      // broadcast); beyond it, size-based planning decides.
+      val estDvBytes = dataFiles
+        .filter(f => dvFiles.exists(d => deleteScopeTouches(d, f)))
+        .map(f => if (f.recordCount >= 0) f.recordCount / 8 + 64
+                  else DvBroadcastMaxBytes)
+        .sum
       val dvSide =
-        if (dvFiles.size <= DvBroadcastFileBound) broadcast(dvs) else dvs
+        if (dvFiles.size <= DvBroadcastFileBound &&
+            estDvBytes < DvBroadcastMaxBytes) broadcast(dvs) else dvs
       data = data.join(dvSide, col(FilePathCol) === col("_dv_fp"), "left")
         .where(call_function("shiftright", word, bitIdx)
           .bitwiseAND(lit(1L)) === lit(0L))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
@@ -106,8 +106,9 @@ class GraftSource(spark: SparkSession, dir: String, mode: String,
   private def idOf(o: Offset): Long = o.json().trim.toLong
 
   override def getOffset: Option[Offset] = {
-    val head = SnapshotLog(dir).load().mainOnly
-      .snapshots.lastOption.map(_.id).getOrElse(0L)
+    // OUTLINE load: a head poll must not materialize sharded manifests
+    val head = SnapshotLog(dir).loadOutline().mainOnly
+      .outlines.lastOption.map(_.snapshot.id).getOrElse(0L)
     if (head == 0L) return None
     val capped0 =
       if (maxSnapshotsPerBatch <= 0L) head
@@ -149,16 +150,36 @@ class GraftSource(spark: SparkSession, dir: String, mode: String,
   override def toString: String = s"GraftSource[$dir, $mode]"
 }
 
-/** Exactly-once table sink: batch id gate + distributed bulk append. The
-  * epoch file lives in the TABLE's metadata dir (not the checkpoint), so
-  * the gate survives checkpoint relocation and guards the table itself. */
+/** Exactly-once table sink: batch id gate + distributed bulk append.
+  *
+  * The gate is a SNAPSHOT SUMMARY property (`graft.sink.batch.<queryId>`
+  * = batchId) persisted ATOMICALLY with the commit itself — there is no
+  * window where the rows landed but the gate did not (a separate epoch
+  * file had exactly that crash window, and replaying the batch would
+  * double-append). Keying by the streaming queryId keeps two concurrent
+  * queries writing the same table from eating each other's batch ids.
+  * The replay check is a LIGHT metadata scan ([[SnapshotLog.summaries]] —
+  * O(snap files), no manifest materialization). */
 class GraftSink(spark: SparkSession, dir: String) extends Sink {
 
-  private val epochFile = Paths.get(dir, "metadata", "sink-epoch.txt")
+  /** Spark sets this local property on the micro-batch execution thread
+    * (`StreamExecution.QUERY_ID_KEY`). */
+  private def queryId: String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("default")
 
-  private def lastBatch: Long =
-    if (Files.exists(epochFile)) Files.readString(epochFile).trim.toLong
-    else -1L
+  private def gateKey = s"graft.sink.batch.$queryId"
+
+  private def lastBatch: Long = {
+    val key = gateKey
+    val fromSummaries = SnapshotLog(dir).summaries()
+      .flatMap(_._3.get(key)).map(_.toLong).maxOption.getOrElse(-1L)
+    // legacy epoch file (pre-summary tables): still honored, never written
+    val legacy = Paths.get(dir, "metadata", "sink-epoch.txt")
+    val fromLegacy =
+      if (Files.exists(legacy)) Files.readString(legacy).trim.toLong else -1L
+    math.max(fromSummaries, fromLegacy)
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (batchId <= lastBatch) return // replay after restart — already landed
@@ -170,11 +191,8 @@ class GraftSink(spark: SparkSession, dir: String) extends Sink {
     val batchDf = org.apache.spark.sql.graft.GraftSqlShim.asBatch(data)
     val conformed = batchDf.selectExpr(g.liveSchema.names: _*)
     g.appendBulk(conformed, math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, 16))).commit()
-    val tmp = epochFile.resolveSibling(s"sink-epoch-$batchId.tmp")
-    Files.writeString(tmp, batchId.toString)
-    Files.move(tmp, epochFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      spark.sparkContext.defaultParallelism, 16)))
+      .commit(Map(gateKey -> batchId.toString))
   }
 
   override def name(): String = s"GraftSink[$dir]"

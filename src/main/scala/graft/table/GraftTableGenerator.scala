@@ -1459,7 +1459,13 @@ final class GraftTableGenerator(
     * process advanced the table since this generator loaded it) gets a
     * [[graft.meta.CommitConflictException]] and NOTHING here mutates —
     * the generator can reload and re-stage. */
-  def commit(): this.type = {
+  def commit(): this.type = commit(Map.empty[String, String])
+
+  /** Commit with snapshot SUMMARY properties (the Iceberg snapshot-summary
+    * map): arbitrary key→value metadata persisted atomically WITH the
+    * snapshot — e.g. the streaming sink's exactly-once batch-id gate,
+    * which must not be observable separately from the commit it guards. */
+  def commit(summary: Map[String, String]): this.type = {
     requireCreated("commit()")
     // one snapshot = one operation, derived from what was staged (Iceberg
     // operation kinds): a rewrite re-expresses existing rows ("replace");
@@ -1472,7 +1478,8 @@ final class GraftTableGenerator(
       else "append"
     log.commit(Snapshot(committedSnapId + 1, committedSeq + stagedOps, schemaV,
       specId, stagedData, stagedDeletes, stagedRemovedData, stagedRemovedDeletes,
-      timestampMs = clock(), operation = operation, branch = activeBranch))
+      timestampMs = clock(), operation = operation, branch = activeBranch,
+      summary = summary))
     committedSnapId += 1
     committedSeq += stagedOps
     stagedOps = 0; stagedData = Vector.empty; stagedDeletes = Vector.empty
@@ -1659,6 +1666,39 @@ final class GraftTableGenerator(
       promoted.lastOption.map(_.id).getOrElse(fork))
     activeBranch = "main"
     refresh()
+  }
+
+  /** Cherry-pick a committed snapshot's file changes onto the CURRENT
+    * branch head (Iceberg `cherrypick_snapshot` — the write-audit-publish
+    * publish verb): the picked snapshot's added data/delete files are
+    * re-registered as ONE new commit at the head's next sequence number.
+    * The picked snapshot itself (typically on an audit branch) is
+    * untouched — both lineages reference the same physical files, which
+    * rollback/expiry/dropBranch already handle by path reference counting.
+    * Row lineage is preserved: the files keep their assigned row ids (the
+    * id counter is global across branches, so no reuse is possible).
+    * Restrictions (same as Iceberg's): the picked snapshot must be a pure
+    * add commit — rewrites ("replace") and removal-carrying commits do not
+    * cherry-pick. */
+  def cherrypick(snapshotId: Long): this.type = {
+    requireCreated("cherrypick()")
+    require(stagedOps == 0, "commit staged work before cherrypick()")
+    val st = log.load()
+    val s = st.snapshots.find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot $snapshotId"))
+    require(s.operation != "replace" && s.removedDataFiles.isEmpty &&
+      s.removedDeleteFiles.isEmpty,
+      s"cherrypick: snapshot $snapshotId rewrites or removes files — " +
+        "only pure add commits cherry-pick")
+    val newSeq = committedSeq + 1
+    log.commit(Snapshot(committedSnapId + 1, newSeq, schemaV, specId,
+      s.dataFiles.map(_.copy(seq = newSeq)),
+      s.deleteFiles.map(_.copy(seq = newSeq)),
+      Nil, Nil, timestampMs = clock(), operation = s.operation,
+      branch = activeBranch))
+    committedSnapId += 1
+    committedSeq = newSeq
+    this
   }
 
   /** Drop a branch: remove the ref AND physically reclaim the branch's

@@ -418,4 +418,161 @@ class CatalogSpec extends SparkSpec {
     val procs = out.collect().map(_.getString(nameIdx))
     assert(procs.contains("compact") && procs.contains("expire_snapshots"))
   }
+
+  test("MIN/MAX answer from the manifest on a clean table; deletes force the scan") {
+    fresh("t_mm")
+    val df = spark.sql("SELECT min(product_id) AS mn, max(product_id) AS mx, " +
+      "count(*) AS n, min(category) AS c0, max(category) AS c1 " +
+      "FROM graft.db.t_mm")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"metadata min/max must not scan:\n$plan")
+    assert(df.collect()(0).toSeq == Seq(0, 199, 200L, "gizmo", "widget"))
+    // a live delete makes manifest bounds unsound → exact MoR fallback
+    val g2 = fresh("t_mm2")
+    g2.positionalDelete(Seq("gizmo"), col("product_id") >= 190).commit()
+    val df2 = spark.sql(
+      "SELECT min(product_id) AS mn, max(product_id) AS mx FROM graft.db.t_mm2")
+    assert(df2.queryExecution.executedPlan.toString.contains("FileScan"),
+      "min/max with applicable deletes must take the exact scan")
+    assert(df2.collect()(0).toSeq == Seq(0, 189))
+  }
+
+  test("UPDATE SET assignments are simultaneous (swap reads the original row)") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_swap")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "a" -> LongType, "b" -> LongType), Nil)
+    g.appendData(spark.range(0, 10).toDF("id")
+      .withColumn("a", col("id")).withColumn("b", col("id") * 100)).commit()
+    spark.sql("UPDATE graft.db.t_swap SET a = b, b = a WHERE id < 5")
+    val got = spark.sql("SELECT id, a, b FROM graft.db.t_swap WHERE id < 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (0L until 5L).map(i => (i, i * 100, i)).toSet,
+      s"SET a = b, b = a must swap against the ORIGINAL row, got $got")
+    // untouched rows intact
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_swap " +
+      "WHERE id >= 5 AND a = id AND b = id * 100")
+      .collect()(0).getLong(0) == 5L)
+  }
+
+  test("CALL update_spec evolves the partition layout from SQL") {
+    graft.queries.CatalogFixture.ensure(spark)
+    spark.sql("CREATE TABLE graft.db.t_spec (id BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft.db.t_spec " +
+      "SELECT id, CASE WHEN id < 50 THEN 'a' ELSE 'b' END, id FROM range(0, 100)")
+    val row = spark.sql("CALL graft.system.update_spec(" +
+      "table => 'db.t_spec', add => 'bucket(4,id)', drop => 'part')").collect()(0)
+    assert(row.getInt(0) == 1 && row.getString(1) == "bucket(4,id)",
+      s"got spec ${row.toSeq}")
+    spark.sql("INSERT INTO graft.db.t_spec SELECT id, 'c', id FROM range(100, 200)")
+    // both epochs read as one table
+    assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.t_spec")
+      .collect()(0).toSeq == Seq(200L, (0L until 200L).sum))
+    // the new epoch's point lookups bucket-prune
+    val st = SnapshotLog(s"$wh/db/t_spec").load().mainOnly
+    val epoch2 = st.dataFiles.filter(_.partition.keys.exists(_.startsWith("id_bucket")))
+    assert(epoch2.nonEmpty, s"epoch-2 files must carry bucket partitions: " +
+      s"${st.dataFiles.map(_.partition)}")
+    spark.sql("DROP TABLE graft.db.t_spec")
+  }
+
+  test("CALL create_branch / fast_forward / drop_branch lifecycle") {
+    val g = fresh("t_brl")
+    val fork = spark.sql("CALL graft.system.create_branch(" +
+      "table => 'db.t_brl', branch => 'ingest')").collect()(0)
+    assert(fork.getString(0) == "ingest" && fork.getLong(1) == 2L)
+    g.refresh().writeTo("ingest")
+      .appendData(spark.range(1000, 1050).selectExpr("CAST(id AS INT) AS product_id",
+        "'n' AS name", "'widget' AS category", "'red' AS color",
+        "DATE'2024-01-01' AS created_date", "1.0 AS weight", "2 AS quantity"))
+      .commit()
+    // invisible to main until fast-forward
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_brl")
+      .collect()(0).getLong(0) == 200L)
+    // but readable via VERSION AS OF branch name
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_brl VERSION AS OF 'ingest'")
+      .collect()(0).getLong(0) == 250L)
+    spark.sql("CALL graft.system.fast_forward(table => 'db.t_brl', " +
+      "branch => 'ingest')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_brl")
+      .collect()(0).getLong(0) == 250L)
+    val dropped = spark.sql("CALL graft.system.drop_branch(" +
+      "table => 'db.t_brl', branch => 'ingest')").collect()(0)
+    assert(dropped.getString(0) == "ingest")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_brl")
+      .collect()(0).getLong(0) == 250L, "fast-forwarded rows survive the drop")
+  }
+
+  test("CALL create_tag / drop_tag; cherrypick publishes an audit snapshot") {
+    val g = fresh("t_wap")
+    val tag = spark.sql("CALL graft.system.create_tag(" +
+      "table => 'db.t_wap', tag => 'v1', snapshot_id => 1)").collect()(0)
+    assert(tag.getString(0) == "v1" && tag.getLong(1) == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_wap VERSION AS OF 'v1'")
+      .collect()(0).getLong(0) == 100L)
+    // WAP: write to an audit branch, cherry-pick onto main, drop the branch
+    spark.sql("CALL graft.system.create_branch(" +
+      "table => 'db.t_wap', branch => 'audit')")
+    g.refresh().writeTo("audit")
+      .appendData(spark.range(5000, 5020).selectExpr("CAST(id AS INT) AS product_id",
+        "'n' AS name", "'gizmo' AS category", "'blue' AS color",
+        "DATE'2024-01-02' AS created_date", "2.0 AS weight", "3 AS quantity"))
+      .commit()
+    val auditHead = SnapshotLog(g.tableDir.toString).load()
+      .snapshots.filter(_.branch == "audit").last.id
+    val pick = spark.sql("CALL graft.system.cherrypick_snapshot(" +
+      s"table => 'db.t_wap', snapshot_id => $auditHead)").collect()(0)
+    assert(pick.getLong(0) == auditHead)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_wap")
+      .collect()(0).getLong(0) == 220L, "cherry-picked rows visible on main")
+    spark.sql("CALL graft.system.drop_branch(" +
+      "table => 'db.t_wap', branch => 'audit')")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_wap WHERE product_id >= 5000")
+      .collect()(0).getLong(0) == 20L,
+      "published files survive dropping the audit branch")
+    spark.sql("CALL graft.system.drop_tag(table => 'db.t_wap', tag => 'v1')")
+    val err = intercept[Exception] {
+      spark.sql("SELECT count(*) AS n FROM graft.db.t_wap VERSION AS OF 'v1'")
+        .collect()
+    }
+    assert(err.getMessage.contains("unknown ref") ||
+      Option(err.getCause).exists(_.getMessage.contains("unknown ref")))
+  }
+
+  test("DELETE with IN (<subquery>) materializes a bounded set; other shapes fail loudly") {
+    val g = fresh("t_subq")
+    spark.range(0, 200).selectExpr("CAST(id AS INT) AS pid")
+      .createOrReplaceTempView("subq_doomed")
+    spark.sql("DELETE FROM graft.db.t_subq WHERE product_id IN " +
+      "(SELECT pid FROM subq_doomed WHERE pid % 10 = 0)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
+      .collect()(0).getLong(0) == 180L)
+    assert(MorReader.read(spark, g.tableDir.toString)
+      .where(col("product_id") % 10 === 0).count() == 0L)
+    // the subquery may itself read a graft table
+    fresh("t_subq_src")
+    spark.sql("DELETE FROM graft.db.t_subq WHERE product_id IN " +
+      "(SELECT product_id FROM graft.db.t_subq_src WHERE product_id < 5)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
+      .collect()(0).getLong(0) == 176L) // 1..4 live (0 already gone)
+    // unsupported shapes: the GRAFT error, not a Spark internal
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.t_subq WHERE EXISTS " +
+        "(SELECT 1 FROM subq_doomed WHERE pid = product_id)")
+    }
+    assert(e1.getMessage.contains("graft DML") ||
+      Option(e1.getCause).exists(_.getMessage.contains("graft DML")),
+      s"want the graft error, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graft.db.t_subq SET quantity = " +
+        "(SELECT max(pid) FROM subq_doomed) WHERE product_id = 11")
+    }
+    assert(e2.getMessage.contains("graft UPDATE") ||
+      Option(e2.getCause).exists(_.getMessage.contains("graft UPDATE")),
+      s"want the graft error, got: ${e2.getMessage}")
+  }
 }

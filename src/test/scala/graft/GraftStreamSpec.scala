@@ -108,4 +108,23 @@ class GraftStreamSpec extends SparkSpec {
       assert(MorReader.read(spark, s"$wh/repl_dst").count() == 170L)
     } finally sq.stop()
   }
+
+  test("sink gate is atomic with the commit: a replayed batch never double-appends") {
+    val wh = Files.createTempDirectory("graft-sink-gate").toString
+    new GraftTableGenerator(spark, wh, "gate_t").create(idVal, Nil)
+    val sink = new graft.streaming.GraftSink(spark, s"$wh/gate_t")
+    sink.addBatch(0, rows(0, 50))
+    // a crash AFTER the commit but before any separate gate write replays
+    // the batch on restart — the batch id rode the snapshot summary, so
+    // the replay is recognized no matter where the crash fell
+    sink.addBatch(0, rows(0, 50))
+    assert(MorReader.read(spark, s"$wh/gate_t").count() == 50L,
+      "replayed batch must be skipped (no duplicate append)")
+    sink.addBatch(1, rows(50, 80))
+    assert(MorReader.read(spark, s"$wh/gate_t").count() == 80L)
+    // the gate lives in the snapshot summaries, keyed by query id
+    val gates = graft.meta.SnapshotLog(s"$wh/gate_t").summaries()
+      .flatMap(_._3.get("graft.sink.batch.default"))
+    assert(gates.toSet == Set("0", "1"))
+  }
 }

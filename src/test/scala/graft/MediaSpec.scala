@@ -203,4 +203,109 @@ class MediaSpec extends SparkSpec {
       .select(col("payload")).limit(1).collect()
     assert(graft.ext.MediaCodecs.isPng(kinds(0).getAs[Array[Byte]](0)))
   }
+
+  test("JPEG: grayscale block-constant images round-trip exactly") {
+    import graft.ext.MediaCodecs
+    val nbx = 5; val nby = 3
+    def bv(bx: Int, by: Int): Int = (7 + (by * nbx + bx) * 31) % 256
+    val bytes = MediaCodecs.encodeJpegBlocks(nbx * 8, nby * 8, gray = true,
+      (bx, by, _) => bv(bx, by))
+    assert(MediaCodecs.isJpeg(bytes))
+    val (w, h, px) = MediaCodecs.decodeJpeg(bytes)
+    assert((w, h) == (40, 24))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val want = bv(x / 8, y / 8)
+      val got = px((y * w + x) * 3 + c)
+      assert(got == want, s"pixel ($x,$y,$c): got $got want $want")
+    }
+  }
+
+  test("JPEG: 4:2:0 color with flat macroblocks — upsampling + YCbCr exact") {
+    import graft.ext.MediaCodecs
+    // component values chosen mid-range so the BT.601 conversion is exact
+    // and unclamped; each chroma block spans a 16x16 macroblock
+    def comp(mx: Int, my: Int, c: Int): Int = c match {
+      case 0 => 120 + mx * 3 + my * 5 // luma varies per 8x8 block
+      case 1 => 118 + (mx % 3) * 4    // Cb per macroblock
+      case _ => 132 + (my % 3) * 4    // Cr per macroblock
+    }
+    val bytes = MediaCodecs.encodeJpegBlocks(32, 32, gray = false, comp)
+    val (w, h, px) = MediaCodecs.decodeJpeg(bytes)
+    assert((w, h) == (32, 32))
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    for (y <- 0 until h by 3; x <- 0 until w by 5) {
+      val yv = comp(x / 8, y / 8, 0)
+      val cb = comp(x / 16, y / 16, 1) - 128
+      val cr = comp(x / 16, y / 16, 2) - 128
+      val want = Seq(
+        clamp(yv + ((91881 * cr + 32768) >> 16)),
+        clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+        clamp(yv + ((116130 * cb + 32768) >> 16)))
+      val got = (0 until 3).map(c => px((y * w + x) * 3 + c))
+      assert(got == want, s"pixel ($x,$y): got $got want $want")
+    }
+  }
+
+  test("JPEG: hand-built AC spectra exercise run-length, ZRL, zigzag and IDCT") {
+    import graft.ext.MediaCodecs
+    // one AC coefficient at zig-zag index 1 (u=1, v=0): the decoded row
+    // pattern is the textbook half-cosine, computed here independently
+    val zz = new Array[Int](64)
+    zz(0) = 0; zz(1) = 200
+    val (w, h, px) = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegCoeffBlock8x8(zz))
+    assert((w, h) == (8, 8))
+    for (x <- 0 until 8) {
+      val s = 0.25 * (1.0 / math.sqrt(2)) * 200 *
+        math.cos((2 * x + 1) * math.Pi / 16) * math.sqrt(2)
+      // direct formula: s(x) = 1/4 * C(v=0)=1/√2 * C(u=1)=1 * S * cos(..)
+      val want = math.max(0, math.min(255, math.round(
+        0.25 * (1.0 / math.sqrt(2)) * 200 * math.cos((2 * x + 1) * math.Pi / 16))
+        .toInt + 128))
+      assert(px(x * 3) == want, s"x=$x got ${px(x * 3)} want $want (s=$s)")
+      // row-constant down the block (v = 0)
+      for (y <- 1 until 8) assert(px((y * 8 + x) * 3) == px(x * 3))
+    }
+    // a sparse high-frequency spectrum with a >16 zero run forces ZRL;
+    // round-trip through decode must place it at the right natural index
+    val zz2 = new Array[Int](64)
+    zz2(0) = 8 // DC = 1 after /8
+    zz2(40) = 64
+    val (_, _, px2) = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegCoeffBlock8x8(zz2))
+    // zig-zag index 40 is natural index 29 (row 3, col 5) → u=5, v=3 —
+    // check every pixel against the direct 2-D formula
+    def direct(x: Int, y: Int): Int = {
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val nat = v * 8 + u
+        val coef = if (nat == 0) 8.0 else if (nat == 29) 64.0 else 0.0
+        if (coef != 0.0) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          s += 0.25 * cu * cv * coef *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        }
+      }
+      math.max(0, math.min(255, math.round(s).toInt + 128))
+    }
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(px2((y * 8 + x) * 3) == direct(x, y),
+        s"($x,$y): got ${px2((y * 8 + x) * 3)} want ${direct(x, y)}")
+  }
+
+  test("JPEG: restart markers and multi-MCU grayscale via the mixed corpus path") {
+    import graft.ext.MediaCodecs
+    // the corpus synthesizer's shape: verify a larger grid decodes per-block
+    val nbx = 6; val nby = 4; val id = 47L
+    val bytes = MediaCodecs.encodeJpegBlocks(nbx * 8, nby * 8, gray = true,
+      (bx, by, _) => graft.ext.MediaOps.jpegBlockVal(id, by * nbx + bx))
+    val (w, h, px) = MediaCodecs.decodeJpeg(bytes)
+    var rSum = 0L
+    var i = 0
+    while (i < px.length) { if (i % 3 == 0) rSum += px(i); i += 1 }
+    val want = (0 until nbx * nby).map(b =>
+      64L * graft.ext.MediaOps.jpegBlockVal(id, b)).sum
+    assert(rSum == want, s"channel sum $rSum != closed-form $want")
+    assert((w, h) == (48, 32))
+  }
 }

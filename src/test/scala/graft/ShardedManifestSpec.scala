@@ -148,6 +148,70 @@ class ShardedManifestSpec extends SparkSpec {
     } finally sys.props.remove("graft.shard.threshold")
   }
 
+  test("100k-file outline planning: zero driver-side group materialization, exact selection") {
+    import graft.read.MorReader
+    val (log, _) = freshLog()
+    log.commit(Snapshot(1L, 1L, 1, 0, (0 until 100000).map(entry), Nil,
+      Nil, Nil, 1000L, "append"))
+    val o = log.loadOutline().mainOnly
+    assert(o.hasShardedData)
+    assert(o.outlines.head.dataManifests.size == 25) // ceil(100000/4096)
+    assert(o.outlines.head.snapshot.dataFiles.isEmpty)
+    val live = o.schema
+    val before = SnapshotLog.driverGroupEntriesParsed.get()
+    val t0 = System.nanoTime()
+    val planned = MorReader.planDataFilesOutline(spark, o, live,
+      Map("p" -> Set("7")),
+      Map("v" -> MorReader.ColRange(Some("30000"), Some("49999"))))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(SnapshotLog.driverGroupEntriesParsed.get() == before,
+      "outline planning must not materialize group entries on the driver")
+    val expected = (0 until 100000).filter(i =>
+      i % 10 == 7 && i + 1 >= 30000 && i <= 49999)
+    assert(planned.map(_.path) == expected.map(i => f"/wh/t/data/f$i%06d.parquet"))
+    info(f"100k-file outline plan: $ms%.0f ms wall, ${planned.size} files selected")
+    // sanity: the counter DOES count when the eager path materializes
+    val eagerBefore = SnapshotLog.driverGroupEntriesParsed.get()
+    log.load()
+    assert(SnapshotLog.driverGroupEntriesParsed.get() - eagerBefore == 100000L,
+      "eager load must register its driver materialization")
+  }
+
+  test("manifest-group stats answer COUNT/MIN/MAX on a sharded table, metadata-only") {
+    import org.apache.spark.sql.functions._
+    import graft.read.MorReader
+    import graft.read.MorReader.MetaAgg
+    sys.props("graft.shard.threshold") = "4"
+    try {
+      val wh = Files.createTempDirectory("shard-agg").toString
+      val g = new graft.table.GraftTableGenerator(spark, wh, "t")
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> org.apache.spark.sql.types.LongType,
+        "part" -> org.apache.spark.sql.types.StringType), Seq("part"))
+      g.appendData(spark.range(0, 600).toDF("id")
+        .withColumn("part", concat(lit("p"), (col("id") % 6).cast("string"))))
+        .commit()
+      val dir = g.tableDir.toString
+      val out = SnapshotLog(dir).loadOutline().mainOnly
+      assert(out.hasShardedData, "precondition: the commit must have sharded")
+      val o = out.outlines.head
+      assert(o.dataManifestStats.size == o.dataManifests.size &&
+        o.dataManifestStats.nonEmpty,
+        "sharded snap must carry aligned inline group stats")
+      assert(o.dataManifestStats.map(_.rows).sum == 600L)
+      // the aggregates answer from the snap file's group stats — the group
+      // files themselves stay unread (snapshot.dataFiles is empty)
+      assert(o.snapshot.dataFiles.isEmpty)
+      val res = MorReader.fastAggsMetadataOnly(dir,
+        Seq(MetaAgg.Count, MetaAgg.MinOf("id"), MetaAgg.MaxOf("id")))
+      assert(res == Some(Seq(Some("600"), Some("0"), Some("599"))), s"got $res")
+      // a live delete defeats the conservative sharded check → scan path
+      g.positionalDelete(col("id") < 60).commit()
+      assert(MorReader.fastAggsMetadataOnly(dir, Seq(MetaAgg.Count)).isEmpty,
+        "sharded fast aggs must refuse once a delete may apply")
+    } finally sys.props.remove("graft.shard.threshold")
+  }
+
   test("sharded state plans through the distributed path with correct selection") {
     val (log, _) = freshLog()
     log.commit(Snapshot(1L, 1L, 1, 0, (0 until 20000).map(entry), Nil,

@@ -126,6 +126,15 @@ class SqlFuzzSpec extends SparkSpec {
       val n = spark.sql(s"SELECT COUNT(*) AS n FROM $qname")
         .collect()(0).getLong(0)
       assert(n == live.size, s"seed=$seed step=$step: COUNT(*)=$n model=${live.size}")
+      // SQL MIN/MAX must agree whichever path they take (manifest envelope
+      // fold or exact scan) — the aggregate-pushdown twin of the COUNT gate
+      val mm = spark.sql(s"SELECT MIN(order_id) AS mn, MAX(order_id) AS mx " +
+        s"FROM $qname").collect()(0)
+      if (live.isEmpty) assert(mm.isNullAt(0) && mm.isNullAt(1),
+        s"seed=$seed step=$step: MIN/MAX of empty table must be NULL")
+      else assert(mm.getInt(0).toLong == live.min && mm.getInt(1).toLong == live.max,
+        s"seed=$seed step=$step: MIN/MAX=(${mm.get(0)},${mm.get(1)}) " +
+          s"model=(${live.min},${live.max})")
       // defaulted columns read their default everywhere (pre-add rows
       // included) — a per-column aggregate catches projection misses
       extraCols.foreach { case (c, dv) =>
