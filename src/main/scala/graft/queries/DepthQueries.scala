@@ -556,6 +556,198 @@ object DepthQueries {
         .orderBy("l_linestatus")
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier): this schema has no partsupp,
+    // so the supply relation derives from observed trade — per (part,
+    // supplier) the minimum unit price ever charged (identical-operand
+    // single division, exact under the cents rounding). The correlated
+    // MIN-cost subquery decorrelates into a per-part aggregate joined back
+    // on equality; region-filtered suppliers broadcast (dim-side pushdown
+    // BEFORE the fact shuffle — at 100 TB the supply aggregate shuffles
+    // once on (part, supp) and the min-join reuses the partkey exchange).
+    "tpch_q2" -> ((s, d) => {
+      val asiaSupp = tbl(s, d, "supplier")
+        .join(broadcast(tbl(s, d, "nation")
+            .join(tbl(s, d, "region").where(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          cents(col("s_acctbal")).as("acctbal_cents"))
+      val supply = tbl(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") / col("l_quantity")).as("unit_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("unit_c").as("cost_c"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      val minCost = supply.groupBy(col("l_partkey").as("mc_key"))
+        .agg(min("cost_c").as("min_cost_c"))
+      supply
+        .join(minCost, col("l_partkey") === col("mc_key") &&
+          col("cost_c") === col("min_cost_c"))
+        .join(broadcast(tbl(s, d, "part")
+            .where(col("p_size").between(10, 30) && col("p_type") === "LARGE")
+            .select("p_partkey", "p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost_c"))
+        .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape (important stock): supply value per part among one
+    // region's suppliers, kept when it exceeds 0.8% of the region total.
+    // The global threshold folds in as a broadcast ONE-ROW aggregate
+    // (never a fact-fact shuffle) and the comparison stays in exact
+    // integers (value·125 > total — no fraction materialized).
+    "tpch_q11" -> ((s, d) => {
+      val asiaSupp = tbl(s, d, "supplier")
+        .join(broadcast(tbl(s, d, "nation")
+            .join(tbl(s, d, "region").where(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = tbl(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice")).as("v_c"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum("v_c").as("value_cents"))
+      vals.crossJoin(broadcast(vals.agg(sum("value_cents").as("total_c"))))
+        .where(col("value_cents") * 125 > col("total_c"))
+        .select("l_partkey", "value_cents")
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    // argmax row(s). The max is a one-row broadcast folded back by
+    // equality — the classic "view + scalar subquery" without a second
+    // scan of the fact (revenue aggregates once, reused for both sides).
+    "tpch_q15" -> ((s, d) => {
+      val rev = tbl(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_rev_cents"))
+      rev.crossJoin(broadcast(rev.agg(max("total_rev_cents").as("max_rev"))))
+        .where(col("total_rev_cents") === col("max_rev"))
+        .join(broadcast(tbl(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct observed
+    // (part, supplier) pairs stand in for partsupp; suppliers below the
+    // account-balance floor are the "complaints" exclusion, applied as an
+    // ANTI join of a broadcast dim before the distinct-count shuffle.
+    "tpch_q16" -> ((s, d) => {
+      tbl(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(tbl(s, d, "supplier")
+            .where(col("s_acctbal") < 1000).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(tbl(s, d, "part")
+            .where(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q19 (discounted revenue): the OR-of-conjuncts pushdown case.
+    // The part-side disjunction (brand, size band) prunes the broadcast
+    // dim BEFORE the join; the per-branch quantity band applies as the
+    // join residual — the fact scan still sees the pushed quantity
+    // envelope (l_quantity <= 30) so no branch widens the scan.
+    "tpch_q19" -> ((s, d) => {
+      val parts = tbl(s, d, "part")
+        .where((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+               (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+               (col("p_brand") === "Brand#7") && col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand")
+      tbl(s, d, "lineitem")
+        .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_c"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey") &&
+          ((col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+           (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+           (col("p_brand") === "Brand#7" && col("l_quantity").between(20, 30))))
+        .agg(sum("rev_c").as("revenue_cents"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): suppliers holding
+    // capacity well above one year's demand for name-matched parts. The
+    // availability stand-in is all-time supplied quantity per (part,
+    // supp); "excess" = available > 7× the 1996 shipment. Both aggregates
+    // share the (part, supp) exchange; the supplier list resolves via one
+    // SEMI join (never duplicating suppliers across qualifying parts).
+    "tpch_q20" -> ((s, d) => {
+      val widgetKeys = tbl(s, d, "part")
+        .where(col("p_name").contains("widget")).select("p_partkey")
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"), col("l_shipdate"))
+        .join(broadcast(widgetKeys), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+      val pairAgg = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qty").as("avail_qty"),
+          sum(when(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                   col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+            col("qty")).otherwise(0L)).as("qty96"))
+        .where(col("qty96") > 0 && col("avail_qty") > col("qty96") * 7)
+      tbl(s, d, "supplier")
+        .join(pairAgg.select("l_suppkey").distinct(),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), cents(col("s_acctbal")).as("acctbal_cents"))
+        .orderBy("s_name")
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting): the multi anti/semi
+    // self-join stressor. "Late" adapts to shipped >60 days after the
+    // order date (no receipt/commit columns here). The late set computes
+    // ONCE and serves both the probe side and the NOT-EXISTS side; the
+    // EXISTS side is the raw (order, supp) projection — both resolve as
+    // broadcast-able semi/anti joins keyed on the order, so the fact
+    // never self-shuffles twice at scale.
+    "tpch_q21" -> ((s, d) => {
+      val ordersF = tbl(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val lateLi = tbl(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val allLi = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
+      val lateOther = lateLi
+        .select(col("l_orderkey").as("x_ok"), col("l_suppkey").as("x_sk"))
+      val asiaSupp = tbl(s, d, "supplier")
+        .join(broadcast(tbl(s, d, "nation")
+            .join(tbl(s, d, "region").where(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      lateLi
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(allLi, col("a_ok") === col("l_orderkey") &&
+          col("a_sk") =!= col("l_suppkey"), "left_semi")
+        .join(lateOther, col("x_ok") === col("l_orderkey") &&
+          col("x_sk") =!= col("l_suppkey"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // per-group weighted reservoir (A-Res per language, k=5): the same
     // deterministic ln(u)/w ranking as sample_weighted, but ranked inside
     // each group through Ops.topKPerGroup's two-level decomposition — no
@@ -986,6 +1178,116 @@ object DepthQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "tpch_q2" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT))
+        |           AS cost_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |asia AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |         CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |sup AS (SELECT * FROM supply JOIN asia ON l_suppkey = s_suppkey)
+        |SELECT acctbal_cents, s_name, n_name, p_partkey, p_name, cost_c
+        |FROM sup
+        |JOIN (SELECT l_partkey AS mk, MIN(cost_c) AS mc FROM sup GROUP BY 1) m
+        |  ON l_partkey = mk AND cost_c = mc
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 10 AND 30 AND p_type = 'LARGE'
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "tpch_q11" ->
+      """WITH vals AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM vals
+        |WHERE value_cents * 125 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM vals)
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                  AS BIGINT)) AS BIGINT) AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+        |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q20" ->
+      """WITH widget AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+        |pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS avail_qty,
+        |         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                        AND l_shipdate < TIMESTAMP '1997-01-01'
+        |                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS qty96
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM widget)
+        |  GROUP BY 1, 2)
+        |SELECT s_name, CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM pair
+        |                    WHERE qty96 > 0 AND avail_qty > qty96 * 7)
+        |ORDER BY s_name""".stripMargin,
+
+    "tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "sample_reservoir_group" ->
       """SELECT lang, doc_id, n_chars,
