@@ -367,6 +367,67 @@ class PlanSpec extends SparkSpec {
       s"the scalar average must broadcast, never shuffle customers against it:\n$p")
   }
 
+  test("tpch_q2: supply aggregates partially; dims broadcast; min-cost join off cartesian") {
+    val p = plan("tpch_q2")
+    assert(p.contains("partial_min"), s"per-pair min must map-side combine:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"region-filtered supplier and part dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT must plan as top-k:\n$p")
+  }
+
+  test("tpch_q11: the global threshold is a one-row broadcast, never a fact shuffle") {
+    val p = plan("tpch_q11")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the total must broadcast onto the per-part values:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("tpch_q15: one fact aggregation, argmax folds back by broadcast equality") {
+    val p = plan("tpch_q15")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the quarter slice must reach the scan:\n$p")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q16: complaint suppliers anti-join broadcast; distinct count partials") {
+    val p = plan("tpch_q16")
+    assert(p.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"the exclusion dim must broadcast as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("tpch_q19: OR-of-conjuncts — quantity envelope pushed; part dim broadcast") {
+    val p = plan("tpch_q19")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_quantity"),
+      s"the quantity envelope must reach the lineitem scan: $pushed")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("p_partkey")),
+      s"the disjunction-pruned part dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q20: both nested IN sets plan as semi joins, no supplier duplication") {
+    val p = plan("tpch_q20")
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"widget-part and qualifying-supplier sets must both semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("tpch_q21: EXISTS semi + NOT-EXISTS anti on the order key; no self cartesian") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT must plan as top-k:\n$p")
+  }
+
   test("graph_triangles: wedge + closing-edge probes are hash joins, never nested loop") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
