@@ -207,17 +207,81 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // driver metadata fold (outline-driven — sharded manifests answer from
     // inline group stats), so running it at analysis time is free; any
     // state needing the exact scan falls through to the MoR plan.
-    case agg @ Aggregate(groupings, aggExprs, GraftRel(r, t), _)
-        if groupings.isEmpty && agg.resolved && t.travel.isEmpty &&
-          t.metaKind.isEmpty && metaAggsOf(aggExprs, r).isDefined =>
-      val reqs = metaAggsOf(aggExprs, r).get
-      MorReader.fastAggsMetadataOnly(t.dir, reqs) match {
-        case Some(vals) =>
-          metaAggRow(agg.output, reqs, vals) match {
-            case Some(row) => LocalRelation(agg.output, Seq(row))
-            case None => agg.mapChildren(rewriteChild)
+    // The same family GROUPED by identity partition columns (`SELECT day,
+    // count(*) … GROUP BY day`) answers one row PER LIVE PARTITION, and a
+    // partition-EXACT WHERE (conjunctions of =/IN on identity partition
+    // columns, same-typed literals) drops whole files residue-free first
+    // (`SELECT count(*) … WHERE day = '2024-06-01'` — the everyday
+    // partition probe). Anything else falls through to the MoR plan.
+    case agg @ Aggregate(groupings, aggExprs, aggChild, _)
+        if agg.resolved && fastAggTarget(aggChild).exists { case (_, t, _) =>
+          t.travel.isEmpty && t.metaKind.isEmpty } =>
+      val (r, t, condOpt) = fastAggTarget(aggChild).get
+      val peqOpt: Option[Map[String, Set[String]]] = condOpt match {
+        case None => Some(Map.empty)
+        case Some(c) => partitionExactFilter(c, r)
+      }
+      val fast: Option[LogicalPlan] = peqOpt.flatMap { peq =>
+        if (groupings.isEmpty && metaAggsOf(aggExprs, r).isDefined) {
+          val reqs = metaAggsOf(aggExprs, r).get
+          MorReader.fastAggsMetadataOnly(t.dir, reqs, peq).flatMap(vals =>
+            metaAggRow(agg.output, reqs, vals).map(row =>
+              LocalRelation(agg.output, Seq(row))))
+        } else if (groupings.nonEmpty &&
+            groupedMetaShape(groupings, aggExprs, r).isDefined) {
+          val (groupCols, cells, reqs) = groupedMetaShape(groupings, aggExprs, r).get
+          MorReader.fastGroupedAggsMetadataOnly(t.dir, groupCols, reqs, peq)
+            .flatMap { rows =>
+              val built = rows.map { case (gvals, avals) =>
+                val cellVals = agg.output.zip(cells).map {
+                  case (a, scala.util.Left(gi)) => castStat(a, gvals(gi))
+                  case (a, scala.util.Right(ai)) => avals(ai) match {
+                    case None => Some(null) // MIN/MAX over all-null partition
+                    case Some(s) => reqs(ai) match {
+                      case MorReader.MetaAgg.Count | MorReader.MetaAgg.CountCol(_) =>
+                        Some(s.toLong)
+                      case _ => castStat(a, s)
+                    }
+                  }
+                }
+                if (cellVals.exists(_.isEmpty)) None
+                else Some(InternalRow.fromSeq(cellVals.map(_.get)))
+              }
+              if (built.exists(_.isEmpty)) None
+              else Some(LocalRelation(agg.output, built.map(_.get)))
+            }
+        } else None
+      }
+      fast.getOrElse(agg.mapChildren(rewriteChild))
+    // SELECT DISTINCT <partition cols> is still a Distinct node at
+    // analysis time (the optimizer's rewrite to Aggregate runs later) —
+    // answer it as the zero-aggregate grouped shape: the live partition
+    // tuples straight off the manifest.
+    case dst @ Distinct(proj @ Project(projList, GraftRel(r, t)))
+        if dst.resolved && t.travel.isEmpty && t.metaKind.isEmpty &&
+          groupedMetaShape(projList.collect {
+            case a: AttributeReference => a
+            case Alias(a: AttributeReference, _) => a
+          }, Nil, r).isDefined && projList.forall {
+            case _: AttributeReference | Alias(_: AttributeReference, _) => true
+            case _ => false
+          } =>
+      val attrs = projList.collect {
+        case a: AttributeReference => a
+        case Alias(a: AttributeReference, _) => a
+      }
+      MorReader.fastGroupedAggsMetadataOnly(t.dir, attrs.map(_.name), Nil) match {
+        case Some(rows) =>
+          val built = rows.map { case (gvals, _) =>
+            val cellVals = dst.output.zip(gvals).map {
+              case (a, s) => castStat(a, s)
+            }
+            if (cellVals.exists(_.isEmpty)) None
+            else Some(InternalRow.fromSeq(cellVals.map(_.get)))
           }
-        case None => agg.mapChildren(rewriteChild)
+          if (built.exists(_.isEmpty)) dst.mapChildren(rewriteChild)
+          else LocalRelation(dst.output, built.map(_.get))
+        case None => dst.mapChildren(rewriteChild)
       }
     case d @ DeleteFromTable(GraftRel(r, t), cond) =>
       if (d.resolved) makeDelete(r, t, cond) else d
@@ -258,6 +322,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(_: Literal)) => Some(MorReader.MetaAgg.Count)
+          case Count(Seq(a: AttributeReference)) if relIds(a.exprId) =>
+            Some(MorReader.MetaAgg.CountCol(a.name))
           case Min(a: AttributeReference)
               if relIds(a.exprId) && okType(a.dataType) =>
             Some(MorReader.MetaAgg.MinOf(a.name))
@@ -271,6 +337,128 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (reqs.nonEmpty && reqs.forall(_.isDefined)) Some(reqs.map(_.get)) else None
   }
 
+  /** The manifest-answerable shape of a GROUPED aggregate: every grouping
+    * a bare relation column of a string-round-trippable type (identity
+    * partition candidates — whether the files really are identity-
+    * partitioned on them is checked against the manifest, per file, by
+    * fastGroupedAggsMetadataOnly), every output either one of those
+    * grouping columns or a COUNT/COUNT(col)/MIN/MAX. Returns (grouping
+    * column names, per-output cell source Left(groupingIdx) /
+    * Right(aggIdx), the agg requests). Also the `SELECT DISTINCT day`
+    * shape — groupings with no aggregates at all. */
+  private def groupedMetaShape(groupings: Seq[Expression],
+                               exprs: Seq[NamedExpression],
+                               r: DataSourceV2Relation)
+      : Option[(Seq[String], Seq[Either[Int, Int]], Seq[MorReader.MetaAgg])] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.types._
+    val relIds = r.output.map(_.exprId).toSet
+    def okGroupType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           DateType | BooleanType => true
+      case _ => false
+    }
+    def okAggType(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+      case _ => false
+    }
+    val gAttrs = groupings.map {
+      case a: AttributeReference if relIds(a.exprId) && okGroupType(a.dataType) => a
+      case _ => return None
+    }
+    val aggsBuf = scala.collection.mutable.ArrayBuffer.empty[MorReader.MetaAgg]
+    val cells = exprs.map {
+      case a: AttributeReference if gAttrs.exists(_.exprId == a.exprId) =>
+        scala.util.Left(gAttrs.indexWhere(_.exprId == a.exprId))
+      case Alias(a: AttributeReference, _) if gAttrs.exists(_.exprId == a.exprId) =>
+        scala.util.Left(gAttrs.indexWhere(_.exprId == a.exprId))
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val req = ae.aggregateFunction match {
+          case Count(Seq(_: Literal)) => MorReader.MetaAgg.Count
+          case Count(Seq(a: AttributeReference)) if relIds(a.exprId) =>
+            MorReader.MetaAgg.CountCol(a.name)
+          case Min(a: AttributeReference)
+              if relIds(a.exprId) && okAggType(a.dataType) =>
+            MorReader.MetaAgg.MinOf(a.name)
+          case Max(a: AttributeReference)
+              if relIds(a.exprId) && okAggType(a.dataType) =>
+            MorReader.MetaAgg.MaxOf(a.name)
+          case _ => return None
+        }
+        aggsBuf += req
+        scala.util.Right(aggsBuf.size - 1)
+      case _ => return None
+    }
+    Some((gAttrs.map(_.name), cells, aggsBuf.toSeq))
+  }
+
+  /** An Aggregate child the manifest might answer: the bare graft
+    * relation, or a Filter directly over it (condition returned for the
+    * partition-exactness test). */
+  private def fastAggTarget(child: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftSparkTable, Option[Expression])] =
+    child match {
+      case GraftRel(r, t) => Some((r, t, None))
+      case Filter(cond, GraftRel(r, t)) => Some((r, t, Some(cond)))
+      case _ => None
+    }
+
+  /** A WHERE that is EXACT at file granularity: every conjunct an
+    * equality/IN on a bare integral-or-string column with same-typed
+    * literals (no casts — exactness, not the pruning path's sound
+    * over-approximation). Whether those columns really are identity
+    * partition columns for every live file is the manifest's check.
+    * Repeated columns intersect. None = not partition-exact. */
+  private def partitionExactFilter(cond: Expression, r: DataSourceV2Relation)
+      : Option[Map[String, Set[String]]] = {
+    import org.apache.spark.sql.types._
+    val relIds = r.output.map(_.exprId).toSet
+    def exactAttr(e: Expression): Option[(String, DataType)] = e match {
+      case a: AttributeReference if relIds(a.exprId) => a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType =>
+          Some((a.name, a.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+    val per: Seq[(String, Set[String])] = splitConjuncts(cond).map {
+      case EqualTo(a, Lit(l)) if exactAttr(a).exists(_._2 == l.dataType) &&
+          l.value != null =>
+        render(l) match {
+          case Some(v) => (exactAttr(a).get._1, Set(v))
+          case None => return None
+        }
+      case EqualTo(Lit(l), a) if exactAttr(a).exists(_._2 == l.dataType) &&
+          l.value != null =>
+        render(l) match {
+          case Some(v) => (exactAttr(a).get._1, Set(v))
+          case None => return None
+        }
+      case In(a, vs) if exactAttr(a).isDefined &&
+          vs.forall(v => Lit.unapply(v).exists(l =>
+            l.dataType == exactAttr(a).get._2 && l.value != null)) =>
+        val rendered = vs.map(v => render(Lit.unapply(v).get))
+        if (rendered.forall(_.isDefined))
+          (exactAttr(a).get._1, rendered.flatten.toSet)
+        else return None
+      case _ => return None
+    }
+    Some(per.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(_._2).reduce(_ intersect _) })
+  }
+
+  /** TRY-cast one canonical metric/partition string to an attribute's
+    * type; None (caller bails to the exact plan) when the value does not
+    * survive the round trip. */
+  private def castStat(a: Attribute, s: String): Option[Any] = {
+    val cast = Cast(Literal.create(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType), a.dataType,
+      Some(conf.sessionLocalTimeZone), EvalMode.TRY)
+    Option(cast.eval(null))
+  }
+
   /** Convert metadata-agg answers (canonical strings) to one InternalRow
     * of the aggregate's output types. None when any value does not round-
     * trip through a string cast (e.g. a NaN rendering) — caller falls back
@@ -279,13 +467,9 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
                          vals: Seq[Option[String]]): Option[InternalRow] = {
     val cells = out.zip(reqs.zip(vals)).map {
       case (_, (MorReader.MetaAgg.Count, v)) => Some(v.get.toLong)
+      case (_, (MorReader.MetaAgg.CountCol(_), v)) => Some(v.get.toLong)
       case (_, (_, None)) => Some(null) // MIN/MAX of empty or all-null: NULL
-      case (a, (_, Some(s))) =>
-        val cast = Cast(Literal.create(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s),
-          org.apache.spark.sql.types.StringType), a.dataType,
-          Some(conf.sessionLocalTimeZone), EvalMode.TRY)
-        Option(cast.eval(null)) // TRY-cast null on a non-null stat → bail
+      case (a, (_, Some(s))) => castStat(a, s) // TRY-cast null → bail
     }
     if (cells.exists(_.isEmpty)) None
     else Some(InternalRow.fromSeq(cells.map(_.get)))

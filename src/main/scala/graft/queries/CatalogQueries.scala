@@ -306,7 +306,54 @@ object CatalogQueries {
       "travel_t"
     })
 
+  /** 3-partition table with a nullable column for the grouped metadata
+    * aggregates: part a = ids 0..99, b = 100..159, c = 160..179; val NULL
+    * on every 10th id, else 3·id. */
+  private def groupT(spark: SparkSession): Unit =
+    built.computeIfAbsent("group_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "group_t")
+        .create(idVal, Seq("part"))
+        .appendData(spark.range(0, 180).toDF("id")
+          .withColumn("part", when(col("id") < 100, lit("a"))
+            .when(col("id") < 160, lit("b")).otherwise(lit("c")))
+          .withColumn("val", when(col("id") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("id") * 3)))
+        .commit()
+      "group_t"
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GROUP BY the identity partition column answered per-partition from
+    // the manifest (file-entry fold at analysis time — zero scan jobs on
+    // a clean table; CatalogSpec pins the plan): COUNT(*) trusts declared
+    // counts, COUNT(val) subtracts tracked null counts, MIN/MAX fold the
+    // per-file envelopes.
+    "sql_catalog_fast_groupby" -> ((s, _) => {
+      groupT(s)
+      s.sql("SELECT part, COUNT(*) AS n, COUNT(val) AS n_val, " +
+        "MIN(id) AS mn, MAX(id) AS mx " +
+        "FROM graft.cq.group_t GROUP BY part ORDER BY part")
+    }),
+
+    // SELECT DISTINCT over the partition column: the live partition
+    // tuples straight off the manifest (a Distinct node at analysis time
+    // — the rule answers it before the optimizer ever rewrites it).
+    "sql_catalog_distinct_part" -> ((s, _) => {
+      groupT(s)
+      s.sql("SELECT DISTINCT part FROM graft.cq.group_t ORDER BY part")
+    }),
+
+    // partition-exact WHERE + the aggregate family: the IN filter drops
+    // whole files residue-free (identity partitioning), the rest folds
+    // from the surviving entries — the everyday partition-probe COUNT.
+    "sql_catalog_fast_count_where" -> ((s, _) => {
+      groupT(s)
+      s.sql("SELECT COUNT(*) AS n, COUNT(val) AS n_val, " +
+        "MIN(id) AS mn, MAX(id) AS mx " +
+        "FROM graft.cq.group_t WHERE part IN ('a', 'c')")
+    }),
     // SELECT by name: the MoR merge (positional deletes applied) behind
     // plain SQL — the catalog's read path
     "sql_catalog_scan" -> ((s, _) => {
@@ -514,6 +561,27 @@ object CatalogQueries {
       """SELECT CAST(200 AS BIGINT) AS n""",
 
     // travel_t: ids 0..199, val = 2·id, no deletes → exact manifest bounds
+    // a: 0..99 (10 nulls), b: 100..159 (6 nulls), c: 160..179 (2 nulls)
+    "sql_catalog_fast_groupby" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(val) AS BIGINT) AS n_val,
+        |       CAST(MIN(id) AS BIGINT) AS mn, CAST(MAX(id) AS BIGINT) AS mx
+        |FROM (SELECT range AS id,
+        |        CASE WHEN range < 100 THEN 'a'
+        |             WHEN range < 160 THEN 'b' ELSE 'c' END AS part,
+        |        CASE WHEN range % 10 = 0 THEN NULL ELSE range * 3 END AS val
+        |      FROM range(0, 180))
+        |GROUP BY part ORDER BY part""".stripMargin,
+
+    "sql_catalog_distinct_part" ->
+      """SELECT 'a' AS part UNION ALL SELECT 'b' UNION ALL SELECT 'c'
+        |ORDER BY part""".stripMargin,
+
+    // a: 100 rows (90 non-null val), c: 20 rows (18 non-null val)
+    "sql_catalog_fast_count_where" ->
+      """SELECT CAST(120 AS BIGINT) AS n, CAST(108 AS BIGINT) AS n_val,
+        |       CAST(0 AS BIGINT) AS mn, CAST(179 AS BIGINT) AS mx""".stripMargin,
+
     "sql_catalog_fast_minmax" ->
       """SELECT CAST(0 AS BIGINT) AS mn, CAST(199 AS BIGINT) AS mx,
         |       CAST(0 AS BIGINT) AS mnv, CAST(398 AS BIGINT) AS mxv,

@@ -363,6 +363,11 @@ object MorReader {
   sealed trait MetaAgg
   object MetaAgg {
     case object Count extends MetaAgg
+    /** COUNT(col) — non-null count, `Σ(recordCount − nullCount)`. Needs
+      * complete per-file metrics (the lying empty file carries none, so
+      * it forces the scan — unlike COUNT(*), this path never extends the
+      * trust-the-declared-count caveat to null bookkeeping). */
+    final case class CountCol(col: String) extends MetaAgg
     final case class MinOf(col: String) extends MetaAgg
     final case class MaxOf(col: String) extends MetaAgg
   }
@@ -383,15 +388,27 @@ object MorReader {
     * checks (a delete may apply if any group's seq range could admit it —
     * partition scopes are not consulted), falling back to the scan when a
     * sharded snapshot predates group stats or anything was removed. */
-  def fastAggsMetadataOnly(tableDir: String, aggs: Seq[MetaAgg])
+  def fastAggsMetadataOnly(tableDir: String, aggs: Seq[MetaAgg],
+                           partitionEq: Map[String, Set[String]] = Map.empty)
       : Option[Seq[Option[String]]] = {
     val out = SnapshotLog(tableDir).loadOutline().mainOnly
     if (out.outlines.isEmpty)
-      return Some(aggs.map { case MetaAgg.Count => Some("0"); case _ => None })
+      return Some(aggs.map {
+        case MetaAgg.Count | MetaAgg.CountCol(_) => Some("0"); case _ => None })
     val live = out.schema
     if (!out.hasShardedData) {
       val st = out.toTableState
-      val files = st.dataFiles
+      // a partition-exact WHERE needs every live file identity-attributed
+      // on the filter columns (identity means file-partition equality IS
+      // row equality — the filter drops whole files, residue-free)
+      val all = st.dataFiles
+      if (partitionEq.nonEmpty && !all.forall { f =>
+        val spec = st.specs.getOrElse(f.specId, Nil)
+        partitionEq.keys.forall(c => spec.contains(c) &&
+          f.partition.get(c).exists(_ != null))
+      }) return None
+      val files = all.filter(f =>
+        partitionEq.forall { case (c, vs) => vs(f.partition(c)) })
       val deleteMayApply = st.deleteFiles.exists { d =>
         files.exists { f =>
           deleteScopeTouches(d, f) &&
@@ -400,6 +417,8 @@ object MorReader {
       }
       if (deleteMayApply) return None
       sequenceAggs(aggs.map(evalAggInline(_, files, live)))
+    } else if (partitionEq.nonEmpty) {
+      None // group stats don't break down per partition — scan
     } else {
       // removals can't be attributed to unread groups — only the scan knows
       if (out.outlines.exists(_.snapshot.removedDataFiles.nonEmpty)) return None
@@ -433,9 +452,59 @@ object MorReader {
       : Option[Seq[Option[String]]] =
     if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
 
+  /** Metadata-only GROUP BY over IDENTITY partition columns: one row per
+    * live partition tuple with its COUNT/COUNT(col)/MIN/MAX folded from
+    * that partition's file entries — `SELECT day, count(*) GROUP BY day`
+    * is a driver manifest fold at any table size below the shard
+    * threshold. Soundness guards: every live file must be
+    * identity-partitioned on every grouping column UNDER ITS OWN SPEC
+    * (spec evolution leaves old files un-attributable — scan), with a
+    * recorded non-null value; the usual no-applicable-delete rule; and
+    * sharded snapshots always fall back (group stats don't break down per
+    * partition). Groups whose declared counts sum to zero are dropped —
+    * SQL GROUP BY emits no row for an empty group. Returns rows sorted by
+    * the group tuple for determinism: (group values, agg values). */
+  def fastGroupedAggsMetadataOnly(tableDir: String, groupCols: Seq[String],
+                                  aggs: Seq[MetaAgg],
+                                  partitionEq: Map[String, Set[String]] = Map.empty)
+      : Option[Seq[(Seq[String], Seq[Option[String]])]] = {
+    if (groupCols.isEmpty) return None
+    val out = SnapshotLog(tableDir).loadOutline().mainOnly
+    if (out.outlines.isEmpty) return Some(Nil)
+    if (out.hasShardedData) return None
+    val st = out.toTableState
+    val attrCols = (groupCols ++ partitionEq.keys).distinct
+    val all = st.dataFiles
+    val attributable = all.forall { f =>
+      val spec = st.specs.getOrElse(f.specId, Nil)
+      attrCols.forall(c => spec.contains(c) &&
+        f.partition.get(c).exists(_ != null))
+    }
+    if (!attributable) return None
+    val files = all.filter(f =>
+      partitionEq.forall { case (c, vs) => vs(f.partition(c)) })
+    val deleteMayApply = st.deleteFiles.exists { d =>
+      files.exists { f =>
+        deleteScopeTouches(d, f) &&
+          (if (d.kind == "eq") f.seq < d.seq else f.seq <= d.seq)
+      }
+    }
+    if (deleteMayApply) return None
+    if (!files.forall(_.recordCount >= 0)) return None
+    val live = out.schema
+    val rows = files.groupBy(f => groupCols.map(f.partition(_)))
+      .toSeq
+      .filter { case (_, fs) => fs.map(_.recordCount).sum > 0 }
+      .sortBy(_._1.mkString(" "))
+      .map { case (k, fs) => (k, aggs.map(evalAggInline(_, fs, live))) }
+    if (rows.exists(_._2.exists(_.isEmpty))) None
+    else Some(rows.map { case (k, vs) => (k, vs.map(_.get)) })
+  }
+
   private def aggField(a: MetaAgg, live: GraftSchema) = a match {
     case MetaAgg.MinOf(c) => live.fields.find(_.name == c)
     case MetaAgg.MaxOf(c) => live.fields.find(_.name == c)
+    case MetaAgg.CountCol(c) => live.fields.find(_.name == c)
     case MetaAgg.Count => None
   }
 
@@ -462,6 +531,13 @@ object MorReader {
       if (files.forall(_.recordCount >= 0))
         Some(Some(files.map(_.recordCount).sum.toString))
       else None
+    case MetaAgg.CountCol(_) =>
+      val field = aggField(a, live).getOrElse(return None)
+      if (!files.forall(_.recordCount >= 0)) return None
+      val per = files.map(f =>
+        f.metrics.get(field.id).map(m => f.recordCount - m.nullCount))
+      if (per.forall(_.isDefined)) Some(Some(per.flatten.sum.toString))
+      else None
     case _ =>
       val field = aggField(a, live).getOrElse(return None)
       val perFile = files.map(_.metrics.get(field.id))
@@ -482,6 +558,15 @@ object MorReader {
       if (groups.forall(_.rows >= 0))
         Some(Some(groups.map(_.rows).sum.toString))
       else None
+    case MetaAgg.CountCol(_) =>
+      // group stats only carry a field when EVERY member file did, so a
+      // present nullCount is a complete sum over the group's rows
+      val field = aggField(a, live).getOrElse(return None)
+      if (!groups.forall(_.rows >= 0)) return None
+      val per = groups.map(g =>
+        g.metrics.get(field.id).map(m => g.rows - m.nullCount))
+      if (per.forall(_.isDefined)) Some(Some(per.flatten.sum.toString))
+      else None
     case _ =>
       val field = aggField(a, live).getOrElse(return None)
       val per = groups.map(_.metrics.get(field.id))
@@ -498,7 +583,7 @@ object MorReader {
   /** Merge the inline and group halves of one aggregate's answer. */
   private def mergeAgg(a: MetaAgg, x: Option[String], y: Option[String],
                        live: GraftSchema): Option[Option[String]] = a match {
-    case MetaAgg.Count =>
+    case MetaAgg.Count | MetaAgg.CountCol(_) =>
       Some(Some((x.map(_.toLong).getOrElse(0L) + y.map(_.toLong).getOrElse(0L))
         .toString))
     case _ =>

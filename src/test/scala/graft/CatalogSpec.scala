@@ -39,14 +39,25 @@ class CatalogSpec extends SparkSpec {
 
   test("SQL partition filter reaches the manifest planner (file pruning)") {
     fresh("t_prune")
+    // SUM is not metadata-answerable, so this takes the scan — and the
+    // partition filter must reach the manifest planner
     val before = MorReader.dataFilesPlanned.get()
+    val s = spark.sql(
+      "SELECT sum(product_id) AS s FROM graft.db.t_prune WHERE category = 'widget'")
+      .collect()(0).getLong(0)
+    val planned = MorReader.dataFilesPlanned.get() - before
+    assert(s == (0 until 100).sum.toLong)
+    assert(planned == 2,
+      s"partition filter must plan only widget's 2 files, planned $planned")
+    // COUNT(*) with the same partition-exact WHERE short-circuits the scan
+    // entirely — zero files planned, the manifest already knows
+    val before2 = MorReader.dataFilesPlanned.get()
     val n = spark.sql(
       "SELECT count(*) AS n FROM graft.db.t_prune WHERE category = 'widget'")
       .collect()(0).getLong(0)
-    val planned = MorReader.dataFilesPlanned.get() - before
     assert(n == 100L)
-    assert(planned == 2,
-      s"partition filter must plan only widget's 2 files, planned $planned")
+    assert(MorReader.dataFilesPlanned.get() - before2 == 0L,
+      "partition-exact COUNT must not plan any file")
   }
 
   test("SQL range filter prunes via per-file metrics") {
@@ -436,6 +447,70 @@ class CatalogSpec extends SparkSpec {
     assert(df2.queryExecution.executedPlan.toString.contains("FileScan"),
       "min/max with applicable deletes must take the exact scan")
     assert(df2.collect()(0).toSeq == Seq(0, 189))
+  }
+
+  test("GROUP BY partition column answers from the manifest; deletes and spec evolution force the scan") {
+    fresh("t_gb")
+    // clean table: one LocalTableScan row per partition, zero file scans
+    val df = spark.sql("SELECT category, count(*) AS n, count(product_id) AS np, " +
+      "min(product_id) AS mn, max(product_id) AS mx " +
+      "FROM graft.db.t_gb GROUP BY category ORDER BY category")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"grouped metadata aggregate must not scan:\n$plan")
+    assert(df.collect().map(_.toSeq).toSeq == Seq(
+      Seq("gizmo", 100L, 100L, 100, 199), Seq("widget", 100L, 100L, 0, 99)))
+    // DISTINCT over the partition column: same manifest answer
+    val dd = spark.sql("SELECT DISTINCT category FROM graft.db.t_gb")
+    assert(dd.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+      !dd.queryExecution.executedPlan.toString.contains("FileScan"),
+      "DISTINCT partition values must not scan")
+    assert(dd.collect().map(_.getString(0)).toSet == Set("widget", "gizmo"))
+    // partition-exact WHERE: single-partition count, still zero scans
+    val pw = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_gb WHERE category = 'widget'")
+    assert(pw.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+      !pw.queryExecution.executedPlan.toString.contains("FileScan"),
+      "partition-exact WHERE + COUNT must answer from the manifest")
+    assert(pw.collect()(0).getLong(0) == 100L)
+    // a non-partition equality is NOT file-exact — pruned scan fallback
+    val nw = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_gb WHERE product_id = 5")
+    assert(nw.queryExecution.executedPlan.toString.contains("FileScan"),
+      "non-partition WHERE must take the (pruned) scan")
+    assert(nw.collect()(0).getLong(0) == 1L)
+    // a live delete → exact MoR fallback, same answer shape
+    val g2 = fresh("t_gb2")
+    g2.positionalDelete(Seq("gizmo"), col("product_id") >= 190).commit()
+    val df2 = spark.sql("SELECT category, count(*) AS n FROM graft.db.t_gb2 " +
+      "GROUP BY category ORDER BY category")
+    assert(df2.queryExecution.executedPlan.toString.contains("FileScan"),
+      "grouped aggregates with applicable deletes must take the exact scan")
+    assert(df2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("gizmo", 90L), ("widget", 100L)))
+    // spec evolution: a file written under a non-identity spec cannot be
+    // attributed to the old partition column → exact scan
+    graft.queries.CatalogFixture.ensure(spark)
+    spark.sql("CREATE TABLE graft.db.t_gb3 (id BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft.db.t_gb3 " +
+      "SELECT id, CASE WHEN id < 50 THEN 'a' ELSE 'b' END, id FROM range(0, 100)")
+    val pre = spark.sql("SELECT part, count(*) AS n FROM graft.db.t_gb3 " +
+      "GROUP BY part ORDER BY part")
+    assert(pre.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "pre-evolution grouped count must answer from the manifest")
+    assert(pre.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L)))
+    spark.sql("CALL graft.system.update_spec(table => 'db.t_gb3', " +
+      "add => 'bucket(4,id)', drop => 'part')")
+    spark.sql("INSERT INTO graft.db.t_gb3 " +
+      "SELECT id, 'c', id FROM range(100, 120)")
+    val post = spark.sql("SELECT part, count(*) AS n FROM graft.db.t_gb3 " +
+      "GROUP BY part ORDER BY part")
+    assert(post.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a bucket-spec file is not identity-attributable — must scan")
+    assert(post.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L), ("c", 20L)))
   }
 
   test("UPDATE SET assignments are simultaneous (swap reads the original row)") {
