@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(d.getParent)
     new GraftTableGenerator(SparkSession.active, d.getParent.toString, ident.name)
       .create(gschema, specStrs,
-        properties.asScala.filter(_._1.startsWith("parquet.")).toMap)
+        properties.asScala.toMap -- GraftCatalog.ReservedProps)
     new GraftSparkTable(ident.toString, d.toString)
   }
 
@@ -199,7 +199,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(d)) throw new NoSuchTableException(ident)
     val g = new GraftTableGenerator(SparkSession.active, d.getParent.toString,
       ident.name).open()
+    // property edits are metadata-version changes, not snapshots (Iceberg
+    // semantics) — only schema changes publish a commit below
+    var schemaChanged = false
     changes.foreach {
+      case sp: TableChange.SetProperty =>
+        g.setProperties(Map(sp.property -> sp.value))
+      case rp: TableChange.RemoveProperty =>
+        g.removeProperties(Seq(rp.property))
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested column ${a.fieldNames.mkString(".")} not supported")
@@ -213,18 +220,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         }
         g.addColumn(a.fieldNames()(0), a.dataType(), default)
+        schemaChanged = true
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"nested column ${r.fieldNames.mkString(".")} not supported")
         g.renameColumn(r.fieldNames()(0), r.newName())
+        schemaChanged = true
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"nested column ${del.fieldNames.mkString(".")} not supported")
         g.updateSchema(Nil, Seq(del.fieldNames()(0)))
+        schemaChanged = true
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }
-    g.commit() // pure-metadata snapshot: publishes the new schema version
+    if (schemaChanged)
+      g.commit() // pure-metadata snapshot: publishes the new schema version
     loadTable(ident)
   }
 
@@ -302,4 +313,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     Files.deleteIfExists(p)
   }
+}
+
+object GraftCatalog {
+  /** Keys Spark itself injects into CREATE TABLE properties — engine
+    * bookkeeping, not user table properties; never persisted. */
+  val ReservedProps: Set[String] =
+    Set("provider", "owner", "location", "comment", "external",
+      "is_managed_location")
 }

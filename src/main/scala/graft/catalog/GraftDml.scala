@@ -215,22 +215,27 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // partition probe). Anything else falls through to the MoR plan.
     case agg @ Aggregate(groupings, aggExprs, aggChild, _)
         if agg.resolved && fastAggTarget(aggChild).exists { case (_, t, _) =>
-          t.travel.isEmpty && t.metaKind.isEmpty } =>
+          t.metaKind.isEmpty } =>
       val (r, t, condOpt) = fastAggTarget(aggChild).get
       val peqOpt: Option[Map[String, Set[String]]] = condOpt match {
         case None => Some(Map.empty)
         case Some(c) => partitionExactFilter(c, r)
       }
+      // travel-resolved (VERSION/TIMESTAMP AS OF, tags, branches): the
+      // pinned outline folds the manifest AT that snapshot; a travel that
+      // fails to resolve falls through so the scan path raises the
+      // canonical error
+      val outOpt = scala.util.Try(t.outlineState).toOption
       val fast: Option[LogicalPlan] = peqOpt.flatMap { peq =>
         if (groupings.isEmpty && metaAggsOf(aggExprs, r).isDefined) {
           val reqs = metaAggsOf(aggExprs, r).get
-          MorReader.fastAggsMetadataOnly(t.dir, reqs, peq).flatMap(vals =>
+          outOpt.flatMap(MorReader.fastAggsOutline(_, reqs, peq)).flatMap(vals =>
             metaAggRow(agg.output, reqs, vals).map(row =>
               LocalRelation(agg.output, Seq(row))))
         } else if (groupings.nonEmpty &&
             groupedMetaShape(groupings, aggExprs, r).isDefined) {
           val (groupCols, cells, reqs) = groupedMetaShape(groupings, aggExprs, r).get
-          MorReader.fastGroupedAggsMetadataOnly(t.dir, groupCols, reqs, peq)
+          outOpt.flatMap(MorReader.fastGroupedAggsOutline(_, groupCols, reqs, peq))
             .flatMap { rows =>
               val built = rows.map { case (gvals, avals) =>
                 val cellVals = agg.output.zip(cells).map {
@@ -258,7 +263,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // answer it as the zero-aggregate grouped shape: the live partition
     // tuples straight off the manifest.
     case dst @ Distinct(proj @ Project(projList, GraftRel(r, t)))
-        if dst.resolved && t.travel.isEmpty && t.metaKind.isEmpty &&
+        if dst.resolved && t.metaKind.isEmpty &&
           groupedMetaShape(projList.collect {
             case a: AttributeReference => a
             case Alias(a: AttributeReference, _) => a
@@ -270,7 +275,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference => a
         case Alias(a: AttributeReference, _) => a
       }
-      MorReader.fastGroupedAggsMetadataOnly(t.dir, attrs.map(_.name), Nil) match {
+      scala.util.Try(t.outlineState).toOption.flatMap(
+          MorReader.fastGroupedAggsOutline(_, attrs.map(_.name), Nil)) match {
         case Some(rows) =>
           val built = rows.map { case (gvals, _) =>
             val cellVals = dst.output.zip(gvals).map {

@@ -197,6 +197,16 @@ final class GraftSparkTable(
 
   override def name(): String = identName
 
+  /** Persisted table properties (`SHOW TBLPROPERTIES`, DESCRIBE EXTENDED):
+    * read straight off `metadata/properties.json` — one tiny file, no
+    * manifest materialization. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    graft.meta.SnapshotLog(dir).loadProperties()
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def schema(): StructType = metaKind match {
     case Some(kind) => metaDf(SparkSession.active, kind).schema
     case None => outlineState.schema.struct

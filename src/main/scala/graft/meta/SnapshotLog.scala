@@ -320,6 +320,27 @@ final class SnapshotLog(tableDir: Path) {
     Files.writeString(metaDir.resolve(s"spec-$id.json"), mapper.writeValueAsString(root))
   }
 
+  /** Persist the table-property map (Iceberg table properties — layout
+    * knobs like `parquet.block.size` plus arbitrary user keys). One flat
+    * file, replaced whole on every SET/UNSET: property changes are
+    * metadata-version edits, not snapshots, matching Iceberg. */
+  def writeProperties(props: Map[String, String]): Unit = {
+    init()
+    val root = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    Files.writeString(metaDir.resolve("properties.json"),
+      mapper.writeValueAsString(root))
+  }
+
+  def loadProperties(): Map[String, String] = {
+    val p = metaDir.resolve("properties.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val n = mapper.readTree(Files.readString(p))
+      n.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }
+  }
+
   def load(): TableState = {
     val schemas = listVersioned("schema-").map { case (v, p) =>
       v -> GraftSchema.fromJson(Files.readString(p))

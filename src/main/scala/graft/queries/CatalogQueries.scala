@@ -306,6 +306,23 @@ object CatalogQueries {
       "travel_t"
     })
 
+  /** Table-property evolution fixture: CREATE with TBLPROPERTIES, then
+    * SET (merge + overwrite) and UNSET via SQL — final persisted map is
+    * {quality.tier=gold, write.note=v2}. */
+  private def propsT(spark: SparkSession): Unit =
+    built.computeIfAbsent("props_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.props_t (id BIGINT, val BIGINT) " +
+        "TBLPROPERTIES ('write.note'='v1','parquet.block.size'='1048576')")
+      spark.sql("INSERT INTO graft.cq.props_t " +
+        "SELECT id, id * 2 AS val FROM range(0, 10)")
+      spark.sql("ALTER TABLE graft.cq.props_t SET TBLPROPERTIES " +
+        "('write.note'='v2','quality.tier'='gold')")
+      spark.sql("ALTER TABLE graft.cq.props_t " +
+        "UNSET TBLPROPERTIES ('parquet.block.size')")
+      "props_t"
+    })
+
   /** 3-partition table with a nullable column for the grouped metadata
     * aggregates: part a = ids 0..99, b = 100..159, c = 160..179; val NULL
     * on every 10th id, else 3·id. */
@@ -425,6 +442,23 @@ object CatalogQueries {
       travelT(s)
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum " +
         "FROM graft.cq.travel_t VERSION AS OF 1")
+    }),
+
+    // metadata aggregates under time travel: the analysis-time fast path
+    // folds the manifest AT the pinned snapshot (plan-gated to a
+    // LocalTableScan in CatalogSpec — snapshot 1 sees only partition 'a')
+    "sql_catalog_travel_agg" -> ((s, _) => {
+      travelT(s)
+      s.sql("SELECT COUNT(*) AS n, MIN(id) AS mn, MAX(id) AS mx, " +
+        "MAX(val) AS mxv FROM graft.cq.travel_t VERSION AS OF 1")
+    }),
+
+    // table-property evolution (Iceberg SET/UNSET TBLPROPERTIES):
+    // properties live in table metadata — SHOW reads the persisted map,
+    // so SET/UNSET survive catalog cache drops and re-opens
+    "sql_catalog_tblprops" -> ((s, _) => {
+      propsT(s)
+      s.sql("SHOW TBLPROPERTIES graft.cq.props_t").orderBy("key")
     }),
 
     "sql_catalog_ctas" -> ((s, _) => {
@@ -607,6 +641,16 @@ object CatalogQueries {
 
     "sql_catalog_travel" ->
       """SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS id_sum""".stripMargin,
+
+    // snapshot 1 of travel_t: ids 0..99, val = 2·id
+    "sql_catalog_travel_agg" ->
+      """SELECT CAST(100 AS BIGINT) AS n, CAST(0 AS BIGINT) AS mn,
+        |       CAST(99 AS BIGINT) AS mx, CAST(198 AS BIGINT) AS mxv""".stripMargin,
+
+    // props_t final persisted map after SET(merge)+UNSET
+    "sql_catalog_tblprops" ->
+      """SELECT 'quality.tier' AS key, 'gold' AS value
+        |UNION ALL SELECT 'write.note', 'v2' ORDER BY key""".stripMargin,
 
     // scan_t live rows below 100: part 'a', id%10<>7
     "sql_catalog_ctas" ->

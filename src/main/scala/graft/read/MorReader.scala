@@ -390,8 +390,17 @@ object MorReader {
     * sharded snapshot predates group stats or anything was removed. */
   def fastAggsMetadataOnly(tableDir: String, aggs: Seq[MetaAgg],
                            partitionEq: Map[String, Set[String]] = Map.empty)
+      : Option[Seq[Option[String]]] =
+    fastAggsOutline(SnapshotLog(tableDir).loadOutline().mainOnly, aggs,
+      partitionEq)
+
+  /** [[fastAggsMetadataOnly]] over an ALREADY-PINNED outline state — the
+    * time-travel entry point (`SELECT count(*) … VERSION AS OF v` folds
+    * the manifest at that snapshot; `asOf` is a plain ≤-filter in both
+    * this and the scan path, so the semantics cannot diverge). */
+  def fastAggsOutline(out: graft.meta.OutlineState, aggs: Seq[MetaAgg],
+                      partitionEq: Map[String, Set[String]] = Map.empty)
       : Option[Seq[Option[String]]] = {
-    val out = SnapshotLog(tableDir).loadOutline().mainOnly
     if (out.outlines.isEmpty)
       return Some(aggs.map {
         case MetaAgg.Count | MetaAgg.CountCol(_) => Some("0"); case _ => None })
@@ -467,9 +476,16 @@ object MorReader {
   def fastGroupedAggsMetadataOnly(tableDir: String, groupCols: Seq[String],
                                   aggs: Seq[MetaAgg],
                                   partitionEq: Map[String, Set[String]] = Map.empty)
+      : Option[Seq[(Seq[String], Seq[Option[String]])]] =
+    fastGroupedAggsOutline(SnapshotLog(tableDir).loadOutline().mainOnly,
+      groupCols, aggs, partitionEq)
+
+  /** [[fastGroupedAggsMetadataOnly]] over an already-pinned outline. */
+  def fastGroupedAggsOutline(out: graft.meta.OutlineState,
+                             groupCols: Seq[String], aggs: Seq[MetaAgg],
+                             partitionEq: Map[String, Set[String]] = Map.empty)
       : Option[Seq[(Seq[String], Seq[Option[String]])]] = {
     if (groupCols.isEmpty) return None
-    val out = SnapshotLog(tableDir).loadOutline().mainOnly
     if (out.outlines.isEmpty) return Some(Nil)
     if (out.hasShardedData) return None
     val st = out.toTableState

@@ -150,8 +150,34 @@ final class GraftTableGenerator(
     log.init()
     log.writeSchema(0, schema)
     log.writeSpec(0, partitionCols)
+    if (props.nonEmpty) log.writeProperties(props)
     this
   }
+
+  /** Iceberg-parity table-property evolution (`ALTER TABLE … SET
+    * TBLPROPERTIES`): merge `kv` into the persisted property map. Layout
+    * keys (`parquet.block.size`, `parquet.page.size`, …) take effect on
+    * every subsequent write — including writes from a later [[open]]()ed
+    * generator, since the map is table metadata, not writer state.
+    * Property changes are metadata edits, NOT snapshots (Iceberg
+    * semantics) — no commit() needed or produced. */
+  def setProperties(kv: Map[String, String]): this.type = {
+    requireCreated("setProperties()")
+    props = props ++ kv
+    log.writeProperties(props)
+    this
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES`: drop keys (missing keys are a
+    * no-op, matching Spark's IF EXISTS-less UNSET on v2 catalogs). */
+  def removeProperties(keys: Seq[String]): this.type = {
+    requireCreated("removeProperties()")
+    props = props -- keys
+    log.writeProperties(props)
+    this
+  }
+
+  def tableProperties: Map[String, String] = props
 
   def liveSchema: GraftSchema = schema
   def currentPartitionCols: Seq[String] = partitionCols
@@ -1506,6 +1532,7 @@ final class GraftTableGenerator(
     nextId = -1L // poison generated-id appends (claimIds)
     created = true
     sortOrderCols = loadWriteOrder()
+    props = log.loadProperties()
     refresh()
   }
 

@@ -449,6 +449,67 @@ class CatalogSpec extends SparkSpec {
     assert(df2.collect()(0).toSeq == Seq(0, 189))
   }
 
+  test("COUNT(*) under time travel answers from the manifest AT the pinned snapshot") {
+    val g = fresh("t_tvl")
+    val d1 = spark.sql("SELECT count(*) AS n FROM graft.db.t_tvl VERSION AS OF 1")
+    assert(d1.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+      !d1.queryExecution.executedPlan.toString.contains("FileScan"),
+      "traveled COUNT on a clean snapshot must not scan")
+    assert(d1.collect()(0).getLong(0) == 100L)
+    // tag travel routes through the same pinned-outline fold
+    g.tag("v1", 1L)
+    val dt = spark.sql("SELECT count(*) AS n FROM graft.db.t_tvl VERSION AS OF 'v1'")
+    assert(dt.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(dt.collect()(0).getLong(0) == 100L)
+    // a delete at head must NOT poison travel to the pre-delete snapshot…
+    g.positionalDelete(Seq("gizmo"), col("product_id") >= 190).commit()
+    val d2 = spark.sql("SELECT count(*) AS n FROM graft.db.t_tvl VERSION AS OF 2")
+    assert(d2.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "travel BEFORE the delete is still metadata-answerable")
+    assert(d2.collect()(0).getLong(0) == 200L)
+    // …while the head, where the delete applies, takes the exact scan
+    val dh = spark.sql("SELECT count(*) AS n FROM graft.db.t_tvl")
+    assert(dh.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(dh.collect()(0).getLong(0) == 190L)
+    // MIN/MAX ride the same pinned-outline fold: snapshot 2 still spans
+    // the full id range even though the head delete trimmed it
+    val dm = spark.sql(
+      "SELECT min(product_id) AS mn, max(product_id) AS mx " +
+        "FROM graft.db.t_tvl VERSION AS OF 2")
+    assert(dm.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+      !dm.queryExecution.executedPlan.toString.contains("FileScan"),
+      "traveled MIN/MAX on a clean snapshot must not scan")
+    assert(dm.collect()(0).toSeq == Seq(0, 199))
+  }
+
+  test("table properties: SET/UNSET persist, survive open(), and publish no snapshot") {
+    val g = fresh("t_props")
+    val snaps = SnapshotLog(g.tableDir.toString).load().snapshots.size
+    spark.sql("ALTER TABLE graft.db.t_props SET TBLPROPERTIES " +
+      "('parquet.block.size'='1048576','quality.tier'='gold')")
+    spark.sql("ALTER TABLE graft.db.t_props SET TBLPROPERTIES " +
+      "('quality.tier'='silver')") // overwrite merges, latest wins
+    spark.sql("ALTER TABLE graft.db.t_props UNSET TBLPROPERTIES " +
+      "('parquet.block.size')")
+    // Iceberg semantics: property edits are metadata versions, NOT snapshots
+    assert(SnapshotLog(g.tableDir.toString).load().snapshots.size == snaps,
+      "property changes must not publish snapshots")
+    // SHOW reads the persisted map
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.db.t_props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown == Map("quality.tier" -> "silver"))
+    // a re-open()ed generator inherits them (layout knobs apply to writes)
+    val g2 = new GraftTableGenerator(spark, s"$wh/db", "t_props").open()
+    assert(g2.tableProperties == Map("quality.tier" -> "silver"))
+    // CREATE TABLE ... TBLPROPERTIES persists too (reserved keys dropped)
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_props2")
+    spark.sql("CREATE TABLE graft.db.t_props2 (id BIGINT) " +
+      "TBLPROPERTIES ('write.note'='v1')")
+    val shown2 = spark.sql("SHOW TBLPROPERTIES graft.db.t_props2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown2.get("write.note").contains("v1") && !shown2.contains("provider"))
+  }
+
   test("GROUP BY partition column answers from the manifest; deletes and spec evolution force the scan") {
     fresh("t_gb")
     // clean table: one LocalTableScan row per partition, zero file scans
