@@ -89,6 +89,34 @@ object StreamTableQueries {
         .orderBy("change_kind")
     }),
 
+    // rate-limited catch-up (Iceberg max-rows-per-micro-batch parity):
+    // maxRowsPerBatch=100 splits the 260-row backlog into bounded
+    // micro-batches along snapshot edges — 100, 100, 60 — instead of one
+    // giant catch-up batch; the compaction snapshot costs (and delivers)
+    // nothing. batch_seq numbers the NON-EMPTY batches in delivery order.
+    "stream_graft_ratelimit" -> ((s, _) => {
+      val src = srcT(s)
+      val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+      val counts = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+      val sq = s.readStream.format("graft")
+        .option("maxRowsPerBatch", "100").load(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val r = df.agg(count(lit(1)),
+            coalesce(sum("id"), lit(0L))).collect()(0)
+          counts.put(id, (r.getLong(0), r.getLong(1)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try sq.processAllAvailable() finally sq.stop()
+      import scala.jdk.CollectionConverters._
+      val delivered = counts.asScala.toSeq.filter(_._2._1 > 0).sortBy(_._1)
+        .zipWithIndex.map { case ((_, (n, sm)), i) => (i.toLong, n, sm) }
+      import s.implicits._
+      delivered.toDF("batch_seq", "n", "id_sum").orderBy("batch_seq")
+    }),
+
     // graft → graft: stream one table into another through the
     // exactly-once sink; the replica must read as the source
     "stream_graft_replicate" -> ((s, _) => {
@@ -127,6 +155,15 @@ object StreamTableQueries {
     "stream_graft_replicate" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
         |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
-        |FROM range(0, 260)""".stripMargin
+        |FROM range(0, 260)""".stripMargin,
+
+    // snapshot-edge batches under maxRowsPerBatch=100: 0..99, 100..199,
+    // 200..259 — id sums 4950, 14950, 13770
+    "stream_graft_ratelimit" ->
+      """SELECT CAST(batch_seq AS BIGINT) AS batch_seq, CAST(n AS BIGINT) AS n,
+        |       CAST(id_sum AS BIGINT) AS id_sum
+        |FROM (VALUES (0, 100, 4950), (1, 100, 14950), (2, 60, 13770))
+        |  AS t(batch_seq, n, id_sum)
+        |ORDER BY batch_seq""".stripMargin
   )
 }

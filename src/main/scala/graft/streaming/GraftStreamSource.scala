@@ -19,8 +19,13 @@ import graft.table.GraftTableGenerator
   * snapshot-incremental scans.
   *
   * SOURCE offsets are snapshot ids (the engine assigns them densely, so
-  * `maxSnapshotsPerBatch` caps a micro-batch by commit count). Batch
-  * semantics follow [[TableFollower]] / Iceberg streaming-read defaults:
+  * `maxSnapshotsPerBatch` caps a micro-batch by commit count;
+  * `maxRowsPerBatch` / `maxFilesPerBatch` cap it by ADDED rows/files
+  * folded off the snapshot outline — the Iceberg
+  * `max-rows-per-micro-batch` / `max-files-per-micro-batch` backpressure
+  * knobs, so a 100 TB catch-up drains in bounded batches instead of one
+  * giant initial scan). Batch semantics follow [[TableFollower]] /
+  * Iceberg streaming-read defaults:
   *
   *   - `mode=appends` (default): the first batch is the table's full
   *     state as of the latched head (MoR read — deletes applied), every
@@ -65,7 +70,9 @@ class GraftStreamSourceProvider extends StreamSourceProvider
     new GraftSource(ctx.sparkSession, dirOf(params),
       params.getOrElse("mode", "appends"),
       params.getOrElse("maxSnapshotsPerBatch", "0").toLong,
-      params.getOrElse("startSnapshotId", "0").toLong)
+      params.getOrElse("startSnapshotId", "0").toLong,
+      params.getOrElse("maxRowsPerBatch", "0").toLong,
+      params.getOrElse("maxFilesPerBatch", "0").toLong)
 
   override def createSink(ctx: SQLContext, params: Map[String, String],
                           partitionColumns: Seq[String],
@@ -73,7 +80,7 @@ class GraftStreamSourceProvider extends StreamSourceProvider
     new GraftSink(ctx.sparkSession, dirOf(params))
 }
 
-private[streaming] case class GraftSourceOffset(snapshotId: Long) extends Offset {
+case class GraftSourceOffset(snapshotId: Long) extends Offset {
   override def json(): String = snapshotId.toString
 }
 
@@ -89,7 +96,9 @@ object GraftSource {
 
 class GraftSource(spark: SparkSession, dir: String, mode: String,
                   maxSnapshotsPerBatch: Long,
-                  startSnapshotId: Long = 0L) extends Source {
+                  startSnapshotId: Long = 0L,
+                  maxRowsPerBatch: Long = 0L,
+                  maxFilesPerBatch: Long = 0L) extends Source {
 
   require(mode == "appends" || mode == "changelog",
     s"graft stream mode must be appends|changelog, got $mode")
@@ -105,17 +114,50 @@ class GraftSource(spark: SparkSession, dir: String, mode: String,
 
   private def idOf(o: Offset): Long = o.json().trim.toLong
 
+  /** What a pending snapshot would ADD to a micro-batch, off the outline
+    * alone: inline data entries plus sharded manifest-group stats — no
+    * group materialization. Rewrites cost nothing (appendsBetween never
+    * re-delivers them), and unknown declared counts (appendEmptyFile's
+    * lying record_count, group rows = -1) under-count rather than stall:
+    * the caps are backpressure targets, not exactness contracts — the
+    * Iceberg max-files/rows-per-micro-batch semantics. */
+  private def addedCost(o: graft.meta.SnapshotOutline): (Long, Long) = {
+    if (o.snapshot.operation == "replace") return (0L, 0L)
+    val inlineFiles = o.snapshot.dataFiles.size.toLong
+    val inlineRows = o.snapshot.dataFiles.map(f => math.max(0L, f.recordCount)).sum
+    val groupFiles = o.dataManifestStats.map(_.files.toLong).sum
+    val groupRows = o.dataManifestStats.map(s => math.max(0L, s.rows)).sum
+    (inlineFiles + groupFiles, inlineRows + groupRows)
+  }
+
   override def getOffset: Option[Offset] = {
     // OUTLINE load: a head poll must not materialize sharded manifests
-    val head = SnapshotLog(dir).loadOutline().mainOnly
-      .outlines.lastOption.map(_.snapshot.id).getOrElse(0L)
+    val out = SnapshotLog(dir).loadOutline().mainOnly
+    val head = out.outlines.lastOption.map(_.snapshot.id).getOrElse(0L)
     if (head == 0L) return None
-    val capped0 =
+    var end =
       if (maxSnapshotsPerBatch <= 0L) head
       else math.min(head, latest + maxSnapshotsPerBatch)
+    // rows/files backpressure (Iceberg max-rows/files-per-micro-batch):
+    // advance the end snapshot while the accumulated ADDED cost stays
+    // within the caps — always at least one snapshot, or a catch-up
+    // bigger than the cap could never drain
+    if (maxRowsPerBatch > 0L || maxFilesPerBatch > 0L) {
+      var files = 0L; var rows = 0L; var picked = latest; var full = false
+      out.outlines.foreach { o =>
+        if (!full && o.snapshot.id > latest && o.snapshot.id <= end) {
+          val (f, r) = addedCost(o)
+          val over = (maxFilesPerBatch > 0L && files + f > maxFilesPerBatch) ||
+            (maxRowsPerBatch > 0L && rows + r > maxRowsPerBatch)
+          if (over && picked > latest) full = true
+          else { files += f; rows += r; picked = o.snapshot.id }
+        }
+      }
+      end = picked
+    }
     // never regress below what was already offered/configured (a start
     // snapshot at or beyond head yields an empty first batch, not a rewind)
-    val capped = math.max(capped0, latest)
+    val capped = math.max(end, latest)
     latest = math.max(latest, capped)
     Some(GraftSourceOffset(capped))
   }

@@ -65,6 +65,35 @@ class GraftStreamSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("maxRowsPerBatch / maxFilesPerBatch: backlog drains in bounded batches") {
+    val wh = Files.createTempDirectory("graft-stream-rate").toString
+    val g = new GraftTableGenerator(spark, wh, "rate_t")
+    g.create(idVal, Nil)
+      .appendData(rows(0, 100)).commit()   // 1 file, 100 rows
+      .appendData(rows(100, 200)).commit() // 1 file, 100 rows
+      .appendData(rows(200, 260)).commit() // 1 file, 60 rows
+    // rows cap: unit-drive the offset protocol like the engine would
+    // (delivered CONTENT per batch is gated end-to-end by the
+    // stream_graft_ratelimit key's oracle)
+    val src = new graft.streaming.GraftSource(spark, s"$wh/rate_t",
+      "appends", 0L, 0L, maxRowsPerBatch = 150L)
+    // 100 + 100 > 150 → one snapshot per offer until the backlog drains
+    assert(src.getOffset.get.json().toLong == 1L)
+    assert(src.getOffset.get.json().toLong == 2L)
+    assert(src.getOffset.get.json().toLong == 3L)
+    // drained: the offered offset stops advancing
+    assert(src.getOffset.get.json().toLong == 3L)
+    // files cap of 2: snapshots pair up (1+1 files, then the last)
+    val srcF = new graft.streaming.GraftSource(spark, s"$wh/rate_t",
+      "appends", 0L, 0L, maxFilesPerBatch = 2L)
+    assert(srcF.getOffset.get.json().toLong == 2L)
+    assert(srcF.getOffset.get.json().toLong == 3L)
+    // a single snapshot BIGGER than the cap still advances (no stall)
+    val srcTiny = new graft.streaming.GraftSource(spark, s"$wh/rate_t",
+      "appends", 0L, 0L, maxRowsPerBatch = 10L)
+    assert(srcTiny.getOffset.get.json().toLong == 1L)
+  }
+
   test("startSnapshotId: consumption begins after the given snapshot") {
     val wh = Files.createTempDirectory("graft-stream-start").toString
     val g = new GraftTableGenerator(spark, wh, "start_t")
