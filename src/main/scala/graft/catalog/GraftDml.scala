@@ -300,6 +300,12 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if cond.resolved && !metaPending(r, referenced) =>
       val (partFilter, ranges, points) = extractPruning(cond, r, t)
       Filter(cond, substitute(r, t, f.child.output, partFilter, ranges, points))
+    // an UNRESOLVED filter directly over the relation: leave the whole
+    // subtree for a later analyzer iteration — type coercion must finish
+    // (e.g. INT literals against a BIGINT column) before extraction, or
+    // the bare-relation case below would substitute first and the
+    // manifest pruning opportunity would be silently lost
+    case f @ Filter(cond, GraftRel(_, _)) if !cond.resolved => f
     case GraftRel(r, t) if !metaPending(r, referenced) =>
       substitute(r, t, p.output, Map.empty, Map.empty, Map.empty)
     case other =>
@@ -534,6 +540,21 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    // BETWEEN (and friends) survive analysis as RuntimeReplaceable nodes —
+    // desugar to the replacement (`x >= lo AND x <= hi`) so range
+    // extraction sees plain comparisons
+    case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+        if rr.resolved => splitConjuncts(rr.replacement)
+    // the replacement arrives wrapped in With (common-subexpression
+    // sharing): inline the defs so the body's comparisons reference the
+    // real column — extraction only READS the tree, so losing the sharing
+    // costs nothing
+    case w: org.apache.spark.sql.catalyst.expressions.With if w.resolved =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      splitConjuncts(w.child.transform {
+        case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+            if defs.contains(ref.id) => defs(ref.id)
+      })
     case x => Seq(x)
   }
 

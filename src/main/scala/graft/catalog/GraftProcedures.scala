@@ -215,6 +215,21 @@ object GraftProcedures {
         Seq(st.currentSpecId, st.partitionCols.mkString(", "))
       }),
 
+    // declared WRITE ORDER from SQL (Iceberg `ALTER TABLE … WRITE ORDERED
+    // BY` parity — shipped as a procedure like the branch DDL): every
+    // later INSERT lays rows out sorted on the given columns, so per-file
+    // [min,max] envelopes are disjoint from the first write — range scans
+    // prune without ever paying a compactSorted rewrite
+    new Proc("write_ordered",
+      Seq(in("table", StringType), in("columns", StringType)),
+      StructType(Seq(
+        StructField("write_order", StringType, nullable = false))),
+      (c, r) => {
+        val cols = str(r, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        gen(c, str(r, 0)).writeOrdered(cols: _*)
+        Seq(cols.mkString(", "))
+      }),
+
     // branch/tag lifecycle (Iceberg's branch DDL ships as procedures too)
     new Proc("create_branch",
       Seq(in("table", StringType), in("branch", StringType)),

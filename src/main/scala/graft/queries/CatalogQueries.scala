@@ -306,6 +306,22 @@ object CatalogQueries {
       "travel_t"
     })
 
+  /** Declared-write-order fixture: CALL write_ordered BEFORE any data,
+    * then INSERT a permuted id sequence ((id·173) mod 400 — gcd(173,400)=1)
+    * — the sink lays the rows out sorted on id, so per-file envelopes are
+    * disjoint from the first write. */
+  private def writeOrdT(spark: SparkSession): Unit =
+    built.computeIfAbsent("word_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.word_t (id BIGINT, val BIGINT)")
+      spark.sql("CALL graft.system.write_ordered(" +
+        "table => 'cq.word_t', columns => 'id')")
+      spark.sql("INSERT INTO graft.cq.word_t " +
+        "SELECT (id * 173) % 400 AS id, ((id * 173) % 400) * 3 AS val " +
+        "FROM range(0, 400) AS t(id)")
+      "word_t"
+    })
+
   /** Table-property evolution fixture: CREATE with TBLPROPERTIES, then
     * SET (merge + overwrite) and UNSET via SQL — final persisted map is
     * {quality.tier=gold, write.note=v2}. */
@@ -451,6 +467,17 @@ object CatalogQueries {
       travelT(s)
       s.sql("SELECT COUNT(*) AS n, MIN(id) AS mn, MAX(id) AS mx, " +
         "MAX(val) AS mxv FROM graft.cq.travel_t VERSION AS OF 1")
+    }),
+
+    // declared write order from SQL (CALL write_ordered): the permuted
+    // INSERT lands sorted — full content intact, and a range slice reads
+    // the same answer off the sorted layout (file pruning is plan-gated
+    // in CatalogSpec)
+    "sql_call_write_ordered" -> ((s, _) => {
+      writeOrdT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum, " +
+        "SUM(CASE WHEN id BETWEEN 100 AND 149 THEN val END) AS band_sum " +
+        "FROM graft.cq.word_t")
     }),
 
     // table-property evolution (Iceberg SET/UNSET TBLPROPERTIES):
@@ -651,6 +678,15 @@ object CatalogQueries {
     "sql_catalog_tblprops" ->
       """SELECT 'quality.tier' AS key, 'gold' AS value
         |UNION ALL SELECT 'write.note', 'v2' ORDER BY key""".stripMargin,
+
+    // word_t: ids 0..399 (permuted insert order), val = 3·id
+    "sql_call_write_ordered" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(range) AS BIGINT) AS id_sum,
+        |       CAST(SUM(range * 3) AS BIGINT) AS val_sum,
+        |       CAST(SUM(CASE WHEN range BETWEEN 100 AND 149
+        |                     THEN range * 3 END) AS BIGINT) AS band_sum
+        |FROM range(0, 400)""".stripMargin,
 
     // scan_t live rows below 100: part 'a', id%10<>7
     "sql_catalog_ctas" ->

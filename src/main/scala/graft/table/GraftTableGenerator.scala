@@ -179,6 +179,9 @@ final class GraftTableGenerator(
 
   def tableProperties: Map[String, String] = props
 
+  /** The declared write order ([[writeOrdered]]), empty when none. */
+  def writeOrder: Seq[String] = sortOrderCols
+
   def liveSchema: GraftSchema = schema
   def currentPartitionCols: Seq[String] = partitionCols
 

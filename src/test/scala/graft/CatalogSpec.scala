@@ -71,6 +71,15 @@ class CatalogSpec extends SparkSpec {
     assert(n == 50L)
     assert(planned == 1,
       s"range must open only the file holding 150..199, planned $planned")
+    // BETWEEN survives analysis as a RuntimeReplaceable (With-wrapped)
+    // node — extraction must desugar it, or the slice silently full-scans
+    val before2 = MorReader.dataFilesPlanned.get()
+    val n2 = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_range " +
+        "WHERE product_id BETWEEN 150 AND 199").collect()(0).getLong(0)
+    assert(n2 == 50L)
+    assert(MorReader.dataFilesPlanned.get() - before2 == 1,
+      "BETWEEN must prune exactly like the desugared conjunction")
   }
 
   test("INSERT INTO appends through the distributed bulk writer") {
@@ -508,6 +517,32 @@ class CatalogSpec extends SparkSpec {
     val shown2 = spark.sql("SHOW TBLPROPERTIES graft.db.t_props2")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(shown2.get("write.note").contains("v1") && !shown2.contains("provider"))
+  }
+
+  test("CALL write_ordered: later INSERTs land sorted; band scans prune") {
+    val _ = wh // force the warehouse conf before any catalog SQL
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_word")
+    spark.sql("CREATE TABLE graft.db.t_word (id BIGINT, val BIGINT)")
+    val order = spark.sql("CALL graft.system.write_ordered(" +
+      "table => 'db.t_word', columns => 'id')").collect()(0).getString(0)
+    assert(order == "id")
+    spark.sql("INSERT INTO graft.db.t_word " +
+      "SELECT (id * 173) % 400 AS id, 7 AS val FROM range(0, 400) AS t(id)")
+    // the order is table metadata — an open()ed writer inherits it
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_word").open()
+    assert(g.writeOrder == Seq("id"))
+    // sorted ingest → disjoint per-file envelopes → a band scan plans a
+    // strict subset of the files (whenever the insert produced several)
+    val total = SnapshotLog(s"$wh/db/t_word").load().mainOnly.dataFiles.size
+    val before = MorReader.dataFilesPlanned.get()
+    val n = spark.sql(
+      "SELECT count(id) AS n FROM graft.db.t_word WHERE id BETWEEN 100 AND 149")
+      .collect()(0).getLong(0)
+    assert(n == 50L)
+    val planned = MorReader.dataFilesPlanned.get() - before
+    if (total > 1)
+      assert(planned < total,
+        s"sorted layout must prune the band scan: planned $planned of $total")
   }
 
   test("GROUP BY partition column answers from the manifest; deletes and spec evolution force the scan") {
