@@ -538,6 +538,25 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** `LIKE 'abc%'` (a plain prefix: single trailing `%`, no `_`, no escape
+    * uses) → Some("abc"); anything else → None. */
+  private def likePrefix(l: Literal, escape: Char): Option[String] = {
+    val pat = Option(l.value).map(_.toString).getOrElse(return None)
+    if (pat.length < 2 || !pat.endsWith("%")) return None
+    val prefix = pat.dropRight(1)
+    if (prefix.exists(c => c == '%' || c == '_' || c == escape)) None
+    else Some(prefix)
+  }
+
+  /** Inclusive upper bound covering every string that starts with
+    * `prefix`: bump the rightmost bumpable char and truncate. A prefix of
+    * all Char.MaxValue has no finite bound → unbounded above. */
+  private def prefixUpper(prefix: String): Option[String] = {
+    val i = prefix.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+  }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
     // BETWEEN (and friends) survive analysis as RuntimeReplaceable nodes —
@@ -642,6 +661,28 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
       case LessThan(Lit(l), a) if attrName(a).isDefined =>
         render(l).foreach(v => addRange(attrName(a).get, Some(v), None))
+      // null-safe equality against a NON-null literal is plain equality
+      // for file pruning (null rows can never match) — but NOT a
+      // partition-exact filter, since a null partition tuple renders
+      // differently from any literal
+      case EqualNullSafe(a, Lit(l)) if attrName(a).isDefined && l.value != null =>
+        val c = attrName(a).get
+        render(l).foreach { v => addRange(c, Some(v), Some(v)); points += c -> Set(v) }
+      case EqualNullSafe(Lit(l), a) if attrName(a).isDefined && l.value != null =>
+        val c = attrName(a).get
+        render(l).foreach { v => addRange(c, Some(v), Some(v)); points += c -> Set(v) }
+      // prefix predicates prune as a string range (Iceberg startsWith
+      // pushdown): [prefix, prefix-with-last-char-bumped] — the inclusive
+      // upper over-approximates by at most one boundary value, sound at
+      // file granularity
+      case Like(a, Lit(l), escape) if attrName(a).isDefined &&
+          likePrefix(l, escape).isDefined =>
+        val p = likePrefix(l, escape).get
+        addRange(attrName(a).get, Some(p), prefixUpper(p))
+      case StartsWith(a, Lit(l)) if attrName(a).isDefined &&
+          Option(l.value).exists(_.toString.nonEmpty) =>
+        val p = l.value.toString
+        addRange(attrName(a).get, Some(p), prefixUpper(p))
       case _ => // not prunable — the row-level Filter above handles it
     }
     (partFilter, ranges, points)

@@ -82,6 +82,33 @@ class CatalogSpec extends SparkSpec {
       "BETWEEN must prune exactly like the desugared conjunction")
   }
 
+  test("LIKE prefix and null-safe equality prune via string envelopes") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_like")
+    g.create(graft.schema.GraftSchema.of(
+        "id" -> org.apache.spark.sql.types.LongType,
+        "name" -> org.apache.spark.sql.types.StringType), Nil)
+      .appendData(spark.range(0, 50).toDF("id")
+        .withColumn("name", concat(lit("a"), col("id")))).commit()
+      .appendData(spark.range(50, 100).toDF("id")
+        .withColumn("name", concat(lit("x"), col("id")))).commit()
+    val total = SnapshotLog(g.tableDir.toString).load().mainOnly.dataFiles.size
+    assert(total >= 2)
+    val b1 = MorReader.dataFilesPlanned.get()
+    val n1 = spark.sql(
+      "SELECT count(id) AS n FROM graft.db.t_like WHERE name LIKE 'x%'")
+      .collect()(0).getLong(0)
+    assert(n1 == 50L)
+    assert(MorReader.dataFilesPlanned.get() - b1 < total,
+      "prefix predicate must prune the non-matching envelope")
+    val b2 = MorReader.dataFilesPlanned.get()
+    val n2 = spark.sql(
+      "SELECT count(id) AS n FROM graft.db.t_like WHERE name <=> 'x50'")
+      .collect()(0).getLong(0)
+    assert(n2 == 1L)
+    assert(MorReader.dataFilesPlanned.get() - b2 < total,
+      "null-safe point lookup must prune like equality")
+  }
+
   test("INSERT INTO appends through the distributed bulk writer") {
     val g = fresh("t_ins")
     spark.sql(
