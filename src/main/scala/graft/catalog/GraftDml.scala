@@ -620,7 +620,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // one bound per conjunct; comparing canonically is cmpMetric's job —
       // last-wins on repeats stays sound because both conjuncts re-apply
       // row-level above)
-      ranges += c -> MorReader.ColRange(lo.orElse(cur.lo), hi.orElse(cur.hi))
+      ranges += c -> MorReader.ColRange(lo.orElse(cur.lo), hi.orElse(cur.hi),
+        cur.needNull)
     }
     splitConjuncts(cond).foreach {
       case EqualTo(a, Lit(l)) if attrName(a).isDefined =>
@@ -683,6 +684,16 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Option(l.value).exists(_.toString.nonEmpty) =>
         val p = l.value.toString
         addRange(attrName(a).get, Some(p), prefixUpper(p))
+      // null tests prune off the manifest nullCount / envelope presence:
+      // IS NOT NULL drops all-null files (a schema-evolution column is
+      // all-null in every pre-evolution file — the common 100 TB case);
+      // IS NULL drops files whose recorded nullCount is zero
+      case IsNotNull(a) if attrName(a).isDefined =>
+        addRange(attrName(a).get, None, None)
+      case IsNull(a) if attrName(a).isDefined =>
+        val c = attrName(a).get
+        ranges += c -> ranges.getOrElse(c, MorReader.ColRange())
+          .copy(needNull = true)
       case _ => // not prunable — the row-level Filter above handles it
     }
     (partFilter, ranges, points)

@@ -95,8 +95,16 @@ object MorReader {
 
   /** Inclusive bounds (equality when `lo == hi`) over one column, rendered
     * as canonical strings — the same representation [[graft.meta.ColMetrics]]
-    * stores, so file pruning compares without opening anything. */
-  final case class ColRange(lo: Option[String] = None, hi: Option[String] = None)
+    * stores, so file pruning compares without opening anything.
+    *
+    * `ColRange()` (no bounds) still prunes ALL-NULL files — the envelope
+    * test is vacuous but demands SOME min/max — which is exactly the
+    * `IS NOT NULL` file test (e.g. a column added by schema evolution is
+    * all-null in every pre-evolution file). `needNull = true` is the
+    * `IS NULL` side: only files with a nonzero manifest nullCount can
+    * produce a null row. */
+  final case class ColRange(lo: Option[String] = None, hi: Option[String] = None,
+                            needNull: Boolean = false)
 
   /** May delete file `d`'s scope touch data file `f`? A delete's partition
     * map is a SCOPE, not an identity: empty = global (upsert/merge write
@@ -256,7 +264,8 @@ object MorReader {
       case (k, r) if live.names.contains(k) =>
         val dt = live.fields.find(_.name == k).get.dataType
         (r.lo.map(lo => col(k) >= lit(lo).cast(dt)) ++
-          r.hi.map(hi => col(k) <= lit(hi).cast(dt)))
+          r.hi.map(hi => col(k) <= lit(hi).cast(dt)) ++
+          (if (r.needNull) Seq(col(k).isNull) else Nil))
           .reduceOption(_ && _).getOrElse(lit(true)) // ColRange() = unbounded
     }.foldLeft(lit(true))(_ && _)
     // point-value (equality / IN-set) file pruning beyond what min/max
@@ -907,18 +916,23 @@ object MorReader {
     ranges.forall { case (k, r) =>
       live.fields.find(_.name == k).forall { field =>
         f.metrics.get(field.id).forall { m =>
-          val envelope = (m.min, m.max) match {
-            case (Some(mn), Some(mx)) =>
-              r.lo.forall(lo => cmpMetric(field.dataType, mx, lo).forall(_ >= 0)) &&
-                r.hi.forall(hi => cmpMetric(field.dataType, mn, hi).forall(_ <= 0))
-            case _ => false
+          if (r.needNull) m.nullCount != 0 // IS NULL: a file with zero
+            // recorded nulls cannot produce a null row (bounds, if any,
+            // came from a contradictory conjunction — row-level empties it)
+          else {
+            val envelope = (m.min, m.max) match {
+              case (Some(mn), Some(mx)) =>
+                r.lo.forall(lo => cmpMetric(field.dataType, mx, lo).forall(_ >= 0)) &&
+                  r.hi.forall(hi => cmpMetric(field.dataType, mn, hi).forall(_ <= 0))
+              case _ => false
+            }
+            val bloomPass = (r.lo, r.hi, m.bloom) match {
+              case (Some(lo), Some(hi), Some(b)) if lo == hi =>
+                graft.meta.BloomFilter.mightContain(b, lo)
+              case _ => true
+            }
+            envelope && bloomPass
           }
-          val bloomPass = (r.lo, r.hi, m.bloom) match {
-            case (Some(lo), Some(hi), Some(b)) if lo == hi =>
-              graft.meta.BloomFilter.mightContain(b, lo)
-            case _ => true
-          }
-          envelope && bloomPass
         }
       }
     }

@@ -109,6 +109,34 @@ class CatalogSpec extends SparkSpec {
       "null-safe point lookup must prune like equality")
   }
 
+  test("IS NULL / IS NOT NULL prune via manifest nullCount and envelopes") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_null")
+    g.create(graft.schema.GraftSchema.of(
+        "id" -> org.apache.spark.sql.types.LongType,
+        "v" -> org.apache.spark.sql.types.LongType), Nil)
+      // file 1: v ALL NULL (the post-schema-evolution shape); file 2: no nulls
+      .appendData(spark.range(0, 50).toDF("id")
+        .withColumn("v", lit(null).cast("long"))).commit()
+      .appendData(spark.range(50, 100).toDF("id")
+        .withColumn("v", col("id") * 2)).commit()
+    val total = SnapshotLog(g.tableDir.toString).load().mainOnly.dataFiles.size
+    assert(total >= 2)
+    val b1 = MorReader.dataFilesPlanned.get()
+    val n1 = spark.sql(
+      "SELECT count(id) AS n FROM graft.db.t_null WHERE v IS NOT NULL")
+      .collect()(0).getLong(0)
+    assert(n1 == 50L)
+    val p1 = MorReader.dataFilesPlanned.get() - b1
+    assert(p1 < total, s"IS NOT NULL must drop the all-null file: $p1/$total")
+    val b2 = MorReader.dataFilesPlanned.get()
+    val n2 = spark.sql(
+      "SELECT count(id) AS n FROM graft.db.t_null WHERE v IS NULL")
+      .collect()(0).getLong(0)
+    assert(n2 == 50L)
+    val p2 = MorReader.dataFilesPlanned.get() - b2
+    assert(p2 < total, s"IS NULL must drop the zero-null file: $p2/$total")
+  }
+
   test("INSERT INTO appends through the distributed bulk writer") {
     val g = fresh("t_ins")
     spark.sql(
