@@ -694,6 +694,37 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val c = attrName(a).get
         ranges += c -> ranges.getOrElse(c, MorReader.ColRange())
           .copy(needNull = true)
+      // OR of predicate branches (the TPC-H Q19 shape): recurse into each
+      // side, then keep only what BOTH constrain — per-column envelope
+      // hull for ranges, set union for points and partition values. A
+      // column one side leaves free is unconstrained under the union.
+      case orExpr @ Or(_, _) =>
+        val (pa, ra, qa) = extractPruning(orExpr.left, r, t)
+        val (pb, rb, qb) = extractPruning(orExpr.right, r, t)
+        def dtOf(c: String) = r.output.find(_.name == c).map(_.dataType)
+        (pa.keySet intersect pb.keySet).foreach { c =>
+          partFilter += c -> (pa(c) ++ pb(c))
+        }
+        (qa.keySet intersect qb.keySet).foreach { c =>
+          points += c -> (qa(c) ++ qb(c))
+        }
+        (ra.keySet intersect rb.keySet).foreach { c =>
+          val (x, y) = (ra(c), rb(c))
+          if (!x.needNull && !y.needNull) dtOf(c).foreach { dt =>
+            // hull bound: None (unbounded) absorbs; unparseable compares
+            // drop the column — never unsound
+            def hull(o1: Option[String], o2: Option[String], low: Boolean)
+                : Option[Option[String]] = (o1, o2) match {
+              case (Some(av), Some(bv)) =>
+                MorReader.cmpMetric(dt, av, bv).map(cmp =>
+                  Some(if ((cmp <= 0) == low) av else bv))
+              case _ => Some(None)
+            }
+            for (lo <- hull(x.lo, y.lo, low = true);
+                 hi <- hull(x.hi, y.hi, low = false))
+              if (lo.isDefined || hi.isDefined) addRange(c, lo, hi)
+          }
+        }
       case _ => // not prunable — the row-level Filter above handles it
     }
     (partFilter, ranges, points)

@@ -109,6 +109,31 @@ class CatalogSpec extends SparkSpec {
       "null-safe point lookup must prune like equality")
   }
 
+  test("OR of point predicates prunes via the union of per-file probes") {
+    fresh("t_or")
+    // product_id = 10 OR product_id = 160: point union {10, 160} — only
+    // the two files whose envelopes hold one of the probes open
+    val before = MorReader.dataFilesPlanned.get()
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_or " +
+        "WHERE product_id = 10 OR product_id = 160").collect()(0).getLong(0)
+    assert(n == 2L)
+    val planned = MorReader.dataFilesPlanned.get() - before
+    assert(planned == 2,
+      s"OR of two point lookups must open exactly their 2 files, planned $planned")
+    // Q19 shape: disjunction of conjunctions — the shared column's hull
+    // prunes even though each branch also constrains a different column
+    val b2 = MorReader.dataFilesPlanned.get()
+    val n2 = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_or " +
+        "WHERE (product_id BETWEEN 0 AND 9 AND category = 'widget') " +
+        "   OR (product_id BETWEEN 30 AND 39 AND category = 'widget')")
+      .collect()(0).getLong(0)
+    assert(n2 == 20L)
+    assert(MorReader.dataFilesPlanned.get() - b2 == 1,
+      "hull [0,39] x partition {widget} must open one file")
+  }
+
   test("IS NULL / IS NOT NULL prune via manifest nullCount and envelopes") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_null")
     g.create(graft.schema.GraftSchema.of(
