@@ -82,7 +82,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** The Iceberg metadata-table suffixes resolvable as `graft.db.t.<kind>`. */
   private val metaKinds = Set("files", "lineage_files", "delete_files",
-    "partitions", "snapshots", "refs", "history", "all_data_files")
+    "partitions", "snapshots", "refs", "history", "all_data_files",
+    "manifests", "entries", "position_deletes")
 
   /** `db.t.<kind>` — when the identifier itself is no table but its
     * namespace tail names one and the leaf is a known metadata kind,
@@ -149,6 +150,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = tableDir(ident)
     if (!isTable(d)) throw new NoSuchTableException(ident)
     d.toString
+  }
+
+  /** Table dir for a CREATE-path procedure (`snapshot`): resolved like
+    * [[dirByName]] but the table must NOT exist yet; parent namespace
+    * dirs are created. */
+  private[catalog] def dirForCreate(table: String): Path = {
+    val parts = table.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val d = tableDir(ident)
+    if (isTable(d)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    Files.createDirectories(d.getParent)
+    d
   }
 
   private[catalog] def openGeneratorByName(table: String): GraftTableGenerator = {

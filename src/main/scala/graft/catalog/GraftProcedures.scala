@@ -285,6 +285,47 @@ object GraftProcedures {
         Seq(r.getLong(1), headId(c, t))
       }),
 
+    // Iceberg add_files parity: adopt external parquet files in place —
+    // bytes never move, one metadata commit, real stats envelopes
+    // ([[GraftTableGenerator.addFiles]]; hive `col=value` layouts for
+    // identity-partitioned specs)
+    new Proc("add_files",
+      Seq(in("table", StringType), in("source_dir", StringType)),
+      StructType(Seq(
+        StructField("added_files", LongType, nullable = false),
+        StructField("added_rows", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        gen(c, t).addFiles(str(r, 1)).commit()
+        val snap = state(c, t).snapshots.last
+        Seq(snap.dataFiles.size.toLong, snap.dataFiles.map(_.recordCount).sum)
+      }),
+
+    // Iceberg snapshot-table parity: CREATE a graft table over an existing
+    // parquet directory without copying it — schema inferred from the
+    // files, then the whole corpus adopted via addFiles in one commit
+    new Proc("snapshot",
+      Seq(in("source_dir", StringType), in("table", StringType)),
+      StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("added_files", LongType, nullable = false),
+        StructField("added_rows", LongType, nullable = false))),
+      (c, r) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val srcDir = str(r, 0); val t = str(r, 1)
+        val d = c.dirForCreate(t)
+        val struct = spark.read.option("recursiveFileLookup", "true")
+          .parquet(srcDir).schema
+        val gschema = graft.schema.GraftSchema.of(
+          struct.fields.map(f => f.name -> f.dataType).toSeq: _*)
+        new GraftTableGenerator(spark, d.getParent.toString,
+            d.getFileName.toString)
+          .create(gschema, Nil)
+          .addFiles(srcDir).commit()
+        val snap = state(c, t).snapshots.last
+        Seq(t, snap.dataFiles.size.toLong, snap.dataFiles.map(_.recordCount).sum)
+      }),
+
     // the one-call service loop: fragment compaction, DV consolidation,
     // expiry, orphan GC
     new Proc("maintain",

@@ -173,6 +173,9 @@ final class GraftSparkTable(
       case "refs" => MetaTables.refs(spark, dir)
       case "history" => MetaTables.history(spark, dir)
       case "all_data_files" => MetaTables.allDataFiles(spark, dir)
+      case "manifests" => MetaTables.manifests(spark, dir)
+      case "entries" => MetaTables.entries(spark, dir, asOf)
+      case "position_deletes" => MetaTables.positionDeletes(spark, dir, asOf)
       case other => throw new UnsupportedOperationException(
         s"unknown graft metadata table kind $other")
     }

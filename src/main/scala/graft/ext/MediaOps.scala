@@ -179,6 +179,44 @@ object MediaOps {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) over DECODED rasters — the image
+    * near-dup primitive of a multimodal curation pipeline: an 8×8
+    * nearest-neighbor luminance grid (sample (gy,gx) reads pixel
+    * (gy·h/8, gx·w/8) — integer division, any raster size), bit k set
+    * when sample k ≥ the integer mean of the 64 samples, rendered as a
+    * 64-char '0'/'1' string (stable, groupBy/join-friendly). All
+    * integer-exact, so the closed-form pixel corpus makes the hash —
+    * and therefore the duplicate CLUSTERS — SQL-replicable.
+    *
+    * Scale shape: decode is batched per partition like [[decodeFeatures]];
+    * the downstream dedup is one shuffle on the 64-byte hash key — never
+    * an all-pairs image comparison. */
+  def aHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("kind", StringType),
+      StructField("ahash", StringType)))
+    val enc = RowEncoder.encoderFor(out)
+    media.where(col("kind") =!= "audio")
+      .select("media_id", "kind", "payload").mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (w, h, px) = decodeRaster(r.getAs[Array[Byte]](2))
+            val lums = new Array[Long](64)
+            var k = 0
+            while (k < 64) {
+              val p = ((k / 8) * h / 8) * w + (k % 8) * w / 8
+              lums(k) = px(3 * p).toLong + px(3 * p + 1) + px(3 * p + 2)
+              k += 1
+            }
+            val mean = lums.sum / 64
+            val sb = new StringBuilder(64)
+            lums.foreach(l => sb += (if (l >= mean) '1' else '0'))
+            Row(r.getLong(0), r.getString(1), sb.result())
+          }
+        }
+      }(enc)
+  }
+
   /** PIXEL-level resize: BMP payloads (image + video poster) are decoded,
     * box-averaged by `factor` (integer division — deterministic), and
     * re-encoded as BMP in the same batched per-partition path the decoder

@@ -682,6 +682,64 @@ final class SnapshotLog(tableDir: Path) {
     Await.result(Future.sequence(perGroup), Duration.Inf).flatten
   }
 
+  /** One row per physical manifest UNIT — the `manifests` metadata-table
+    * feed (the Iceberg manifest-list view). An inline snapshot reports one
+    * `inline` unit per non-empty side; a sharded snapshot reports each
+    * manifest-group FILE. Data-side group stats come from the persisted
+    * [[ManifestGroupStats]] legend, so the group files themselves stay
+    * UNREAD — O(snap files) at 10^7 entries. Delete groups carry no
+    * persisted legend; they are parsed for exact counts (the same eager
+    * cost [[loadOutline]] already pays for delete manifests).
+    *
+    * Tuple: (snapshotId, content, unit, files, rows, minSeq, maxSeq);
+    * rows = -1 when any member file's declared count is unknown (the
+    * bulk-append sentinel); delete units report rows = -1 (a delete
+    * manifest entry declares no row count). */
+  def manifestIndex(): Seq[(Long, String, String, Int, Long, Long, Long)] =
+    listSnapFiles().flatMap { p =>
+      val n = mapper.readTree(Files.readString(p))
+      val sid = n.get("id").asLong
+      def inlineUnit(field: String, content: String) = {
+        val entries = Option(n.get(field))
+          .map(_.elements().asScala.toSeq).getOrElse(Nil)
+        if (entries.isEmpty) Nil
+        else {
+          val rows = entries.map(e => e.get("recordCount") match {
+            case null => -1L
+            case rc => rc.asLong
+          })
+          val seqs = entries.map(_.get("seq").asLong)
+          Seq((sid, content, "inline", entries.size,
+            if (content == "data" && rows.forall(_ >= 0)) rows.sum else -1L,
+            seqs.min, seqs.max))
+        }
+      }
+      val data = Option(n.get("dataManifests")) match {
+        case Some(man) =>
+          val names = man.elements().asScala.map(_.asText).toSeq
+          val stats = Option(n.get("dataManifestStats"))
+            .map(_.elements().asScala.map(parseGroupStats).toSeq).getOrElse(Nil)
+          names.zipWithIndex.map { case (name, i) =>
+            val st = stats.lift(i)
+            (sid, "data", name, st.map(_.files).getOrElse(-1),
+              st.map(_.rows).getOrElse(-1L), st.map(_.minSeq).getOrElse(-1L),
+              st.map(_.maxSeq).getOrElse(-1L))
+          }
+        case None => inlineUnit("dataFiles", "data")
+      }
+      val dels = Option(n.get("deleteManifests")) match {
+        case Some(man) =>
+          man.elements().asScala.map(_.asText).toSeq.map { name =>
+            val seqs = readManifestGroups(Seq(name), _.get("seq").asLong)
+            (sid, "deletes", name, seqs.size, -1L,
+              if (seqs.isEmpty) -1L else seqs.min,
+              if (seqs.isEmpty) -1L else seqs.max)
+          }
+        case None => inlineUnit("deleteFiles", "deletes")
+      }
+      data ++ dels
+    }
+
   /** Manifest-group names referenced by a snap file's JSON. */
   private def referencedManifests(n: JsonNode): Seq[String] =
     Seq("dataManifests", "deleteManifests").flatMap(f =>

@@ -356,7 +356,114 @@ object CatalogQueries {
       "group_t"
     })
 
+  /** add_files adoption: native ids 0..199 (part a/b), then an EXTERNAL
+    * hive-layout parquet dir of ids 200..399 (part c: <300, d: >=300 —
+    * files physically carry the part column) adopted in place via
+    * `CALL graft.system.add_files`. A post-adoption SQL DELETE proves
+    * adopted files participate in MoR like native ones. */
+  private def addFilesT(spark: SparkSession): Unit =
+    built.computeIfAbsent("add_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "add_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 200)).commit()
+      val ext = s"${CatalogFixture.warehouse}/ext_add_files"
+      val src = spark.range(200, 400).toDF("id")
+        .withColumn("part", when(col("id") < 300, lit("c")).otherwise(lit("d")))
+        .withColumn("val", col("id") * 2)
+      // plain parquet writes INTO part=<v> dirs: hive layout, but every
+      // file still physically carries the part column (the addFiles
+      // contract — partitionBy would strip it)
+      src.where(col("part") === "c").coalesce(1).write
+        .mode("overwrite").parquet(s"$ext/part=c")
+      src.where(col("part") === "d").coalesce(1).write
+        .mode("overwrite").parquet(s"$ext/part=d")
+      spark.sql(s"CALL graft.system.add_files('cq.add_t', '$ext')")
+      spark.sql("DELETE FROM graft.cq.add_t WHERE id % 10 = 3")
+      "add_t"
+    })
+
+  /** snapshot-table adoption: an external unpartitioned parquet dir
+    * becomes a graft table (schema inferred, files adopted in place),
+    * then SQL DELETE runs against it — a migrated table is a full MoR
+    * citizen from the first commit. */
+  private def snapT(spark: SparkSession): Unit =
+    built.computeIfAbsent("snap_t", _ => {
+      CatalogFixture.ensure(spark)
+      val ext = s"${CatalogFixture.warehouse}/ext_snapshot_src"
+      spark.range(0, 500).toDF("id")
+        .withColumn("val", col("id") * 3)
+        .repartition(2).write.mode("overwrite").parquet(ext)
+      spark.sql(s"CALL graft.system.snapshot('$ext', 'cq.snap_t')")
+      spark.sql("DELETE FROM graft.cq.snap_t WHERE id % 5 = 0")
+      "snap_t"
+    })
+
+  /** Known entry ledger for the manifest-introspection metadata tables:
+    * snap 1 appends one file per partition (a/b, 100 rows each), snap 2
+    * positional-deletes id%10=3 (one pos file per partition, 10 positions
+    * each), snap 3 compacts (2 fresh data files; removes 2 data + 2
+    * delete files). */
+  private def metaLedgerT(spark: SparkSession): Unit =
+    built.computeIfAbsent("metal_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "metal_t")
+        .create(idVal, Seq("part"))
+        .appendData(baseRows(spark, 200)).commit()
+        .positionalDelete(col("id") % 10 === 3).commit()
+        .compact().commit()
+      "metal_t"
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the per-snapshot manifest-entry ledger (Iceberg entries table):
+    // added/deleted on both sides — the audit surface proving the
+    // compaction rewrite removed exactly what it re-expressed
+    "sql_meta_entries" -> ((s, _) => {
+      metaLedgerT(s)
+      s.sql("SELECT snapshot_id, status, content, COUNT(*) AS n, " +
+        "SUM(record_count) AS rows_declared " +
+        "FROM graft.cq.metal_t.entries " +
+        "GROUP BY snapshot_id, status, content " +
+        "ORDER BY snapshot_id, status, content")
+    }),
+
+    // the manifest-list view (Iceberg manifests table): inline units with
+    // per-unit counts/row sums — sharded group units are spec-gated in
+    // ShardedManifestSpec (their stats come from the persisted legend)
+    "sql_meta_manifests" -> ((s, _) => {
+      metaLedgerT(s)
+      s.sql("SELECT snapshot_id, content, manifest, file_count, added_rows " +
+        "FROM graft.cq.metal_t.manifests ORDER BY snapshot_id, content")
+    }),
+
+    // the position_deletes CONTENT view, pinned by VERSION AS OF to the
+    // pre-compaction snapshot (live tombstones at head fold away in snap
+    // 3): 10 positions per partition file, pos = row index in its file
+    "sql_meta_pos_deletes" -> ((s, _) => {
+      metaLedgerT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(pos) AS pos_sum, " +
+        "COUNT(DISTINCT file_path) AS n_files " +
+        "FROM graft.cq.metal_t.position_deletes VERSION AS OF 2")
+    }),
+
+    // adopted-in-place external files (Iceberg add_files parity): grouped
+    // content over native + adopted partitions, after a MoR delete that
+    // spans both — manifest stats/pruning on adopted entries are
+    // plan-gated in CatalogSpec
+    "sql_call_add_files" -> ((s, _) => {
+      addFilesT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.add_t GROUP BY part ORDER BY part")
+    }),
+
+    // table migrated from plain parquet via CALL snapshot, then mutated
+    "sql_call_snapshot" -> ((s, _) => {
+      snapT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.snap_t")
+    }),
 
     // GROUP BY the identity partition column answered per-partition from
     // the manifest (file-entry fold at analysis time — zero scan jobs on
@@ -565,6 +672,24 @@ object CatalogQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // native a/b (ids 0..199 by id<100... part split at 100) + adopted
+    // c/d (200..399 split at 300), val 2·id, minus the id%10=3 delete
+    "sql_call_add_files" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(id * 2) AS BIGINT) AS val_sum
+        |FROM (SELECT range AS id,
+        |             CASE WHEN range < 100 THEN 'a' WHEN range < 200 THEN 'b'
+        |                  WHEN range < 300 THEN 'c' ELSE 'd' END AS part
+        |      FROM range(0, 400) WHERE range % 10 <> 3)
+        |GROUP BY part ORDER BY part""".stripMargin,
+
+    // ids 0..499 val 3·id, minus the id%5=0 delete
+    "sql_call_snapshot" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(id * 3) AS BIGINT) AS val_sum
+        |FROM range(0, 500) t(id) WHERE id % 5 <> 0""".stripMargin,
+
     // live = ids 0..399 minus id%10=7, part by id<200, val 2·id
     "sql_catalog_scan" ->
       """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
@@ -767,6 +892,32 @@ object CatalogQueries {
       """SELECT * FROM (VALUES
         |  ('part=a', CAST(200 AS BIGINT)), ('part=b', CAST(200 AS BIGINT)))
         |  v(partition, record_count)
-        |ORDER BY partition""".stripMargin
+        |ORDER BY partition""".stripMargin,
+
+    // snap 1: +2 data files (200 rows); snap 2: +2 pos-delete files;
+    // snap 3 (compact): +2 data (180 live rows), -2 data, -2 deletes
+    "sql_meta_entries" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'added',   'data',    CAST(2 AS BIGINT), CAST(200 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'added',   'deletes', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'added',   'data',    CAST(2 AS BIGINT), CAST(180 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'deleted', 'data',    CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'deleted', 'deletes', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)))
+        |  v(snapshot_id, status, content, n, rows_declared)
+        |ORDER BY snapshot_id, status, content""".stripMargin,
+
+    "sql_meta_manifests" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'data',    'inline', 2, CAST(200 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'deletes', 'inline', 2, CAST(NULL AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'data',    'inline', 2, CAST(180 AS BIGINT)))
+        |  v(snapshot_id, content, manifest, file_count, added_rows)
+        |ORDER BY snapshot_id, content""".stripMargin,
+
+    // ids 3,13,..,93 in each partition's single 100-row file → pos = 3..93
+    // step 10 (Σ=480) twice
+    "sql_meta_pos_deletes" ->
+      """SELECT CAST(20 AS BIGINT) AS n, CAST(960 AS BIGINT) AS pos_sum,
+        |       CAST(2 AS BIGINT) AS n_files""".stripMargin
   )
 }

@@ -114,6 +114,25 @@ object MediaQueries {
       pe.groupBy("kind").agg(count(lit(1)).as("n"), sums: _*).orderBy("kind")
     }),
 
+    // perceptual-hash near-dup over decoded rasters: aHash (8×8 nearest
+    // luminance grid vs its mean) clusters pixel-identical and
+    // near-identical images; dedup = ONE shuffle on the hash key. The
+    // corpus has REAL duplicate structure (doc_id ≥ 256 rasters repeat
+    // doc_id − 256), and the oracle recomputes every hash closed-form —
+    // a decode/stride/threshold bug reshuffles clusters and breaks it.
+    "multimodal_ahash_dedup" -> ((s, d) => {
+      val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
+      MediaOps.aHash(media, batchSize = 64)
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("c"), sum("media_id").as("ids"))
+        .agg(sum("c").cast("long").as("n_imgs"),
+          count(lit(1)).as("n_hashes"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("long")
+            .as("n_dup_imgs"),
+          coalesce(sum(when(col("c") > 1, col("ids"))), lit(0L)).cast("long")
+            .as("dup_id_sum"))
+    }),
+
     // per-kind per-dimension mean of the decoded features — the full 4-dim
     // generalization of multimodal_features' f0_sum (BMP: ΣR/ΣG/ΣB/pixels;
     // WAV: Σs/Σ|s|/n/max|s|)
@@ -248,6 +267,33 @@ object MediaQueries {
         |FROM (SELECT doc_id, n_chars * 40 AS dur FROM documents
         |      WHERE doc_id % 3 = 2) d,
         |     LATERAL unnest(range(0, 4)) AS f(i)""".stripMargin,
+
+    // aHash recomputed closed-form: sample k reads pixel
+    // p = ((k//8)·h//8)·w + (k%8)·w//8, lum = Σ_c (id·31 + (3p+c)·7) % 256,
+    // bit = lum >= floor(mean); clusters then aggregate exactly like Spark
+    "multimodal_ahash_dedup" ->
+      s"""WITH $mediaCte,
+         |l AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), k ->
+         |        (doc_id*31 + (3*((((k//8)*h)//8)*w + ((k%8)*w)//8))*7) % 256
+         |      + (doc_id*31 + (3*((((k//8)*h)//8)*w + ((k%8)*w)//8)+1)*7) % 256
+         |      + (doc_id*31 + (3*((((k//8)*h)//8)*w + ((k%8)*w)//8)+2)*7) % 256
+         |    ) AS lums
+         |  FROM m WHERE kind <> 'audio'),
+         |hsh AS (
+         |  SELECT doc_id, list_aggregate(
+         |    list_transform(lums, v ->
+         |      CASE WHEN v >= list_sum(lums) // 64 THEN '1' ELSE '0' END),
+         |    'string_agg', '') AS ahash
+         |  FROM l),
+         |g AS (SELECT ahash, COUNT(*) AS c, SUM(doc_id) AS ids
+         |      FROM hsh GROUP BY ahash)
+         |SELECT CAST(SUM(c) AS BIGINT) AS n_imgs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+         |       CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS BIGINT) AS n_dup_imgs,
+         |       CAST(COALESCE(SUM(ids) FILTER (c > 1), 0) AS BIGINT) AS dup_id_sum
+         |FROM g""".stripMargin,
 
     // all 4 decoded dims per kind: BMP j<3 → channel-j sum
     // ((id·31 + (3p+j)·7) % 256 summed), j=3 → pixel count;

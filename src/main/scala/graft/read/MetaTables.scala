@@ -147,6 +147,93 @@ object MetaTables {
         "live")
   }
 
+  /** `tbl.manifests`: one row per physical manifest unit (the Iceberg
+    * manifest-list view) — inline snap-file lists report as `inline`,
+    * sharded snapshots report each manifest-group file with its
+    * persisted stats legend (data groups stay UNREAD — O(snap files)
+    * however many entries the table holds). `added_rows` is NULL when
+    * any member count is unknown, and always NULL on delete units (a
+    * delete manifest entry declares no row count). */
+  def manifests(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    SnapshotLog(tableDir).manifestIndex()
+      .map { case (sid, content, unit, files, rows, mnSeq, mxSeq) =>
+        (sid, content, unit, files, if (rows < 0) None else Some(rows),
+          mnSeq, mxSeq) }
+      .toDF("snapshot_id", "content", "manifest", "file_count",
+        "added_rows", "min_seq", "max_seq")
+  }
+
+  /** `tbl.entries`: the per-snapshot manifest-entry ledger (Iceberg's
+    * entries table): every file a snapshot ADDED (`status='added'`, with
+    * its declared count) or REMOVED (`status='deleted'` — compaction /
+    * expiry rebase rewrites), on both the data and delete sides. The
+    * live file set is exactly the added-minus-deleted fold of this
+    * table, which makes it the audit surface for rewrite honesty. */
+  def entries(spark: SparkSession, tableDir: String,
+              asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    state(tableDir, asOf).snapshots.flatMap { s =>
+      s.dataFiles.map(f => (s.id, "added", "data", rel(tableDir, f.path),
+        partStr(f.partition), f.seq,
+        if (f.recordCount < 0) None else Some(f.recordCount))) ++
+      s.deleteFiles.map(f => (s.id, "added", "deletes", rel(tableDir, f.path),
+        partStr(f.partition), f.seq, None: Option[Long])) ++
+      s.removedDataFiles.map(p => (s.id, "deleted", "data",
+        rel(tableDir, p), "", -1L, None: Option[Long])) ++
+      s.removedDeleteFiles.map(p => (s.id, "deleted", "deletes",
+        rel(tableDir, p), "", -1L, None: Option[Long]))
+    }.toDF("snapshot_id", "status", "content", "file_path", "partition",
+      "seq", "record_count")
+  }
+
+  /** `tbl.position_deletes`: the CONTENT of the live positional tombstone
+    * files (Iceberg's position_deletes metadata table) — one row per
+    * (data file, position) pair, with the tombstone file that carries it.
+    * Plain pos files are read as-is; delete VECTORS expand their 64-bit
+    * bitmap words back to positions (`posexplode` over the words array,
+    * then the set bits of each word) — all distributed, row-scale with
+    * the number of deleted rows, zero driver materialization. */
+  def positionDeletes(spark: SparkSession, tableDir: String,
+                      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val st = state(tableDir, asOf)
+    val posPaths = st.deleteFiles.filter(_.kind == "pos").map(_.path)
+    val dvPaths = st.deleteFiles.filter(_.kind == "dv").map(_.path)
+    val posSchema = StructType(Seq(StructField("file_path", StringType),
+      StructField("pos", LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(posSchema.fields :+ StructField("delete_file_path", StringType)))
+    val plain =
+      if (posPaths.isEmpty) empty
+      else spark.read.schema(posSchema).parquet(posPaths: _*)
+        .select(col("file_path"), col("pos"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("delete_file_path"))
+    val dvSchema = StructType(Seq(StructField("file_path", StringType),
+      StructField("words", ArrayType(LongType))))
+    val vectors =
+      if (dvPaths.isEmpty) empty
+      else spark.read.schema(dvSchema).parquet(dvPaths: _*)
+        .select(col("file_path"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("delete_file_path"),
+          posexplode(col("words")).as(Seq("w_idx", "word")))
+        .where(col("word") =!= 0L)
+        .select(col("file_path"), col("delete_file_path"),
+          explode(expr(
+            "filter(transform(sequence(0, 63), b -> " +
+              "IF((shiftright(word, b) & 1) = 1, " +
+              "w_idx * 64L + CAST(b AS BIGINT), CAST(NULL AS BIGINT))), " +
+              "x -> x IS NOT NULL)")).as("pos"))
+        .select(col("file_path"), col("pos"), col("delete_file_path"))
+    plain.unionByName(vectors)
+      .withColumn("file_path",
+        regexp_replace(col("file_path"), "^file:/+", "/"))
+  }
+
   /** `tbl.partitions`: live data files and manifest rows per partition
     * (delete-unaware, exactly like Iceberg's partitions table — MoR
     * deletes are accounted in `delete_files`, not subtracted here). */

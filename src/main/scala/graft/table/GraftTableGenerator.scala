@@ -265,8 +265,7 @@ final class GraftTableGenerator(
         .sortBy(_.toString).foreach { part =>
           val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
           val target = uniqueNumberedFile(dataDir, "%02d.parquet")
-          Files.createDirectories(target.getParent)
-          Files.move(part, target)
+          Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
           stagedData :+= DataFileEntry(target.toString, Map.empty, specId,
             schemaV, opSeq, footerRowCount(target), metrics = m)
         }
@@ -311,13 +310,145 @@ final class GraftTableGenerator(
         val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
         val target = uniqueNumberedFile(dataDir.resolve(pdir),
           s"$pdir-%02d.parquet")
-        Files.createDirectories(target.getParent)
-        Files.move(part, target)
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
         stagedData :+= DataFileEntry(target.toString, pmap, specId, schemaV,
           opSeq, footerRowCount(target), metrics = m)
       }
     }
     deleteRecursively(staging)
+    this
+  }
+
+  /** Iceberg `add_files` parity (SQL: `CALL graft.system.add_files`):
+    * adopt EXISTING Parquet files as data files of this table WITHOUT
+    * copying or rewriting them — the 100 TB migration path. The bytes
+    * never move; one metadata commit registers the whole corpus, and the
+    * adopted entries carry real min/max/null-count envelopes so they
+    * prune exactly like natively-written files.
+    *
+    * Contract (the same strictness Iceberg's `add_files` applies):
+    *   - every file must PHYSICALLY carry the full live schema by name
+    *     (verified from footers — an enforced-schema scan would read a
+    *     missing column as silent NULLs, so absence fails fast instead);
+    *     extra columns are allowed and ignored by the name-based reads;
+    *   - identity-transform specs only: adopted layouts are hive-style
+    *     `col=value` directories, which cannot express hidden transforms;
+    *     each file's partition tuple is parsed from its relative path,
+    *     and the file's own min==max stats must agree with the directory
+    *     value (a misplaced row would silently corrupt partition pruning);
+    *   - already-registered paths are rejected (double adoption).
+    *
+    * Cost model at 10^7 files: one PARALLELIZED footer sweep (schema
+    * check + honest per-file record counts — metadata I/O only, no data
+    * bytes) plus ONE distributed stats job over the adopted files (the
+    * same single-job shape as the bulk-append stats pass). Orphan GC
+    * never touches adopted bytes: [[removeOrphanFiles]] walks only the
+    * table directory, and adopted files live outside it.
+    */
+  def addFiles(sourceDir: String): this.type = {
+    requireCreated("addFiles()")
+    require(transforms.forall(_.isIdentity),
+      s"addFiles: hive layouts carry identity partition values only — " +
+        s"spec (${partitionCols.mkString(", ")}) has hidden transforms; " +
+        "rewrite through appendBulk instead")
+    val src = Paths.get(sourceDir).toAbsolutePath.normalize
+    require(Files.isDirectory(src), s"addFiles: $src is not a directory")
+    // recursive listing; partition tuple accumulates from `name=value` dirs
+    def walk(dir: Path, acc: Map[String, String]): Seq[(Path, Map[String, String])] =
+      listDir(dir).flatMap { p =>
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p)) {
+          val kv = n.split("=", 2)
+          if (kv.length == 2)
+            walk(p, acc + (kv(0) ->
+              java.net.URLDecoder.decode(kv(1), "UTF-8")))
+          else walk(p, acc)
+        } else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+          Seq(p -> acc)
+        else Nil
+      }
+    val found = walk(src, Map.empty).sortBy(_._1.toString)
+    require(found.nonEmpty, s"addFiles: no parquet files under $src")
+    val pNames = transforms.map(_.partName)
+    val partByPath: Map[String, Map[String, String]] = found.map { case (p, acc) =>
+      pNames.foreach { pn =>
+        require(acc.contains(pn),
+          s"addFiles: ${src.relativize(p)} lacks a $pn=<value> directory " +
+            s"for partition spec (${pNames.mkString(", ")})")
+        require(acc(pn) != "__HIVE_DEFAULT_PARTITION__",
+          s"addFiles: null-partition sentinel under ${src.relativize(p)}")
+      }
+      p.toString -> pNames.map(pn => pn -> acc(pn)).toMap
+    }.toMap
+    val already = lineage(log.load()).dataFiles.map(_.path).toSet ++
+      stagedData.map(_.path)
+    found.foreach { case (p, _) =>
+      require(!already(p.toString), s"addFiles: $p is already registered")
+    }
+    val paths = found.map(_._1.toString)
+    // 1. distributed footer sweep: (path, footer record count, top-level
+    //    physical column names) — pure metadata I/O, no data bytes read
+    val liveNames = schema.names
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val bc = spark.sparkContext.broadcast(hconf)
+    val footers = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), bc.value.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val cols = r.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSeq
+          (p, r.getRecordCount, cols)
+        } finally r.close()
+      }.collect()
+    footers.foreach { case (p, _, cols) =>
+      val missing = liveNames.filterNot(cols.toSet)
+      require(missing.isEmpty,
+        s"addFiles: $p lacks column(s) ${missing.mkString(", ")} — " +
+          "adopted files must physically carry the full live schema " +
+          "(an enforced-schema read would return silent NULLs)")
+    }
+    val countByPath = footers.map { case (p, n, _) => p -> n }.toMap
+    // 2. one distributed stats job over all adopted files (recursive
+    //    lookup kills hive partition inference — physical columns only)
+    val fields = metricFields
+    val statsByPath: Map[String, Map[Int, ColMetrics]] =
+      if (fields.isEmpty) Map.empty
+      else {
+        val aggs = metricAggs(fields)
+        spark.read.schema(schema.struct)
+          .option("recursiveFileLookup", "true")
+          .parquet(paths: _*)
+          .select(col("*"), col("_metadata.file_path").as("_mfp"))
+          .groupBy("_mfp").agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => r.getAs[String]("_mfp").replaceFirst("^file:/+", "/") ->
+            rowToMetrics(fields, r))
+          .toMap
+      }
+    // partition-value honesty: an identity-partitioned file must be
+    // single-valued on each partition column AND match its directory
+    val fieldIdByName = schema.fields.map(f => f.name -> f.id).toMap
+    val opSeq = nextOpSeq()
+    found.foreach { case (p, _) =>
+      val key = p.toString
+      val m = statsByPath.getOrElse(key, Map.empty)
+      partByPath(key).foreach { case (pcol, pval) =>
+        fieldIdByName.get(pcol).flatMap(m.get).foreach { cm =>
+          require(cm.min == cm.max && cm.min.contains(pval) && cm.nullCount == 0L,
+            s"addFiles: $p carries ${pcol} values [${cm.min.getOrElse("null")}, " +
+              s"${cm.max.getOrElse("null")}] (nulls: ${cm.nullCount}) but sits " +
+              s"in directory $pcol=$pval — misplaced rows would corrupt " +
+              "partition pruning")
+        }
+      }
+      stagedData :+= DataFileEntry(key, partByPath(key), specId, schemaV,
+        opSeq, countByPath(key), metrics = m)
+    }
     this
   }
 
@@ -1953,12 +2084,27 @@ final class GraftTableGenerator(
   }
 
   /** `%02d`-numbered probe-until-free naming (reference
-    * `getUniqueNumberedFilename`, `IcebergTableGenerator.java:386-395`). */
+    * `getUniqueNumberedFilename`, `IcebergTableGenerator.java:386-395`) —
+    * but the name is CLAIMED atomically (`Files.createFile` throws for
+    * every claimant but the first) rather than exists-checked: two
+    * concurrent writers probing the same partition would otherwise both
+    * pick the same target and the second staged write would silently
+    * REPLACE the first's bytes before either commits — the committed
+    * winner's entry would then point at the loser's rows (a lost update
+    * the snapshot-log CAS can't see, since both paths look unique to it).
+    * The 0-byte placeholder is replaced by the real file on write; a
+    * crash between claim and write leaves an unregistered orphan that
+    * [[removeOrphanFiles]] sweeps. Single-writer layouts are unchanged
+    * (same first-free `%02d` names). */
   private def uniqueNumberedFile(dir: Path, template: String): Path = {
+    Files.createDirectories(dir)
     var n = 0
-    var p = dir.resolve(template.format(n))
-    while (Files.exists(p)) { n += 1; p = dir.resolve(template.format(n)) }
-    p
+    while (true) {
+      val p = dir.resolve(template.format(n))
+      try { Files.createFile(p); return p }
+      catch { case _: java.nio.file.FileAlreadyExistsException => n += 1 }
+    }
+    sys.error("unreachable")
   }
 
   /** Write `df` as exactly one Parquet file at `target` (write-temp + move;

@@ -826,4 +826,120 @@ class CatalogSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("graft UPDATE")),
       s"want the graft error, got: ${e2.getMessage}")
   }
+
+  test("add_files adopts external parquet in place: stats, pruning, MoR parity") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_adopt")
+    g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "part" -> StringType, "val" -> LongType), Seq("part"))
+      .appendData(spark.range(0, 100).toDF("id")
+        .withColumn("part", lit("a")).withColumn("val", col("id") * 2))
+      .commit()
+    // external hive-layout corpus: files physically carry the part column
+    val ext = java.nio.file.Files.createTempDirectory("adopt-src").toString
+    spark.range(100, 200).toDF("id").withColumn("part", lit("b"))
+      .withColumn("val", col("id") * 2)
+      .coalesce(1).write.parquet(s"$ext/part=b")
+    spark.range(200, 300).toDF("id").withColumn("part", lit("c"))
+      .withColumn("val", col("id") * 2)
+      .coalesce(1).write.parquet(s"$ext/part=c")
+    val res = spark.sql(s"CALL graft.system.add_files('db.t_adopt', '$ext')")
+      .collect()(0)
+    assert(res.getLong(0) == 2L && res.getLong(1) == 200L)
+    // adopted bytes stay OUTSIDE the table dir (in-place adoption)
+    val st = SnapshotLog(g.tableDir.toString).load().mainOnly
+    val adopted = st.snapshots.last.dataFiles
+    assert(adopted.forall(_.path.startsWith(ext)))
+    // adopted entries carry real metric envelopes + honest footer counts
+    assert(adopted.forall(_.recordCount == 100L))
+    assert(adopted.forall(_.metrics.nonEmpty))
+    // partition filter prunes to ONE adopted file; range stats prune too
+    val before = MorReader.dataFilesPlanned.get()
+    val s1 = spark.sql("SELECT sum(id) AS s FROM graft.db.t_adopt " +
+      "WHERE part = 'c'").collect()(0).getLong(0)
+    assert(s1 == (200L until 300L).sum)
+    assert(MorReader.dataFilesPlanned.get() - before == 1L,
+      "partition filter must plan only the adopted part=c file")
+    val before2 = MorReader.dataFilesPlanned.get()
+    val s2 = spark.sql("SELECT sum(val) AS s FROM graft.db.t_adopt " +
+      "WHERE id >= 120 AND id <= 180").collect()(0).getLong(0)
+    assert(s2 == (120L to 180L).map(_ * 2).sum)
+    assert(MorReader.dataFilesPlanned.get() - before2 == 1L,
+      "id-range stats must prune to the adopted part=b file")
+    // MoR parity: DELETE spans native and adopted files alike
+    spark.sql("DELETE FROM graft.db.t_adopt WHERE id % 10 = 7")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_adopt")
+      .collect()(0).getLong(0) == 270L)
+    // rejections: double adoption, missing column, hidden-transform spec
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('db.t_adopt', '$ext')").collect()
+    }
+    assert(e1.getMessage.contains("already registered"),
+      s"want double-adoption error, got: ${e1.getMessage}")
+    val ext2 = java.nio.file.Files.createTempDirectory("adopt-bad").toString
+    spark.range(0, 10).toDF("id").withColumn("part", lit("z"))
+      .write.parquet(s"$ext2/part=z") // no val column
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('db.t_adopt', '$ext2')").collect()
+    }
+    assert(e2.getMessage.contains("lacks column"),
+      s"want missing-column error, got: ${e2.getMessage}")
+    new GraftTableGenerator(spark, s"$wh/db", "t_adopt_bkt")
+      .create(graft.schema.GraftSchema.of("id" -> LongType), Seq("bucket(4,id)"))
+      .commit()
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('db.t_adopt_bkt', '$ext')").collect()
+    }
+    assert(e3.getMessage.contains("identity partition values only"),
+      s"want hidden-transform error, got: ${e3.getMessage}")
+  }
+
+  test("entries/manifests/position_deletes metadata tables (incl. DV expansion)") {
+    import org.apache.spark.sql.types._
+    wh
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_metaintro")
+    g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "val" -> LongType), Nil)
+      .appendData(spark.range(0, 100).toDF("id").withColumn("val", col("id")))
+      .commit()
+      .vectorDeletes(true)
+      .positionalDelete(col("id").isin(5L, 64L, 70L)).commit()
+    // DV bitmap words expand back to exact positions, distributed
+    val pos = spark.sql(
+      "SELECT pos FROM graft.db.t_metaintro.position_deletes ORDER BY pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pos == Seq(5L, 64L, 70L), s"DV expansion gave $pos")
+    // entries ledger: snap 1 adds 1 data file, snap 2 adds 1 DV
+    val entries = spark.sql(
+      "SELECT snapshot_id, status, content, record_count " +
+        "FROM graft.db.t_metaintro.entries ORDER BY snapshot_id, content")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(entries.toSeq == Seq((1L, "added", "data"), (2L, "added", "deletes")))
+    // manifests: inline units, data rows legend = 100
+    val man = spark.sql(
+      "SELECT snapshot_id, content, manifest, file_count, added_rows " +
+        "FROM graft.db.t_metaintro.manifests ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(man.toSeq == Seq((1L, "data", "inline", 1, 100L),
+      (2L, "deletes", "inline", 1, -1L)), s"manifests gave ${man.toSeq}")
+  }
+
+  test("snapshot procedure migrates a parquet dir to a full MoR table") {
+    wh // force the warehouse conf onto the session
+    val ext = java.nio.file.Files.createTempDirectory("snap-src").toString
+    spark.range(0, 300).toDF("id").withColumn("val", col("id") * 7)
+      .repartition(3).write.mode("overwrite").parquet(ext)
+    val res = spark.sql(s"CALL graft.system.snapshot('$ext', 'db.t_snap')")
+      .collect()(0)
+    assert(res.getString(0) == "db.t_snap" && res.getLong(2) == 300L)
+    // full SQL citizenship from the first commit
+    spark.sql("DELETE FROM graft.db.t_snap WHERE id < 50")
+    spark.sql("INSERT INTO graft.db.t_snap SELECT id, id * 7 AS val " +
+      "FROM range(300, 350)")
+    val r = spark.sql(
+      "SELECT count(*) AS n, sum(val) AS s FROM graft.db.t_snap").collect()(0)
+    assert(r.getLong(0) == 300L)
+    assert(r.getLong(1) == (50L until 350L).map(_ * 7).sum)
+  }
 }

@@ -61,6 +61,32 @@ class ShardedManifestSpec extends SparkSpec {
     assert(st.snapshots(1).deleteFiles == dels)
   }
 
+  test("manifests metadata table reports group units from the legend, groups unread") {
+    val (log, meta) = freshLog()
+    val data = (0 until 50000).map(entry)
+    log.commit(Snapshot(1L, 1L, 1, 0, data, Nil, Nil, Nil, 1000L, "append"))
+    log.commit(Snapshot(2L, 2L, 1, 0, (50000 until 50010).map(entry), Nil,
+      Nil, Nil, 2000L, "append"))
+    val before = SnapshotLog.driverGroupEntriesParsed.get()
+    val idx = log.manifestIndex()
+    // snap 1: 13 sharded data groups with legend stats; snap 2: inline
+    val g1 = idx.filter(r => r._1 == 1L && r._2 == "data")
+    assert(g1.size == 13, s"got ${g1.size} units")
+    assert(g1.forall(_._3.startsWith("manifest-1-")))
+    assert(g1.map(_._4).sum == 50000 && g1.map(_._5).sum == 50000L * 100)
+    assert(g1.forall(r => r._6 == 1L && r._7 == 1L)) // seq bounds from legend
+    val g2 = idx.filter(r => r._1 == 2L && r._2 == "data")
+    assert(g2 == Seq((2L, "data", "inline", 10, 1000L, 1L, 1L)))
+    // DATA group stats must come from the persisted legend — zero
+    // driver-side group-entry parsing (the 10^7-file contract)
+    assert(SnapshotLog.driverGroupEntriesParsed.get() == before,
+      "manifestIndex must not materialize data manifest groups")
+    // the MetaTables frame mirrors the index
+    val df = graft.read.MetaTables.manifests(spark,
+      meta.getParent.toString)
+    assert(df.where(df("manifest") =!= "inline").count() == 13L)
+  }
+
   test("small snapshots stay inline — no manifest files") {
     val (log, meta) = freshLog()
     log.commit(Snapshot(1L, 1L, 1, 0, (0 until 100).map(entry), Nil,
