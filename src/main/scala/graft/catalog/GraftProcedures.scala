@@ -285,6 +285,27 @@ object GraftProcedures {
         Seq(r.getLong(1), headId(c, t))
       }),
 
+    // rewrite_data_files(strategy => 'sort' | 'zorder') parity: re-cluster
+    // the live rows so range/equality predicates prune files from the
+    // manifest metrics — sort for one key, z-order for mixed patterns
+    new Proc("rewrite_sorted",
+      Seq(in("table", StringType), in("columns", StringType),
+        inDefault("rows_per_file", IntegerType, "100000")),
+      StructType(Seq(
+        StructField("strategy", StringType, nullable = false),
+        StructField("data_files_after", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val cols = str(r, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "rewrite_sorted: give at least one column")
+        val g = gen(c, t)
+        val strategy =
+          if (cols.size == 1) { g.compactSorted(cols.head, r.getInt(2)); "sort" }
+          else { g.compactZOrder(cols, r.getInt(2)); "zorder" }
+        g.commit()
+        Seq(strategy, liveCounts(c, t)._1)
+      }),
+
     // Iceberg add_files parity: adopt external parquet files in place —
     // bytes never move, one metadata commit, real stats envelopes
     // ([[GraftTableGenerator.addFiles]]; hive `col=value` layouts for

@@ -322,6 +322,23 @@ object CatalogQueries {
       "word_t"
     })
 
+  /** rewrite_sorted fixture: four permuted INSERTs (overlapping per-file
+    * envelopes), then CALL rewrite_sorted re-clusters on id — content
+    * intact, band scans pruned (plan-gated in CatalogSpec). */
+  private def rewriteSortT(spark: SparkSession): Unit =
+    built.computeIfAbsent("rsort_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.rsort_t (id BIGINT, val BIGINT)")
+      (0 until 4).foreach { k =>
+        spark.sql("INSERT INTO graft.cq.rsort_t " +
+          s"SELECT (id * 173 + $k) % 400 AS id, ((id * 173 + $k) % 400) * 3 " +
+          s"AS val FROM range(0, 100) AS t(id)")
+      }
+      spark.sql("CALL graft.system.rewrite_sorted(" +
+        "table => 'cq.rsort_t', columns => 'id', rows_per_file => 100)")
+      "rsort_t"
+    })
+
   /** Table-property evolution fixture: CREATE with TBLPROPERTIES, then
     * SET (merge + overwrite) and UNSET via SQL — final persisted map is
     * {quality.tier=gold, write.note=v2}. */
@@ -585,6 +602,15 @@ object CatalogQueries {
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum, " +
         "SUM(CASE WHEN id BETWEEN 100 AND 149 THEN val END) AS band_sum " +
         "FROM graft.cq.word_t")
+    }),
+
+    // CALL rewrite_sorted: content intact through the sort rewrite; the
+    // re-clustered envelopes' pruning is plan-gated in CatalogSpec
+    "sql_call_rewrite_sorted" -> ((s, _) => {
+      rewriteSortT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum, " +
+        "SUM(CASE WHEN id BETWEEN 100 AND 149 THEN val END) AS band_sum " +
+        "FROM graft.cq.rsort_t")
     }),
 
     // table-property evolution (Iceberg SET/UNSET TBLPROPERTIES):
@@ -893,6 +919,17 @@ object CatalogQueries {
         |  ('part=a', CAST(200 AS BIGINT)), ('part=b', CAST(200 AS BIGINT)))
         |  v(partition, record_count)
         |ORDER BY partition""".stripMargin,
+
+    // four permuted 100-row inserts of (id·173+k) % 400, val = 3·id
+    "sql_call_rewrite_sorted" ->
+      """WITH r AS (
+        |  SELECT (id * 173 + k) % 400 AS id
+        |  FROM range(0, 100) t(id), range(0, 4) u(k))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(id * 3) AS BIGINT) AS val_sum,
+        |       CAST(SUM(CASE WHEN id BETWEEN 100 AND 149 THEN id * 3 END)
+        |            AS BIGINT) AS band_sum
+        |FROM r""".stripMargin,
 
     // snap 1: +2 data files (200 rows); snap 2: +2 pos-delete files;
     // snap 3 (compact): +2 data (180 live rows), -2 data, -2 deletes

@@ -57,6 +57,23 @@ object StreamTableQueries {
     s"$wh/cdc_t"
   }
 
+  /** CDC-apply source: append 0..99, UPDATE ids 40..59 (upsert, val=5·id),
+    * positional delete id%10=3, append 100..149 — inserts, an update
+    * (arriving as delete+insert of one key in one window) and pure
+    * deletes, each in its own snapshot. */
+  private def cdcUpdT(s: SparkSession): String = {
+    built.computeIfAbsent("cdcu_t", _ => {
+      val g = new GraftTableGenerator(s, wh, "cdcu_t")
+      g.create(idVal, Nil).appendData(rows(s, 0, 100)).commit()
+      g.upsert(s.range(40, 60).toDF("id").withColumn("val", col("id") * 5),
+        Seq("id")).commit()
+      g.positionalDelete(col("id") % 10 === 3).commit()
+      g.appendData(rows(s, 100, 150)).commit()
+      "cdcu_t"
+    })
+    s"$wh/cdcu_t"
+  }
+
   /** Drain a graft-source stream into a memory sink, fresh checkpoint. */
   private def drain(s: SparkSession, dir: String, sinkName: String,
                     mode: String): Unit = {
@@ -117,6 +134,29 @@ object StreamTableQueries {
       delivered.toDF("batch_seq", "n", "id_sum").orderBy("batch_seq")
     }),
 
+    // graft → graft CDC replication: the changelog stream (net per-window
+    // diffs) applied through the sink's writeMode=cdc — updates land as
+    // keyed upserts, net deletes as one equality-delete file per batch,
+    // each batch one exactly-once snapshot; the replica's MoR read must
+    // equal the source's final state including the update and the deletes
+    "stream_graft_apply_cdc" -> ((s, _) => {
+      val src = cdcUpdT(s)
+      val tmp = Files.createTempDirectory("graft-cdc-apply").toString
+      new GraftTableGenerator(s, tmp, "dst").create(idVal, Nil)
+      val sq = s.readStream.format("graft")
+        .option("mode", "changelog").option("maxSnapshotsPerBatch", "1")
+        .load(src)
+        .writeStream.format("graft")
+        .option("path", s"$tmp/dst")
+        .option("writeMode", "cdc").option("upsertKeys", "id")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try sq.processAllAvailable() finally sq.stop()
+      MorReader.read(s, s"$tmp/dst")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"),
+          sum("val").as("val_sum"))
+    }),
+
     // graft → graft: stream one table into another through the
     // exactly-once sink; the replica must read as the source
     "stream_graft_replicate" -> ((s, _) => {
@@ -156,6 +196,14 @@ object StreamTableQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(range) AS BIGINT) AS id_sum,
         |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
         |FROM range(0, 260)""".stripMargin,
+
+    // final state: ids 0..149 minus {3,13,...,93}; val = 5·id on the
+    // surviving updated band 40..59, else 2·id
+    "stream_graft_apply_cdc" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(CASE WHEN id BETWEEN 40 AND 59 THEN id * 5
+        |                     ELSE id * 2 END) AS BIGINT) AS val_sum
+        |FROM range(0, 150) t(id) WHERE NOT (id % 10 = 3 AND id < 100)""".stripMargin,
 
     // snapshot-edge batches under maxRowsPerBatch=100: 0..99, 100..199,
     // 200..259 — id sums 4950, 14950, 13770

@@ -29,7 +29,9 @@ import graft.meta._
   * excluded from the partition/snapshot rollups — a sentinel must never
   * surface as a row count.
   */
-object MetaTables {
+// Serializable: the sharded-path tasks of [[liveFileRows]] call the
+// module's pure helpers (rel/partStr) from executor closures
+object MetaTables extends Serializable {
 
   /** Path relative to the table root — stable across warehouses. */
   private def rel(tableDir: String, p: String): String =
@@ -44,15 +46,52 @@ object MetaTables {
     asOf.map(st.asOf).getOrElse(st)
   }
 
+  /** Live data-file rows as a DataFrame — the shared feed of the
+    * file-level metadata tables (`files`, `lineage_files`, `partitions`).
+    * An inline log builds driver-side (metadata-scale, as before); a
+    * SHARDED log plans from the OUTLINE and parses each manifest-group
+    * file inside a Spark task — the file-level metadata tables stay
+    * usable at 10^7 files instead of materializing every entry on the
+    * driver (Iceberg's metadata tables are distributed scans for the
+    * same reason). The removal fold and per-path dedup mirror
+    * [[TableState.dataFiles]] exactly. `record_count_raw` keeps the -1
+    * unknown-count sentinel; consumers null it out or filter it. */
+  private def liveFileRows(spark: SparkSession, tableDir: String,
+                           asOf: Option[Long]): DataFrame = {
+    import spark.implicits._
+    val out0 = SnapshotLog(tableDir).loadOutline().mainOnly
+    val out = asOf.map(out0.asOf).getOrElse(out0)
+    val cols = Seq("file_path", "partition", "spec_id", "seq",
+      "record_count_raw", "first_row_id", "lineage_in_file")
+    def render(f: DataFileEntry) =
+      (rel(tableDir, f.path), partStr(f.partition), f.specId, f.seq,
+        f.recordCount, f.firstRowId, f.lineageInFile)
+    val removed = out.removedDataPaths
+    val inline = out.outlines.flatMap(_.snapshot.dataFiles)
+      .filterNot(f => removed(f.path)).distinctBy(_.path).map(render)
+    val groups = out.outlines.flatMap(_.dataManifests)
+    if (groups.isEmpty) return inline.toDF(cols: _*)
+    val metaDir = out.metaDir
+    val bcRemoved = spark.sparkContext.broadcast(removed)
+    val grouped = spark.sparkContext
+      .parallelize(groups, math.max(1, math.min(groups.size, 64)))
+      .flatMap { name =>
+        SnapshotLog.readDataManifestFile(metaDir, name).iterator
+          .filterNot(f => bcRemoved.value(f.path)).map(render)
+      }
+    inline.toDF(cols: _*).unionByName(grouped.toDF(cols: _*))
+      .dropDuplicates("file_path")
+  }
+
   /** `tbl.files`: one row per LIVE data file at the (asOf) snapshot —
     * compaction-removed files are gone, time travel resurrects them. */
   def files(spark: SparkSession, tableDir: String,
             asOf: Option[Long] = None): DataFrame = {
-    import spark.implicits._
-    state(tableDir, asOf).dataFiles
-      .map(f => (rel(tableDir, f.path), partStr(f.partition), f.specId,
-        f.seq, if (f.recordCount < 0) None else Some(f.recordCount)))
-      .toDF("file_path", "partition", "spec_id", "seq", "record_count")
+    import org.apache.spark.sql.functions._
+    liveFileRows(spark, tableDir, asOf)
+      .select(col("file_path"), col("partition"), col("spec_id"), col("seq"),
+        when(col("record_count_raw") < 0L, lit(null))
+          .otherwise(col("record_count_raw")).as("record_count"))
   }
 
   /** Row-lineage view of the live data files (Iceberg-v3 `first_row_id`
@@ -62,12 +101,11 @@ object MetaTables {
     * file, which is how identity survives compaction. */
   def lineageFiles(spark: SparkSession, tableDir: String,
                    asOf: Option[Long] = None): DataFrame = {
-    import spark.implicits._
-    state(tableDir, asOf).dataFiles
-      .map(f => (rel(tableDir, f.path), partStr(f.partition), f.recordCount,
-        f.firstRowId, f.lineageInFile))
-      .toDF("file_path", "partition", "record_count", "first_row_id",
-        "lineage_in_file")
+    import org.apache.spark.sql.functions._
+    liveFileRows(spark, tableDir, asOf)
+      .select(col("file_path"), col("partition"),
+        col("record_count_raw").as("record_count"),
+        col("first_row_id"), col("lineage_in_file"))
   }
 
   /** `tbl.delete_files`: one row per live delete file (pos + eq). */
@@ -239,12 +277,12 @@ object MetaTables {
     * deletes are accounted in `delete_files`, not subtracted here). */
   def partitions(spark: SparkSession, tableDir: String,
                  asOf: Option[Long] = None): DataFrame = {
-    import spark.implicits._
-    state(tableDir, asOf).dataFiles
-      .groupBy(f => partStr(f.partition)).toSeq
-      .map { case (p, fs) =>
-        (p, fs.size.toLong, fs.map(_.recordCount).filter(_ >= 0).sum) }
-      .sortBy(_._1)
-      .toDF("partition", "file_count", "record_count")
+    import org.apache.spark.sql.functions._
+    liveFileRows(spark, tableDir, asOf)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("file_count"),
+        coalesce(sum(when(col("record_count_raw") >= 0L,
+          col("record_count_raw")).otherwise(0L)), lit(0L)).as("record_count"))
+      .orderBy("partition")
   }
 }

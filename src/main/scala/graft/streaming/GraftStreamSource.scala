@@ -76,8 +76,14 @@ class GraftStreamSourceProvider extends StreamSourceProvider
 
   override def createSink(ctx: SQLContext, params: Map[String, String],
                           partitionColumns: Seq[String],
-                          outputMode: OutputMode): Sink =
-    new GraftSink(ctx.sparkSession, dirOf(params))
+                          outputMode: OutputMode): Sink = {
+    val mode = params.getOrElse("writeMode", "append")
+    val keys = params.get("upsertKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    require(mode == "append" || keys.nonEmpty,
+      s"graft sink writeMode=$mode requires .option(\"upsertKeys\", \"k1,k2\")")
+    new GraftSink(ctx.sparkSession, dirOf(params), mode, keys)
+  }
 }
 
 case class GraftSourceOffset(snapshotId: Long) extends Offset {
@@ -202,7 +208,12 @@ class GraftSource(spark: SparkSession, dir: String, mode: String,
   * queries writing the same table from eating each other's batch ids.
   * The replay check is a LIGHT metadata scan ([[SnapshotLog.summaries]] —
   * O(snap files), no manifest materialization). */
-class GraftSink(spark: SparkSession, dir: String) extends Sink {
+class GraftSink(spark: SparkSession, dir: String,
+                writeMode: String = "append",
+                upsertKeys: Seq[String] = Nil) extends Sink {
+
+  require(writeMode == "append" || writeMode == "upsert" || writeMode == "cdc",
+    s"graft sink writeMode must be append|upsert|cdc, got $writeMode")
 
   /** Spark sets this local property on the micro-batch execution thread
     * (`StreamExecution.QUERY_ID_KEY`). */
@@ -231,10 +242,39 @@ class GraftSink(spark: SparkSession, dir: String) extends Sink {
     // streaming micro-batch frames can't be written directly — pull the
     // rows through the batch writer via the micro-batch's analyzed plan
     val batchDf = org.apache.spark.sql.graft.GraftSqlShim.asBatch(data)
-    val conformed = batchDf.selectExpr(g.liveSchema.names: _*)
-    g.appendBulk(conformed, math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, 16)))
-      .commit(Map(gateKey -> batchId.toString))
+    val gate = Map(gateKey -> batchId.toString)
+    writeMode match {
+      case "append" =>
+        g.appendBulk(batchDf.selectExpr(g.liveSchema.names: _*),
+          math.max(1, math.min(spark.sparkContext.defaultParallelism, 16)))
+          .commit(gate)
+      case "upsert" =>
+        // keyed replace-or-insert per micro-batch — MoR write cost
+        // O(batch), never a target rewrite
+        g.upsert(batchDf.selectExpr(g.liveSchema.names: _*), upsertKeys)
+          .commit(gate)
+      case "cdc" =>
+        // apply a NET change batch (`change_kind` ∈ insert|delete — the
+        // graft changelog source's per-window diff): keys seen as inserts
+        // upsert (a delete+insert pair for one key IS an update); keys
+        // seen ONLY as deletes fall in one equality-delete file. Both land
+        // in a single exactly-once snapshot. A batch must be a net diff
+        // (at most one event of each kind per key) — exactly what
+        // MorReader.changelogBetween emits for any window.
+        val rows = batchDf.localCheckpoint(true)
+        val inserts = rows.where(org.apache.spark.sql.functions
+            .col("change_kind") === "insert")
+          .selectExpr(g.liveSchema.names: _*)
+        val netDeletes = rows.where(org.apache.spark.sql.functions
+            .col("change_kind") === "delete")
+          .selectExpr(upsertKeys: _*)
+          .join(inserts.selectExpr(upsertKeys: _*), upsertKeys, "left_anti")
+        val hasDeletes = !netDeletes.isEmpty
+        val hasInserts = !inserts.isEmpty
+        if (hasDeletes) g.deleteKeys(netDeletes, upsertKeys)
+        if (hasInserts) g.upsert(inserts, upsertKeys)
+        if (hasDeletes || hasInserts) g.commit(gate)
+    }
   }
 
   override def name(): String = s"GraftSink[$dir]"

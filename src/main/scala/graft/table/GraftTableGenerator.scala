@@ -790,6 +790,28 @@ final class GraftTableGenerator(
     this
   }
 
+  /** CDC delete-by-key: stage ONE equality-delete file whose keys come
+    * from `df` (key columns only — the frame may carry more) — the
+    * changelog-apply primitive: a replica sink applies a net-delete set
+    * without ever scanning the target (O(deleted keys) write cost, same
+    * global-partition-scope reasoning as [[upsert]]). Rows with any NULL
+    * key are dropped (a NULL never equality-matches, per SQL). */
+  def deleteKeys(df: DataFrame, keyCols: Seq[String]): this.type = {
+    keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    val delSeq = nextOpSeq()
+    val target = deleteFileTarget("eqdelete", Map.empty)
+    val keys = df.select(keyCols.map(col): _*)
+      .na.drop("any", keyCols).distinct()
+    writeSingleFile(keys.select(keyCols.map(col) ++
+      keyCols.map(k => col(k).as(s"_dk${schema.fieldId(k)}")): _*), target)
+    stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "eq", keyCols,
+      keyCols.map(schema.fieldId), delSeq,
+      keyColsWritten = keyCols.map(k => s"_dk${schema.fieldId(k)}"),
+      metrics = deleteColMetrics(target,
+        keyCols.map(k => schema.fieldId(k) -> s"_dk${schema.fieldId(k)}")))
+    this
+  }
+
   /** Full conditional MERGE (the SQL `MERGE INTO` shape) composed from the
     * same MoR primitives as [[upsert]]. Source rows join the CURRENT merged
     * table state on `keyCols`; per source row,

@@ -925,6 +925,62 @@ class CatalogSpec extends SparkSpec {
       (2L, "deletes", "inline", 1, -1L)), s"manifests gave ${man.toSeq}")
   }
 
+  test("CALL rewrite_sorted re-clusters: band scans open a strict subset") {
+    wh
+    spark.sql("CREATE TABLE graft.db.t_rsort (id BIGINT, val BIGINT)")
+    (0 until 4).foreach { k =>
+      spark.sql("INSERT INTO graft.db.t_rsort " +
+        s"SELECT (id * 173 + $k) % 400 AS id, id AS val " +
+        "FROM range(0, 100) AS t(id)")
+    }
+    // permuted inserts: every file's envelope spans ~0..399 — a band scan
+    // can prune nothing
+    val before0 = MorReader.dataFilesPlanned.get()
+    spark.sql("SELECT sum(val) AS s FROM graft.db.t_rsort " +
+      "WHERE id BETWEEN 100 AND 149").collect()
+    val plannedBefore = MorReader.dataFilesPlanned.get() - before0
+    val res = spark.sql("CALL graft.system.rewrite_sorted(" +
+      "table => 'db.t_rsort', columns => 'id', rows_per_file => 100)")
+      .collect()(0)
+    assert(res.getString(0) == "sort")
+    val nFiles = res.getLong(1)
+    val before1 = MorReader.dataFilesPlanned.get()
+    val n = spark.sql("SELECT count(*) AS n FROM graft.db.t_rsort " +
+      "WHERE id BETWEEN 100 AND 149").collect()(0).getLong(0)
+    val plannedAfter = MorReader.dataFilesPlanned.get() - before1
+    assert(plannedAfter < math.min(plannedBefore, nFiles),
+      s"sorted layout must prune the band scan: before=$plannedBefore " +
+        s"after=$plannedAfter files=$nFiles")
+    // and a multi-column z-order rewrite routes through the same CALL
+    val z = spark.sql("CALL graft.system.rewrite_sorted(" +
+      "table => 'db.t_rsort', columns => 'id,val', rows_per_file => 100)")
+      .collect()(0)
+    assert(z.getString(0) == "zorder")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_rsort " +
+      "WHERE id BETWEEN 100 AND 149").collect()(0).getLong(0) == n)
+  }
+
+  test("DESCRIBE, SHOW TABLES/TBLPROPERTIES and writeTo round-trip the catalog") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_desc")
+    spark.sql("CREATE TABLE graft.db.t_desc (id BIGINT, val BIGINT) " +
+      "PARTITIONED BY (id) TBLPROPERTIES ('quality.tier'='gold')")
+    val desc = spark.sql("DESCRIBE TABLE graft.db.t_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") && desc.get("val").contains("bigint"))
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.t_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("quality.tier").contains("gold"))
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .exists(_.getString(1) == "t_desc"))
+    // DataFrameWriterV2 append routes through the same catalog write path
+    spark.range(0, 25).toDF("id")
+      .withColumn("val", col("id") * 4)
+      .writeTo("graft.db.t_desc").append()
+    assert(spark.sql("SELECT count(*) AS n, sum(val) AS s FROM graft.db.t_desc")
+      .collect()(0).getLong(0) == 25L)
+  }
+
   test("snapshot procedure migrates a parquet dir to a full MoR table") {
     wh // force the warehouse conf onto the session
     val ext = java.nio.file.Files.createTempDirectory("snap-src").toString

@@ -156,4 +156,49 @@ class GraftStreamSpec extends SparkSpec {
       .flatMap(_._3.get("graft.sink.batch.default"))
     assert(gates.toSet == Set("0", "1"))
   }
+
+  test("sink writeMode=upsert: keyed replace-or-insert per batch, replay-safe") {
+    val wh = Files.createTempDirectory("graft-sink-ups").toString
+    new GraftTableGenerator(spark, wh, "ups_t").create(idVal, Nil)
+    val sink = new graft.streaming.GraftSink(spark, s"$wh/ups_t",
+      "upsert", Seq("id"))
+    sink.addBatch(0, rows(0, 100))
+    // batch 1 updates 40..59 (val = 5·id) and inserts 100..109
+    sink.addBatch(1, spark.range(40, 60).toDF("id")
+      .withColumn("val", col("id") * 5)
+      .union(rows(100, 110)))
+    sink.addBatch(1, rows(0, 10)) // replayed id — must be skipped
+    val df = MorReader.read(spark, s"$wh/ups_t")
+    assert(df.count() == 110L)
+    assert(df.where(col("id") === 45L).collect()(0)
+      .getAs[Long]("val") == 225L)
+    assert(df.where(col("id") === 5L).collect()(0)
+      .getAs[Long]("val") == 10L, "replay must not have reset val")
+  }
+
+  test("sink writeMode=cdc: net change batches apply as upsert + key delete") {
+    val wh = Files.createTempDirectory("graft-sink-cdc").toString
+    new GraftTableGenerator(spark, wh, "cdc_t").create(idVal, Nil)
+    val sink = new graft.streaming.GraftSink(spark, s"$wh/cdc_t",
+      "cdc", Seq("id"))
+    def ch(kind: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(kind).as("change_kind"), col("id"), col("val"))
+    sink.addBatch(0, ch("insert", rows(0, 100)))
+    // one net window: key 7 updated (delete+insert), keys 90..99 deleted
+    sink.addBatch(1,
+      ch("delete", rows(7, 8)).union(
+        ch("insert", spark.range(7, 8).toDF("id")
+          .withColumn("val", col("id") * 9))).union(
+        ch("delete", rows(90, 100))))
+    val df = MorReader.read(spark, s"$wh/cdc_t")
+    assert(df.count() == 90L)
+    assert(df.where(col("id") === 7L).collect()(0).getAs[Long]("val") == 63L)
+    assert(df.where(col("id") >= 90L).count() == 0L)
+    // replay of an applied change batch is a no-op
+    sink.addBatch(1, ch("delete", rows(0, 50)))
+    assert(MorReader.read(spark, s"$wh/cdc_t").count() == 90L)
+    // an all-empty net batch commits nothing and breaks nothing
+    sink.addBatch(2, ch("insert", rows(0, 0)))
+    assert(MorReader.read(spark, s"$wh/cdc_t").count() == 90L)
+  }
 }

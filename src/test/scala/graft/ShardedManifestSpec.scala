@@ -87,6 +87,26 @@ class ShardedManifestSpec extends SparkSpec {
     assert(df.where(df("manifest") =!= "inline").count() == 13L)
   }
 
+  test("files/partitions metadata tables go distributed on a sharded log") {
+    val (log, meta) = freshLog()
+    log.commit(Snapshot(1L, 1L, 1, 0, (0 until 50000).map(entry), Nil,
+      Nil, Nil, 1000L, "append"))
+    // a compaction-style removal must fold in the distributed path too
+    log.commit(Snapshot(2L, 2L, 1, 0, (50000 until 50005).map(entry), Nil,
+      Seq(entry(0).path, entry(1).path), Nil, 2000L, "replace"))
+    val tableDir = meta.getParent.toString
+    val before = SnapshotLog.driverGroupEntriesParsed.get()
+    val df = graft.read.MetaTables.files(spark, tableDir)
+    assert(df.count() == 50003L)
+    assert(df.where(df("record_count") === 100L).count() == 50003L)
+    val parts = graft.read.MetaTables.partitions(spark, tableDir).collect()
+    assert(parts.length == 10)
+    assert(parts.map(_.getLong(2)).sum == 50003L * 100)
+    // group entries parsed inside TASKS, never on the driver
+    assert(SnapshotLog.driverGroupEntriesParsed.get() == before,
+      "files/partitions must not materialize manifest groups on the driver")
+  }
+
   test("small snapshots stay inline — no manifest files") {
     val (log, meta) = freshLog()
     log.commit(Snapshot(1L, 1L, 1, 0, (0 until 100).map(entry), Nil,
