@@ -137,15 +137,22 @@ object GraftProcedures {
         Seq(db, xb, da, xa)
       }),
 
+    // keep_last caps history depth; older_than_ms (Iceberg `older_than`)
+    // expires by commit age instead when >= 0 — both rebase the horizon
+    // into one baseline snapshot and GC the orphaned files
     new Proc("expire_snapshots",
-      Seq(in("table", StringType), inDefault("keep_last", IntegerType, "5")),
+      Seq(in("table", StringType), inDefault("keep_last", IntegerType, "5"),
+        inDefault("older_than_ms", LongType, "-1")),
       StructType(Seq(
         StructField("snapshots_before", LongType, nullable = false),
         StructField("snapshots_after", LongType, nullable = false))),
       (c, r) => {
         val t = str(r, 0)
         val before = snapshotCount(c, t)
-        gen(c, t).expireSnapshots(keepLast = r.getInt(1))
+        val olderThan = r.getLong(2)
+        if (olderThan >= 0L)
+          gen(c, t).expireSnapshotsOlderThan(maxAgeMs = olderThan)
+        else gen(c, t).expireSnapshots(keepLast = r.getInt(1))
         Seq(before, snapshotCount(c, t))
       }),
 

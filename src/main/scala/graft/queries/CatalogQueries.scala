@@ -339,6 +339,22 @@ object CatalogQueries {
       "rsort_t"
     })
 
+  /** Bloom-property fixture: `write.bloom.columns` via TBLPROPERTIES, four
+    * residue-interleaved INSERTs (file id-envelopes fully overlap, so only
+    * the manifest Bloom filters can prune a point probe). */
+  private def bloomPropT(spark: SparkSession): Unit =
+    built.computeIfAbsent("bloomp_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.bloomp_t (id BIGINT, val BIGINT) " +
+        "TBLPROPERTIES ('write.bloom.columns'='id')")
+      (0 until 4).foreach { k =>
+        spark.sql("INSERT INTO graft.cq.bloomp_t " +
+          s"SELECT id * 4 + $k AS id, (id * 4 + $k) * 7 AS val " +
+          "FROM range(0, 100) AS t(id)")
+      }
+      "bloomp_t"
+    })
+
   /** Table-property evolution fixture: CREATE with TBLPROPERTIES, then
     * SET (merge + overwrite) and UNSET via SQL — final persisted map is
     * {quality.tier=gold, write.note=v2}. */
@@ -602,6 +618,15 @@ object CatalogQueries {
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum, " +
         "SUM(CASE WHEN id BETWEEN 100 AND 149 THEN val END) AS band_sum " +
         "FROM graft.cq.word_t")
+    }),
+
+    // manifest Bloom filters declared as a TABLE PROPERTY: catalog
+    // INSERTs carry them with no API call, SQL point probes prune files
+    // whose envelopes all overlap (plan-gated in CatalogSpec)
+    "sql_catalog_bloom" -> ((s, _) => {
+      bloomPropT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.bloomp_t WHERE id IN (42, 137, 298)")
     }),
 
     // CALL rewrite_sorted: content intact through the sort rewrite; the
@@ -919,6 +944,12 @@ object CatalogQueries {
         |  ('part=a', CAST(200 AS BIGINT)), ('part=b', CAST(200 AS BIGINT)))
         |  v(partition, record_count)
         |ORDER BY partition""".stripMargin,
+
+    // ids 0..399 complete (4 interleaved residue classes), val = 7·id
+    "sql_catalog_bloom" ->
+      """SELECT CAST(3 AS BIGINT) AS n,
+        |       CAST(42 + 137 + 298 AS BIGINT) AS id_sum,
+        |       CAST((42 + 137 + 298) * 7 AS BIGINT) AS val_sum""".stripMargin,
 
     // four permuted 100-row inserts of (id·173+k) % 400, val = 3·id
     "sql_call_rewrite_sorted" ->

@@ -1980,8 +1980,19 @@ final class GraftTableGenerator(
     schema.fields.take(GraftTableGenerator.MetricsMaxCols)
       .filter(f => GraftTableGenerator.metricsSupported(f.dataType))
 
-  private def bloomFields(fields: Seq[GraftField]): Seq[GraftField] =
-    fields.filter(f => bloomCols(f.name) && graft.meta.BloomFilter.supported(f.dataType))
+  /** Bloom columns from the persisted `write.bloom.columns` table property
+    * (comma-separated) — the SQL route to manifest-level Bloom filters
+    * (`CREATE TABLE ... TBLPROPERTIES ('write.bloom.columns'='id')`, or
+    * ALTER ... SET later): every writer, including catalog INSERTs from a
+    * fresh open(), picks them up from table metadata with no API call. */
+  private def propBloomCols: Set[String] =
+    props.get("write.bloom.columns").iterator
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+
+  private def bloomFields(fields: Seq[GraftField]): Seq[GraftField] = {
+    val enabled = bloomCols ++ propBloomCols
+    fields.filter(f => enabled(f.name) && graft.meta.BloomFilter.supported(f.dataType))
+  }
 
   /** 16 `bit_or` lanes accumulating the [[graft.meta.BloomFilter]] bitset
     * for one column: per row, ONE `xxhash64` of the canonical string fans

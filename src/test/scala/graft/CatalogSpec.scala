@@ -925,6 +925,47 @@ class CatalogSpec extends SparkSpec {
       (2L, "deletes", "inline", 1, -1L)), s"manifests gave ${man.toSeq}")
   }
 
+  test("CALL expire_snapshots(older_than_ms) expires by commit age") {
+    fresh("t_expage") // two append commits
+    spark.sql("DELETE FROM graft.db.t_expage WHERE product_id < 10") // third
+    // age 0: every snapshot is older than "now" — rebase to baseline + the
+    // one retained tail snapshot (keepLast floor of 1)
+    val res = spark.sql("CALL graft.system.expire_snapshots(" +
+      "table => 'db.t_expage', older_than_ms => 0)").collect()(0)
+    assert(res.getLong(0) == 3L && res.getLong(1) == 2L,
+      s"age-based expiry must rebase the pre-horizon history, got $res")
+    // content intact through the rebase
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_expage")
+      .collect()(0).getLong(0) == 190L)
+  }
+
+  test("write.bloom.columns property: point probes prune via manifest blooms") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_bloomp")
+    spark.sql("CREATE TABLE graft.db.t_bloomp (id BIGINT, val BIGINT) " +
+      "TBLPROPERTIES ('write.bloom.columns'='id')")
+    (0 until 4).foreach { k =>
+      spark.sql("INSERT INTO graft.db.t_bloomp " +
+        s"SELECT id * 4 + $k AS id, (id * 4 + $k) * 7 AS val " +
+        "FROM range(0, 100) AS t(id)")
+    }
+    // every data file entry carries a Bloom bitset for id (field id 1)
+    val st = SnapshotLog(s"$wh/db/t_bloomp").load().mainOnly
+    val entries = st.dataFiles
+    assert(entries.nonEmpty &&
+      entries.forall(_.metrics.get(1).exists(_.bloom.isDefined)),
+      "catalog INSERTs must carry manifest blooms from the table property")
+    // envelopes all span ~0..399, so only the bloom can prune the probe
+    val before = MorReader.dataFilesPlanned.get()
+    val v = spark.sql(
+      "SELECT sum(val) AS s FROM graft.db.t_bloomp WHERE id = 42")
+      .collect()(0).getLong(0)
+    assert(v == 42L * 7)
+    val planned = MorReader.dataFilesPlanned.get() - before
+    assert(planned <= entries.size / 2,
+      s"bloom must prune the point probe: planned $planned of ${entries.size}")
+  }
+
   test("CALL rewrite_sorted re-clusters: band scans open a strict subset") {
     wh
     spark.sql("CREATE TABLE graft.db.t_rsort (id BIGINT, val BIGINT)")
