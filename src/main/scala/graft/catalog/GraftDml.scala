@@ -40,7 +40,9 @@ private[catalog] object GraftRel {
 case class GraftDeleteCommand(
     table: GraftSparkTable,
     cond: () => Column,
-    range: Option[(String, Any, Any)]) extends LeafNode with Command {
+    range: Option[(String, Any, Any)],
+    prune: (Map[String, Set[String]], Map[String, MorReader.ColRange]) =
+      (Map.empty, Map.empty)) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -50,7 +52,9 @@ case class GraftDeleteCommand(
 case class GraftUpdateCommand(
     table: GraftSparkTable,
     sets: Seq[(String, Column)],
-    cond: () => Column) extends LeafNode with Command {
+    cond: () => Column,
+    prune: (Map[String, Set[String]], Map[String, MorReader.ColRange]) =
+      (Map.empty, Map.empty)) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -88,16 +92,19 @@ case class GraftDmlExec(label: String, body: () => Unit) extends LeafExecNode {
 
 case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GraftDeleteCommand(t, cond, range) =>
+    case GraftDeleteCommand(t, cond, range, prune) =>
       GraftDmlExec(s"graft delete ${t.name()}", () => {
         val g = t.openGenerator(spark)
         range match {
           case Some((c, lo, hi)) => g.deleteWhere(c, lo, hi)
-          case None => g.positionalDelete(cond())
+          // the matching scan opens only files the extracted partition/
+          // range/bloom predicates can't prune — a point DELETE on a
+          // clustered 100 TB table scans a handful of files
+          case None => g.positionalDeletePruned(cond(), prune._1, prune._2)
         }
         g.commit()
       }) :: Nil
-    case GraftUpdateCommand(t, sets, cond) =>
+    case GraftUpdateCommand(t, sets, cond, prune) =>
       GraftDmlExec(s"graft update ${t.name()}", () => {
         val g = t.openGenerator(spark)
         val names = g.liveSchema.names
@@ -108,12 +115,15 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         // against the ORIGINAL row (UPDATE t SET a = b, b = a swaps), so
         // all assignments go into ONE projection — a sequential
         // withColumn chain would let later assignments read earlier ones.
+        // Both the updated-row read AND the tombstone scan are file-pruned
+        // by the extracted WHERE predicates (sound: pruned files hold no
+        // matching row, so they contribute no updates and no tombstones).
         val setsMap = sets.toMap
         val condCol = cond()
-        val updated = g.read.where(condCol)
+        val updated = t.readDf(spark, prune._1, prune._2).where(condCol)
           .select(names.map(n => setsMap.getOrElse(n, col(n)).as(n)): _*)
           .localCheckpoint()
-        g.positionalDelete(condCol)
+        g.positionalDeletePruned(condCol, prune._1, prune._2)
         g.appendData(updated)
         g.commit()
       }) :: Nil
@@ -789,7 +799,11 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some((a.name, scalaV(lo), scalaV(hi)))
       case _ => None
     }
-    GraftDeleteCommand(t, toNamedColumnDeferred(cond, relIds), range)
+    // the SELECT path's predicate extraction doubles as the DELETE scan's
+    // file pruning (partition values + metric ranges; blooms probe inside
+    // the range test on equality points)
+    val (pf, rg, _) = extractPruning(cond, r, t)
+    GraftDeleteCommand(t, toNamedColumnDeferred(cond, relIds), range, (pf, rg))
   }
 
   private def makeUpdate(r: DataSourceV2Relation, t: GraftSparkTable,
@@ -813,8 +827,12 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case v => Some(name -> toNamedColumn(v, relIds))
       }
     }
+    val (pf, rg, _) = cond.map(extractPruning(_, r, t))
+      .getOrElse((Map.empty[String, Set[String]],
+        Map.empty[String, MorReader.ColRange], Map.empty[String, Set[String]]))
     GraftUpdateCommand(t, sets,
-      cond.map(toNamedColumnDeferred(_, relIds)).getOrElse(() => lit(true)))
+      cond.map(toNamedColumnDeferred(_, relIds)).getOrElse(() => lit(true)),
+      (pf, rg))
   }
 
   private def makeMerge(m: MergeIntoTable): LogicalPlan = {

@@ -217,6 +217,37 @@ object MediaOps {
       }(enc)
   }
 
+  /** Audio fingerprint over DECODED samples — the audio near-dup
+    * primitive: the clip's |sample| energy contour over 16 equal windows
+    * (sample counts are 16-aligned by construction), bit w set when
+    * window w's energy × 16 ≥ the total energy (pure integer compare —
+    * no division drift), rendered as a 16-char '0'/'1' string. Clips with
+    * matching contours bucket together; dedup is ONE shuffle on the
+    * fingerprint key. Integer-exact and SQL-replicable like [[aHash]]. */
+  def audioFingerprint(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("fp", StringType)))
+    val enc = RowEncoder.encoderFor(out)
+    media.where(col("kind") === "audio")
+      .select("media_id", "payload").mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (_, s) = MediaCodecs.decodeWav(r.getAs[Array[Byte]](1))
+            val win = s.length / 16
+            val energies = new Array[Long](16)
+            var i = 0
+            while (i < s.length) {
+              energies(i / win) += math.abs(s(i).toLong); i += 1
+            }
+            val total = energies.sum
+            val sb = new StringBuilder(16)
+            energies.foreach(e => sb += (if (e * 16 >= total) '1' else '0'))
+            Row(r.getLong(0), sb.result())
+          }
+        }
+      }(enc)
+  }
+
   /** PIXEL-level resize: BMP payloads (image + video poster) are decoded,
     * box-averaged by `factor` (integer division — deterministic), and
     * re-encoded as BMP in the same batched per-partition path the decoder

@@ -133,6 +133,22 @@ object MediaQueries {
             .as("dup_id_sum"))
     }),
 
+    // audio near-dup via energy-contour fingerprints over decoded WAV
+    // samples: 16-window |s| energies vs the total (integer compare),
+    // bucketed by the 16-bit contour — the oracle recomputes every
+    // fingerprint closed-form, so a decode/windowing/threshold bug
+    // reshuffles buckets and breaks the hash
+    "multimodal_audio_fp" -> ((s, d) => {
+      val media = MediaOps.synthesizeFromDocs(tbl(s, d, "documents"))
+      MediaOps.audioFingerprint(media, batchSize = 64)
+        .groupBy("fp")
+        .agg(count(lit(1)).as("c"), sum("media_id").as("ids"))
+        .agg(sum("c").cast("long").as("n_audio"),
+          count(lit(1)).as("n_fp"),
+          max("c").cast("long").as("max_bucket"),
+          sum(col("ids")).cast("long").as("id_sum"))
+    }),
+
     // per-kind per-dimension mean of the decoded features — the full 4-dim
     // generalization of multimodal_features' f0_sum (BMP: ΣR/ΣG/ΣB/pixels;
     // WAV: Σs/Σ|s|/n/max|s|)
@@ -294,6 +310,33 @@ object MediaQueries {
          |       CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS BIGINT) AS n_dup_imgs,
          |       CAST(COALESCE(SUM(ids) FILTER (c > 1), 0) AS BIGINT) AS dup_id_sum
          |FROM g""".stripMargin,
+
+    // contour recomputed closed-form: window w of doc_id sums
+    // |((id·17 + i·13) % 4001) − 2000| over i ∈ [w·ns/16, (w+1)·ns/16);
+    // bit = energy·16 >= total
+    "multimodal_audio_fp" ->
+      """WITH a AS (
+        |  SELECT doc_id, (doc_id % 16) * 32 + 64 AS ns
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |e AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), w ->
+        |      list_sum(list_transform(
+        |        range(w * (ns // 16), (w + 1) * (ns // 16)),
+        |        i -> abs((doc_id * 17 + i * 13) % 4001 - 2000)))) AS es
+        |  FROM a),
+        |f AS (
+        |  SELECT doc_id, list_aggregate(
+        |    list_transform(es, v ->
+        |      CASE WHEN v * 16 >= list_sum(es) THEN '1' ELSE '0' END),
+        |    'string_agg', '') AS fp
+        |  FROM e),
+        |g AS (SELECT fp, COUNT(*) AS c, SUM(doc_id) AS ids FROM f GROUP BY fp)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_audio,
+        |       CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |       CAST(MAX(c) AS BIGINT) AS max_bucket,
+        |       CAST(SUM(ids) AS BIGINT) AS id_sum
+        |FROM g""".stripMargin,
 
     // all 4 decoded dims per kind: BMP j<3 → channel-j sum
     // ((id·31 + (3p+j)·7) % 256 summed), j=3 → pixel count;

@@ -886,6 +886,18 @@ object MorReader {
                                f: Map[String, Set[String]]): Boolean =
     f.forall { case (k, vs) => p.get(k).forall(vs.contains) }
 
+  /** May file `f` hold rows matching the extracted predicates? The single
+    * entry-level pruning test (partition tuple + metric envelopes +
+    * manifest blooms) exposed for WRITE-path planners — the SQL DELETE/
+    * UPDATE fast path prunes its matching scan with exactly the SELECT
+    * path's logic (sound: a pruned file provably holds no matching row,
+    * so it needs no tombstones and contributes no updated rows). */
+  private[graft] def entryMatches(f: DataFileEntry, live: GraftSchema,
+                                  partitionFilter: Map[String, Set[String]],
+                                  ranges: Map[String, ColRange]): Boolean =
+    matchesPartition(f.partition, partitionFilter) &&
+      matchesRanges(f, live, ranges)
+
   /** Type-aware comparison of canonical metric strings: numerics through
     * BigDecimal (so "1.0E-4" vs "0.01" compares right), everything else
     * lexically (ISO dates, fixed-format timestamps, booleans all sort

@@ -599,9 +599,25 @@ final class GraftTableGenerator(
     vectorDeleteMode = enabled; this
   }
 
+  /** File-pruned positional delete — the SQL DELETE fast path at scale:
+    * the matching scan opens ONLY files whose partition tuple / metric
+    * envelopes / manifest blooms can contain predicate matches (the same
+    * pruning test the SELECT planner applies, [[MorReader.entryMatches]]).
+    * Sound because a pruned file provably holds no matching row — it
+    * needs no tombstones. A point DELETE on a bloom-indexed or sorted
+    * 100 TB table scans a handful of files instead of all of them. */
+  def positionalDeletePruned(pred: Column,
+                             partitionFilter: Map[String, Set[String]],
+                             ranges: Map[String, MorReader.ColRange]): this.type = {
+    val live = schema
+    positionalDelete(None, pred, 0, 0, Nil,
+      f => MorReader.entryMatches(f, live, partitionFilter, ranges))
+  }
+
   def positionalDelete(partitionValues: Option[Seq[Any]], pred: Column,
                        extraFilesPerPartition: Int, extraDeletesPerFile: Int,
-                       fakeRow: Seq[Column]): this.type = {
+                       fakeRow: Seq[Column],
+                       fileKeep: DataFileEntry => Boolean = _ => true): this.type = {
     val opSeq = nextOpSeq()
     // Iceberg-v3 NATIVE vector writes: matches go straight into a merged
     // per-partition deletion vector — no tombstone file at all. Fake-entry
@@ -609,7 +625,7 @@ final class GraftTableGenerator(
     // classic path regardless of the mode.
     if (vectorDeleteMode && extraFilesPerPartition == 0) {
       val st = lineage(log.load())
-      for ((partition, files) <- plannedPartitions(partitionValues)) {
+      for ((partition, files) <- plannedPartitions(partitionValues, fileKeep)) {
         val matches = rawScan(files).where(pred)
           .select(col(MorReader.FilePathCol).as("file_path"),
             col(MorReader.PosCol).as("pos"))
@@ -619,7 +635,7 @@ final class GraftTableGenerator(
       }
       return this
     }
-    for ((partition, files) <- plannedPartitions(partitionValues)) {
+    for ((partition, files) <- plannedPartitions(partitionValues, fileKeep)) {
       val scan = rawScan(files)
       val rowStruct = struct(schema.names.map(col): _*).as("row")
       var matches = scan.where(pred)
@@ -1927,10 +1943,11 @@ final class GraftTableGenerator(
     * partition and path-sorted within each group — the canonical order
     * (reference `orderFileScanTasksByPartitionAndPath`,
     * `IcebergTableGenerator.java:451-464`). */
-  private def plannedPartitions(partitionValues: Option[Seq[Any]])
+  private def plannedPartitions(partitionValues: Option[Seq[Any]],
+                                keep: DataFileEntry => Boolean = _ => true)
       : Seq[(Map[String, String], Seq[DataFileEntry])] = {
     val st = lineage(log.load())
-    val filtered = partitionValues match {
+    val preFiltered = partitionValues match {
       case Some(vs) =>
         val set = vs.map(_.toString).toSet
         // first CURRENT-spec field, like the reference's Expressions.in
@@ -1941,6 +1958,8 @@ final class GraftTableGenerator(
         st.dataFiles.filter(f => f.partition.get(firstCol).exists(set))
       case None => st.dataFiles
     }
+    val filtered = preFiltered.filter(keep)
+    GraftTableGenerator.deleteScanFilesPlanned.addAndGet(filtered.size)
     filtered.groupBy(_.partition).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).map(_._2).mkString("-"))
       .map { case (p, fs) => (p, fs.sortBy(_.path)) }
@@ -2176,6 +2195,12 @@ object GraftTableGenerator {
   /** Metrics are inferred for at most this many leading schema columns
     * (Iceberg `write.metadata.metrics.max-inferred-column-defaults`). */
   val MetricsMaxCols = 32
+
+  /** Observability counter (tests): data files planned by GENERATOR-side
+    * scans (positional-delete matching, compaction grouping) — the
+    * write-path twin of [[graft.read.MorReader.dataFilesPlanned]], used to
+    * gate that a pruned SQL DELETE/UPDATE opens few files. */
+  val deleteScanFilesPlanned = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Types whose min/max render to canonical strings the reader can compare
     * (numerics via BigDecimal, the rest lexically — ISO dates, fixed-format

@@ -925,6 +925,43 @@ class CatalogSpec extends SparkSpec {
       (2L, "deletes", "inline", 1, -1L)), s"manifests gave ${man.toSeq}")
   }
 
+  test("DELETE/UPDATE prune their matching scans like SELECT does") {
+    import org.apache.spark.sql.types._
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_dmlprune")
+    // sorted ingest: disjoint per-file envelopes, 4 files of 100 ids
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_dmlprune")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    (0 until 4).foreach { k =>
+      g.appendData(spark.range(k * 100, (k + 1) * 100).toDF("id")
+        .withColumn("val", col("id") * 2)).commit()
+    }
+    // range DELETE on a non-boundary band: only the file holding 150..159
+    // may be scanned for tombstones (the metadata-tier deleteWhere route
+    // is for exact-range drops; %-predicates keep the positional path)
+    val before = GraftTableGenerator.deleteScanFilesPlanned.get()
+    spark.sql("DELETE FROM graft.db.t_dmlprune " +
+      "WHERE id >= 150 AND id <= 159 AND id % 2 = 0")
+    val planned = GraftTableGenerator.deleteScanFilesPlanned.get() - before
+    assert(planned == 1L,
+      s"range DELETE must scan only the covering file, planned $planned")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_dmlprune")
+      .collect()(0).getLong(0) == 395L)
+    // UPDATE: both the updated-row read and the tombstone scan prune
+    val beforeU = GraftTableGenerator.deleteScanFilesPlanned.get()
+    val beforeR = MorReader.dataFilesPlanned.get()
+    spark.sql("UPDATE graft.db.t_dmlprune SET val = id * 10 " +
+      "WHERE id >= 250 AND id <= 259")
+    assert(GraftTableGenerator.deleteScanFilesPlanned.get() - beforeU == 1L,
+      "UPDATE tombstone scan must prune to the covering file")
+    assert(MorReader.dataFilesPlanned.get() - beforeR <= 2L,
+      "UPDATE row read must prune to the covering file")
+    val r = spark.sql("SELECT sum(val) AS s FROM graft.db.t_dmlprune " +
+      "WHERE id >= 250 AND id <= 259").collect()(0).getLong(0)
+    assert(r == (250L to 259L).map(_ * 10).sum)
+  }
+
   test("CALL expire_snapshots(older_than_ms) expires by commit age") {
     fresh("t_expage") // two append commits
     spark.sql("DELETE FROM graft.db.t_expage WHERE product_id < 10") // third

@@ -60,8 +60,21 @@ class SqlFuzzSpec extends SparkSpec {
 
     for (step <- 1 to steps) {
       var commits = 1
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 => insertRows()
+        case 10 => // adopt an external parquet batch in place (add_files)
+          if (partitionDdl.nonEmpty) insertRows() // identity-only op
+          else {
+            val dir = java.nio.file.Files
+              .createTempDirectory("sqlfz-adopt").toString
+            withExtras(Bundles.ordersUnpartitioned()
+              .frame(spark, nextId, 20, None, Scenarios.OrdersSchema))
+              .coalesce(1).write.mode("overwrite").parquet(dir)
+            spark.sql(s"CALL graft.system.add_files(" +
+              s"table => 'fz.$tableName', source_dir => '$dir')")
+            (nextId until nextId + 20).foreach(live += _)
+            nextId += 20
+          }
         case 2 => // modulo DELETE → positional tombstones
           val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
           spark.sql(s"DELETE FROM $qname WHERE order_id % $m = $r")
