@@ -41,8 +41,9 @@ case class GraftDeleteCommand(
     table: GraftSparkTable,
     cond: () => Column,
     range: Option[(String, Any, Any)],
-    prune: (Map[String, Set[String]], Map[String, MorReader.ColRange]) =
-      (Map.empty, Map.empty)) extends LeafNode with Command {
+    prune: (Map[String, Set[String]], Map[String, MorReader.ColRange],
+      Map[String, Set[String]]) =
+      (Map.empty, Map.empty, Map.empty)) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -53,8 +54,9 @@ case class GraftUpdateCommand(
     table: GraftSparkTable,
     sets: Seq[(String, Column)],
     cond: () => Column,
-    prune: (Map[String, Set[String]], Map[String, MorReader.ColRange]) =
-      (Map.empty, Map.empty)) extends LeafNode with Command {
+    prune: (Map[String, Set[String]], Map[String, MorReader.ColRange],
+      Map[String, Set[String]]) =
+      (Map.empty, Map.empty, Map.empty)) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -100,7 +102,7 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           // the matching scan opens only files the extracted partition/
           // range/bloom predicates can't prune — a point DELETE on a
           // clustered 100 TB table scans a handful of files
-          case None => g.positionalDeletePruned(cond(), prune._1, prune._2)
+          case None => g.positionalDeletePruned(cond(), prune._1, prune._2, prune._3)
         }
         g.commit()
       }) :: Nil
@@ -120,10 +122,11 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         // matching row, so they contribute no updates and no tombstones).
         val setsMap = sets.toMap
         val condCol = cond()
-        val updated = t.readDf(spark, prune._1, prune._2).where(condCol)
+        val updated = t.readDf(spark, prune._1, prune._2, prune._3)
+          .where(condCol)
           .select(names.map(n => setsMap.getOrElse(n, col(n)).as(n)): _*)
           .localCheckpoint()
-        g.positionalDeletePruned(condCol, prune._1, prune._2)
+        g.positionalDeletePruned(condCol, prune._1, prune._2, prune._3)
         g.appendData(updated)
         g.commit()
       }) :: Nil
@@ -802,8 +805,9 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the SELECT path's predicate extraction doubles as the DELETE scan's
     // file pruning (partition values + metric ranges; blooms probe inside
     // the range test on equality points)
-    val (pf, rg, _) = extractPruning(cond, r, t)
-    GraftDeleteCommand(t, toNamedColumnDeferred(cond, relIds), range, (pf, rg))
+    val (pf, rg, pts) = extractPruning(cond, r, t)
+    GraftDeleteCommand(t, toNamedColumnDeferred(cond, relIds), range,
+      (pf, rg, pts))
   }
 
   private def makeUpdate(r: DataSourceV2Relation, t: GraftSparkTable,
@@ -827,12 +831,12 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case v => Some(name -> toNamedColumn(v, relIds))
       }
     }
-    val (pf, rg, _) = cond.map(extractPruning(_, r, t))
+    val (pf, rg, pts) = cond.map(extractPruning(_, r, t))
       .getOrElse((Map.empty[String, Set[String]],
         Map.empty[String, MorReader.ColRange], Map.empty[String, Set[String]]))
     GraftUpdateCommand(t, sets,
       cond.map(toNamedColumnDeferred(_, relIds)).getOrElse(() => lit(true)),
-      (pf, rg))
+      (pf, rg, pts))
   }
 
   private def makeMerge(m: MergeIntoTable): LogicalPlan = {

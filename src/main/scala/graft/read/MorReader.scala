@@ -277,36 +277,7 @@ object MorReader {
     // on a bucket(n, col) table open 1/n of the files instead of all of
     // them. Missing stats/spec/partName keep the file — never unsound.
     val keep: DataFileEntry => Boolean =
-      if (pointValues.isEmpty) _ => true
-      else f => pointValues.forall { case (c, values) =>
-        live.fields.find(_.name == c).forall { field =>
-          val statsOk = f.metrics.get(field.id).forall { m =>
-            values.exists { v =>
-              val envOk = (m.min, m.max) match {
-                case (Some(mn), Some(mx)) =>
-                  cmpMetric(field.dataType, mx, v).forall(_ >= 0) &&
-                    cmpMetric(field.dataType, mn, v).forall(_ <= 0)
-                case _ => false // all-NULL column: no value can match
-              }
-              envOk && m.bloom.forall(b =>
-                graft.meta.BloomFilter.mightContain(b, v))
-            }
-          }
-          val partOk = st.specs.get(f.specId).forall { specStrs =>
-            specStrs.map(graft.meta.PartitionTransform.parse)
-              .find(_.source == c).forall { t =>
-                f.partition.get(t.partName).forall { pv =>
-                  // unparseable probe value (e.g. an out-of-domain literal
-                  // that arrived through a widening cast) keeps the file
-                  values.exists(v =>
-                    scala.util.Try(t.apply(v, field.dataType))
-                      .getOrElse(None).forall(_ == pv))
-                }
-              }
-          }
-          statsOk && partOk
-        }
-      }
+      pointValuesKeep(st.specs, live, pointValues)
     // surviving files re-apply the IN-set row-level (same soundness rule
     // as partPred/rangePred: stats intersect, not every row does)
     val pointPred = pointValues.collect {
@@ -885,6 +856,49 @@ object MorReader {
   private def matchesPartition(p: Map[String, String],
                                f: Map[String, Set[String]]): Boolean =
     f.forall { case (k, vs) => p.get(k).forall(vs.contains) }
+
+  /** Per-file keep test for POINT probes (IN-sets / equality): per value,
+    * the metrics envelope AND the manifest Bloom filter, PLUS hidden-
+    * partition pruning — each file's own spec epoch maps the probe values
+    * through its transform (bucket/truncate/day/...) and requires the
+    * file's partition value to match one. What makes a point lookup on a
+    * bucket(n, col) table open 1/n of the files. Missing stats/spec/
+    * partName keep the file — never unsound. Shared by the read planner
+    * and the pruned DML scans. */
+  private[graft] def pointValuesKeep(specs: Map[Int, Seq[String]],
+                                     live: GraftSchema,
+                                     pointValues: Map[String, Set[String]])
+      : DataFileEntry => Boolean =
+    if (pointValues.isEmpty) _ => true
+    else f => pointValues.forall { case (c, values) =>
+      live.fields.find(_.name == c).forall { field =>
+        val statsOk = f.metrics.get(field.id).forall { m =>
+          values.exists { v =>
+            val envOk = (m.min, m.max) match {
+              case (Some(mn), Some(mx)) =>
+                cmpMetric(field.dataType, mx, v).forall(_ >= 0) &&
+                  cmpMetric(field.dataType, mn, v).forall(_ <= 0)
+              case _ => false // all-NULL column: no value can match
+            }
+            envOk && m.bloom.forall(b =>
+              graft.meta.BloomFilter.mightContain(b, v))
+          }
+        }
+        val partOk = specs.get(f.specId).forall { specStrs =>
+          specStrs.map(graft.meta.PartitionTransform.parse)
+            .find(_.source == c).forall { t =>
+              f.partition.get(t.partName).forall { pv =>
+                // unparseable probe value (e.g. an out-of-domain literal
+                // that arrived through a widening cast) keeps the file
+                values.exists(v =>
+                  scala.util.Try(t.apply(v, field.dataType))
+                    .getOrElse(None).forall(_ == pv))
+              }
+            }
+        }
+        statsOk && partOk
+      }
+    }
 
   /** May file `f` hold rows matching the extracted predicates? The single
     * entry-level pruning test (partition tuple + metric envelopes +

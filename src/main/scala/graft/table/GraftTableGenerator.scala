@@ -608,10 +608,14 @@ final class GraftTableGenerator(
     * 100 TB table scans a handful of files instead of all of them. */
   def positionalDeletePruned(pred: Column,
                              partitionFilter: Map[String, Set[String]],
-                             ranges: Map[String, MorReader.ColRange]): this.type = {
+                             ranges: Map[String, MorReader.ColRange],
+                             pointValues: Map[String, Set[String]] = Map.empty)
+      : this.type = {
     val live = schema
+    val pointKeep = MorReader.pointValuesKeep(log.load().specs, live, pointValues)
     positionalDelete(None, pred, 0, 0, Nil,
-      f => MorReader.entryMatches(f, live, partitionFilter, ranges))
+      f => MorReader.entryMatches(f, live, partitionFilter, ranges) &&
+        pointKeep(f))
   }
 
   def positionalDelete(partitionValues: Option[Seq[Any]], pred: Column,

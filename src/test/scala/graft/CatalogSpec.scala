@@ -960,6 +960,23 @@ class CatalogSpec extends SparkSpec {
     val r = spark.sql("SELECT sum(val) AS s FROM graft.db.t_dmlprune " +
       "WHERE id >= 250 AND id <= 259").collect()(0).getLong(0)
     assert(r == (250L to 259L).map(_ * 10).sum)
+    // hidden-transform point probe: a DELETE by key on a bucket(4) table
+    // scans only the key's bucket files
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_dmlprune_b")
+    spark.sql("CREATE TABLE graft.db.t_dmlprune_b (id BIGINT, val BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO graft.db.t_dmlprune_b " +
+      "SELECT id, id * 2 AS val FROM range(0, 400)")
+    val st = SnapshotLog(s"$wh/db/t_dmlprune_b").load().mainOnly
+    val total = st.dataFiles.size
+    assert(total >= 4, s"bucketed insert must spread files, got $total")
+    val beforeB = GraftTableGenerator.deleteScanFilesPlanned.get()
+    spark.sql("DELETE FROM graft.db.t_dmlprune_b WHERE id = 42")
+    val plannedB = GraftTableGenerator.deleteScanFilesPlanned.get() - beforeB
+    assert(plannedB <= total / 4,
+      s"bucket point DELETE must scan one bucket: planned $plannedB of $total")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_dmlprune_b")
+      .collect()(0).getLong(0) == 399L)
   }
 
   test("CALL expire_snapshots(older_than_ms) expires by commit age") {
