@@ -168,13 +168,49 @@ object GraftProcedures {
         Seq(prev, headId(c, t))
       }),
 
+    // dry_run (Iceberg parity): list what WOULD be deleted, touch nothing
     new Proc("remove_orphan_files",
-      Seq(in("table", StringType), inDefault("grace_ms", LongType, "0")),
+      Seq(in("table", StringType), inDefault("grace_ms", LongType, "0"),
+        inDefault("dry_run", BooleanType, "false")),
       StructType(Seq(
         StructField("deleted_files", LongType, nullable = false))),
       (c, r) => {
         val g = gen(c, str(r, 0))
-        Seq(g.removeOrphanFiles(graceMs = r.getLong(1)).size.toLong)
+        val n =
+          if (r.getBoolean(2)) g.listOrphanFiles(graceMs = r.getLong(1)).size
+          else g.removeOrphanFiles(graceMs = r.getLong(1)).size
+        Seq(n.toLong)
+      }),
+
+    // Iceberg rewrite_position_delete_files (v3 shape): fold each
+    // partition's accumulated positional tombstones AND prior vectors
+    // into ONE deletion-vector file per partition (bitmap per data file)
+    new Proc("rewrite_position_deletes",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("delete_files_before", LongType, nullable = false),
+        StructField("delete_files_after", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val before = liveCounts(c, t)._2
+        val g = gen(c, t).rewritePositionDeletesToDVs()
+        if (g.staged > 0) g.commit()
+        Seq(before, liveCounts(c, t)._2)
+      }),
+
+    // convert accumulated equality deletes into position vectors (the
+    // eq->pos conversion a steady-state MoR service runs)
+    new Proc("convert_equality_deletes",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("delete_files_before", LongType, nullable = false),
+        StructField("delete_files_after", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val before = liveCounts(c, t)._2
+        val g = gen(c, t).rewriteEqualityDeletes()
+        if (g.staged > 0) g.commit()
+        Seq(before, liveCounts(c, t)._2)
       }),
 
     // ANALYZE TABLE: persisted stats generation (row count + per-column

@@ -354,6 +354,48 @@ object MediaCodecs {
     bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
       (bytes(2) & 0xff) == 0xff
 
+  // ---- "GVID" clip container (multi-frame video payloads) ---------------
+  //
+  // The minimal MJPEG-style shape a frame-sampler needs: magic "GVID",
+  // int32 frame count, int32 per-frame byte lengths (the seek index),
+  // then the frames — baseline JPEGs — back to back. The INDEX is the
+  // point: sampling every k-th frame slices and decodes ONLY those
+  // frames; skipped frames cost zero decode work. All ints big-endian.
+
+  def encodeClip(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes("GVID")
+    d.writeInt(frames.size)
+    frames.foreach(f => d.writeInt(f.length))
+    frames.foreach(d.write)
+    bos.toByteArray
+  }
+
+  def isClip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V' &&
+      bytes(2) == 'I' && bytes(3) == 'D'
+
+  private def clipInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  def clipFrameCount(bytes: Array[Byte]): Int = {
+    require(isClip(bytes), "not a GVID clip")
+    clipInt(bytes, 4)
+  }
+
+  /** Slice frame `i` out of a clip via the header index — no other frame
+    * is touched, let alone decoded. */
+  def clipFrame(bytes: Array[Byte], i: Int): Array[Byte] = {
+    val n = clipFrameCount(bytes)
+    require(i >= 0 && i < n, s"frame $i out of 0..${n - 1}")
+    var off = 8 + 4 * n
+    var k = 0
+    while (k < i) { off += clipInt(bytes, 8 + 4 * k); k += 1 }
+    java.util.Arrays.copyOfRange(bytes, off, off + clipInt(bytes, 8 + 4 * i))
+  }
+
   // T.81 Annex K.3.3: typical Huffman tables — (bits per length 1..16, values)
   private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val DcLumVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)

@@ -120,6 +120,66 @@ object MediaOps {
     }(enc)
   }
 
+  private[graft] def clipFrameCountOf(id: Long): Int = ((id % 5) + 3).toInt
+  private[graft] def clipBlockVal(id: Long, f: Int, b: Int): Int =
+    ((id * 37 + b.toLong * 11 + f.toLong * 29) % 256).toInt
+
+  /** Multi-frame VIDEO clips for the video docs (doc_id % 3 == 2): a
+    * "GVID" container of 3..7 grayscale JPEG frames, frame f's blocks
+    * constant at (id·37 + b·11 + f·29) % 256 — the DC-only blocks
+    * round-trip the DCT exactly, so per-frame channel sums stay
+    * closed-form through the REAL JPEG path. */
+  def synthesizeClipsFromDocs(docs: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("n_frames", IntegerType),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(out)
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val (nbx, nby) = jpegBlocks(id)
+          val nf = clipFrameCountOf(id)
+          val frames = (0 until nf).map { f =>
+            MediaCodecs.encodeJpegBlocks(nbx * 8, nby * 8, gray = true,
+              (bx, by, _) => clipBlockVal(id, f, by * nbx + bx))
+          }
+          Row(id, nf, MediaCodecs.encodeClip(frames))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling over clip payloads: decode every `every`-th frame
+    * through the real JPEG decoder — the container index makes skipped
+    * frames FREE (sliced over, never entropy-decoded), which is the whole
+    * economics of video preprocessing at corpus scale: sampling 1-in-30
+    * frames must cost 1/30th of the decode, not a full scan per clip.
+    * One output row per sampled frame: (media_id, frame_idx, gray_sum,
+    * px) with gray_sum = Σ red channel (r=g=b for grayscale). */
+  def sampleClipFrames(clips: DataFrame, every: Int,
+                       batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_idx", IntegerType),
+      StructField("gray_sum", LongType), StructField("px", LongType)))
+    val enc = RowEncoder.encoderFor(out)
+    clips.select("media_id", "payload").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val n = MediaCodecs.clipFrameCount(payload)
+          (0 until n by every).iterator.map { f =>
+            val (w, h, px) = MediaCodecs.decodeJpeg(
+              MediaCodecs.clipFrame(payload, f))
+            var sum = 0L
+            var p = 0
+            while (p < w * h) { sum += px(3 * p); p += 1 }
+            Row(r.getLong(0), f, sum, w.toLong * h)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** REAL decoder: sniffs the container magic and parses the payload.
     *   BMP → [ΣR, ΣG, ΣB, w·h] (channel sums over decoded pixels)
     *   WAV → [Σs, Σ|s|, nSamples, max|s|]

@@ -339,6 +339,40 @@ object CatalogQueries {
       "rsort_t"
     })
 
+  /** Delete-maintenance fixtures: accumulate tombstones / eq deletes, then
+    * CALL the rewrite procedures; content must be unchanged. */
+  private def rewritePosT(spark: SparkSession): Unit =
+    built.computeIfAbsent("rwpos_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "rwpos_t")
+        .create(idVal, Nil)
+        .appendData(baseRows(spark, 300)).commit()
+      spark.sql("DELETE FROM graft.cq.rwpos_t WHERE id % 7 = 0")
+      spark.sql("DELETE FROM graft.cq.rwpos_t WHERE id % 11 = 3")
+      spark.sql("DELETE FROM graft.cq.rwpos_t WHERE id % 13 = 5")
+      spark.sql("CALL graft.system.rewrite_position_deletes(" +
+        "table => 'cq.rwpos_t')")
+      "rwpos_t"
+    })
+
+  private def convertEqT(spark: SparkSession): Unit =
+    built.computeIfAbsent("cveq_t", _ => {
+      CatalogFixture.ensure(spark)
+      val g = new GraftTableGenerator(spark,
+        s"${CatalogFixture.warehouse}/cq", "cveq_t")
+      g.create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 300).toDF("id")
+          .withColumn("val", col("id") * 2)).commit()
+      // two upsert waves leave two equality-delete files behind
+      g.upsert(spark.range(50, 100).toDF("id")
+        .withColumn("val", col("id") * 5), Seq("id")).commit()
+      g.upsert(spark.range(80, 120).toDF("id")
+        .withColumn("val", col("id") * 9), Seq("id")).commit()
+      spark.sql("CALL graft.system.convert_equality_deletes(" +
+        "table => 'cq.cveq_t')")
+      "cveq_t"
+    })
+
   /** Bloom-property fixture: `write.bloom.columns` via TBLPROPERTIES, four
     * residue-interleaved INSERTs (file id-envelopes fully overlap, so only
     * the manifest Bloom filters can prune a point probe). */
@@ -618,6 +652,22 @@ object CatalogQueries {
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum, " +
         "SUM(CASE WHEN id BETWEEN 100 AND 149 THEN val END) AS band_sum " +
         "FROM graft.cq.word_t")
+    }),
+
+    // CALL rewrite_position_deletes: three tombstone waves fold into one
+    // vector per touched file; live rows unchanged (delete-file
+    // convergence is spec-gated in CatalogSpec)
+    "sql_call_rewrite_pos_deletes" -> ((s, _) => {
+      rewritePosT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.rwpos_t")
+    }),
+
+    // CALL convert_equality_deletes: upsert-era eq deletes become position
+    // vectors; the overlapping-upsert end state is exactly preserved
+    "sql_call_convert_eq_deletes" -> ((s, _) => {
+      convertEqT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(val) AS val_sum FROM graft.cq.cveq_t")
     }),
 
     // manifest Bloom filters declared as a TABLE PROPERTY: catalog
@@ -944,6 +994,21 @@ object CatalogQueries {
         |  ('part=a', CAST(200 AS BIGINT)), ('part=b', CAST(200 AS BIGINT)))
         |  v(partition, record_count)
         |ORDER BY partition""".stripMargin,
+
+    // survivors of three modulo deletes over ids 0..299, val = 2·id
+    "sql_call_rewrite_pos_deletes" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(id * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 300) t(id)
+        |WHERE id % 7 <> 0 AND id % 11 <> 3 AND id % 13 <> 5""".stripMargin,
+
+    // val: 9·id on 80..119 (second wave wins), 5·id on 50..79, else 2·id
+    "sql_call_convert_eq_deletes" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN id BETWEEN 80 AND 119 THEN id * 9
+        |                     WHEN id BETWEEN 50 AND 79 THEN id * 5
+        |                     ELSE id * 2 END) AS BIGINT) AS val_sum
+        |FROM range(0, 300) t(id)""".stripMargin,
 
     // ids 0..399 complete (4 interleaved residue classes), val = 7·id
     "sql_catalog_bloom" ->

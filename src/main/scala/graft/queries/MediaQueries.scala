@@ -133,6 +133,21 @@ object MediaQueries {
             .as("dup_id_sum"))
     }),
 
+    // REAL video-clip frame sampling: "GVID" multi-frame containers
+    // (3..7 grayscale JPEG frames per video doc), every 2nd frame sliced
+    // out via the header index and decoded through the full baseline JPEG
+    // path — skipped frames are never entropy-decoded. Closed-form frame
+    // pixel oracle (DC-only blocks are DCT-exact).
+    "multimodal_video_frames" -> ((s, d) => {
+      val clips = MediaOps.synthesizeClipsFromDocs(tbl(s, d, "documents"))
+      MediaOps.sampleClipFrames(clips, every = 2)
+        .agg(count(lit(1)).as("n_frames"),
+          count_distinct(col("media_id")).as("n_clips"),
+          sum(col("frame_idx").cast("long")).as("idx_sum"),
+          sum("gray_sum").as("gray"),
+          sum("px").as("px_sum"))
+    }),
+
     // audio near-dup via energy-contour fingerprints over decoded WAV
     // samples: 16-window |s| energies vs the total (integer compare),
     // bucketed by the 16-bit contour — the oracle recomputes every
@@ -310,6 +325,29 @@ object MediaQueries {
          |       CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS BIGINT) AS n_dup_imgs,
          |       CAST(COALESCE(SUM(ids) FILTER (c > 1), 0) AS BIGINT) AS dup_id_sum
          |FROM g""".stripMargin,
+
+    // sampled frames fi ∈ {0,2,4,...} < (id%5)+3; frame gray sum =
+    // 64·Σ_b (id·37 + b·11 + fi·29) % 256 over the (id%6+1)·(id%4+1) blocks
+    "multimodal_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, (doc_id % 5) + 3 AS nf,
+        |         (doc_id % 6 + 1) * (doc_id % 4 + 1) AS nb,
+        |         (doc_id % 6 + 1) * 8 * (doc_id % 4 + 1) * 8 AS px
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, nb, px, fi
+        |  FROM v, LATERAL unnest(range(0, nf)) t(fi) WHERE fi % 2 = 0),
+        |g AS (
+        |  SELECT doc_id, fi, px,
+        |    64 * list_sum(list_transform(range(0, nb),
+        |      b -> (doc_id * 37 + b * 11 + fi * 29) % 256)) AS gs
+        |  FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
+        |       CAST(SUM(fi) AS BIGINT) AS idx_sum,
+        |       CAST(SUM(gs) AS BIGINT) AS gray,
+        |       CAST(SUM(px) AS BIGINT) AS px_sum
+        |FROM g""".stripMargin,
 
     // contour recomputed closed-form: window w of doc_id sums
     // |((id·17 + i·13) % 4001) − 2000| over i ∈ [w·ns/16, (w+1)·ns/16);

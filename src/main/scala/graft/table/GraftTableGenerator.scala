@@ -1594,7 +1594,16 @@ final class GraftTableGenerator(
     * days). Purely physical — no snapshot is written and reads before and
     * after are identical. Returns the deleted paths. */
   def removeOrphanFiles(graceMs: Long = 0L): Seq[String] = {
-    requireCreated("removeOrphanFiles()")
+    val orphans = listOrphanFiles(graceMs)
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans
+  }
+
+  /** The DRY-RUN half of [[removeOrphanFiles]] (Iceberg's
+    * `remove_orphan_files(dry_run => true)`): the orphan list, nothing
+    * deleted — what an operator inspects before a destructive GC. */
+  def listOrphanFiles(graceMs: Long = 0L): Seq[String] = {
+    requireCreated("listOrphanFiles()")
     val st = log.load()
     val referenced = (st.snapshots.flatMap(s =>
       s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)) ++
@@ -1610,9 +1619,12 @@ final class GraftTableGenerator(
           orphans += p
       } finally walk.close()
     }
-    orphans.foreach(Files.deleteIfExists(_))
     orphans.map(_.toString).toSeq
   }
+
+  /** Count of staged-but-uncommitted operations (maintenance callers use
+    * it to skip an empty commit when a rewrite found nothing to do). */
+  def staged: Int = stagedOps
 
   /** Roll the table back to a committed snapshot (the Iceberg
     * `rollback_to_snapshot` procedure): later snapshots leave the history,

@@ -979,6 +979,61 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == 399L)
   }
 
+  test("delete-maintenance procedures: pos-delete fold, eq conversion, orphan dry run") {
+    import org.apache.spark.sql.types._
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_delmaint")
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_delmaint")
+    g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "val" -> LongType), Nil)
+      .appendData(spark.range(0, 200).toDF("id")
+        .withColumn("val", col("id") * 2)).commit()
+    spark.sql("DELETE FROM graft.db.t_delmaint WHERE id % 5 = 0")
+    spark.sql("DELETE FROM graft.db.t_delmaint WHERE id % 7 = 1")
+    g.refresh().upsert(spark.range(20, 40).toDF("id")
+      .withColumn("val", col("id") * 3), Seq("id")).commit()
+    def kinds() = SnapshotLog(s"$wh/db/t_delmaint").load().mainOnly
+      .deleteFiles.groupBy(_.kind).view.mapValues(_.size).toMap
+    assert(kinds().getOrElse("pos", 0) >= 2 && kinds().getOrElse("eq", 0) >= 1)
+    val r1 = spark.sql("CALL graft.system.convert_equality_deletes(" +
+      "table => 'db.t_delmaint')").collect()(0)
+    assert(kinds().getOrElse("eq", 0) == 0, s"eq deletes must convert: ${kinds()}")
+    assert(r1.getLong(1) <= r1.getLong(0))
+    val r2 = spark.sql("CALL graft.system.rewrite_position_deletes(" +
+      "table => 'db.t_delmaint')").collect()(0)
+    assert(r2.getLong(1) < r2.getLong(0),
+      s"pos tombstones must fold into vectors: $r2")
+    assert(kinds().getOrElse("pos", 0) == 0, s"pos files must fold: ${kinds()}")
+    // content identical through both rewrites
+    val n = spark.sql("SELECT count(*) AS n, sum(val) AS s " +
+      "FROM graft.db.t_delmaint").collect()(0)
+    // the upsert REVIVES deleted ids in 20..39 (replace-or-insert)
+    val expect = (0L until 200L)
+      .filter(i => (i >= 20 && i < 40) || (i % 5 != 0 && i % 7 != 1))
+      .map(i => if (i >= 20 && i < 40) i * 3 else i * 2).sum
+    assert(n.getLong(1) == expect)
+    // orphan dry run: stage an abandoned file, dry_run counts it without
+    // deleting; the real run then removes it
+    val stray = java.nio.file.Paths.get(s"$wh/db/t_delmaint/data/stray.parquet")
+    spark.range(0, 5).toDF("id").withColumn("val", col("id"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$wh/db/t_delmaint/data/__tmp_stray")
+    val part = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$wh/db/t_delmaint/data/__tmp_stray"))
+        .iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.move(part, stray)
+    val dry = spark.sql("CALL graft.system.remove_orphan_files(" +
+      "table => 'db.t_delmaint', dry_run => true)").collect()(0).getLong(0)
+    assert(dry >= 1L && java.nio.file.Files.exists(stray),
+      "dry run must count orphans and delete nothing")
+    spark.sql("CALL graft.system.remove_orphan_files(table => 'db.t_delmaint')")
+    assert(!java.nio.file.Files.exists(stray))
+  }
+
   test("CALL expire_snapshots(older_than_ms) expires by commit age") {
     fresh("t_expage") // two append commits
     spark.sql("DELETE FROM graft.db.t_expage WHERE product_id < 10") // third

@@ -308,4 +308,34 @@ class MediaSpec extends SparkSpec {
     assert(rSum == want, s"channel sum $rSum != closed-form $want")
     assert((w, h) == (48, 32))
   }
+
+  test("GVID clip container: indexed frame slicing + sampled JPEG decode") {
+    import graft.ext.MediaCodecs
+    val id = 11L // nbx=6? (11%6+1)=6, nby=(11%4+1)=4, nf=(11%5+1+2)=4? (11%5)+3=4
+    val (nbx, nby) = graft.ext.MediaOps.jpegBlocks(id)
+    val nf = graft.ext.MediaOps.clipFrameCountOf(id)
+    val frames = (0 until nf).map { f =>
+      MediaCodecs.encodeJpegBlocks(nbx * 8, nby * 8, gray = true,
+        (bx, by, _) => graft.ext.MediaOps.clipBlockVal(id, f, by * nbx + bx))
+    }
+    val clip = MediaCodecs.encodeClip(frames)
+    assert(MediaCodecs.isClip(clip))
+    assert(MediaCodecs.clipFrameCount(clip) == nf)
+    // every frame slices back byte-identical through the header index
+    (0 until nf).foreach { f =>
+      assert(java.util.Arrays.equals(MediaCodecs.clipFrame(clip, f), frames(f)),
+        s"frame $f did not slice back intact")
+    }
+    // sampled decode matches the closed-form per-frame sums
+    (0 until nf by 2).foreach { f =>
+      val (w, h, px) = MediaCodecs.decodeJpeg(MediaCodecs.clipFrame(clip, f))
+      var rSum = 0L
+      var p = 0
+      while (p < w * h) { rSum += px(3 * p); p += 1 }
+      val want = (0 until nbx * nby).map(b =>
+        64L * graft.ext.MediaOps.clipBlockVal(id, f, b)).sum
+      assert(rSum == want, s"frame $f: $rSum != $want")
+    }
+    intercept[IllegalArgumentException](MediaCodecs.clipFrame(clip, nf))
+  }
 }
