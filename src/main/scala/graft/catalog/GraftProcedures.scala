@@ -367,9 +367,14 @@ object GraftProcedures {
 
     // Iceberg snapshot-table parity: CREATE a graft table over an existing
     // parquet directory without copying it — schema inferred from the
-    // files, then the whole corpus adopted via addFiles in one commit
+    // files, then the whole corpus adopted via addFiles in one commit.
+    // `partition_by` (comma-separated column names) declares an IDENTITY
+    // spec for a hive-laid-out source: the `col=value` directories become
+    // partition tuples, so partition pruning works from the first query
+    // (files must still physically carry the columns — addFiles verifies).
     new Proc("snapshot",
-      Seq(in("source_dir", StringType), in("table", StringType)),
+      Seq(in("source_dir", StringType), in("table", StringType),
+        inDefault("partition_by", StringType, "''")),
       StructType(Seq(
         StructField("table", StringType, nullable = false),
         StructField("added_files", LongType, nullable = false),
@@ -377,14 +382,19 @@ object GraftProcedures {
       (c, r) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val srcDir = str(r, 0); val t = str(r, 1)
+        val partCols = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val d = c.dirForCreate(t)
         val struct = spark.read.option("recursiveFileLookup", "true")
           .parquet(srcDir).schema
         val gschema = graft.schema.GraftSchema.of(
           struct.fields.map(f => f.name -> f.dataType).toSeq: _*)
+        partCols.foreach(p => require(gschema.names.contains(p),
+          s"snapshot: partition_by column $p is not in the file schema " +
+            s"(${gschema.names.mkString(", ")}) — hive imports must carry " +
+            "partition columns physically"))
         new GraftTableGenerator(spark, d.getParent.toString,
             d.getFileName.toString)
-          .create(gschema, Nil)
+          .create(gschema, partCols)
           .addFiles(srcDir).commit()
         val snap = state(c, t).snapshots.last
         Seq(t, snap.dataFiles.size.toLong, snap.dataFiles.map(_.recordCount).sum)

@@ -211,18 +211,37 @@ object MetaTables extends Serializable {
   def entries(spark: SparkSession, tableDir: String,
               asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    state(tableDir, asOf).snapshots.flatMap { s =>
-      s.dataFiles.map(f => (s.id, "added", "data", rel(tableDir, f.path),
-        partStr(f.partition), f.seq,
-        if (f.recordCount < 0) None else Some(f.recordCount))) ++
-      s.deleteFiles.map(f => (s.id, "added", "deletes", rel(tableDir, f.path),
-        partStr(f.partition), f.seq, None: Option[Long])) ++
+    val out0 = SnapshotLog(tableDir).loadOutline().mainOnly
+    val out = asOf.map(out0.asOf).getOrElse(out0)
+    val cols = Seq("snapshot_id", "status", "content", "file_path",
+      "partition", "seq", "record_count")
+    def addedData(sid: Long, f: DataFileEntry) =
+      (sid, "added", "data", rel(tableDir, f.path), partStr(f.partition),
+        f.seq, if (f.recordCount < 0) None else Some(f.recordCount))
+    // delete entries / removal lists are metadata-scale (outline
+    // materializes them anyway); only sharded DATA lists go distributed
+    val inline = out.outlines.flatMap { o =>
+      val s = o.snapshot
+      s.dataFiles.map(addedData(s.id, _)) ++
+      s.deleteFiles.map(f => (s.id, "added", "deletes",
+        rel(tableDir, f.path), partStr(f.partition), f.seq,
+        None: Option[Long])) ++
       s.removedDataFiles.map(p => (s.id, "deleted", "data",
         rel(tableDir, p), "", -1L, None: Option[Long])) ++
       s.removedDeleteFiles.map(p => (s.id, "deleted", "deletes",
         rel(tableDir, p), "", -1L, None: Option[Long]))
-    }.toDF("snapshot_id", "status", "content", "file_path", "partition",
-      "seq", "record_count")
+    }
+    val groups = out.outlines.flatMap(o =>
+      o.dataManifests.map(name => (o.snapshot.id, name)))
+    if (groups.isEmpty) return inline.toDF(cols: _*)
+    val metaDir = out.metaDir
+    val grouped = spark.sparkContext
+      .parallelize(groups, math.max(1, math.min(groups.size, 64)))
+      .flatMap { case (sid, name) =>
+        SnapshotLog.readDataManifestFile(metaDir, name)
+          .iterator.map(addedData(sid, _))
+      }
+    inline.toDF(cols: _*).unionByName(grouped.toDF(cols: _*))
   }
 
   /** `tbl.position_deletes`: the CONTENT of the live positional tombstone

@@ -18,6 +18,11 @@ import graft.table.GraftTableGenerator
   * (`spark.readStream.format("iceberg")`) over the engine's own
   * snapshot-incremental scans.
   *
+  * `Trigger.AvailableNow()` works (drain-and-terminate, restart picks up
+  * the delta) but latches ONE offset at start — Spark's v1-source wrapper
+  * semantics — so don't combine it with the per-batch rate caps below:
+  * the latch would stop at the first CAPPED offset instead of the head.
+  *
   * SOURCE offsets are snapshot ids (the engine assigns them densely, so
   * `maxSnapshotsPerBatch` caps a micro-batch by commit count;
   * `maxRowsPerBatch` / `maxFilesPerBatch` cap it by ADDED rows/files

@@ -1147,5 +1147,23 @@ class CatalogSpec extends SparkSpec {
       "SELECT count(*) AS n, sum(val) AS s FROM graft.db.t_snap").collect()(0)
     assert(r.getLong(0) == 300L)
     assert(r.getLong(1) == (50L until 350L).map(_ * 7).sum)
+    // hive-partitioned import: partition_by declares the identity spec,
+    // the col=value dirs become partition tuples, pruning works at once
+    val ext2 = java.nio.file.Files.createTempDirectory("snap-hive").toString
+    Seq("x", "y").zipWithIndex.foreach { case (p, i) =>
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .withColumn("part", lit(p)).withColumn("val", col("id") * 3)
+        .coalesce(1).write.parquet(s"$ext2/part=$p")
+    }
+    val res2 = spark.sql(
+      s"CALL graft.system.snapshot('$ext2', 'db.t_snap_p', 'part')")
+      .collect()(0)
+    assert(res2.getLong(1) == 2L && res2.getLong(2) == 200L)
+    val before = MorReader.dataFilesPlanned.get()
+    val s2 = spark.sql("SELECT sum(id) AS s FROM graft.db.t_snap_p " +
+      "WHERE part = 'y'").collect()(0).getLong(0)
+    assert(s2 == (100L until 200L).sum)
+    assert(MorReader.dataFilesPlanned.get() - before == 1L,
+      "partition filter must prune to the adopted part=y file")
   }
 }

@@ -157,6 +157,39 @@ class GraftStreamSpec extends SparkSpec {
     assert(gates.toSet == Set("0", "1"))
   }
 
+  test("Trigger.AvailableNow drains the latched backlog and terminates") {
+    // v1-source AvailableNow semantics: Spark's wrapper latches ONE
+    // getOffset at start and runs to it — so the full backlog drains in
+    // one batch and the query stops. (Per-batch rate caps would latch the
+    // first CAPPED offset instead — don't combine them with AvailableNow
+    // on this endpoint; the scaladoc documents it.)
+    val wh = Files.createTempDirectory("graft-avnow").toString
+    val g = new GraftTableGenerator(spark, wh, "av_t")
+    g.create(idVal, Nil)
+      .appendData(rows(0, 100)).commit()
+      .appendData(rows(100, 200)).commit()
+      .appendData(rows(200, 260)).commit()
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    def drain(): Boolean = {
+      val sq = spark.readStream.format("graft").load(s"$wh/av_t")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", s"$wh/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      sq.awaitTermination(120000)
+    }
+    assert(drain(), "AvailableNow query must terminate after the drain")
+    assert(seen.get() == 260L)
+    // a commit AFTER termination is not consumed (AvailableNow semantics);
+    // a restart from the same checkpoint picks up exactly the delta
+    g.appendData(rows(260, 300)).commit()
+    assert(drain(), "restarted AvailableNow query must terminate")
+    assert(seen.get() == 300L, s"restart must deliver only the delta, saw $seen")
+  }
+
   test("sink writeMode=upsert: keyed replace-or-insert per batch, replay-safe") {
     val wh = Files.createTempDirectory("graft-sink-ups").toString
     new GraftTableGenerator(spark, wh, "ups_t").create(idVal, Nil)

@@ -102,9 +102,13 @@ class ShardedManifestSpec extends SparkSpec {
     val parts = graft.read.MetaTables.partitions(spark, tableDir).collect()
     assert(parts.length == 10)
     assert(parts.map(_.getLong(2)).sum == 50003L * 100)
+    // entries ledger goes distributed on sharded logs too
+    val ent = graft.read.MetaTables.entries(spark, tableDir)
+    assert(ent.where(ent("status") === "added").count() == 50005L)
+    assert(ent.where(ent("status") === "deleted").count() == 2L)
     // group entries parsed inside TASKS, never on the driver
     assert(SnapshotLog.driverGroupEntriesParsed.get() == before,
-      "files/partitions must not materialize manifest groups on the driver")
+      "files/partitions/entries must not materialize manifest groups on the driver")
   }
 
   test("small snapshots stay inline — no manifest files") {
