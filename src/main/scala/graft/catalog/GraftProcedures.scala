@@ -169,6 +169,26 @@ object GraftProcedures {
       }),
 
     // dry_run (Iceberg parity): list what WOULD be deleted, touch nothing
+    // Iceberg rollback_to_timestamp: resolve the wall-clock to the last
+    // snapshot at or before it, then the same truncation as
+    // rollback_to_snapshot
+    new Proc("rollback_to_timestamp",
+      Seq(in("table", StringType), in("ts_ms", LongType)),
+      StructType(Seq(
+        StructField("previous_head", LongType, nullable = false),
+        StructField("current_head", LongType, nullable = false))),
+      (c, r) => {
+        val t = str(r, 0)
+        val prev = headId(c, t)
+        val target = state(c, t).snapshots
+          .filter(_.timestampMs <= r.getLong(1)).lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"rollback_to_timestamp: no snapshot committed at or before " +
+              s"${r.getLong(1)}"))
+        gen(c, t).rollbackTo(target.id)
+        Seq(prev, headId(c, t))
+      }),
+
     new Proc("remove_orphan_files",
       Seq(in("table", StringType), inDefault("grace_ms", LongType, "0"),
         inDefault("dry_run", BooleanType, "false")),

@@ -1034,6 +1034,32 @@ class CatalogSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(stray))
   }
 
+  test("CALL rollback_to_timestamp truncates to the snapshot at that time") {
+    import org.apache.spark.sql.types._
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_rbts")
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_rbts")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 100).toDF("id").withColumn("val", col("id")))
+      .commit()
+    val ts1 = SnapshotLog(s"$wh/db/t_rbts").load().snapshots.last.timestampMs
+    Thread.sleep(5)
+    g.appendData(spark.range(100, 150).toDF("id").withColumn("val", col("id")))
+      .commit()
+    val res = spark.sql("CALL graft.system.rollback_to_timestamp(" +
+      s"table => 'db.t_rbts', ts_ms => ${ts1}L)").collect()(0)
+    assert(res.getLong(0) == 2L && res.getLong(1) == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_rbts")
+      .collect()(0).getLong(0) == 100L)
+    val err = intercept[Exception] {
+      spark.sql("CALL graft.system.rollback_to_timestamp(" +
+        "table => 'db.t_rbts', ts_ms => 0)").collect()
+    }
+    assert(err.getMessage.contains("no snapshot committed") ||
+      Option(err.getCause).exists(_.getMessage.contains("no snapshot committed")))
+  }
+
   test("CALL expire_snapshots(older_than_ms) expires by commit age") {
     fresh("t_expage") // two append commits
     spark.sql("DELETE FROM graft.db.t_expage WHERE product_id < 10") // third
