@@ -81,13 +81,42 @@ final class GraftSparkTable(
     true
   }
 
+  /** Write-audit-publish branch from the session conf
+    * `spark.graft.wap.branch` (the Iceberg `spark.wap.branch` shape):
+    * while set, CURRENT-state reads of this table resolve to that branch
+    * and writes commit to it (the branch is created on the first write),
+    * so a whole pipeline stages + audits a batch and publishes via
+    * `CALL fast_forward` — without touching its SQL. Explicit
+    * VERSION/TIMESTAMP AS OF always wins over the conf; the analyzer's
+    * metadata fast paths follow automatically because they fold
+    * [[outlineState]], which applies the same resolution. */
+  private def wapBranch: Option[String] = {
+    val conf = SparkSession.active.conf
+    // table-scoped key wins (lets one session stage WAP on one table
+    // while others keep writing main — and keeps concurrently-running
+    // test suites from cross-talking through the global key)
+    Option(conf.get(s"spark.graft.wap.branch.$identName", ""))
+      .map(_.trim).filter(_.nonEmpty)
+      .orElse(Option(conf.get("spark.graft.wap.branch", ""))
+        .map(_.trim).filter(_.nonEmpty))
+      .filter(_ != "main")
+  }
+
+  /** The wap branch for READS: an unborn branch (no write yet) reads as
+    * main, exactly like Iceberg's conf. */
+  private def wapReadBranch: Option[String] =
+    wapBranch.filter(b => SnapshotLog(dir).refs.contains(s"branch:$b"))
+
   /** Travel-resolved table state (main lineage; branch travel resolves the
     * branch lineage exactly like [[MorReader.readRef]]). */
   def state: TableState = {
     val log = SnapshotLog(dir)
     val st0 = log.load()
     travel match {
-      case None => st0.mainOnly
+      case None => wapReadBranch match {
+        case Some(b) => st0.onBranch(b, log.refs(s"branch:$b"))
+        case None => st0.mainOnly
+      }
       case Some(GraftTravel.AtSnapshot(id)) => st0.mainOnly.asOf(id)
       case Some(GraftTravel.AtTime(ms)) => st0.mainOnly.asOfTime(ms)
       case Some(GraftTravel.AtRef(name)) =>
@@ -109,7 +138,10 @@ final class GraftSparkTable(
     val log = SnapshotLog(dir)
     val o0 = log.loadOutline()
     travel match {
-      case None => o0.mainOnly
+      case None => wapReadBranch match {
+        case Some(b) => o0.onBranch(b, log.refs(s"branch:$b"))
+        case None => o0.mainOnly
+      }
       case Some(GraftTravel.AtSnapshot(id)) => o0.mainOnly.asOf(id)
       case Some(GraftTravel.AtTime(ms)) => o0.mainOnly.asOfTime(ms)
       case Some(GraftTravel.AtRef(name)) =>
@@ -135,9 +167,18 @@ final class GraftSparkTable(
     metaKind match {
       case Some(kind) => metaDf(spark, kind)
       case None => travel match {
-        case None =>
-          MorReader.read(spark, dir, None, partitionFilter, ranges,
-            pointValues, internalCols)
+        case None => wapReadBranch match {
+          case Some(b) =>
+            // branch read: manifest pruning maps drop (an optimization —
+            // the substitution rule keeps the full condition row-level
+            // above, so results are exact)
+            require(internalCols.isEmpty,
+              "metadata columns under spark.graft.wap.branch are not supported")
+            MorReader.readBranch(spark, dir, b)
+          case None =>
+            MorReader.read(spark, dir, None, partitionFilter, ranges,
+              pointValues, internalCols)
+        }
         case Some(GraftTravel.AtSnapshot(id)) =>
           MorReader.read(spark, dir, Some(id), partitionFilter, ranges,
             pointValues, internalCols)
@@ -194,8 +235,14 @@ final class GraftSparkTable(
     require(travel.isEmpty, s"cannot write to time-travelled table $identName")
     require(metaKind.isEmpty, s"cannot write to metadata table $identName")
     val p = java.nio.file.Paths.get(dir)
-    new GraftTableGenerator(spark, p.getParent.toString,
+    val g = new GraftTableGenerator(spark, p.getParent.toString,
       p.getFileName.toString).open()
+    // WAP: writes land on the conf branch (created on first write)
+    wapBranch.foreach { b =>
+      if (!SnapshotLog(dir).refs.contains(s"branch:$b")) g.createBranch(b)
+      g.writeTo(b)
+    }
+    g
   }
 
   override def name(): String = identName

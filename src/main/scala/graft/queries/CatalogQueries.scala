@@ -339,6 +339,27 @@ object CatalogQueries {
       "rsort_t"
     })
 
+  /** WAP-by-conf fixture: with `spark.graft.wap.branch.<table>` set, the
+    * INSERT and DELETE land on the audit branch (main untouched); the
+    * CALL fast_forward publishes them. */
+  private def wapConfT(spark: SparkSession): Unit =
+    built.computeIfAbsent("wapc_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.wapc_t (id BIGINT, val BIGINT)")
+      spark.sql("INSERT INTO graft.cq.wapc_t " +
+        "SELECT id, id * 2 AS val FROM range(0, 100)")
+      val key = "spark.graft.wap.branch.cq.wapc_t"
+      spark.conf.set(key, "audit")
+      try {
+        spark.sql("INSERT INTO graft.cq.wapc_t " +
+          "SELECT id, id * 2 AS val FROM range(100, 150)")
+        spark.sql("DELETE FROM graft.cq.wapc_t WHERE id % 10 = 4")
+      } finally spark.conf.unset(key)
+      spark.sql("CALL graft.system.fast_forward(" +
+        "table => 'cq.wapc_t', branch => 'audit')")
+      "wapc_t"
+    })
+
   /** Delete-maintenance fixtures: accumulate tombstones / eq deletes, then
     * CALL the rewrite procedures; content must be unchanged. */
   private def rewritePosT(spark: SparkSession): Unit =
@@ -652,6 +673,17 @@ object CatalogQueries {
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum, " +
         "SUM(CASE WHEN id BETWEEN 100 AND 149 THEN val END) AS band_sum " +
         "FROM graft.cq.word_t")
+    }),
+
+    // write-audit-publish BY SESSION CONF (spark.graft.wap.branch —
+    // Iceberg's spark.wap.branch shape): staged INSERT + DELETE commit to
+    // the audit branch with the pipeline's SQL unchanged, main stays
+    // untouched until CALL fast_forward publishes (isolation is
+    // spec-gated in CatalogSpec)
+    "sql_wap_branch_conf" -> ((s, _) => {
+      wapConfT(s)
+      s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.wapc_t")
     }),
 
     // CALL rewrite_position_deletes: three tombstone waves fold into one
@@ -994,6 +1026,12 @@ object CatalogQueries {
         |  ('part=a', CAST(200 AS BIGINT)), ('part=b', CAST(200 AS BIGINT)))
         |  v(partition, record_count)
         |ORDER BY partition""".stripMargin,
+
+    // published state: ids 0..149 minus %10=4, val = 2·id
+    "sql_wap_branch_conf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(id * 2) AS BIGINT) AS val_sum
+        |FROM range(0, 150) t(id) WHERE id % 10 <> 4""".stripMargin,
 
     // survivors of three modulo deletes over ids 0..299, val = 2·id
     "sql_call_rewrite_pos_deletes" ->

@@ -1034,6 +1034,41 @@ class CatalogSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(stray))
   }
 
+  test("spark.graft.wap.branch: writes stage on the branch, reads follow, publish via fast_forward") {
+    import org.apache.spark.sql.types._
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft.db.t_wapconf")
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_wapconf")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    spark.sql("INSERT INTO graft.db.t_wapconf " +
+      "SELECT id, id * 2 AS val FROM range(0, 100)")
+    val key = "spark.graft.wap.branch.db.t_wapconf"
+    spark.conf.set(key, "audit")
+    try {
+      // the branch is created on the first write; SQL is unchanged
+      spark.sql("INSERT INTO graft.db.t_wapconf " +
+        "SELECT id, id * 2 AS val FROM range(100, 160)")
+      spark.sql("DELETE FROM graft.db.t_wapconf WHERE id < 10")
+      // reads under the conf see the staged state — incl. the manifest
+      // COUNT(*) fast path, which must fold the BRANCH outline
+      assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_wapconf")
+        .collect()(0).getLong(0) == 150L)
+      assert(spark.sql("SELECT min(id) AS mn, max(id) AS mx " +
+        "FROM graft.db.t_wapconf").collect()(0).getLong(1) == 159L)
+    } finally spark.conf.unset(key)
+    // conf off: main is untouched by the staged batch
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_wapconf")
+      .collect()(0).getLong(0) == 100L)
+    // publish, then main carries the audited state
+    spark.sql("CALL graft.system.fast_forward(" +
+      "table => 'db.t_wapconf', branch => 'audit')")
+    val r = spark.sql("SELECT count(*) AS n, sum(id) AS s " +
+      "FROM graft.db.t_wapconf").collect()(0)
+    assert(r.getLong(0) == 150L)
+    assert(r.getLong(1) == (10L until 160L).sum)
+  }
+
   test("CALL rollback_to_timestamp truncates to the snapshot at that time") {
     import org.apache.spark.sql.types._
     wh
