@@ -72,7 +72,10 @@ case class GraftMergeCommand(
     keyCols: Seq[String],
     updateWhen: Column,
     deleteWhen: Column,
-    insertWhen: Column) extends UnaryNode with Command {
+    insertWhen: Column,
+    nmbsUpdateWhen: Option[Column] = None,
+    nmbsDeleteWhen: Option[Column] = None,
+    nmbsSets: Seq[(String, Column)] = Nil) extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
@@ -130,12 +133,13 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         g.appendData(updated)
         g.commit()
       }) :: Nil
-    case m @ GraftMergeCommand(t, _, keys, up, del, ins) =>
+    case m @ GraftMergeCommand(t, _, keys, up, del, ins, nmbsUp, nmbsDel, nmbsSets) =>
       GraftDmlExec(s"graft merge ${t.name()}", () => {
         val src = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, m.source)
         t.openGenerator(spark)
           .mergeInto(src, keys, updateWhen = up, deleteWhen = del,
-            insertWhen = ins)
+            insertWhen = ins, nmbsUpdateWhen = nmbsUp,
+            nmbsDeleteWhen = nmbsDel, nmbsSets = nmbsSets)
           .commit()
       }) :: Nil
     case _ => Nil
@@ -848,8 +852,6 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"graft MERGE supports equality-key ON, WHEN MATCHED [AND c] THEN " +
           s"UPDATE SET * | DELETE, WHEN NOT MATCHED [AND c] THEN INSERT *; " +
           s"got $what")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
     // ON: conjunction of target.k = source.k (same column name — the
     // engine's mergeInto joins source columns by the target's key names)
@@ -908,7 +910,55 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         insertWhen = condCol(c, lit(true))
       case other => unsupported(s"not-matched action $other")
     }
+    // WHEN NOT MATCHED BY SOURCE: conditions and assignments may reference
+    // TARGET columns only (there is no source row, per SQL). The engine's
+    // NMBS frame carries target columns under PLAIN names. SQL evaluates
+    // clauses in ORDER (first whose condition holds applies), while the
+    // engine applies delete-over-update — so each action's effective
+    // condition conjoins the negation of every EARLIER NMBS condition,
+    // making the order-sensitive case (UPDATE listed before DELETE, row
+    // satisfies both) come out right under either application order.
+    def nmbsExprCol(e: Expression, what: String): Column =
+      org.apache.spark.sql.graft.GraftSqlShim.column(e.transform {
+        case a: AttributeReference if tgtIds(a.exprId) =>
+          UnresolvedAttribute(Seq(a.name))
+        case a: AttributeReference if srcIds(a.exprId) =>
+          unsupported(s"$what references source column ${a.name} " +
+            "inside WHEN NOT MATCHED BY SOURCE")
+      })
+    var nmbsUpdateWhen: Option[Column] = None
+    var nmbsDeleteWhen: Option[Column] = None
+    var nmbsSets: Seq[(String, Column)] = Nil
+    var priorConds: Seq[Expression] = Nil
+    m.notMatchedBySourceActions.foreach { action =>
+      def effective(c: Option[Expression], what: String): Column = {
+        val own = c.getOrElse(Literal.TrueLiteral)
+        val eff = priorConds.foldLeft(own)((acc, p) => And(acc, Not(p)))
+        priorConds :+= own
+        nmbsExprCol(eff, what)
+      }
+      action match {
+        case UpdateAction(c, assignments, _) =>
+          if (nmbsUpdateWhen.isDefined)
+            unsupported("more than one NOT MATCHED BY SOURCE UPDATE action")
+          nmbsSets = assignments.map { asg =>
+            val name = asg.key match {
+              case a: AttributeReference if tgtIds(a.exprId) => a.name
+              case other => unsupported(
+                s"NOT MATCHED BY SOURCE UPDATE target ${other.sql}")
+            }
+            name -> nmbsExprCol(asg.value, s"SET $name")
+          }
+          nmbsUpdateWhen = Some(effective(c, "NOT MATCHED BY SOURCE UPDATE"))
+        case DeleteAction(c) =>
+          if (nmbsDeleteWhen.isDefined)
+            unsupported("more than one NOT MATCHED BY SOURCE DELETE action")
+          nmbsDeleteWhen = Some(effective(c, "NOT MATCHED BY SOURCE DELETE"))
+        case other => unsupported(s"not-matched-by-source action $other")
+      }
+    }
     GraftMergeCommand(t, m.sourceTable, keyCols,
-      updateWhen, deleteWhen, insertWhen)
+      updateWhen, deleteWhen, insertWhen,
+      nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets)
   }
 }

@@ -126,6 +126,36 @@ object CatalogQueries {
       "merge_t"
     })
 
+  /** Full-snapshot reconciliation (MERGE `WHEN NOT MATCHED BY SOURCE`):
+    * target ids 0..199 val 2·id; the source is the NEW snapshot 100..299
+    * val 3·id. Matched rows take the source value, new rows insert, and
+    * rows ABSENT from the source (0..99) are reconciled by the NMBS
+    * clauses — id%5=0 deleted, else id%3=0 marked by val+1000. id%15=0
+    * satisfies BOTH NMBS conditions, pinning SQL clause order (the DELETE
+    * is listed first, so it wins). */
+  private def nmbsT(spark: SparkSession): Unit =
+    built.computeIfAbsent("nmbs_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "nmbs_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 200).toDF("id")
+          .withColumn("val", col("id") * 2))
+        .commit()
+      spark.range(100, 300).toDF("id")
+        .withColumn("val", col("id") * 3)
+        .createOrReplaceTempView("graft_sql_nmbs_src")
+      spark.sql(
+        """MERGE INTO graft.cq.nmbs_t t USING graft_sql_nmbs_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.id % 5 = 0 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND t.id % 3 = 0
+          |  THEN UPDATE SET val = t.val + 1000
+          |""".stripMargin)
+      "nmbs_t"
+    })
+
   /** ids 0..99; ALTER adds `bonus` with DEFAULT 5 (old rows read it as an
     * initial default), renames `val`→`score`, then an INSERT carries REAL
     * bonus values for ids 100..119. */
@@ -620,6 +650,11 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.merge_t")
     }),
 
+    "sql_merge_nmbs" -> ((s, _) => {
+      nmbsT(s)
+      s.sql("SELECT id, val FROM graft.cq.nmbs_t")
+    }),
+
     // manifest-answered COUNT(*) (Iceberg count pushdown): the plan is a
     // LocalTableScan — CatalogSpec gates the absence of any file scan
     "sql_catalog_fast_count" -> ((s, _) => {
@@ -874,6 +909,18 @@ object CatalogQueries {
         |  FROM range(300, 400) WHERE range % 10 <> 0
         |  UNION ALL
         |  SELECT range, range * 3 FROM range(400, 500) WHERE range % 10 <> 0
+        |)""".stripMargin,
+
+    // nmbs_t end state: 0..99 minus id%5=0, with id%3=0 at 2id+1000,
+    // others 2id; 100..299 take the source's 3id (matched update / insert)
+    "sql_merge_nmbs" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id,
+        |         CASE WHEN range % 3 = 0 THEN range * 2 + 1000
+        |              ELSE range * 2 END AS val
+        |  FROM range(0, 100) WHERE range % 5 <> 0
+        |  UNION ALL
+        |  SELECT range, range * 3 FROM range(100, 300)
         |)""".stripMargin,
 
     "sql_catalog_fast_count" ->

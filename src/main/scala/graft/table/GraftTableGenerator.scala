@@ -868,11 +868,27 @@ final class GraftTableGenerator(
     * source row would make the outcome join-order-dependent, so duplicate
     * matched source keys are rejected. Duplicate UNMATCHED keys are
     * allowed and all insert, as in SQL.
+    *
+    * `WHEN NOT MATCHED BY SOURCE` (full-snapshot reconciliation): target
+    * rows whose key matches NO source row take `nmbsDeleteWhen` /
+    * `nmbsUpdateWhen` + `nmbsSets` — conditions and SET expressions over
+    * TARGET columns only (plain names; there is no source row in scope,
+    * per SQL). Delete wins when both hold, mirroring the matched path.
+    * Cost shape: NMBS makes every target row a candidate, so the NMBS leg
+    * reads the FULL committed state (the key-envelope pruning above stays
+    * sound for the matched/insert legs) and anti-joins the source's
+    * distinct keys — one extra shuffle-or-broadcast join, O(target) scan,
+    * which is inherent to the semantics, not an implementation choice.
+    * All legs still publish in the SAME single snapshot (one eq-delete
+    * file, one append set, one commit).
     */
   def mergeInto(source: DataFrame, keyCols: Seq[String],
                 updateWhen: Column = lit(true),
                 deleteWhen: Column = lit(false),
-                insertWhen: Column = lit(true)): this.type = {
+                insertWhen: Column = lit(true),
+                nmbsUpdateWhen: Option[Column] = None,
+                nmbsDeleteWhen: Option[Column] = None,
+                nmbsSets: Seq[(String, Column)] = Nil): this.type = {
     requireCreated("mergeInto")
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
     schema.names.foreach(n => require(source.columns.contains(n),
@@ -937,9 +953,35 @@ final class GraftTableGenerator(
       s"mergeInto: more than one source row matches a target row on " +
         s"(${keyCols.mkString(", ")}) — SQL MERGE cardinality violation")
 
-    val affected = classified.where(col("_do_del") || col("_do_upd"))
+    // NOT MATCHED BY SOURCE leg: full committed read, anti-join on the
+    // source's distinct keys (null keys never match, so they are NMBS),
+    // classify once (checkpoint: one join execution feeds both the delete
+    // keys and the rewritten-row appends)
+    val nmbsClassified: Option[DataFrame] =
+      if (nmbsUpdateWhen.isEmpty && nmbsDeleteWhen.isEmpty) None
+      else {
+        val srcKeys = source.select(keyCols.map(col): _*)
+          .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+        val unmatched = MorReader.read(spark, tableDir.toString)
+          .join(srcKeys, keyCols, "left_anti")
+        val doDel = coalesce(nmbsDeleteWhen.getOrElse(lit(false)), lit(false))
+        val doUpd = !doDel && coalesce(nmbsUpdateWhen.getOrElse(lit(false)), lit(false))
+        Some(unmatched
+          .select(schema.names.map(col) ++ canonicalKeys ++
+            Seq(doDel.as("_do_del"), doUpd.as("_do_upd")): _*)
+          .where(col("_do_del") || col("_do_upd"))
+          .localCheckpoint())
+      }
+
+    val matchedAffected = classified.where(col("_do_del") || col("_do_upd"))
       .select(schema.names.map(col) ++ keyCols.map(k =>
         col(s"_dk${schema.fieldId(k)}")): _*)
+    val affected = nmbsClassified match {
+      case Some(n) => matchedAffected.unionByName(
+        n.select(schema.names.map(col) ++ keyCols.map(k =>
+          col(s"_dk${schema.fieldId(k)}")): _*))
+      case None => matchedAffected
+    }
     if (!affected.isEmpty) {
       val delSeq = nextOpSeq()
       val target = deleteFileTarget("eqdelete", Map.empty)
@@ -950,8 +992,17 @@ final class GraftTableGenerator(
         metrics = deleteColMetrics(target,
           keyCols.map(k => schema.fieldId(k) -> s"_dk${schema.fieldId(k)}")))
     }
-    val inserts = classified.where(col("_do_upd") || col("_do_ins"))
+    // SQL assignment is SIMULTANEOUS (every SET expression evaluates
+    // against the original row), so NMBS assignments go into ONE projection
+    val nmbsSetsMap = nmbsSets.toMap
+    val matchedInserts = classified.where(col("_do_upd") || col("_do_ins"))
       .select(schema.names.map(col): _*)
+    val inserts = nmbsClassified match {
+      case Some(n) => matchedInserts.unionByName(
+        n.where(col("_do_upd")).select(schema.names.map(c =>
+          nmbsSetsMap.getOrElse(c, col(c)).as(c)): _*))
+      case None => matchedInserts
+    }
     if (!inserts.isEmpty) appendSlices(partitionSlices(inserts))
     this
   }

@@ -245,6 +245,46 @@ class CatalogSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE reconciles unmatched target rows " +
+      "in the same single snapshot") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_nmbs")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 200).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    val preSnaps = SnapshotLog(g.tableDir.toString).lastSnapshotId
+    spark.range(100, 300).toDF("id").withColumn("val", col("id") * 3)
+      .createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      """MERGE INTO graft.db.t_nmbs t USING nmbs_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.id % 5 = 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.id % 3 = 0
+        |  THEN UPDATE SET val = t.val + 1000
+        |""".stripMargin)
+    assert(SnapshotLog(g.tableDir.toString).lastSnapshotId == preSnaps + 1,
+      "all MERGE legs (matched, insert, NMBS) must publish ONE snapshot")
+    val got = spark.sql("SELECT id, val FROM graft.db.t_nmbs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0..99 unmatched by source: %5==0 deleted (clause order — %15==0
+    // satisfies BOTH NMBS conditions and the DELETE listed first wins),
+    // else %3==0 updated to 2id+1000, else untouched; 100..299 from source
+    val want = ((0L until 100L).filter(_ % 5 != 0)
+        .map(i => i -> (if (i % 3 == 0) i * 2 + 1000 else i * 2)) ++
+      (100L until 300L).map(i => i -> i * 3)).toMap
+    assert(got == want)
+    // NMBS conditions referencing SOURCE columns are rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.t_nmbs t USING nmbs_src s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE AND s.val > 0 THEN DELETE
+          |""".stripMargin)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")

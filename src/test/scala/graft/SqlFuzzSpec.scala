@@ -60,8 +60,21 @@ class SqlFuzzSpec extends SparkSpec {
 
     for (step <- 1 to steps) {
       var commits = 1
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 0 | 1 => insertRows()
+        case 11 => // MERGE NMBS: full-snapshot reconcile — target rows the
+          // source window does NOT cover drop when order_id % 4 == 0
+          val start = rnd.nextLong(math.max(nextId - 10, 1L))
+          val n = 1 + rnd.nextInt(10)
+          val v = freshView(start, n, withOp = false)
+          spark.sql(
+            s"""MERGE INTO $qname t USING $v s ON t.order_id = s.order_id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *
+               |WHEN NOT MATCHED BY SOURCE AND t.order_id % 4 = 0 THEN DELETE
+               |""".stripMargin)
+          (start until start + n).foreach(live += _)
+          live.filterInPlace(i => (i >= start && i < start + n) || i % 4 != 0)
         case 10 => // adopt an external parquet batch in place (add_files)
           if (partitionDdl.nonEmpty) insertRows() // identity-only op
           else {
