@@ -47,6 +47,26 @@ case class GraftDeleteCommand(
   override def output: Seq[Attribute] = Nil
 }
 
+/** `DELETE FROM graft.db.t WHERE [NOT] EXISTS (<key-equality subquery>)`
+  * → the engine's semi/anti-join delete primitives, which JOIN at scale
+  * instead of materializing a literal set (the IN-subquery path's bound):
+  * EXISTS writes one equality-delete file straight off the subquery's
+  * distinct keys ([[graft.table.GraftTableGenerator.deleteKeys]] — zero
+  * target scans); NOT EXISTS anti-joins the target's key projection
+  * ([[graft.table.GraftTableGenerator.deleteKeysAnti]]). `source` is the
+  * DECORRELATED subquery plan projecting the inner key columns under the
+  * target's key names. */
+case class GraftDeleteJoinCommand(
+    table: GraftSparkTable,
+    source: LogicalPlan,
+    keyCols: Seq[String],
+    anti: Boolean) extends UnaryNode with Command {
+  override def child: LogicalPlan = source
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftDeleteJoinCommand =
+    copy(source = newChild)
+}
+
 /** `UPDATE graft.db.t SET ... WHERE cond` → delete-the-old + append-the-new
   * composed in ONE transaction (positional delete at seq s, append at
   * s+1 — MoR semantics, no data file rewritten, O(matches) write cost). */
@@ -131,6 +151,13 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           .localCheckpoint()
         g.positionalDeletePruned(condCol, prune._1, prune._2, prune._3)
         g.appendData(updated)
+        g.commit()
+      }) :: Nil
+    case d @ GraftDeleteJoinCommand(t, _, keyCols, anti) =>
+      GraftDmlExec(s"graft delete-${if (anti) "anti" else "semi"} ${t.name()}", () => {
+        val src = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, d.source)
+        val g = t.openGenerator(spark)
+        if (anti) g.deleteKeysAnti(src, keyCols) else g.deleteKeys(src, keyCols)
         g.commit()
       }) :: Nil
     case m @ GraftMergeCommand(t, _, keys, up, del, ins, nmbsUp, nmbsDel, nmbsSets) =>
@@ -785,15 +812,73 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         else In(values.head, rows.map(r => Literal.create(r.get(0), dt)).toSeq)
       case s: SubqueryExpression =>
         throw new UnsupportedOperationException(
-          s"graft DML supports IN (<subquery>) conditions only; got " +
+          s"graft DML supports IN (<subquery>) conditions, and bare " +
+            s"[NOT] EXISTS with key-equality correlation on DELETE; got " +
             s"${s.getClass.getSimpleName} — rewrite as MERGE INTO")
     }
     toNamedColumn(materialized, relIds)
   }
 
+  /** Decorrelate a key-equality EXISTS: the subquery plan must be
+    * Project/SubqueryAlias nodes over ONE Filter carrying the correlation,
+    * whose correlated conjuncts are all `OuterReference(target.k) =
+    * <inner attr>` equalities (either operand order); remaining conjuncts
+    * stay as the inner filter. Returns the decorrelated plan projecting
+    * the inner attrs under the TARGET key names, plus those names.
+    * None → not the supported shape (caller raises the loud error). */
+  private def decorrelateExists(ex: Exists, relIds: Set[ExprId])
+      : Option[(LogicalPlan, Seq[String])] = {
+    def findFilter(p: LogicalPlan): Option[Filter] = p match {
+      case f: Filter if f.condition.exists(_.isInstanceOf[OuterReference]) =>
+        Some(f)
+      case Project(_, child) => findFilter(child)
+      case SubqueryAlias(_, child) => findFilter(child)
+      case _ => None
+    }
+    val f = findFilter(ex.plan).getOrElse(return None)
+    // no OTHER correlation anywhere else in the subquery
+    val outerCount = {
+      var n = 0
+      ex.plan.foreach(node => node.expressions.foreach(_.foreach {
+        case _: OuterReference => n += 1
+        case _ =>
+      }))
+      n
+    }
+    val (corr, rest) = splitConjuncts(f.condition)
+      .partition(_.exists(_.isInstanceOf[OuterReference]))
+    if (corr.map(_.collect { case _: OuterReference => 1 }.size).sum != outerCount)
+      return None
+    val childOut = f.child.outputSet
+    val pairs: Seq[(String, AttributeReference)] = corr.map {
+      case EqualTo(OuterReference(a: AttributeReference), b: AttributeReference)
+          if relIds(a.exprId) && childOut.contains(b) => (a.name, b)
+      case EqualTo(b: AttributeReference, OuterReference(a: AttributeReference))
+          if relIds(a.exprId) && childOut.contains(b) => (a.name, b)
+      case _ => return None
+    }
+    if (pairs.isEmpty || pairs.map(_._1).distinct.size != pairs.size) return None
+    val inner = if (rest.isEmpty) f.child else Filter(rest.reduce(And), f.child)
+    Some((Project(pairs.map { case (n, b) => Alias(b, n)() }, inner),
+      pairs.map(_._1)))
+  }
+
   private def makeDelete(r: DataSourceV2Relation, t: GraftSparkTable,
                          cond: Expression): LogicalPlan = {
     val relIds = r.output.map(_.exprId).toSet
+    // [NOT] EXISTS with key-equality correlation → the engine's semi/anti-
+    // join delete (scales as a join; never a literal set)
+    cond match {
+      case ex: Exists =>
+        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
+          return GraftDeleteJoinCommand(t, src, keys, anti = false)
+        }
+      case Not(ex: Exists) =>
+        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
+          return GraftDeleteJoinCommand(t, src, keys, anti = true)
+        }
+      case _ =>
+    }
     def scalaV(l: Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
     // single-column inclusive range / equality → the metadata-tier path

@@ -126,6 +126,32 @@ object CatalogQueries {
       "merge_t"
     })
 
+  /** Semi/anti-join DELETE via subqueries: ids 0..299 val 2·id; the source
+    * view holds ids 0..249 with keep = id%4. `DELETE WHERE EXISTS(id match
+    * AND keep = 0)` kills the id%4=0 rows the source covers (one eq-delete
+    * file straight off the subquery — zero target scans), then `DELETE
+    * WHERE NOT EXISTS(id match)` is the retention idiom — rows absent from
+    * the source (250..299) die by anti-join. */
+  private def existsT(spark: SparkSession): Unit =
+    built.computeIfAbsent("exists_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "exists_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 300).toDF("id")
+          .withColumn("val", col("id") * 2))
+        .commit()
+      spark.range(0, 250).toDF("id").withColumn("keep", col("id") % 4)
+        .createOrReplaceTempView("graft_sql_exists_src")
+      spark.sql(
+        """DELETE FROM graft.cq.exists_t t WHERE EXISTS (
+          |  SELECT 1 FROM graft_sql_exists_src s
+          |  WHERE s.id = t.id AND s.keep = 0)""".stripMargin)
+      spark.sql(
+        """DELETE FROM graft.cq.exists_t t WHERE NOT EXISTS (
+          |  SELECT 1 FROM graft_sql_exists_src s WHERE s.id = t.id)""".stripMargin)
+      "exists_t"
+    })
+
   /** Full-snapshot reconciliation (MERGE `WHEN NOT MATCHED BY SOURCE`):
     * target ids 0..199 val 2·id; the source is the NEW snapshot 100..299
     * val 3·id. Matched rows take the source value, new rows insert, and
@@ -655,6 +681,11 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.nmbs_t")
     }),
 
+    "sql_catalog_delete_exists" -> ((s, _) => {
+      existsT(s)
+      s.sql("SELECT id, val FROM graft.cq.exists_t")
+    }),
+
     // manifest-answered COUNT(*) (Iceberg count pushdown): the plan is a
     // LocalTableScan — CatalogSpec gates the absence of any file scan
     "sql_catalog_fast_count" -> ((s, _) => {
@@ -910,6 +941,12 @@ object CatalogQueries {
         |  UNION ALL
         |  SELECT range, range * 3 FROM range(400, 500) WHERE range % 10 <> 0
         |)""".stripMargin,
+
+    // exists_t end state: source covers 0..249 (keep=0 on %4==0) — EXISTS
+    // deletes those, NOT EXISTS deletes the uncovered 250..299
+    "sql_catalog_delete_exists" ->
+      """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
+        |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
 
     // nmbs_t end state: 0..99 minus id%5=0, with id%3=0 at 2id+1000,
     // others 2id; 100..299 take the source's 3id (matched update / insert)

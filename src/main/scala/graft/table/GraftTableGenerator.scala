@@ -832,6 +832,29 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Anti-join DELETE (SQL `DELETE … WHERE NOT EXISTS (<key-equality>)`,
+    * the standard retention idiom): remove target rows whose key matches
+    * NO row of `df`. Target keys are read column-pruned from the committed
+    * state, distinct-ed, and anti-joined against `df`'s distinct non-null
+    * keys — unmatched keys become ONE equality-delete file (O(unmatched
+    * keys) write cost, no data file rewritten). A NULL target key never
+    * equality-matches, so NOT EXISTS holds for those rows too — they die
+    * by positional delete staged in the SAME transaction (only when such
+    * rows exist; the probe rides the already-computed key projection). */
+  def deleteKeysAnti(df: DataFrame, keyCols: Seq[String]): this.type = {
+    keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    val srcKeys = df.select(keyCols.map(col): _*)
+      .na.drop("any", keyCols).distinct()
+    val tgtKeys = MorReader.read(spark, tableDir.toString)
+      .select(keyCols.map(col): _*).localCheckpoint()
+    val nullPred = keyCols.map(col(_).isNull).reduce(_ || _)
+    if (!tgtKeys.where(nullPred).isEmpty) positionalDelete(nullPred)
+    val unmatched = tgtKeys.na.drop("any", keyCols).distinct()
+      .join(srcKeys, keyCols, "left_anti").localCheckpoint()
+    if (!unmatched.isEmpty) deleteKeys(unmatched, keyCols)
+    this
+  }
+
   /** Full conditional MERGE (the SQL `MERGE INTO` shape) composed from the
     * same MoR primitives as [[upsert]]. Source rows join the CURRENT merged
     * table state on `keyCols`; per source row,

@@ -285,6 +285,47 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("DELETE WHERE [NOT] EXISTS routes to semi/anti-join deletes; " +
+      "unsupported correlation stays a loud error") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_exists")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    // one NULL-key row: EXISTS never matches it; NOT EXISTS deletes it
+    g.appendData(spark.range(0, 100).toDF("id")
+      .withColumn("id", when(col("id") === 99, lit(null).cast("long"))
+        .otherwise(col("id")))
+      .withColumn("val", coalesce(col("id"), lit(-1L)) * 2)).commit()
+    spark.range(0, 60).toDF("id").withColumn("tag", col("id") % 2)
+      .createOrReplaceTempView("exists_src")
+    val pre = SnapshotLog(g.tableDir.toString).lastSnapshotId
+    // semi: ids 0..59 with tag=0 (even) die; null-key row survives
+    spark.sql(
+      """DELETE FROM graft.db.t_exists t WHERE EXISTS (
+        |  SELECT 1 FROM exists_src s WHERE s.id = t.id AND s.tag = 0)
+        |""".stripMargin)
+    assert(SnapshotLog(g.tableDir.toString).lastSnapshotId == pre + 1)
+    val afterSemi = spark.sql("SELECT count(*) AS n FROM graft.db.t_exists")
+      .collect()(0).getLong(0)
+    assert(afterSemi == 100 - 30, s"semi delete: got $afterSemi")
+    // anti: everything without a source match dies — odd ids 1..59 remain
+    spark.sql(
+      """DELETE FROM graft.db.t_exists t WHERE NOT EXISTS (
+        |  SELECT 1 FROM exists_src s WHERE s.id = t.id)""".stripMargin)
+    val got = spark.sql("SELECT id FROM graft.db.t_exists")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L until 60L by 2).toSet,
+      s"anti delete must keep only source-covered ids (null key dies); got $got")
+    // beyond key-equality correlation → loud graft error, not a wrong answer
+    val e = intercept[Exception] {
+      spark.sql(
+        """DELETE FROM graft.db.t_exists t WHERE EXISTS (
+          |  SELECT 1 FROM exists_src s WHERE s.id > t.id)""".stripMargin)
+    }
+    assert(e.getMessage.contains("EXISTS") || e.getMessage.contains("MERGE"),
+      s"expected the loud unsupported-shape error, got: ${e.getMessage}")
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
