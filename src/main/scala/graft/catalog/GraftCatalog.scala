@@ -1,7 +1,7 @@
 package graft.catalog
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.{Map => JMap}
+import java.util.{Map => JMap, Set => JSet}
 
 import scala.jdk.CollectionConverters._
 
@@ -30,7 +30,7 @@ import graft.table.GraftTableGenerator
   * `TIMESTAMP AS OF <ts>` resolve here to a pinned [[GraftSparkTable]].
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var initOptions: CaseInsensitiveStringMap =
@@ -74,7 +74,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
     val s = Files.list(d)
     try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) && isTable(p))
+      .filter(p => Files.isDirectory(p) && isTable(p) &&
+        !p.getFileName.toString.startsWith(".")) // hide staging dirs
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
     finally s.close()
@@ -171,16 +172,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       d.getFileName.toString).open()
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: JMap[String, String]): Table = {
-    val d = tableDir(ident)
-    if (isTable(d)) throw new org.apache.spark.sql.catalyst.analysis
-      .TableAlreadyExistsException(ident)
-    val gschema = GraftSchema(schema.fields.zipWithIndex.map { case (f, i) =>
-      GraftField(i + 1, f.name, f.dataType)
-    }.toSeq)
-    val specStrs = partitions.map { tr =>
+  /** DSv2 partition transforms → the engine's spec strings (shared by the
+    * direct and staged CREATE paths). */
+  private def specStrings(partitions: Array[Transform]): Seq[String] =
+    partitions.map { tr =>
       def ref0: String = tr.references()(0).fieldNames.mkString(".")
       tr.name() match {
         case "identity" => ref0
@@ -196,11 +191,118 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"unsupported partition transform $other")
       }
     }.toSeq
+
+  /** Create a fresh graft table at an arbitrary directory (the live table
+    * dir, or a hidden staging dir for atomic REPLACE). */
+  private def createAt(d: Path, schema: StructType,
+                       partitions: Array[Transform],
+                       properties: JMap[String, String]): Unit = {
+    val gschema = GraftSchema(schema.fields.zipWithIndex.map { case (f, i) =>
+      GraftField(i + 1, f.name, f.dataType)
+    }.toSeq)
     Files.createDirectories(d.getParent)
-    new GraftTableGenerator(SparkSession.active, d.getParent.toString, ident.name)
-      .create(gschema, specStrs,
+    new GraftTableGenerator(SparkSession.active, d.getParent.toString,
+      d.getFileName.toString)
+      .create(gschema, specStrings(partitions),
         properties.asScala.toMap -- GraftCatalog.ReservedProps)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val d = tableDir(ident)
+    if (isTable(d)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    createAt(d, schema, partitions, properties)
     new GraftSparkTable(ident.toString, d.toString)
+  }
+
+  // ---- atomic CREATE / REPLACE (`CREATE OR REPLACE TABLE … [AS SELECT]`) --
+  //
+  // The CTAS write lands in a HIDDEN staging dir next to the live table
+  // (`.<name>__stage_<nonce>` — a full graft table of its own); commit
+  // swaps the staged dir in with directory moves, so the old table stays
+  // readable until the instant of publish and a mid-write failure aborts
+  // by deleting the staging dir, leaving the live table untouched.
+  // REPLACE preserves NOTHING (schema, spec, properties, history all come
+  // from the new definition) — the idempotent-pipeline CoR-TAS contract.
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (isTable(tableDir(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    stage(ident, info)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    stage(ident, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: TableInfo): StagedTable =
+    stage(ident, info)
+
+  private def stage(ident: Identifier, info: TableInfo): StagedTable = {
+    val live = tableDir(ident)
+    Files.createDirectories(live.getParent)
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val staged = live.getParent.resolve(s".${ident.name}__stage_$nonce")
+    createAt(staged, info.schema, info.partitions, info.properties)
+    new GraftStagedTable(ident, staged, live)
+  }
+
+  /** A staged table delegates everything (reads, the CTAS write) to a
+    * normal [[GraftSparkTable]] over the staging dir; only publish/abort
+    * are its own. */
+  private class GraftStagedTable(ident: Identifier, stagedDir: Path,
+                                 liveDir: Path)
+      extends StagedTable with SupportsWrite {
+    private val inner = new GraftSparkTable(ident.toString, stagedDir.toString)
+    override def name(): String = inner.name()
+    override def schema(): StructType = inner.schema()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def properties(): JMap[String, String] = inner.properties()
+    override def capabilities(): JSet[TableCapability] = inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = {
+      // the staged table recorded absolute paths under the staging dir —
+      // rebase its metadata to the live location BEFORE the swap (nothing
+      // reads the hidden staging dir, so the rewrite is unobserved). A
+      // staged table is append-only (CTAS), so the metadata JSON tier is
+      // the complete path record — no pos/dv parquet internals exist.
+      rebaseMetadataJson(stagedDir, stagedDir.toString, liveDir.toString)
+      val trash = liveDir.getParent.resolve(
+        s".${liveDir.getFileName}__replaced_${stagedDir.getFileName.toString.takeRight(12)}")
+      val hadLive = Files.isDirectory(liveDir)
+      if (hadLive) Files.move(liveDir, trash)
+      try Files.move(stagedDir, liveDir)
+      catch { case e: Throwable =>
+        if (hadLive && !Files.isDirectory(liveDir)) Files.move(trash, liveDir)
+        throw e
+      }
+      if (hadLive) deleteRecursively(trash)
+    }
+    override def abortStagedChanges(): Unit = deleteRecursively(stagedDir)
+  }
+
+  /** Rewrite recorded absolute paths in the metadata JSON tier (snapshots,
+    * manifest groups, outlines, metric strings) from one table root to
+    * another. Paths OUTSIDE the old root — add_files-adopted external
+    * files — are untouched by design. */
+  private def rebaseMetadataJson(tableRoot: Path, oldRoot: String,
+                                 newRoot: String): Unit = {
+    val metaDir = tableRoot.resolve("metadata")
+    if (!Files.isDirectory(metaDir)) return
+    val s = Files.walk(metaDir)
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      val txt = Files.readString(f)
+      if (txt.contains(oldRoot))
+        Files.writeString(f, txt.replace(oldRoot, newRoot))
+    } finally s.close()
   }
 
   /** `ALTER TABLE` → the engine's id-based schema evolution (add with
@@ -259,12 +361,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else { deleteRecursively(d); true }
   }
 
+  /** `ALTER TABLE … RENAME TO`: directory move + full path rebase. The
+    * metadata JSON tier rewrites as text; pos/dv delete files ALSO record
+    * data paths INSIDE their parquet rows (`file_path` column), so each
+    * one is rewritten through a small Spark job (driver loop over the
+    * delete-file list — metadata-scale, never data-scale). */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
     if (!isTable(from)) throw new NoSuchTableException(oldIdent)
     val to = tableDir(newIdent)
     Files.createDirectories(to.getParent)
     Files.move(from, to)
+    rebaseMetadataJson(to, from.toString, to.toString)
+    val spark = SparkSession.active
+    val delFiles = graft.meta.SnapshotLog(to.toString).load()
+      .snapshots.flatMap(_.deleteFiles)
+      .filter(f => f.kind == "pos" || f.kind == "dv")
+      .map(_.path).distinct
+    delFiles.foreach { p =>
+      val df = spark.read.parquet(p)
+      if (df.columns.contains("file_path")) {
+        val cols = df.columns.map {
+          case "file_path" =>
+            org.apache.spark.sql.functions.replace(
+              org.apache.spark.sql.functions.col("file_path"),
+              org.apache.spark.sql.functions.lit(from.toString),
+              org.apache.spark.sql.functions.lit(to.toString)).as("file_path")
+          case c => org.apache.spark.sql.functions.col(c)
+        }
+        val tmp = Files.createTempDirectory("graft-rename-rebase")
+        df.select(cols.toSeq: _*).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        Files.move(part, Paths.get(p),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        deleteRecursively(tmp)
+      }
+    }
   }
 
   // ---- namespaces: plain directories under the warehouse ----------------

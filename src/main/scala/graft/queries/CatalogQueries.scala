@@ -126,6 +126,23 @@ object CatalogQueries {
       "merge_t"
     })
 
+  /** Atomic CREATE OR REPLACE (idempotent-pipeline CoR-TAS): v1 is ids
+    * 0..49 under one schema; the pipeline then runs its CoR-TAS TWICE
+    * (idempotency — same output either way) producing ids 0..79 with a
+    * different schema. REPLACE preserves nothing from v1. */
+  private def replaceT(spark: SparkSession): Unit =
+    built.computeIfAbsent("replace_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.replace_t (id BIGINT, part STRING) " +
+        "PARTITIONED BY (part)")
+      spark.sql("INSERT INTO graft.cq.replace_t " +
+        "SELECT id, 'a' AS part FROM range(0, 50)")
+      for (_ <- 1 to 2)
+        spark.sql("CREATE OR REPLACE TABLE graft.cq.replace_t AS " +
+          "SELECT id, id * 7 AS sept FROM range(0, 80)")
+      "replace_t"
+    })
+
   /** Semi/anti-join DELETE via subqueries: ids 0..299 val 2·id; the source
     * view holds ids 0..249 with keep = id%4. `DELETE WHERE EXISTS(id match
     * AND keep = 0)` kills the id%4=0 rows the source covers (one eq-delete
@@ -686,6 +703,11 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.exists_t")
     }),
 
+    "sql_catalog_replace" -> ((s, _) => {
+      replaceT(s)
+      s.sql("SELECT id, sept FROM graft.cq.replace_t")
+    }),
+
     // manifest-answered COUNT(*) (Iceberg count pushdown): the plan is a
     // LocalTableScan — CatalogSpec gates the absence of any file scan
     "sql_catalog_fast_count" -> ((s, _) => {
@@ -941,6 +963,11 @@ object CatalogQueries {
         |  UNION ALL
         |  SELECT range, range * 3 FROM range(400, 500) WHERE range % 10 <> 0
         |)""".stripMargin,
+
+    // replace_t end state: the CoR-TAS definition, run twice (idempotent)
+    "sql_catalog_replace" ->
+      """SELECT CAST(range AS BIGINT) AS id, CAST(range * 7 AS BIGINT) AS sept
+        |FROM range(0, 80)""".stripMargin,
 
     // exists_t end state: source covers 0..249 (keep=0 on %4==0) — EXISTS
     // deletes those, NOT EXISTS deletes the uncovered 250..299

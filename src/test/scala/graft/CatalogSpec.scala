@@ -326,6 +326,70 @@ class CatalogSpec extends SparkSpec {
       s"expected the loud unsupported-shape error, got: ${e.getMessage}")
   }
 
+  test("CREATE OR REPLACE TABLE: atomic staged replace — nothing preserved, " +
+      "mid-write failure leaves the old table readable") {
+    wh // force the shared warehouse conf
+    spark.sql("CREATE TABLE graft.db.t_cor (id BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft.db.t_cor " +
+      "SELECT id, 'a' AS part FROM range(0, 50)")
+    // CoR-TAS: new schema, new partitioning, new content — REPLACE
+    // preserves nothing from the old definition
+    spark.sql("CREATE OR REPLACE TABLE graft.db.t_cor AS " +
+      "SELECT id, id * 3 AS triple FROM range(0, 20)")
+    val afterRows = spark.sql(
+      "SELECT count(*) AS n, sum(triple) AS s FROM graft.db.t_cor").collect()(0)
+    assert(afterRows.getLong(0) == 20L && afterRows.getLong(1) == 3L * 190)
+    assert(spark.table("graft.db.t_cor").columns.toSeq == Seq("id", "triple"),
+      "replaced table must carry ONLY the new schema")
+    // mid-write failure: the staged write dies; the live table is untouched
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE graft.db.t_cor AS " +
+        "SELECT id, raise_error('boom') AS triple FROM range(0, 5)")
+    }
+    val survived = spark.sql(
+      "SELECT count(*) AS n, sum(triple) AS s FROM graft.db.t_cor").collect()(0)
+    assert(survived.getLong(0) == 20L && survived.getLong(1) == 3L * 190,
+      "failed replace must leave the previous table state readable")
+    // no staging debris surfaces in the catalog listing
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).exists(_.contains("stage")))
+    // CREATE OR REPLACE over a missing table creates; bare REPLACE refuses
+    spark.sql("CREATE OR REPLACE TABLE graft.db.t_cor_new AS " +
+      "SELECT id FROM range(0, 7)")
+    assert(spark.table("graft.db.t_cor_new").count() == 7L)
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.db.t_cor_missing AS SELECT id FROM range(3)")
+    }
+    spark.sql("DROP TABLE graft.db.t_cor")
+    spark.sql("DROP TABLE graft.db.t_cor_new")
+  }
+
+  test("ALTER TABLE RENAME rebases recorded paths — data files, metadata " +
+      "JSON, and file_path refs inside pos/dv delete parquet") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_ren_old")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 100).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    g.positionalDelete(col("id") < 10).commit() // pos tombstones w/ file_path
+    g.vectorDeletes(true)
+    g.positionalDelete(col("id") >= 95).commit() // DV w/ file_path
+    spark.sql("ALTER TABLE graft.db.t_ren_old RENAME TO db.t_ren_new")
+    val got = spark.sql("SELECT id FROM graft.db.t_ren_new")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (10L until 95L).toSet,
+      s"renamed table must read with all deletes applied; got ${got.size} rows")
+    // time travel across the rename still resolves (old snapshots rebased)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_ren_new VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100L)
+    assert(!spark.catalog.tableExists("graft.db.t_ren_old") ||
+      spark.sql("SHOW TABLES IN graft.db").collect()
+        .forall(_.getString(1) != "t_ren_old"))
+    spark.sql("DROP TABLE graft.db.t_ren_new")
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
