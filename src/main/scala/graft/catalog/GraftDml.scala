@@ -67,6 +67,21 @@ case class GraftDeleteJoinCommand(
     copy(source = newChild)
 }
 
+/** `ALTER TABLE t ADD/DROP/REPLACE PARTITION FIELD <transform>` — the
+  * Iceberg SQL-extension partition-evolution DDL, recognized by the
+  * injected [[graft.plans.GraftSqlParser]] and executed through the same
+  * engine path as `CALL graft.system.update_spec` (later appends use the
+  * new spec; existing files keep their layout). Name resolution happens
+  * at EXECUTION against the session's catalog manager — the leading name
+  * part is a catalog when one is registered under it, else the current
+  * catalog + namespace apply. */
+case class GraftUpdateSpecDdl(
+    nameParts: Seq[String],
+    add: Seq[String],
+    drop: Seq[String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `UPDATE graft.db.t SET ... WHERE cond` → delete-the-old + append-the-new
   * composed in ONE transaction (positional delete at seq s, append at
   * s+1 — MoR semantics, no data file rewritten, O(matches) write cost). */
@@ -152,6 +167,23 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         g.positionalDeletePruned(condCol, prune._1, prune._2, prune._3)
         g.appendData(updated)
         g.commit()
+      }) :: Nil
+    case GraftUpdateSpecDdl(nameParts, add, drop) =>
+      GraftDmlExec(s"graft update spec ${nameParts.mkString(".")}", () => {
+        val cm = spark.sessionState.catalogManager
+        val (cat, rest) =
+          if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
+            (cm.catalog(nameParts.head), nameParts.tail)
+          else (cm.currentCatalog, nameParts)
+        cat match {
+          case g: GraftCatalog =>
+            val table = (if (rest.length > 1) rest
+              else cm.currentNamespace.toSeq ++ rest).mkString(".")
+            g.openGeneratorByName(table).updateSpec(add, drop).commit()
+          case other => throw new UnsupportedOperationException(
+            s"ALTER TABLE … PARTITION FIELD requires a graft table; " +
+              s"catalog ${other.name} is not a GraftCatalog")
+        }
       }) :: Nil
     case d @ GraftDeleteJoinCommand(t, _, keyCols, anti) =>
       GraftDmlExec(s"graft delete-${if (anti) "anti" else "semi"} ${t.name()}", () => {

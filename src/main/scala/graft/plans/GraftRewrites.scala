@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DELETE/UPDATE/MERGE command capture + their execution strategy
     ext.injectResolutionRule(s => graft.catalog.GraftCatalogRule(s))
     ext.injectPlannerStrategy(s => graft.catalog.GraftDmlStrategy(s))
+    // partition-evolution DDL (`ALTER TABLE … ADD/DROP/REPLACE PARTITION
+    // FIELD`) — syntax vanilla Spark refuses; everything else delegates
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectTableFunction((GraftTableFunction.identifier,
       GraftTableFunction.info, GraftTableFunction.builder))
     ext.injectTableFunction((GraftTableFunction.changesIdentifier,

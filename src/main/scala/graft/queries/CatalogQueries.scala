@@ -315,6 +315,24 @@ object CatalogQueries {
       "spec_t"
     })
 
+  /** The spec_t twin driven by the Iceberg SQL-extension DDL the injected
+    * parser recognizes (`ALTER TABLE … ADD/DROP PARTITION FIELD`) instead
+    * of CALL update_spec — same epochs, same end state. */
+  private def specDdlT(spark: SparkSession): Unit =
+    built.computeIfAbsent("spec_ddl_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.spec_ddl_t (id BIGINT, part STRING, " +
+        "val BIGINT) PARTITIONED BY (part)")
+      spark.sql("INSERT INTO graft.cq.spec_ddl_t " +
+        "SELECT id, CASE WHEN id < 100 THEN 'a' ELSE 'b' END, id * 2 " +
+        "FROM range(0, 200)")
+      spark.sql("ALTER TABLE graft.cq.spec_ddl_t ADD PARTITION FIELD bucket(4, id)")
+      spark.sql("ALTER TABLE graft.cq.spec_ddl_t DROP PARTITION FIELD part")
+      spark.sql("INSERT INTO graft.cq.spec_ddl_t " +
+        "SELECT id, 'c', id * 3 FROM range(200, 300)")
+      "spec_ddl_t"
+    })
+
   /** Branch lifecycle through CALL procedures: create_branch, API writes
     * routed to the branch (invisible to main), fast_forward publishes. */
   private def branchLifeT(spark: SparkSession): Unit =
@@ -856,6 +874,13 @@ object CatalogQueries {
         "FROM graft.cq.spec_t GROUP BY part ORDER BY part")
     }),
 
+    // partition-spec evolution via the SQL-extension DDL (injected parser)
+    "sql_catalog_spec_evol_ddl" -> ((s, _) => {
+      specDdlT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
+        "FROM graft.cq.spec_ddl_t GROUP BY part ORDER BY part")
+    }),
+
     // branch lifecycle via CALL create_branch/fast_forward
     "sql_branch_lifecycle" -> ((s, _) => {
       branchLifeT(s)
@@ -1090,6 +1115,18 @@ object CatalogQueries {
     // epoch 1 (identity part): a = 0..99 val 2id, b = 100..199 val 2id;
     // epoch 2 (bucket(4,id)): c = 200..299 val 3id
     "sql_catalog_spec_evol" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(val) AS BIGINT) AS val_sum
+        |FROM (
+        |  SELECT range AS id,
+        |         CASE WHEN range < 100 THEN 'a' ELSE 'b' END AS part,
+        |         range * 2 AS val FROM range(0, 200)
+        |  UNION ALL SELECT range, 'c', range * 3 FROM range(200, 300)
+        |) GROUP BY part ORDER BY part""".stripMargin,
+
+    // identical end state to sql_catalog_spec_evol — the DDL twin
+    "sql_catalog_spec_evol_ddl" ->
       """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(id) AS BIGINT) AS id_sum,
         |       CAST(SUM(val) AS BIGINT) AS val_sum

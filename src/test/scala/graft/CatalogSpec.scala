@@ -390,6 +390,31 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.t_ren_new")
   }
 
+  test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD: the SQL-extension " +
+      "DDL drives partition evolution through the injected parser") {
+    wh
+    spark.sql("CREATE TABLE graft.db.t_pf (id BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft.db.t_pf SELECT id, 'a' FROM range(0, 10)")
+    def spec: Seq[String] =
+      new graft.catalog.GraftSparkTable("t_pf", s"$wh/db/t_pf")
+        .outlineState.partitionCols
+    spark.sql("ALTER TABLE graft.db.t_pf ADD PARTITION FIELD bucket(4, id)")
+    assert(spec == Seq("part", "bucket(4,id)"), s"after ADD: $spec")
+    spark.sql("ALTER TABLE graft.db.t_pf DROP PARTITION FIELD part")
+    assert(spec == Seq("bucket(4,id)"), s"after DROP: $spec")
+    spark.sql("ALTER TABLE graft.db.t_pf " +
+      "REPLACE PARTITION FIELD bucket(4, id) WITH bucket(8, id)")
+    assert(spec == Seq("bucket(8,id)"), s"after REPLACE: $spec")
+    // the new epoch writes under the evolved spec; reads union epochs
+    spark.sql("INSERT INTO graft.db.t_pf SELECT id, 'b' FROM range(10, 30)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_pf")
+      .collect()(0).getLong(0) == 30L)
+    // normal SQL is untouched by the parser shim
+    assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
+    spark.sql("DROP TABLE graft.db.t_pf")
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
