@@ -30,7 +30,7 @@ import graft.table.GraftTableGenerator
   * `TIMESTAMP AS OF <ts>` resolve here to a pinned [[GraftSparkTable]].
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog with ViewCatalog {
 
   private var catalogName: String = "graft"
   private var initOptions: CaseInsensitiveStringMap =
@@ -402,6 +402,114 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  // ---- views: `<ns>/<name>.view.json` documents (DSv2 ViewCatalog) ------
+  //
+  // Vanilla Spark 4.1 parses CREATE/DROP VIEW but plans them only for the
+  // session catalog; [[GraftCatalogRule]] intercepts the logical plans for
+  // graft-catalog identifiers and routes them here, and expands reads of a
+  // graft view by re-parsing its stored SQL (the Iceberg-extensions view
+  // model). The ViewCatalog interface is implemented in full so future
+  // Spark versions that DO plan v2 views natively hit the same store.
+
+  private def viewFile(ident: Identifier): Path =
+    nsDir(ident.namespace).resolve(s"${ident.name}.view.json")
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.isRegularFile(viewFile(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val d = nsDir(namespace.toArray)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace.toArray)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".view.json"))
+      .map(p => Identifier.of(namespace.toArray,
+        p.getFileName.toString.stripSuffix(".view.json")))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(f))
+    def strArr(field: String): Array[String] = {
+      val n = root.get(field)
+      if (n == null || n.isNull) Array.empty
+      else (0 until n.size).map(i =>
+        if (n.get(i).isNull) null else n.get(i).asText).toArray
+    }
+    val props = new java.util.HashMap[String, String]()
+    Option(root.get("properties")).foreach { p =>
+      p.properties().asScala.foreach(e => props.put(e.getKey, e.getValue.asText))
+    }
+    new GraftView(ident.toString, root.get("sql").asText,
+      root.get("currentCatalog").asText, strArr("currentNamespace"),
+      StructType.fromDDL(root.get("schemaDdl").asText),
+      strArr("queryColumnNames"), strArr("columnAliases"),
+      strArr("columnComments"), props)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident)
+    if (isTable(tableDir(info.ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(info.ident)
+    writeView(info)
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident)
+    writeView(info)
+    loadView(info.ident)
+  }
+
+  private def writeView(info: ViewInfo): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("sql", info.sql)
+    root.put("currentCatalog", info.currentCatalog)
+    val nsArr = root.putArray("currentNamespace")
+    info.currentNamespace.foreach(nsArr.add)
+    root.put("schemaDdl", info.schema.toDDL)
+    def putArr(field: String, vals: Array[String]): Unit = {
+      val a = root.putArray(field)
+      Option(vals).getOrElse(Array.empty[String]).foreach(a.add)
+    }
+    putArr("queryColumnNames", info.queryColumnNames)
+    putArr("columnAliases", info.columnAliases)
+    putArr("columnComments", info.columnComments)
+    val p = root.putObject("properties")
+    info.properties.asScala.foreach { case (k, v) => p.put(k, v) }
+    Files.createDirectories(viewFile(info.ident).getParent)
+    Files.writeString(viewFile(info.ident), mapper.writeValueAsString(root))
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException("ALTER VIEW is not supported")
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(viewFile(newIdent).getParent)
+    Files.move(viewFile(oldIdent), viewFile(newIdent))
+  }
+
   // ---- namespaces: plain directories under the warehouse ----------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -462,6 +570,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     Files.deleteIfExists(p)
   }
+}
+
+/** Immutable DSv2 [[View]] document loaded from `<ns>/<name>.view.json`. */
+final class GraftView(
+    viewName: String,
+    sql: String,
+    curCatalog: String,
+    curNamespace: Array[String],
+    viewSchema: StructType,
+    queryCols: Array[String],
+    colAliases: Array[String],
+    colComments: Array[String],
+    props: JMap[String, String]) extends View {
+  override def name(): String = viewName
+  override def query(): String = sql
+  override def currentCatalog(): String = curCatalog
+  override def currentNamespace(): Array[String] = curNamespace
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = queryCols
+  override def columnAliases(): Array[String] = colAliases
+  override def columnComments(): Array[String] = colComments
+  override def properties(): JMap[String, String] = props
 }
 
 object GraftCatalog {

@@ -67,6 +67,54 @@ case class GraftDeleteJoinCommand(
     copy(source = newChild)
 }
 
+/** Shared resolution of a multipart SQL name against the session's
+  * catalog manager: Some((catalog, ident)) when it lands in a graft
+  * catalog (explicit `graft.db.x`, or relative under a current graft
+  * catalog), None otherwise. */
+object GraftViews {
+  def target(spark: SparkSession, parts: Seq[String])
+      : Option[(GraftCatalog, org.apache.spark.sql.connector.catalog.Identifier)] = {
+    if (parts.isEmpty) return None
+    val cm = spark.sessionState.catalogManager
+    val (cat, rest) =
+      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    cat match {
+      case g: GraftCatalog if rest.nonEmpty =>
+        val ns = if (rest.length > 1) rest.init.toArray else cm.currentNamespace
+        Some((g, org.apache.spark.sql.connector.catalog.Identifier.of(ns, rest.last)))
+      case _ => None
+    }
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW graft.db.v AS <sql>` for a graft catalog —
+  * intercepted by [[GraftCatalogRule]] (vanilla Spark 4.1 plans CREATE
+  * VIEW only for the session catalog) and persisted through the DSv2
+  * [[GraftCatalog]] ViewCatalog surface. The body analyzes at execution
+  * (schema + validity); recursive self-reference is rejected, since a
+  * read of such a view would never converge. */
+case class GraftCreateViewCommand(
+    catalog: GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    sql: String,
+    currentCatalog: String,
+    currentNamespace: Array[String],
+    columnAliases: Seq[String],
+    allowExisting: Boolean,
+    replace: Boolean,
+    properties: Map[String, String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftDropViewCommand(
+    catalog: GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    ifExists: Boolean) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `ALTER TABLE t ADD/DROP/REPLACE PARTITION FIELD <transform>` — the
   * Iceberg SQL-extension partition-evolution DDL, recognized by the
   * injected [[graft.plans.GraftSqlParser]] and executed through the same
@@ -168,6 +216,50 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         g.appendData(updated)
         g.commit()
       }) :: Nil
+    case c: GraftCreateViewCommand =>
+      GraftDmlExec(s"graft create view ${c.ident}", () => {
+        val exists = c.catalog.viewExists(c.ident)
+        if (exists && !c.replace) {
+          if (!c.allowExisting)
+            throw new org.apache.spark.sql.catalyst.analysis
+              .ViewAlreadyExistsException(c.ident)
+          // IF NOT EXISTS over an existing view: no-op
+        } else {
+          val parsed = spark.sessionState.sqlParser.parseQuery(c.sql)
+          val selfRef = parsed.exists {
+            case ur: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              GraftViews.target(spark, ur.multipartIdentifier).exists {
+                case (_, id) => id.namespace.sameElements(c.ident.namespace) &&
+                  id.name == c.ident.name
+              }
+            case _ => false
+          }
+          if (selfRef) throw new UnsupportedOperationException(
+            s"recursive view: ${c.ident} references itself in its body")
+          val analyzed = org.apache.spark.sql.graft.GraftSqlShim
+            .ofRows(spark, parsed)
+          val qcols = analyzed.schema.fieldNames
+          require(c.columnAliases.isEmpty || c.columnAliases.size == qcols.length,
+            s"view column list has ${c.columnAliases.size} names for " +
+              s"${qcols.length} query columns")
+          val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+            c.ident, c.sql, c.currentCatalog, c.currentNamespace,
+            analyzed.schema, qcols, c.columnAliases.toArray,
+            Array.empty[String], {
+              val m = new java.util.HashMap[String, String]()
+              c.properties.foreach { case (k, v) => m.put(k, v) }
+              m
+            })
+          if (exists) c.catalog.replaceView(info, true)
+          else c.catalog.createView(info)
+        }
+      }) :: Nil
+    case d: GraftDropViewCommand =>
+      GraftDmlExec(s"graft drop view ${d.ident}", () => {
+        if (!d.catalog.dropView(d.ident) && !d.ifExists)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchViewException(d.ident)
+      }) :: Nil
     case GraftUpdateSpecDdl(nameParts, add, drop) =>
       GraftDmlExec(s"graft update spec ${nameParts.mkString(".")}", () => {
         val cm = spark.sessionState.catalogManager
@@ -255,10 +347,16 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     rewrite(plan, referenced.toSet)
   }
 
-  /** Any graft relation in the tree, descending into subquery plans. */
+  /** Any graft relation in the tree, descending into subquery plans —
+    * plus the view-surface candidates this rule owns (CREATE/DROP VIEW
+    * targeting a graft catalog, unresolved relations naming a stored
+    * graft view). */
   private def hasGraftRel(plan: LogicalPlan): Boolean =
     plan.exists {
       case r: DataSourceV2Relation => r.table.isInstanceOf[GraftSparkTable]
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        !u.isStreaming && GraftViews.target(spark, u.multipartIdentifier)
+          .exists { case (g, id) => g.viewExists(id) }
       case n => n.expressions.exists(_.exists {
         case se: SubqueryExpression => hasGraftRel(se.plan)
         case _ => false
@@ -372,6 +470,35 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if GraftRel.unapply(m.targetTable).isDefined =>
       if (m.resolved) makeMerge(m)
       else m.withNewChildren(Seq(m.targetTable, rewriteChild(m.sourceTable)))
+    // ---- catalog views: CREATE/DROP intercept at the PARSER (Spark 4.1's
+    // ResolveSessionCatalog rejects non-session catalogs for views before
+    // injected rules run — see GraftSqlParser.routeViews); reads expand
+    // here.
+    // a read of a graft view: expand the stored SQL in place (the fixed
+    // point analyzes the substituted subtree, nested views included)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if !u.isStreaming && GraftViews.target(spark, u.multipartIdentifier)
+          .exists { case (g, id) => g.viewExists(id) } =>
+      val (g, ident) = GraftViews.target(spark, u.multipartIdentifier).get
+      val v = g.loadView(ident)
+      val parser = spark.sessionState.sqlParser
+      var body = parser.parseQuery(v.query)
+      // single-part table refs resolve in the view's DEFINITION context —
+      // unless the body declares CTEs, whose names must stay unqualified
+      val hasCte = body.exists(_.isInstanceOf[UnresolvedWith])
+      if (!hasCte) body = body.transform {
+        case ur: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if ur.multipartIdentifier.size == 1 =>
+          ur.copy(multipartIdentifier =
+            (v.currentCatalog +: v.currentNamespace.toSeq) ++
+              ur.multipartIdentifier)
+      }
+      val aliased =
+        if (v.columnAliases != null && v.columnAliases.nonEmpty)
+          org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases(
+            v.columnAliases.toSeq, body)
+        else body
+      SubqueryAlias(ident.name, aliased)
     case f @ Filter(cond, GraftRel(r, t))
         if cond.resolved && !metaPending(r, referenced) =>
       val (partFilter, ranges, points) = extractPruning(cond, r, t)

@@ -63,8 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(s => graft.catalog.GraftCatalogRule(s))
     ext.injectPlannerStrategy(s => graft.catalog.GraftDmlStrategy(s))
     // partition-evolution DDL (`ALTER TABLE … ADD/DROP/REPLACE PARTITION
-    // FIELD`) — syntax vanilla Spark refuses; everything else delegates
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // FIELD`) — syntax vanilla Spark refuses — plus CREATE/DROP VIEW
+    // routing for graft catalogs; everything else delegates
+    ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
     ext.injectTableFunction((GraftTableFunction.identifier,
       GraftTableFunction.info, GraftTableFunction.builder))
     ext.injectTableFunction((GraftTableFunction.changesIdentifier,

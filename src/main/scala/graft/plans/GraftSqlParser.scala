@@ -1,12 +1,14 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan}
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.catalog.GraftUpdateSpecDdl
+import graft.catalog.{GraftCreateViewCommand, GraftDropViewCommand, GraftUpdateSpecDdl, GraftViews}
 
 /** Parser-injection shim (the same pattern Iceberg's Spark extensions
   * use): recognizes the partition-evolution DDL the vanilla Spark parser
@@ -23,16 +25,18 @@ import graft.catalog.GraftUpdateSpecDdl
   * Table names parse through the DELEGATE's multipart-identifier rules
   * (backquotes and all), never by regex.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession,
+                     delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.partitionFieldDdl(sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .getOrElse(GraftSqlParser.routeViews(session, delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
                                        ctx: ParameterContext): LogicalPlan =
     GraftSqlParser.partitionFieldDdl(sqlText, delegate)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+      .getOrElse(GraftSqlParser.routeViews(session,
+        delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -60,6 +64,44 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
   private val ReplaceRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$""".r
+
+  /** Swap freshly-parsed CREATE/DROP VIEW plans that target a graft
+    * catalog for the engine's own view commands — BEFORE the analyzer
+    * runs, because Spark 4.1's ResolveSessionCatalog rejects any
+    * non-session catalog for views ahead of injected resolution rules.
+    * Everything else (temp views, session-catalog views) passes through
+    * untouched. */
+  def routeViews(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case cv: CreateView => cv.child match {
+        case ui: UnresolvedIdentifier =>
+          GraftViews.target(session, ui.nameParts) match {
+            case Some((g, ident)) =>
+              val sql = cv.originalText.getOrElse(
+                throw new UnsupportedOperationException(
+                  s"CREATE VIEW $ident: no SQL text available"))
+              val cm = session.sessionState.catalogManager
+              GraftCreateViewCommand(g, ident, sql, cm.currentCatalog.name,
+                cm.currentNamespace, cv.userSpecifiedColumns.map(_._1),
+                cv.allowExisting, cv.replace, cv.properties)
+            case None => cv
+          }
+        case _ => cv
+      }
+      case dv: DropView => dv.child match {
+        // single-part names prefer a session TEMP view of that name, per
+        // Spark's own resolution order
+        case ui: UnresolvedIdentifier
+            if ui.nameParts.size > 1 || session.sessionState.catalog
+              .getTempView(ui.nameParts.head).isEmpty =>
+          GraftViews.target(session, ui.nameParts) match {
+            case Some((g, ident)) => GraftDropViewCommand(g, ident, dv.ifExists)
+            case None => dv
+          }
+        case _ => dv
+      }
+      case other => other
+    }
 
   /** Whitespace-free transform text, the engine's canonical spec-string
     * form (`bucket(4, id)` → `bucket(4,id)`). */

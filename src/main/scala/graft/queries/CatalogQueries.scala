@@ -126,6 +126,31 @@ object CatalogQueries {
       "merge_t"
     })
 
+  /** Catalog views over MoR state: base ids 0..299 val 2·id with a modulo
+    * DELETE; `view_v` projects+renames under a column list, `view_agg`
+    * nests a view over the view, and `view_v1` pins VERSION AS OF 1 inside
+    * its body. */
+  private def viewT(spark: SparkSession): Unit =
+    built.computeIfAbsent("view_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "view_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 200).toDF("id")
+          .withColumn("val", col("id") * 2))
+        .commit()
+      spark.sql("INSERT INTO graft.cq.view_t " +
+        "SELECT id, id * 2 AS val FROM range(200, 300)")
+      spark.sql("DELETE FROM graft.cq.view_t WHERE id % 10 = 3")
+      spark.sql("CREATE VIEW graft.cq.view_v (vid, vval) AS " +
+        "SELECT id, val FROM graft.cq.view_t WHERE id < 250")
+      spark.sql("CREATE VIEW graft.cq.view_agg AS " +
+        "SELECT vid % 7 AS g, COUNT(*) AS n, SUM(vval) AS s " +
+        "FROM graft.cq.view_v GROUP BY vid % 7")
+      spark.sql("CREATE VIEW graft.cq.view_v1 AS " +
+        "SELECT COUNT(*) AS n FROM graft.cq.view_t VERSION AS OF 1")
+      "view_t"
+    })
+
   /** Atomic CREATE OR REPLACE (idempotent-pipeline CoR-TAS): v1 is ids
     * 0..49 under one schema; the pipeline then runs its CoR-TAS TWICE
     * (idempotency — same output either way) producing ids 0..79 with a
@@ -726,6 +751,12 @@ object CatalogQueries {
       s.sql("SELECT id, sept FROM graft.cq.replace_t")
     }),
 
+    "sql_catalog_view" -> ((s, _) => {
+      viewT(s)
+      s.sql("SELECT a.g, a.n, a.s, b.n AS base_n " +
+        "FROM graft.cq.view_agg a CROSS JOIN graft.cq.view_v1 b ORDER BY a.g")
+    }),
+
     // manifest-answered COUNT(*) (Iceberg count pushdown): the plan is a
     // LocalTableScan — CatalogSpec gates the absence of any file scan
     "sql_catalog_fast_count" -> ((s, _) => {
@@ -993,6 +1024,16 @@ object CatalogQueries {
     "sql_catalog_replace" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 7 AS BIGINT) AS sept
         |FROM range(0, 80)""".stripMargin,
+
+    // view_agg over view_v over view_t (ids < 250 live minus %10==3,
+    // val 2id, grouped by id%7); view_v1 pins snapshot 1 (200 rows)
+    "sql_catalog_view" ->
+      """SELECT a.g, a.n, a.s, b.n AS base_n FROM (
+        |  SELECT CAST(range % 7 AS BIGINT) AS g,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(range * 2) AS BIGINT) AS s
+        |  FROM range(0, 250) WHERE range % 10 <> 3 GROUP BY range % 7
+        |) a CROSS JOIN (SELECT CAST(200 AS BIGINT) AS n) b ORDER BY a.g""".stripMargin,
 
     // exists_t end state: source covers 0..249 (keep=0 on %4==0) — EXISTS
     // deletes those, NOT EXISTS deletes the uncovered 250..299

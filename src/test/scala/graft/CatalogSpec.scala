@@ -415,6 +415,57 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.t_pf")
   }
 
+  test("catalog views: CREATE/DROP VIEW persisted in the warehouse; MoR " +
+      "deletes, travel in the body, nesting, aliases all apply") {
+    val g = fresh("t_vbase") // widget 0..99 (snap 1), gizmo 100..199 (snap 2)
+    g.positionalDelete(Seq("widget"), col("product_id") < 5).commit()
+    spark.sql("CREATE VIEW graft.db.v_products AS " +
+      "SELECT product_id, category FROM graft.db.t_vbase WHERE product_id < 150")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.v_products")
+      .collect()(0).getLong(0) == 145L, "view must see MoR deletes applied")
+    // time travel INSIDE the view body
+    spark.sql("CREATE VIEW graft.db.v_travel AS " +
+      "SELECT count(*) AS n FROM graft.db.t_vbase VERSION AS OF 1")
+    assert(spark.sql("SELECT n FROM graft.db.v_travel")
+      .collect()(0).getLong(0) == 100L)
+    // a view over a view
+    spark.sql("CREATE VIEW graft.db.v_nested AS SELECT category, " +
+      "count(*) AS n FROM graft.db.v_products GROUP BY category")
+    val nested = spark.sql(
+      "SELECT category, n FROM graft.db.v_nested ORDER BY category")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nested == Map("gizmo" -> 50L, "widget" -> 95L))
+    // explicit column list
+    spark.sql("CREATE VIEW graft.db.v_alias (pid) AS " +
+      "SELECT product_id FROM graft.db.t_vbase WHERE product_id >= 190")
+    assert(spark.table("graft.db.v_alias").columns.toSeq == Seq("pid"))
+    assert(spark.sql("SELECT sum(pid) AS s FROM graft.db.v_alias")
+      .collect()(0).getLong(0) == (190 until 200).sum.toLong)
+    // duplicate CREATE errors; IF NOT EXISTS is a no-op
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.db.v_products AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.db.v_products AS SELECT 1 AS x")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.v_products")
+      .collect()(0).getLong(0) == 145L, "IF NOT EXISTS must not replace")
+    // CREATE OR REPLACE swaps the definition; recursive bodies are rejected
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v_travel AS " +
+      "SELECT count(*) AS n FROM graft.db.t_vbase VERSION AS OF 2")
+    assert(spark.sql("SELECT n FROM graft.db.v_travel")
+      .collect()(0).getLong(0) == 200L)
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW graft.db.v_travel AS " +
+        "SELECT * FROM graft.db.v_travel")
+    }
+    // DROP removes; IF EXISTS tolerates absence
+    spark.sql("DROP VIEW graft.db.v_nested")
+    intercept[Exception] { spark.table("graft.db.v_nested").collect() }
+    spark.sql("DROP VIEW IF EXISTS graft.db.v_absent")
+    intercept[Exception] { spark.sql("DROP VIEW graft.db.v_absent") }
+    Seq("v_products", "v_travel", "v_alias").foreach(v =>
+      spark.sql(s"DROP VIEW graft.db.$v"))
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
@@ -980,10 +1031,12 @@ class CatalogSpec extends SparkSpec {
       "(SELECT product_id FROM graft.db.t_subq_src WHERE product_id < 5)")
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
       .collect()(0).getLong(0) == 176L) // 1..4 live (0 already gone)
-    // unsupported shapes: the GRAFT error, not a Spark internal
+    // unsupported shapes: the GRAFT error, not a Spark internal (EXISTS
+    // with key-equality correlation routes to the semi-join delete now —
+    // its own test — so the loud-error case here is a scalar subquery)
     val e1 = intercept[Exception] {
-      spark.sql("DELETE FROM graft.db.t_subq WHERE EXISTS " +
-        "(SELECT 1 FROM subq_doomed WHERE pid = product_id)")
+      spark.sql("DELETE FROM graft.db.t_subq WHERE quantity > " +
+        "(SELECT max(pid) FROM subq_doomed)")
     }
     assert(e1.getMessage.contains("graft DML") ||
       Option(e1.getCause).exists(_.getMessage.contains("graft DML")),
