@@ -42,6 +42,7 @@ object SparkEntry {
       RelevanceQueries.queries ++ AnalyticsQueries.queries ++
       AnalyticsQueries.queries2 ++
       CorpusSourceQueries.queries ++ DepthQueries.queries ++
+      DepthQueries.tpchAll ++
       CatalogQueries.queries ++ StreamTableQueries.queries).map { case (k, fn) =>
       k -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.ensureRegistered(s); fn(s, d)
@@ -55,5 +56,6 @@ object SparkEntry {
       MediaQueries.oracleSql ++ BreadthQueries.oracleSql ++
       RelevanceQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       CorpusSourceQueries.oracleSql ++ DepthQueries.oracleSql ++
+      DepthQueries.tpchAllOracle ++
       CatalogQueries.oracleSql ++ StreamTableQueries.oracleSql
 }

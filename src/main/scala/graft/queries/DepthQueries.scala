@@ -1344,4 +1344,32 @@ object DepthQueries {
          |         AS entropy_nats
          |FROM agg ORDER BY source""".stripMargin
   )
+
+  /** The adapted TPC-H board — every `tpch_q*` key here plus Q3, which
+    * lives in AnalyticsQueries (22 queries total). */
+  val tpchBoard: Seq[String] =
+    (queries.keys.filter(_.startsWith("tpch_q")).toSeq :+ "tpch_q3_top10").sorted
+
+  private def boardQuery(k: String): QueryFn =
+    queries.getOrElse(k, AnalyticsQueries.queries(k))
+  private def boardOracle(k: String): String =
+    oracleSql.getOrElse(k, AnalyticsQueries.oracleSql(k))
+
+  /** `tpch_all`: the WHOLE board executed back-to-back in ONE session,
+    * reduced to per-query row counts. A per-key run can never catch
+    * rule-ordering/codegen-cache interactions between queries; this key
+    * plans and runs all 22 in sequence (PlanSpec's tpch_all gate then
+    * re-asserts every plan invariant in that same polluted session). The
+    * oracle composes the 22 per-key DuckDB oracles the same way. */
+  val tpchAll: Map[String, QueryFn] = Map(
+    "tpch_all" -> ((s, d) => {
+      import s.implicits._
+      tpchBoard.map(k => (k, boardQuery(k)(s, d).count()))
+        .toDF("q", "n").orderBy("q")
+    }))
+
+  val tpchAllOracle: Map[String, String] = Map(
+    "tpch_all" -> tpchBoard.map(k =>
+      s"SELECT '$k' AS q, CAST((SELECT COUNT(*) FROM (\n${boardOracle(k)}\n) AS t) AS BIGINT) AS n")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY q"))
 }

@@ -236,6 +236,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("tpch_all: the 22-query board keeps its plan invariants when run " +
+      "back-to-back in one session (rule-ordering interactions)") {
+    val board = graft.queries.DepthQueries.tpchBoard
+    assert(board.size == 22, s"board is ${board.size} queries: $board")
+    // run the WHOLE board once in this session (codegen caches, broadcast
+    // thresholds, AQE state all shared) ...
+    board.foreach(k => SparkEntry.queries(k)(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    // ... then every plan, built in that polluted session, still holds
+    // the composite invariants the per-key gates pin
+    val singleTable = Set("tpch_q1_full", "tpch_q6")
+    board.foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"),
+        s"$k grew a cartesian product when run with the full board:\n$p")
+      if (!singleTable(k))
+        assert(p.contains("BroadcastHashJoin"),
+          s"$k lost its dimension broadcast when run with the full board:\n$p")
+    }
+  }
+
   test("tpch_q3_top10: dim broadcast, date filters pushed to both fact scans") {
     val p = plan("tpch_q3_top10")
     assert(p.contains("BroadcastHashJoin"), p)

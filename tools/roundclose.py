@@ -7,6 +7,18 @@ Usage: python3 tools/roundclose.py [<verify_out_dir> <sf_dir>]
 
 Checks, in order:
   1. bench_per_query.json has NO failed (-1.0 / negative) keys.
+  1b. THROTTLE sentinels (VERDICT r9 "what's wrong" #1: a host-throttled
+      driver run shipped as the official artifact, misreporting unchanged
+      keys 4-7x slower): MicroBench min-of-3 a fixed 8-key sentinel set at
+      the artifact's own sf; any sentinel whose artifact value exceeds
+      2x its min-of-3 (and by >0.3s absolute, so sub-second jitter never
+      flags) means the artifact was measured on a throttled host — the
+      gate fails and says to re-run Bench. Skip with
+      ROUNDCLOSE_NO_SENTINEL=1 (e.g. in CI without testdata);
+      ROUNDCLOSE_MICRO_JSON=<path> reuses saved mins (the gate writes
+      them to /tmp/roundclose_micro.json after measuring);
+      BENCH_ARTIFACT=<path> points the whole gate at an alternate
+      artifact (used by the synthetic-rejection self-test).
   2. Every SparkEntry.queries key has an oracle entry (oracle_sql.json in
      the verify dir covers every result dir) — when a verify dir is given.
   3. selfcheck passes 100% — when verify+sf dirs are given.
@@ -19,20 +31,89 @@ import json, os, re, subprocess, sys
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 fails = []
 
+# Eight sentinels spanning scan/agg, text relevance, the multi-stage
+# curation pipeline, catalog SQL, LSH dedup, as-of join, windowing, and a
+# join+agg — chosen because round 9's throttled artifact inflated exactly
+# these families while MicroBench reproduced the prior round's numbers.
+SENTINELS = ["agg_partition_counts", "bm25_topk", "curate_corpus",
+             "sql_catalog_scan", "dedup_minhash", "asof_join",
+             "events_window", "brand_affinity"]
+
 # 1. bench failures
-bench_path = os.path.join(repo, "bench_per_query.json")
+bench_path = os.environ.get("BENCH_ARTIFACT",
+                            os.path.join(repo, "bench_per_query.json"))
 n_keys = None
+bench = None
 if os.path.exists(bench_path):
     bench = json.load(open(bench_path))
     qs = bench.get("queries", {})
     n_keys = len(qs)
     bad = sorted(k for k, v in qs.items() if isinstance(v, (int, float)) and v < 0)
     if bad:
-        fails.append(f"bench_per_query.json has {len(bad)} FAILED keys: {bad}")
+        fails.append(f"bench artifact has {len(bad)} FAILED keys: {bad}")
     else:
-        print(f"OK bench_per_query.json: {n_keys} keys, 0 failed")
+        print(f"OK bench artifact: {n_keys} keys, 0 failed")
 else:
-    fails.append("bench_per_query.json missing")
+    fails.append(f"{bench_path} missing")
+
+
+def micro_mins(sf_dir):
+    """Min-of-3 MicroBench timings for the sentinel set, via saved JSON
+    (ROUNDCLOSE_MICRO_JSON) or a fresh sbt run (saved for reuse)."""
+    saved = os.environ.get("ROUNDCLOSE_MICRO_JSON")
+    if saved and os.path.exists(saved):
+        data = json.load(open(saved))
+        if data.get("sf") == sf_dir and set(SENTINELS) <= set(data.get("mins", {})):
+            print(f"   (sentinel mins reused from {saved})")
+            return data["mins"]
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_REPS="3")
+    r = subprocess.run(
+        ["sbt", "-batch", "runMain graft.tools.MicroBench " + " ".join(SENTINELS)],
+        capture_output=True, text=True, cwd=repo, env=env)
+    mins = {}
+    for line in r.stdout.splitlines():
+        m = re.match(r"(?:\[info\]\s+)?MICRO\s+(\S+)\s+min=\s*([\d.]+)", line)
+        if m:
+            mins[m.group(1)] = float(m.group(2))
+    if set(SENTINELS) - set(mins):
+        raise RuntimeError(
+            f"MicroBench produced no timing for {sorted(set(SENTINELS) - set(mins))}"
+            f" (rc={r.returncode}; tail: {r.stdout.strip().splitlines()[-3:]})")
+    json.dump({"sf": sf_dir, "mins": mins},
+              open("/tmp/roundclose_micro.json", "w"))
+    return mins
+
+
+# 1b. throttle sentinels
+if bench is not None and not os.environ.get("ROUNDCLOSE_NO_SENTINEL"):
+    sf_dir = bench.get("sf")
+    if not sf_dir or not os.path.isdir(sf_dir):
+        print(f"NOTE: artifact sf dir {sf_dir!r} unavailable; skipping sentinel check")
+    else:
+        try:
+            mins = micro_mins(sf_dir)
+            throttled = []
+            for k in SENTINELS:
+                art = bench.get("queries", {}).get(k)
+                if not isinstance(art, (int, float)) or art < 0:
+                    continue
+                if art > 2.0 * mins[k] and art - mins[k] > 0.3:
+                    throttled.append(f"{k}: artifact {art:.2f}s vs min-of-3 "
+                                     f"{mins[k]:.2f}s ({art / mins[k]:.1f}x)")
+            if throttled:
+                fails.append(
+                    "bench artifact looks HOST-THROTTLED — sentinel keys exceed "
+                    "2x their MicroBench min-of-3; re-run graft.Bench on a quiet "
+                    "host and commit the cleaner artifact:\n      " +
+                    "\n      ".join(throttled))
+            else:
+                print(f"OK throttle sentinels: {len(SENTINELS)} keys all within "
+                      f"2x of min-of-3")
+        except Exception as e:  # sentinel infra failure must not pass silently
+            fails.append(f"sentinel check failed to run: {e}")
 
 # 2+3. verify-dir based checks
 if len(sys.argv) >= 3:
