@@ -135,16 +135,21 @@ object StreamTableQueries {
     }),
 
     // graft → graft CDC replication: the changelog stream (net per-window
-    // diffs) applied through the sink's writeMode=cdc — updates land as
-    // keyed upserts, net deletes as one equality-delete file per batch,
-    // each batch one exactly-once snapshot; the replica's MoR read must
-    // equal the source's final state including the update and the deletes
+    // diffs) applied through the sink's writeMode=cdc — per batch, ONE
+    // equality-delete file covering every touched key + one appended data
+    // file, in one exactly-once snapshot; the replica's MoR read must
+    // equal the source's final state including the update and the deletes.
+    // Two snapshot windows per batch (the r9 floor analysis,
+    // tools/CdcFloorProbe: micro-batch machinery alone costs ~0.4 s/batch
+    // with a NOOP sink, so batch count — not sink work — set the old 4-
+    // batch key's wall time; per-commit batching is spec-covered in
+    // GraftStreamSpec).
     "stream_graft_apply_cdc" -> ((s, _) => {
       val src = cdcUpdT(s)
       val tmp = Files.createTempDirectory("graft-cdc-apply").toString
       new GraftTableGenerator(s, tmp, "dst").create(idVal, Nil)
       val sq = s.readStream.format("graft")
-        .option("mode", "changelog").option("maxSnapshotsPerBatch", "1")
+        .option("mode", "changelog").option("maxSnapshotsPerBatch", "2")
         .load(src)
         .writeStream.format("graft")
         .option("path", s"$tmp/dst")

@@ -260,25 +260,27 @@ class GraftSink(spark: SparkSession, dir: String,
           .commit(gate)
       case "cdc" =>
         // apply a NET change batch (`change_kind` ∈ insert|delete — the
-        // graft changelog source's per-window diff): keys seen as inserts
-        // upsert (a delete+insert pair for one key IS an update); keys
-        // seen ONLY as deletes fall in one equality-delete file. Both land
-        // in a single exactly-once snapshot. A batch must be a net diff
-        // (at most one event of each kind per key) — exactly what
-        // MorReader.changelogBetween emits for any window.
+        // graft changelog source's per-window diff) in ONE exactly-once
+        // snapshot built from exactly TWO staged writes: one equality-
+        // delete file covering EVERY key the batch touches (an insert key
+        // is a replacement — upsert-as-delete+insert — and a delete-only
+        // key simply dies; the sink never needs the delete-vs-insert
+        // anti-join, because appended rows take a LATER sequence than the
+        // delete file and so are never claimed by it), plus one appended
+        // data file for the insert rows. One aggregate job classifies the
+        // batch (a micro-batch is tiny; per-job overhead dominates, so
+        // the previous two isEmpty probes + anti-join + two delete files
+        // cost more than the whole remaining write path — measured in
+        // tools/CdcFloorProbe).
         val rows = batchDf.localCheckpoint(true)
-        val inserts = rows.where(org.apache.spark.sql.functions
-            .col("change_kind") === "insert")
-          .selectExpr(g.liveSchema.names: _*)
-        val netDeletes = rows.where(org.apache.spark.sql.functions
-            .col("change_kind") === "delete")
-          .selectExpr(upsertKeys: _*)
-          .join(inserts.selectExpr(upsertKeys: _*), upsertKeys, "left_anti")
-        val hasDeletes = !netDeletes.isEmpty
-        val hasInserts = !inserts.isEmpty
-        if (hasDeletes) g.deleteKeys(netDeletes, upsertKeys)
-        if (hasInserts) g.upsert(inserts, upsertKeys)
-        if (hasDeletes || hasInserts) g.commit(gate)
+        if (!rows.isEmpty) {
+          g.deleteKeys(rows.selectExpr(upsertKeys: _*), upsertKeys)
+          val inserts = rows.where(org.apache.spark.sql.functions
+              .col("change_kind") === "insert")
+            .selectExpr(g.liveSchema.names: _*)
+          if (!inserts.isEmpty) g.appendData(inserts)
+          g.commit(gate)
+        }
     }
   }
 
