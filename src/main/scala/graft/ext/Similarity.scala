@@ -305,34 +305,27 @@ object Similarity {
     d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
   }
 
-  /** Nearest-centroid cell per vector, argmax over ONE broadcast row of
-    * cid-sorted `(cid, cv, norm)` structs — data, not SQL text, so centroid
-    * counts in the thousands never hit codegen/parser limits. Ties and
-    * degenerate similarities are deterministic: a NaN/undefined cosine
-    * (zero-norm vector or zero-norm centroid) scores −1e308, so every
-    * vector — including all-zero ones — lands in a real cell (the smallest
-    * cid wins ties via strict `>` over the sorted array). */
+  /** Nearest-centroid cell per vector, through the native
+    * [[graft.functions.NearestCellExpr]] — one flat primitive loop per row
+    * over centroids unboxed ONCE per operator (the previous
+    * HigherOrderFunction chain re-walked the centroid struct array with
+    * boxed accumulators per row: a ~280 s assignment pass at 10^6×256,
+    * now scan-bound). Semantics are bit-identical: a NaN/undefined cosine
+    * (zero-norm vector or centroid) scores −1e308 so every vector lands
+    * in a real cell, and strict `>` over the cid-sorted array makes the
+    * smallest cid win ties. */
   private def assignCells(df: DataFrame, vecCol: String,
                           centRows: Seq[(Long, Seq[Double])]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centsRow = centRows.sortBy(_._1).toDF("cid", "cv")
-      .select(struct(col("cid"), col("cv"),
-        sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, v) => a + v))
-          .as("cn")).as("_c"))
-      .agg(sort_array(collect_list(col("_c"))).as("_cents"))
-    df.crossJoin(broadcast(centsRow))
-      .withColumn("_vn", l2norm(col(vecCol)))
-      .withColumn("_cands", expr(
-        s"""transform(_cents, s -> struct(s.cid as cid,
-           | if(s.cn = 0.0d or _vn = 0.0d, cast(-1.0E308 as double),
-           |   nanvl(aggregate(zip_with($vecCol, s.cv, (x, y) -> cast(x as double) * cast(y as double)),
-           |     cast(0.0 as double), (a, b) -> a + b) / (_vn * s.cn),
-           |     cast(-1.0E308 as double))) as sim))""".stripMargin))
-      .withColumn("_cell", expr(
-        "aggregate(_cands, struct(cast(-1 as bigint) as cid, cast('-Infinity' as double) as best)," +
-          " (acc, c) -> if(c.sim > acc.best, struct(c.cid as cid, c.sim as best), acc)).cid"))
-      .drop("_cents", "_vn", "_cands")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val sorted = centRows.sortBy(_._1)
+    val cidsLit = Literal.create(sorted.map(_._1), ArrayType(LongType))
+    val cvsLit = Literal.create(sorted.map(_._2),
+      ArrayType(ArrayType(DoubleType)))
+    df.withColumn("_cell", org.apache.spark.sql.graft.GraftSqlShim.column(
+      graft.functions.NearestCellExpr(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(vecCol)),
+        cidsLit, cvsLit)))
   }
 
   /** Build an IVF index over an embedding table — the ONE full-table pass a
@@ -357,8 +350,12 @@ object Similarity {
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     centRows.toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // repartition ON the cell key first: each cell's rows land in exactly
+    // one task, so each cell directory holds ONE file — a probe-limited
+    // query opens nProbe files, not nProbe × writer-parallelism shards
     assignCells(df, vecCol, centRows)
       .select(col(idCol), col(vecCol).as("vec"), col("_cell").as("cell"))
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assign")
   }
 
@@ -415,6 +412,7 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     assignCells(delta, vecCol, centRows)
       .select(col(idCol), col(vecCol).as("vec"), col("_cell").as("cell"))
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$indexDir/assign")
     java.nio.file.Files.writeString(wm, to.toString)
   }
@@ -428,12 +426,32 @@ object Similarity {
     * get a NULL cosine from [[cosine]]'s `try_divide` and sort last in
     * BOTH paths — spec-gated). */
   def queryIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-               idCol: String, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+               idCol: String, query: Seq[Double], k: Int, nProbe: Int): DataFrame =
+    queryIvf(openIvfIndex(spark, indexDir), idCol, query, k, nProbe)
+
+  /** An OPENED IVF index: centroids resident on the driver, the
+    * cell-partitioned assignment relation planned once. A query service
+    * holds one of these — partition discovery (an O(nCells) listing job)
+    * and the centroid read are paid at open, never per query. */
+  final case class IvfIndex(centroids: Seq[(Long, Seq[Double])],
+                            assign: DataFrame)
+
+  def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): IvfIndex = {
     val centRows = spark.read.parquet(s"$indexDir/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val probed = centRows.sortBy { case (cid, c) => (-cosDriver(c, query), cid) }
-      .take(nProbe).map(_._1).toSeq
-    spark.read.parquet(s"$indexDir/assign")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    IvfIndex(centRows, spark.read.parquet(s"$indexDir/assign"))
+  }
+
+  /** Probe an opened index: rank centroids against the query (driver math
+    * over O(nCentroids)), then top-k cosine over the `nProbe` nearest
+    * cells — a partition-pruned scan that opens nProbe files. */
+  def queryIvf(idx: IvfIndex, idCol: String, query: Seq[Double],
+               k: Int, nProbe: Int): DataFrame = {
+    val probed = idx.centroids
+      .sortBy { case (cid, c) => (-cosDriver(c, query), cid) }
+      .take(nProbe).map(_._1)
+    idx.assign
       .where(col("cell").isin(probed: _*))
       .select(col(idCol), round(cosine(col("vec"),
         array(query.map(lit): _*)), 4).as("cos"))
