@@ -158,7 +158,10 @@ case class GraftMergeCommand(
     insertWhen: Column,
     nmbsUpdateWhen: Option[Column] = None,
     nmbsDeleteWhen: Option[Column] = None,
-    nmbsSets: Seq[(String, Column)] = Nil) extends UnaryNode with Command {
+    nmbsSets: Seq[(String, Column)] = Nil,
+    updateSets: Option[Seq[(String, Column)]] = None,
+    insertSets: Option[Seq[(String, Column)]] = None)
+  extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
@@ -284,13 +287,15 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         if (anti) g.deleteKeysAnti(src, keyCols) else g.deleteKeys(src, keyCols)
         g.commit()
       }) :: Nil
-    case m @ GraftMergeCommand(t, _, keys, up, del, ins, nmbsUp, nmbsDel, nmbsSets) =>
-      GraftDmlExec(s"graft merge ${t.name()}", () => {
+    case m: GraftMergeCommand =>
+      GraftDmlExec(s"graft merge ${m.table.name()}", () => {
         val src = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, m.source)
-        t.openGenerator(spark)
-          .mergeInto(src, keys, updateWhen = up, deleteWhen = del,
-            insertWhen = ins, nmbsUpdateWhen = nmbsUp,
-            nmbsDeleteWhen = nmbsDel, nmbsSets = nmbsSets)
+        m.table.openGenerator(spark)
+          .mergeInto(src, m.keyCols, updateWhen = m.updateWhen,
+            deleteWhen = m.deleteWhen, insertWhen = m.insertWhen,
+            nmbsUpdateWhen = m.nmbsUpdateWhen,
+            nmbsDeleteWhen = m.nmbsDeleteWhen, nmbsSets = m.nmbsSets,
+            updateSets = m.updateSets, insertSets = m.insertSets)
           .commit()
       }) :: Nil
     case _ => Nil
@@ -1125,35 +1130,58 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if srcIds(a.exprId) =>
           UnresolvedAttribute(Seq(a.name))
       })).getOrElse(default)
-    // assignments must be the aligned SET * / INSERT * shape: every value
-    // is the same-named source column (possibly cast)
-    def requireStar(assignments: Seq[Assignment], what: String): Unit =
-      assignments.foreach { asg =>
+    // the aligned SET * / INSERT * shape: every value the same-named
+    // source column (possibly cast) — takes the engine's star fast path
+    def isStarAssign(assignments: Seq[Assignment]): Boolean =
+      assignments.forall { asg =>
+        (asg.key, stripAlias(asg.value)) match {
+          case (a: AttributeReference, v: AttributeReference) =>
+            tgtIds(a.exprId) && srcIds(v.exprId) && v.name == a.name
+          case _ => false
+        }
+      }
+    // non-star assignments: arbitrary expressions over source columns
+    // (plain names) and matched-target columns (`_t_` prefix)
+    def setsOf(assignments: Seq[Assignment], what: String): Seq[(String, Column)] =
+      assignments.map { asg =>
         val tname = asg.key match {
           case a: AttributeReference if tgtIds(a.exprId) => a.name
           case other => unsupported(s"$what target ${other.sql}")
         }
-        stripAlias(asg.value) match {
-          case v: AttributeReference if srcIds(v.exprId) && v.name == tname =>
-          case other => unsupported(s"$what assignment ${tname} = ${other.sql}")
-        }
+        if (asg.value.exists(_.isInstanceOf[SubqueryExpression]))
+          unsupported(s"subquery in $what assignment $tname")
+        tname -> condCol(Some(asg.value), lit(null))
       }
+    val updActions = m.matchedActions.collect { case u: UpdateAction => u }
+    val delActions = m.matchedActions.collect { case d: DeleteAction => d }
+    m.matchedActions.foreach {
+      case _: UpdateAction | _: DeleteAction =>
+      case other => unsupported(s"matched action $other")
+    }
+    val insActions = m.notMatchedActions.map {
+      case i: InsertAction => i
+      case other => unsupported(s"not-matched action $other")
+    }
+    val star = updActions.forall(u => isStarAssign(u.assignments)) &&
+      insActions.forall(i => isStarAssign(i.assignments))
+    if (!star && updActions.size > 1)
+      unsupported("multiple UPDATE actions with expression assignments")
+    if (!star && insActions.size > 1)
+      unsupported("multiple INSERT actions with expression assignments")
     var updateWhen: Column = lit(false)
     var deleteWhen: Column = lit(false)
     var insertWhen: Column = lit(false)
-    m.matchedActions.foreach {
-      case UpdateAction(c, assignments, _) =>
-        requireStar(assignments, "UPDATE")
-        updateWhen = condCol(c, lit(true))
-      case DeleteAction(c) => deleteWhen = condCol(c, lit(true))
-      case other => unsupported(s"matched action $other")
-    }
-    m.notMatchedActions.foreach {
-      case InsertAction(c, assignments) =>
-        requireStar(assignments, "INSERT")
-        insertWhen = condCol(c, lit(true))
-      case other => unsupported(s"not-matched action $other")
-    }
+    updActions.foreach(u => updateWhen = condCol(u.condition, lit(true)))
+    delActions.foreach(d => deleteWhen = condCol(d.condition, lit(true)))
+    insActions.foreach(i => insertWhen = condCol(i.condition, lit(true)))
+    val updateSets: Option[Seq[(String, Column)]] =
+      if (star) None
+      else Some(updActions.headOption.map(u =>
+        setsOf(u.assignments, "UPDATE")).getOrElse(Nil))
+    val insertSets: Option[Seq[(String, Column)]] =
+      if (star) None
+      else Some(insActions.headOption.map(i =>
+        setsOf(i.assignments, "INSERT")).getOrElse(Nil))
     // WHEN NOT MATCHED BY SOURCE: conditions and assignments may reference
     // TARGET columns only (there is no source row, per SQL). The engine's
     // NMBS frame carries target columns under PLAIN names. SQL evaluates
@@ -1203,6 +1231,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     GraftMergeCommand(t, m.sourceTable, keyCols,
       updateWhen, deleteWhen, insertWhen,
-      nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets)
+      nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets,
+      updateSets, insertSets)
   }
 }

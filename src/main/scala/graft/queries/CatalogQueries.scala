@@ -194,6 +194,29 @@ object CatalogQueries {
       "exists_t"
     })
 
+  /** Non-star MERGE: target ids 0..199 val 2·id; source 100..299 carries
+    * only (id, bonus = id%7) — no val column. Matched rows (unless
+    * id%10=5) take `val = t.val + s.bonus` (an expression over BOTH
+    * sides); unmatched insert via an explicit column list. */
+  private def mergeExprT(spark: SparkSession): Unit =
+    built.computeIfAbsent("mexpr_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "mexpr_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 200).toDF("id")
+          .withColumn("val", col("id") * 2))
+        .commit()
+      spark.range(100, 300).toDF("id").withColumn("bonus", col("id") % 7)
+        .createOrReplaceTempView("graft_sql_mexpr_src")
+      spark.sql(
+        """MERGE INTO graft.cq.mexpr_t t USING graft_sql_mexpr_src s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.id % 10 <> 5 THEN UPDATE SET val = t.val + s.bonus
+          |WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.bonus * 100)
+          |""".stripMargin)
+      "mexpr_t"
+    })
+
   /** Full-snapshot reconciliation (MERGE `WHEN NOT MATCHED BY SOURCE`):
     * target ids 0..199 val 2·id; the source is the NEW snapshot 100..299
     * val 3·id. Matched rows take the source value, new rows insert, and
@@ -741,6 +764,11 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.nmbs_t")
     }),
 
+    "sql_merge_expr" -> ((s, _) => {
+      mergeExprT(s)
+      s.sql("SELECT id, val FROM graft.cq.mexpr_t")
+    }),
+
     "sql_catalog_delete_exists" -> ((s, _) => {
       existsT(s)
       s.sql("SELECT id, val FROM graft.cq.exists_t")
@@ -1040,6 +1068,19 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // mexpr_t end state: 0..99 untouched; 100..199 2id+id%7 unless %10=5;
+    // 200..299 inserted as (id%7)*100
+    "sql_merge_expr" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id, range * 2 AS val FROM range(0, 100)
+        |  UNION ALL
+        |  SELECT range, CASE WHEN range % 10 = 5 THEN range * 2
+        |                     ELSE range * 2 + range % 7 END
+        |  FROM range(100, 200)
+        |  UNION ALL
+        |  SELECT range, (range % 7) * 100 FROM range(200, 300)
+        |)""".stripMargin,
 
     // nmbs_t end state: 0..99 minus id%5=0, with id%3=0 at 2id+1000,
     // others 2id; 100..299 take the source's 3id (matched update / insert)

@@ -911,13 +911,28 @@ final class GraftTableGenerator(
                 insertWhen: Column = lit(true),
                 nmbsUpdateWhen: Option[Column] = None,
                 nmbsDeleteWhen: Option[Column] = None,
-                nmbsSets: Seq[(String, Column)] = Nil): this.type = {
+                nmbsSets: Seq[(String, Column)] = Nil,
+                updateSets: Option[Seq[(String, Column)]] = None,
+                insertSets: Option[Seq[(String, Column)]] = None): this.type = {
     requireCreated("mergeInto")
+    // Non-star clause projections (`UPDATE SET val = _t_val + bonus`,
+    // `INSERT (id, val) VALUES (id, -1)`): expressions over source columns
+    // (plain names) and matched-target columns (`_t_` prefix). An updated
+    // row keeps the TARGET's value for unassigned columns; an inserted row
+    // takes NULL, per SQL. When either is supplied the source needs only
+    // its key + referenced columns, not the full schema.
+    val partial = updateSets.isDefined || insertSets.isDefined
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
-    schema.names.foreach(n => require(source.columns.contains(n),
-      s"mergeInto source must carry every schema column; missing $n"))
-    source.columns.foreach(c => require(!c.startsWith("_t_") && !c.startsWith("_dk"),
-      s"source column $c collides with mergeInto's reserved _t_/_dk prefixes"))
+    if (!partial)
+      schema.names.foreach(n => require(source.columns.contains(n),
+        s"mergeInto source must carry every schema column; missing $n"))
+    else
+      keyCols.foreach(k => require(source.columns.contains(k),
+        s"mergeInto source must carry key column $k"))
+    source.columns.foreach(c => require(
+      !c.startsWith("_t_") && !c.startsWith("_dk") &&
+        !Set("_do_del", "_do_upd", "_do_ins", "_dup").contains(c),
+      s"source column $c collides with mergeInto's reserved names"))
 
     // File-pruned target read. Small single-key batches (≤ the in-set cap)
     // take the PER-VALUE path — envelope + manifest bloom + hidden
@@ -965,8 +980,16 @@ final class GraftTableGenerator(
       coalesce(updateWhen, lit(false))
     val doIns = !matched && coalesce(insertWhen, lit(false))
     val canonicalKeys = keyCols.map(k => col(k).as(s"_dk${schema.fieldId(k)}"))
+    // the classified frame carries the SOURCE columns (star projections
+    // and SET expressions read them by plain name) and, for partial
+    // merges, the matched target row's `_t_` columns (SET expressions and
+    // unassigned-column defaults read those)
+    val classifiedCols =
+      (if (partial) source.columns.toSeq.map(col) ++
+        schema.names.map(n => col(s"_t_$n"))
+       else schema.names.map(col))
     val classified = joined.select(
-      schema.names.map(col) ++ canonicalKeys ++ Seq(
+      classifiedCols ++ canonicalKeys ++ Seq(
         doDel.as("_do_del"), doUpd.as("_do_upd"), doIns.as("_do_ins"),
         (matched && count(lit(1)).over(
           Window.partitionBy(keyCols.map(col): _*)) > 1).as("_dup")): _*)
@@ -996,8 +1019,12 @@ final class GraftTableGenerator(
           .localCheckpoint())
       }
 
+    // delete-file row image: source values on the star path (unchanged
+    // bytes), the matched TARGET's old values on the partial path (the
+    // source may not even carry every column there)
     val matchedAffected = classified.where(col("_do_del") || col("_do_upd"))
-      .select(schema.names.map(col) ++ keyCols.map(k =>
+      .select((if (partial) schema.names.map(n => col(s"_t_$n").as(n))
+               else schema.names.map(col)) ++ keyCols.map(k =>
         col(s"_dk${schema.fieldId(k)}")): _*)
     val affected = nmbsClassified match {
       case Some(n) => matchedAffected.unionByName(
@@ -1018,8 +1045,23 @@ final class GraftTableGenerator(
     // SQL assignment is SIMULTANEOUS (every SET expression evaluates
     // against the original row), so NMBS assignments go into ONE projection
     val nmbsSetsMap = nmbsSets.toMap
-    val matchedInserts = classified.where(col("_do_upd") || col("_do_ins"))
-      .select(schema.names.map(col): _*)
+    val matchedInserts =
+      if (!partial)
+        classified.where(col("_do_upd") || col("_do_ins"))
+          .select(schema.names.map(col): _*)
+      else {
+        val updMap = updateSets.getOrElse(Nil).toMap
+        val insMap = insertSets.getOrElse(Nil).toMap
+        val updRows = classified.where(col("_do_upd"))
+          .select(schema.fields.map(f =>
+            updMap.getOrElse(f.name, col(s"_t_${f.name}"))
+              .cast(f.dataType).as(f.name)): _*)
+        val insRows = classified.where(col("_do_ins"))
+          .select(schema.fields.map(f =>
+            insMap.getOrElse(f.name, lit(null))
+              .cast(f.dataType).as(f.name)): _*)
+        updRows.unionByName(insRows)
+      }
     val inserts = nmbsClassified match {
       case Some(n) => matchedInserts.unionByName(
         n.where(col("_do_upd")).select(schema.names.map(c =>

@@ -466,6 +466,42 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP VIEW graft.db.$v"))
   }
 
+  test("MERGE with expression assignments: UPDATE SET over target+source, " +
+      "INSERT with explicit column list, source without full schema") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_mexpr")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 200).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    // the source does NOT carry `val` — non-star merges only need keys +
+    // referenced columns
+    spark.range(100, 300).toDF("id").withColumn("bonus", col("id") % 7)
+      .createOrReplaceTempView("mexpr_src")
+    val pre = SnapshotLog(g.tableDir.toString).lastSnapshotId
+    spark.sql(
+      """MERGE INTO graft.db.t_mexpr t USING mexpr_src s ON t.id = s.id
+        |WHEN MATCHED AND s.id % 10 <> 5 THEN UPDATE SET val = t.val + s.bonus
+        |WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.bonus * 100)
+        |""".stripMargin)
+    assert(SnapshotLog(g.tableDir.toString).lastSnapshotId == pre + 1)
+    val got = spark.sql("SELECT id, val FROM graft.db.t_mexpr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L until 100L).map(i => i -> i * 2) ++
+      (100L until 200L).map(i =>
+        i -> (if (i % 10 == 5) i * 2 else i * 2 + i % 7)) ++
+      (200L until 300L).map(i => i -> (i % 7) * 100)).toMap
+    assert(got == want)
+    // subqueries in SET expressions stay a loud error
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.t_mexpr t USING mexpr_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET
+          |  val = (SELECT max(bonus) FROM mexpr_src)""".stripMargin)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
