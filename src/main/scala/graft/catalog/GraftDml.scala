@@ -1067,23 +1067,49 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
                          assignments: Seq[Assignment],
                          cond: Option[Expression]): LogicalPlan = {
     val relIds = r.output.map(_.exprId).toSet
-    val sets = assignments.flatMap { asg =>
-      val name = asg.key match {
-        case a: AttributeReference => a.name
-        case other => throw new UnsupportedOperationException(
-          s"graft UPDATE: unsupported assignment target $other")
+    def buildSets(prefix: String): Seq[(String, Column)] =
+      assignments.flatMap { asg =>
+        val name = asg.key match {
+          case a: AttributeReference => a.name
+          case other => throw new UnsupportedOperationException(
+            s"graft UPDATE: unsupported assignment target $other")
+        }
+        // aligned assignments list EVERY column; identity assignments
+        // (col = col) are no-ops — skip them so untouched columns ride along
+        asg.value match {
+          case v: AttributeReference if relIds(v.exprId) && v.name == name => None
+          case v if v.exists(_.isInstanceOf[SubqueryExpression]) =>
+            throw new UnsupportedOperationException(
+              "graft UPDATE: subqueries in SET expressions are not supported " +
+                "— rewrite as MERGE INTO")
+          case v => Some(name -> toNamedColumn(v, relIds, prefix))
+        }
       }
-      // aligned assignments list EVERY column; identity assignments
-      // (col = col) are no-ops — skip them so untouched columns ride along
-      asg.value match {
-        case v: AttributeReference if relIds(v.exprId) && v.name == name => None
-        case v if v.exists(_.isInstanceOf[SubqueryExpression]) =>
-          throw new UnsupportedOperationException(
-            "graft UPDATE: subqueries in SET expressions are not supported " +
-              "— rewrite as MERGE INTO")
-        case v => Some(name -> toNamedColumn(v, relIds))
-      }
+    // `UPDATE … WHERE [NOT] EXISTS (<key-equality>)` rides the merge
+    // machinery: EXISTS = matched-update against the decorrelated
+    // subquery's distinct keys (file-pruned target read, one join);
+    // NOT EXISTS = the NMBS update leg (anti-join). SET expressions read
+    // target columns — `_t_`-prefixed in the matched frame, plain in the
+    // NMBS frame.
+    cond match {
+      case Some(ex: Exists) =>
+        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
+          return GraftMergeCommand(t, Distinct(src), keys,
+            updateWhen = lit(true), deleteWhen = lit(false),
+            insertWhen = lit(false),
+            updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))
+        }
+      case Some(Not(ex: Exists)) =>
+        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
+          return GraftMergeCommand(t, Distinct(src), keys,
+            updateWhen = lit(false), deleteWhen = lit(false),
+            insertWhen = lit(false),
+            nmbsUpdateWhen = Some(lit(true)), nmbsSets = buildSets(""),
+            updateSets = Some(Nil), insertSets = Some(Nil))
+        }
+      case _ =>
     }
+    val sets = buildSets("")
     val (pf, rg, pts) = cond.map(extractPruning(_, r, t))
       .getOrElse((Map.empty[String, Set[String]],
         Map.empty[String, MorReader.ColRange], Map.empty[String, Set[String]]))

@@ -194,6 +194,29 @@ object CatalogQueries {
       "exists_t"
     })
 
+  /** Semi/anti-join UPDATE via subqueries: ids 0..99 val 2·id; source
+    * keys 0..59 (with duplicates — id%60 over 0..119, which must not trip
+    * merge cardinality). EXISTS adds 1000 to covered rows; NOT EXISTS
+    * stamps the uncovered rest with -1. */
+  private def updExistsT(spark: SparkSession): Unit =
+    built.computeIfAbsent("updex_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "updex_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2))
+        .commit()
+      spark.range(0, 120).selectExpr("id % 60 AS k")
+        .createOrReplaceTempView("graft_sql_updex_src")
+      spark.sql(
+        """UPDATE graft.cq.updex_t t SET val = t.val + 1000 WHERE EXISTS (
+          |  SELECT 1 FROM graft_sql_updex_src s WHERE s.k = t.id)""".stripMargin)
+      spark.sql(
+        """UPDATE graft.cq.updex_t t SET val = -1 WHERE NOT EXISTS (
+          |  SELECT 1 FROM graft_sql_updex_src s WHERE s.k = t.id)""".stripMargin)
+      "updex_t"
+    })
+
   /** Non-star MERGE: target ids 0..199 val 2·id; source 100..299 carries
     * only (id, bonus = id%7) — no val column. Matched rows (unless
     * id%10=5) take `val = t.val + s.bonus` (an expression over BOTH
@@ -774,6 +797,11 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.exists_t")
     }),
 
+    "sql_catalog_update_exists" -> ((s, _) => {
+      updExistsT(s)
+      s.sql("SELECT id, val FROM graft.cq.updex_t")
+    }),
+
     "sql_catalog_replace" -> ((s, _) => {
       replaceT(s)
       s.sql("SELECT id, sept FROM graft.cq.replace_t")
@@ -1081,6 +1109,13 @@ object CatalogQueries {
         |  UNION ALL
         |  SELECT range, (range % 7) * 100 FROM range(200, 300)
         |)""".stripMargin,
+
+    // updex_t end state: ids < 60 get 2id+1000 (EXISTS), the rest -1
+    "sql_catalog_update_exists" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range < 60 THEN range * 2 + 1000
+        |                 ELSE -1 END AS BIGINT) AS val
+        |FROM range(0, 100)""".stripMargin,
 
     // nmbs_t end state: 0..99 minus id%5=0, with id%3=0 at 2id+1000,
     // others 2id; 100..299 take the source's 3id (matched update / insert)

@@ -502,6 +502,32 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("UPDATE WHERE [NOT] EXISTS rides the merge machinery " +
+      "(semi/anti-join update)") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_updex")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 100).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    // duplicate subquery keys must NOT trip merge cardinality
+    spark.range(0, 120).selectExpr("id % 60 AS k").createOrReplaceTempView("updex_src")
+    val pre = SnapshotLog(g.tableDir.toString).lastSnapshotId
+    spark.sql(
+      """UPDATE graft.db.t_updex t SET val = t.val + 1000 WHERE EXISTS (
+        |  SELECT 1 FROM updex_src s WHERE s.k = t.id)""".stripMargin)
+    assert(SnapshotLog(g.tableDir.toString).lastSnapshotId == pre + 1,
+      "EXISTS update must commit one snapshot")
+    spark.sql(
+      """UPDATE graft.db.t_updex t SET val = -1 WHERE NOT EXISTS (
+        |  SELECT 1 FROM updex_src s WHERE s.k = t.id)""".stripMargin)
+    val got = spark.sql("SELECT id, val FROM graft.db.t_updex")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 100L).map(i =>
+      i -> (if (i < 60) i * 2 + 1000 else -1L)).toMap
+    assert(got == want)
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
