@@ -1041,6 +1041,17 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         decorrelateExists(ex, relIds).foreach { case (src, keys) =>
           return GraftDeleteJoinCommand(t, src, keys, anti = true)
         }
+      // a BARE single-column `k IN (<subquery>)` is the EXISTS semi-join
+      // in disguise (NULL subquery values never equality-match in either
+      // form, and NULL target keys fail both) — route it to deleteKeys so
+      // the subquery's size stops mattering (the literal-set path bounds
+      // at MaxDmlInSetValues; this one is a join). Composite conditions
+      // keep the bounded literal path below.
+      case InSubquery(Seq(a: AttributeReference), lq)
+          if relIds(a.exprId) && lq.plan.output.size == 1 =>
+        return GraftDeleteJoinCommand(t,
+          Project(Seq(Alias(lq.plan.output.head, a.name)()), lq.plan),
+          Seq(a.name), anti = false)
       case _ =>
     }
     def scalaV(l: Literal): Any =
@@ -1107,6 +1118,17 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             nmbsUpdateWhen = Some(lit(true)), nmbsSets = buildSets(""),
             updateSets = Some(Nil), insertSets = Some(Nil))
         }
+      // bare single-column `k IN (<subquery>)` ≡ the EXISTS semi-join
+      // (same NULL semantics for a filter) — join instead of a bounded
+      // literal set
+      case Some(InSubquery(Seq(a: AttributeReference), lq))
+          if relIds(a.exprId) && lq.plan.output.size == 1 =>
+        return GraftMergeCommand(t,
+          Distinct(Project(Seq(Alias(lq.plan.output.head, a.name)()), lq.plan)),
+          Seq(a.name),
+          updateWhen = lit(true), deleteWhen = lit(false),
+          insertWhen = lit(false),
+          updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))
       case _ =>
     }
     val sets = buildSets("")

@@ -1093,6 +1093,18 @@ class CatalogSpec extends SparkSpec {
       "(SELECT product_id FROM graft.db.t_subq_src WHERE product_id < 5)")
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
       .collect()(0).getLong(0) == 176L) // 1..4 live (0 already gone)
+    // a BARE single-column IN takes the semi-JOIN route, so the literal
+    // path's MaxDmlInSetValues bound does not apply: 200k subquery values
+    // execute fine (none match — count unchanged)
+    spark.range(100000, 300000).selectExpr("CAST(id AS INT) AS pid")
+      .createOrReplaceTempView("subq_huge")
+    val preHuge = spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
+      .collect()(0).getLong(0)
+    spark.sql("DELETE FROM graft.db.t_subq WHERE product_id IN " +
+      "(SELECT pid FROM subq_huge)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
+      .collect()(0).getLong(0) == preHuge,
+      "beyond-bound IN subquery must join, not materialize")
     // unsupported shapes: the GRAFT error, not a Spark internal (EXISTS
     // with key-equality correlation routes to the semi-join delete now —
     // its own test — so the loud-error case here is a scalar subquery)
