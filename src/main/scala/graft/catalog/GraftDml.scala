@@ -87,6 +87,22 @@ object GraftViews {
       case _ => None
     }
   }
+
+  /** Resolve a NAMESPACE reference (`SHOW VIEWS IN graft.db`) against the
+    * catalog manager; Some only when it lands in a graft catalog. */
+  def namespace(spark: SparkSession, parts: Seq[String])
+      : Option[(GraftCatalog, Seq[String])] = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, ns) =
+      if (parts.nonEmpty && cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog,
+        if (parts.isEmpty) cm.currentNamespace.toSeq else parts)
+    cat match {
+      case g: GraftCatalog => Some((g, ns))
+      case _ => None
+    }
+  }
 }
 
 /** `CREATE [OR REPLACE] VIEW graft.db.v AS <sql>` for a graft catalog —
@@ -104,7 +120,8 @@ case class GraftCreateViewCommand(
     columnAliases: Seq[String],
     allowExisting: Boolean,
     replace: Boolean,
-    properties: Map[String, String]) extends LeafNode with Command {
+    properties: Map[String, String],
+    mustExist: Boolean = false) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -112,6 +129,15 @@ case class GraftDropViewCommand(
     catalog: GraftCatalog,
     ident: org.apache.spark.sql.connector.catalog.Identifier,
     ifExists: Boolean) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER VIEW graft.db.v RENAME TO db.v2` within one graft catalog. */
+case class GraftRenameViewCommand(
+    catalog: GraftCatalog,
+    from: org.apache.spark.sql.connector.catalog.Identifier,
+    to: org.apache.spark.sql.connector.catalog.Identifier)
+  extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -219,9 +245,16 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         g.appendData(updated)
         g.commit()
       }) :: Nil
+    case r: GraftRenameViewCommand =>
+      GraftDmlExec(s"graft rename view ${r.from}", () => {
+        r.catalog.renameView(r.from, r.to)
+      }) :: Nil
     case c: GraftCreateViewCommand =>
       GraftDmlExec(s"graft create view ${c.ident}", () => {
         val exists = c.catalog.viewExists(c.ident)
+        if (c.mustExist && !exists)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchViewException(c.ident)
         if (exists && !c.replace) {
           if (!c.allowExisting)
             throw new org.apache.spark.sql.catalyst.analysis

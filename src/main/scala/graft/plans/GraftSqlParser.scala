@@ -1,14 +1,16 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LocalRelation, LogicalPlan, RenameTable, ShowViews}
+import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.catalog.{GraftCreateViewCommand, GraftDropViewCommand, GraftUpdateSpecDdl, GraftViews}
+import graft.catalog.{GraftCatalog, GraftCreateViewCommand, GraftDropViewCommand, GraftRenameViewCommand, GraftUpdateSpecDdl, GraftViews}
 
 /** Parser-injection shim (the same pattern Iceberg's Spark extensions
   * use): recognizes the partition-evolution DDL the vanilla Spark parser
@@ -87,6 +89,64 @@ object GraftSqlParser {
             case None => cv
           }
         case _ => cv
+      }
+      // `ALTER VIEW graft.db.v AS <sql>` — replace-in-place (must exist)
+      case av: AlterViewAs => av.child match {
+        case uv: UnresolvedView =>
+          GraftViews.target(session, uv.multipartIdentifier) match {
+            case Some((g, ident)) if g.viewExists(ident) =>
+              val cm = session.sessionState.catalogManager
+              GraftCreateViewCommand(g, ident, av.originalText,
+                cm.currentCatalog.name, cm.currentNamespace, Nil,
+                allowExisting = false, replace = true, Map.empty,
+                mustExist = true)
+            case _ => av
+          }
+        case _ => av
+      }
+      // `ALTER VIEW graft.db.v RENAME TO db.v2` — same catalog only
+      case rt: RenameTable if rt.isView => rt.child match {
+        case utv: UnresolvedTableOrView =>
+          GraftViews.target(session, utv.multipartIdentifier) match {
+            case Some((g, from)) if g.viewExists(from) =>
+              val cm = session.sessionState.catalogManager
+              val toParts =
+                if (rt.newName.length > 1 &&
+                    cm.isCatalogRegistered(rt.newName.head)) {
+                  if (!cm.catalog(rt.newName.head).isInstanceOf[GraftCatalog])
+                    throw new UnsupportedOperationException(
+                      s"RENAME VIEW across catalogs is not supported")
+                  rt.newName.tail
+                } else rt.newName
+              val to = Identifier.of(
+                if (toParts.length > 1) toParts.init.toArray else from.namespace,
+                toParts.last)
+              GraftRenameViewCommand(g, from, to)
+            case _ => rt
+          }
+        case _ => rt
+      }
+      // `SHOW VIEWS [IN graft.db] [LIKE 'pat']` — answered straight off
+      // the warehouse listing (views are metadata documents; the listing
+      // is O(files in the namespace dir))
+      case sv: ShowViews => sv.namespace match {
+        case un: UnresolvedNamespace =>
+          GraftViews.namespace(session, un.multipartIdentifier) match {
+            case Some((g, ns)) =>
+              val names = g.listViews(ns: _*).map(_.name).sorted.toSeq
+              val filtered = sv.pattern match {
+                case Some(p) =>
+                  val res = p.split("\\|").toSeq
+                    .map(x => ("(?i)" + x.replace("*", ".*")).r)
+                  names.filter(n => res.exists(_.pattern.matcher(n).matches))
+                case None => names
+              }
+              LocalRelation(sv.output, filtered.map(n => InternalRow(
+                UTF8String.fromString(ns.mkString(".")),
+                UTF8String.fromString(n), false)))
+            case None => sv
+          }
+        case _ => sv
       }
       case dv: DropView => dv.child match {
         // single-part names prefer a session TEMP view of that name, per

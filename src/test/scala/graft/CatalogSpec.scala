@@ -457,6 +457,27 @@ class CatalogSpec extends SparkSpec {
       spark.sql("CREATE OR REPLACE VIEW graft.db.v_travel AS " +
         "SELECT * FROM graft.db.v_travel")
     }
+    // SHOW VIEWS lists the namespace's stored views, pattern-filterable
+    val shown = spark.sql("SHOW VIEWS IN graft.db").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("v_products", "v_travel", "v_nested", "v_alias").subsetOf(shown),
+      s"SHOW VIEWS missing entries: $shown")
+    assert(spark.sql("SHOW VIEWS IN graft.db LIKE 'v_tra*'").collect()
+      .map(_.getString(1)).toSeq == Seq("v_travel"))
+    // ALTER VIEW ... AS replaces in place; missing views stay an error
+    spark.sql("ALTER VIEW graft.db.v_alias AS " +
+      "SELECT count(*) AS c FROM graft.db.t_vbase")
+    assert(spark.sql("SELECT c FROM graft.db.v_alias")
+      .collect()(0).getLong(0) == 195L) // 200 minus the 5 deleted rows
+    intercept[Exception] {
+      spark.sql("ALTER VIEW graft.db.v_missing AS SELECT 1 AS x")
+    }
+    // ALTER VIEW ... RENAME TO within the catalog
+    spark.sql("ALTER VIEW graft.db.v_alias RENAME TO db.v_alias2")
+    assert(spark.sql("SELECT c FROM graft.db.v_alias2")
+      .collect()(0).getLong(0) == 195L)
+    intercept[Exception] { spark.table("graft.db.v_alias").collect() }
+    spark.sql("ALTER VIEW graft.db.v_alias2 RENAME TO db.v_alias")
     // DROP removes; IF EXISTS tolerates absence
     spark.sql("DROP VIEW graft.db.v_nested")
     intercept[Exception] { spark.table("graft.db.v_nested").collect() }
