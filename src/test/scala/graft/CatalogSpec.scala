@@ -549,6 +549,25 @@ class CatalogSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("SHOW CREATE TABLE and DESCRIBE EXTENDED surface schema, hidden " +
+      "partitioning, and persisted properties") {
+    wh
+    spark.sql("CREATE TABLE graft.db.t_showc (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day, bucket(4, id)) " +
+      "TBLPROPERTIES ('quality.tier'='gold')")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.db.t_showc")
+      .collect()(0).getString(0)
+    assert(ddl.contains("t_showc") && ddl.contains("id BIGINT") &&
+      ddl.contains("day") && ddl.toLowerCase.contains("bucket"),
+      s"SHOW CREATE TABLE output incomplete:\n$ddl")
+    assert(ddl.contains("quality.tier"), s"properties missing:\n$ddl")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.db.t_showc")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(desc.contains("id") && desc.contains("bigint"), desc)
+    assert(desc.toLowerCase.contains("bucket"), s"hidden transform missing:\n$desc")
+    spark.sql("DROP TABLE graft.db.t_showc")
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
