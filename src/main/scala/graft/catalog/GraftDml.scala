@@ -1060,6 +1060,36 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       pairs.map(_._1)))
   }
 
+  /** A conjunction holding exactly ONE `[NOT] EXISTS` (key-equality
+    * shape) plus target-only residual conjuncts → (decorrelated source,
+    * key names, residual, anti). None → not the supported shape (caller
+    * falls through to the literal path's loud error). */
+  private def existsWithResidual(cond: Expression, relIds: Set[ExprId])
+      : Option[(LogicalPlan, Seq[String], Option[Expression], Boolean)] = {
+    val conj = splitConjuncts(cond)
+    val exs = conj.collect {
+      case e: Exists => (e, false)
+      case Not(e: Exists) => (e, true)
+    }
+    if (exs.size != 1) return None
+    val rest = conj.filterNot {
+      case _: Exists => true
+      case Not(_: Exists) => true
+      case _ => false
+    }
+    val targetOnly = rest.forall(r =>
+      !r.exists(_.isInstanceOf[SubqueryExpression]) &&
+        !r.exists {
+          case a: AttributeReference => !relIds(a.exprId)
+          case _ => false
+        })
+    if (!targetOnly) return None
+    val (ex, anti) = exs.head
+    decorrelateExists(ex, relIds).map { case (src, keys) =>
+      (src, keys, if (rest.isEmpty) None else Some(rest.reduce(And)), anti)
+    }
+  }
+
   private def makeDelete(r: DataSourceV2Relation, t: GraftSparkTable,
                          cond: Expression): LogicalPlan = {
     val relIds = r.output.map(_.exprId).toSet
@@ -1074,17 +1104,48 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         decorrelateExists(ex, relIds).foreach { case (src, keys) =>
           return GraftDeleteJoinCommand(t, src, keys, anti = true)
         }
-      // a BARE single-column `k IN (<subquery>)` is the EXISTS semi-join
-      // in disguise (NULL subquery values never equality-match in either
-      // form, and NULL target keys fail both) — route it to deleteKeys so
-      // the subquery's size stops mattering (the literal-set path bounds
-      // at MaxDmlInSetValues; this one is a join). Composite conditions
-      // keep the bounded literal path below.
-      case InSubquery(Seq(a: AttributeReference), lq)
-          if relIds(a.exprId) && lq.plan.output.size == 1 =>
+      // a BARE `(k…) IN (<subquery>)` (single- or multi-column, every
+      // value a bare target column) is the EXISTS semi-join in disguise
+      // (NULL subquery values never equality-match in either form, and
+      // NULL target keys fail both) — route it to deleteKeys so the
+      // subquery's size stops mattering (the literal-set path bounds at
+      // MaxDmlInSetValues; this one is a join).
+      case InSubquery(values, lq)
+          if values.forall {
+            case a: AttributeReference => relIds(a.exprId)
+            case _ => false
+          } && values.map { case a: AttributeReference => a.name }
+            .distinct.size == values.size &&
+          lq.plan.output.size == values.size =>
+        val names = values.map { case a: AttributeReference => a.name }
         return GraftDeleteJoinCommand(t,
-          Project(Seq(Alias(lq.plan.output.head, a.name)()), lq.plan),
-          Seq(a.name), anti = false)
+          Project(lq.plan.output.zip(names).map { case (o, n) =>
+            Alias(o, n)() }, lq.plan),
+          names, anti = false)
+      // `[NOT] EXISTS (<key-equality>) AND <target-only residual>`: the
+      // merge machinery again — residual conjuncts become the matched
+      // (or NMBS) DELETE condition, evaluated per joined row
+      case _ if splitConjuncts(cond).exists {
+            case _: Exists | Not(_: Exists) => true
+            case _ => false
+          } =>
+        existsWithResidual(cond, relIds).foreach {
+          case (src, keys, residual, anti) =>
+            val cmd =
+              if (!anti) GraftMergeCommand(t, Distinct(src), keys,
+                updateWhen = lit(false),
+                deleteWhen = residual.map(toNamedColumn(_, relIds, "_t_"))
+                  .getOrElse(lit(true)),
+                insertWhen = lit(false),
+                updateSets = Some(Nil), insertSets = Some(Nil))
+              else GraftMergeCommand(t, Distinct(src), keys,
+                updateWhen = lit(false), deleteWhen = lit(false),
+                insertWhen = lit(false),
+                nmbsDeleteWhen = Some(residual
+                  .map(toNamedColumn(_, relIds)).getOrElse(lit(true))),
+                updateSets = Some(Nil), insertSets = Some(Nil))
+            return cmd
+        }
       case _ =>
     }
     def scalaV(l: Literal): Any =
@@ -1136,29 +1197,44 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // target columns — `_t_`-prefixed in the matched frame, plain in the
     // NMBS frame.
     cond match {
-      case Some(ex: Exists) =>
-        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
-          return GraftMergeCommand(t, Distinct(src), keys,
-            updateWhen = lit(true), deleteWhen = lit(false),
-            insertWhen = lit(false),
-            updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))
+      // one [NOT] EXISTS, optionally AND-ed with target-only residual
+      // conjuncts (the residual becomes the matched / NMBS update
+      // condition, evaluated per joined row)
+      case Some(c) if splitConjuncts(c).exists {
+            case _: Exists | Not(_: Exists) => true
+            case _ => false
+          } =>
+        existsWithResidual(c, relIds).foreach {
+          case (src, keys, residual, anti) =>
+            val cmd =
+              if (!anti) GraftMergeCommand(t, Distinct(src), keys,
+                updateWhen = residual.map(toNamedColumn(_, relIds, "_t_"))
+                  .getOrElse(lit(true)),
+                deleteWhen = lit(false), insertWhen = lit(false),
+                updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))
+              else GraftMergeCommand(t, Distinct(src), keys,
+                updateWhen = lit(false), deleteWhen = lit(false),
+                insertWhen = lit(false),
+                nmbsUpdateWhen = Some(residual
+                  .map(toNamedColumn(_, relIds)).getOrElse(lit(true))),
+                nmbsSets = buildSets(""),
+                updateSets = Some(Nil), insertSets = Some(Nil))
+            return cmd
         }
-      case Some(Not(ex: Exists)) =>
-        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
-          return GraftMergeCommand(t, Distinct(src), keys,
-            updateWhen = lit(false), deleteWhen = lit(false),
-            insertWhen = lit(false),
-            nmbsUpdateWhen = Some(lit(true)), nmbsSets = buildSets(""),
-            updateSets = Some(Nil), insertSets = Some(Nil))
-        }
-      // bare single-column `k IN (<subquery>)` ≡ the EXISTS semi-join
-      // (same NULL semantics for a filter) — join instead of a bounded
-      // literal set
-      case Some(InSubquery(Seq(a: AttributeReference), lq))
-          if relIds(a.exprId) && lq.plan.output.size == 1 =>
+      // bare `(k…) IN (<subquery>)` ≡ the EXISTS semi-join (same NULL
+      // semantics for a filter) — join instead of a bounded literal set
+      case Some(InSubquery(values, lq))
+          if values.forall {
+            case a: AttributeReference => relIds(a.exprId)
+            case _ => false
+          } && values.map { case a: AttributeReference => a.name }
+            .distinct.size == values.size &&
+          lq.plan.output.size == values.size =>
+        val names = values.map { case a: AttributeReference => a.name }
         return GraftMergeCommand(t,
-          Distinct(Project(Seq(Alias(lq.plan.output.head, a.name)()), lq.plan)),
-          Seq(a.name),
+          Distinct(Project(lq.plan.output.zip(names).map { case (o, n) =>
+            Alias(o, n)() }, lq.plan)),
+          names,
           updateWhen = lit(true), deleteWhen = lit(false),
           insertWhen = lit(false),
           updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))

@@ -326,6 +326,45 @@ class CatalogSpec extends SparkSpec {
       s"expected the loud unsupported-shape error, got: ${e.getMessage}")
   }
 
+  test("DML subquery composites: EXISTS AND residual, NOT EXISTS residual " +
+      "update, multi-column IN") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_exres")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 100).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    spark.range(0, 60).toDF("k").createOrReplaceTempView("exres_src")
+    // EXISTS + residual: covered ids with val >= 100 (i.e. id in 50..59)
+    spark.sql(
+      """DELETE FROM graft.db.t_exres t WHERE EXISTS (
+        |  SELECT 1 FROM exres_src s WHERE s.k = t.id) AND t.val >= 100
+        |""".stripMargin)
+    var ids = spark.sql("SELECT id FROM graft.db.t_exres")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L until 50L) ++ (60L until 100L)).toSet,
+      s"EXISTS+residual delete wrong: ${ids.size} rows")
+    // NOT EXISTS + residual UPDATE: uncovered ids (60..99) with id % 2 = 0
+    spark.sql(
+      """UPDATE graft.db.t_exres t SET val = -7 WHERE NOT EXISTS (
+        |  SELECT 1 FROM exres_src s WHERE s.k = t.id) AND t.id % 2 = 0
+        |""".stripMargin)
+    val neg = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_exres WHERE val = -7")
+      .collect()(0).getLong(0)
+    assert(neg == 20L, s"NOT EXISTS residual update: $neg rows")
+    // multi-column IN: (id, val) pairs — only exact pairs die
+    spark.range(0, 10).selectExpr("id AS a", "id * 2 AS b")
+      .createOrReplaceTempView("exres_pairs")
+    spark.sql(
+      """DELETE FROM graft.db.t_exres t WHERE (t.id, t.val) IN (
+        |  SELECT a, b FROM exres_pairs)""".stripMargin)
+    ids = spark.sql("SELECT id FROM graft.db.t_exres")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ < 10L) && ids.contains(10L),
+      s"multi-column IN delete wrong: ${ids.toSeq.sorted.take(12)}")
+  }
+
   test("CREATE OR REPLACE TABLE: atomic staged replace — nothing preserved, " +
       "mid-write failure leaves the old table readable") {
     wh // force the shared warehouse conf
