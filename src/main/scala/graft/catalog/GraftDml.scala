@@ -1258,7 +1258,12 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"graft MERGE supports equality-key ON, WHEN MATCHED [AND c] THEN " +
           s"UPDATE SET * | DELETE, WHEN NOT MATCHED [AND c] THEN INSERT *; " +
           s"got $what")
-    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    // WITH SCHEMA EVOLUTION needs no handling here: by the time the
+    // command is resolved, Spark's ResolveMergeIntoSchemaEvolution has
+    // already computed the source-only columns, applied them through
+    // GraftCatalog.alterTable (the engine's id-based addColumn), and
+    // reloaded the target relation — the merge below just sees the
+    // evolved schema (pre-existing rows read NULL for the new columns).
     // ON: conjunction of target.k = source.k (same column name — the
     // engine's mergeInto joins source columns by the target's key names)
     def stripAlias(e: Expression): Expression = e match {

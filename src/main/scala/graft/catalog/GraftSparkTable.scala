@@ -280,7 +280,12 @@ final class GraftSparkTable(
     JCollections.unmodifiableSet(new java.util.HashSet((
       if (metaKind.isDefined) Seq(TableCapability.BATCH_READ)
       else Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE)).asJava))
+        TableCapability.TRUNCATE,
+        // MERGE WITH SCHEMA EVOLUTION: lets Spark's
+        // ResolveMergeIntoSchemaEvolution compute the source-only columns
+        // and apply them through GraftCatalog.alterTable (the engine's
+        // id-based addColumn) before the merge resolves
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)).asJava))
 
   /** Reads never reach this Batch (the analysis-time substitution owns
     * them), but DSv2 consumers like `DESCRIBE TABLE EXTENDED` legitimately

@@ -607,6 +607,35 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.t_showc")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns through the " +
+      "engine's id-based addColumn, then merges under the evolved schema") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_mevol")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 100).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    spark.range(50, 150).toDF("id")
+      .withColumn("val", col("id") * 3)
+      .withColumn("note", concat(lit("n"), col("id")))
+      .createOrReplaceTempView("mevol_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.db.t_mevol t
+        |USING mevol_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(spark.table("graft.db.t_mevol").columns.toSeq ==
+      Seq("id", "val", "note"), "schema must gain the source-only column")
+    val got = spark.sql("SELECT id, val, note FROM graft.db.t_mevol")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2))))).toMap
+    val want = ((0L until 50L).map(i => i -> ((i * 2, None))) ++
+      (50L until 150L).map(i => i -> ((i * 3, Some(s"n$i"))))).toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("time travel: VERSION AS OF snapshot id and TIMESTAMP AS OF") {
     val g = fresh("t_travel") // snap 1: widget, snap 2: gizmo
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_travel VERSION AS OF 1")
