@@ -240,6 +240,32 @@ object CatalogQueries {
       "mexpr_t"
     })
 
+  /** MERGE WITH SCHEMA EVOLUTION: target (id, val) ids 0..199 val 2·id;
+    * the source adds a `note` column (n<id>) for ids 100..299. The merge
+    * evolves the schema through the catalog's addColumn, then updates
+    * matched rows and inserts the rest; pre-existing unmatched rows read
+    * NULL for the new column. */
+  private def mergeEvolveT(spark: SparkSession): Unit =
+    built.computeIfAbsent("mevolve_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "mevolve_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 200).toDF("id")
+          .withColumn("val", col("id") * 2))
+        .commit()
+      spark.range(100, 300).toDF("id")
+        .withColumn("val", col("id") * 3)
+        .withColumn("note", concat(lit("n"), col("id")))
+        .createOrReplaceTempView("graft_sql_mevolve_src")
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.cq.mevolve_t t
+          |USING graft_sql_mevolve_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      "mevolve_t"
+    })
+
   /** Full-snapshot reconciliation (MERGE `WHEN NOT MATCHED BY SOURCE`):
     * target ids 0..199 val 2·id; the source is the NEW snapshot 100..299
     * val 3·id. Matched rows take the source value, new rows insert, and
@@ -792,6 +818,11 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.mexpr_t")
     }),
 
+    "sql_merge_evolve" -> ((s, _) => {
+      mergeEvolveT(s)
+      s.sql("SELECT id, val, note FROM graft.cq.mevolve_t")
+    }),
+
     "sql_catalog_delete_exists" -> ((s, _) => {
       existsT(s)
       s.sql("SELECT id, val FROM graft.cq.exists_t")
@@ -1096,6 +1127,17 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // mevolve_t end state: 0..99 keep 2id with NULL note; 100..299 take
+    // the source's 3id + n<id>
+    "sql_merge_evolve" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val, note FROM (
+        |  SELECT range AS id, range * 2 AS val, CAST(NULL AS VARCHAR) AS note
+        |  FROM range(0, 100)
+        |  UNION ALL
+        |  SELECT range, range * 3, 'n' || CAST(range AS VARCHAR)
+        |  FROM range(100, 300)
+        |)""".stripMargin,
 
     // mexpr_t end state: 0..99 untouched; 100..199 2id+id%7 unless %10=5;
     // 200..299 inserted as (id%7)*100
