@@ -192,13 +192,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }.toSeq
 
+  /** `DEFAULT <literal>` from a CREATE-path StructField's metadata
+    * (Spark records the SQL text under EXISTS_DEFAULT/CURRENT_DEFAULT) →
+    * the engine's canonical-string initial default. Only foldable
+    * defaults are accepted; DEFAULT NULL means "no default". */
+  private def defaultFromMeta(f: org.apache.spark.sql.types.StructField)
+      : Option[String] = {
+    if (!f.metadata.contains("EXISTS_DEFAULT")) return None
+    val sqlText = f.metadata.getString("EXISTS_DEFAULT")
+    val e = SparkSession.active.sessionState.sqlParser.parseExpression(sqlText)
+    val lit = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+      case other if other.foldable =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          other.eval(null), other.dataType)
+      case _ => throw new UnsupportedOperationException(
+        s"non-literal DEFAULT for column ${f.name}: $sqlText")
+    }
+    Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(lit.value, lit.dataType)).map(String.valueOf)
+  }
+
   /** Create a fresh graft table at an arbitrary directory (the live table
     * dir, or a hidden staging dir for atomic REPLACE). */
   private def createAt(d: Path, schema: StructType,
                        partitions: Array[Transform],
                        properties: JMap[String, String]): Unit = {
     val gschema = GraftSchema(schema.fields.zipWithIndex.map { case (f, i) =>
-      GraftField(i + 1, f.name, f.dataType)
+      GraftField(i + 1, f.name, f.dataType, defaultFromMeta(f))
     }.toSeq)
     Files.createDirectories(d.getParent)
     new GraftTableGenerator(SparkSession.active, d.getParent.toString,

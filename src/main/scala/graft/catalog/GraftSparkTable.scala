@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.meta.{SnapshotLog, TableState}
@@ -259,7 +259,24 @@ final class GraftSparkTable(
 
   override def schema(): StructType = metaKind match {
     case Some(kind) => metaDf(SparkSession.active, kind).schema
-    case None => outlineState.schema.struct
+    case None =>
+      // surface persisted initial defaults as the CURRENT_DEFAULT /
+      // EXISTS_DEFAULT field metadata Spark's INSERT resolution reads —
+      // a partial-column INSERT then fills the declared default instead
+      // of NULL (the SUPPORT_COLUMN_DEFAULT_VALUE contract); rendered as
+      // a CAST('<canonical>' AS <type>) literal, type-safe for every
+      // column type the engine stores
+      StructType(outlineState.schema.fields.map { f =>
+        f.initialDefault match {
+          case Some(d) =>
+            val sqlText = s"CAST('${d.replace("'", "''")}' AS ${f.dataType.sql})"
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", sqlText)
+              .putString("EXISTS_DEFAULT", sqlText).build()
+            StructField(f.name, f.dataType, nullable = true, md)
+          case None => StructField(f.name, f.dataType, nullable = true)
+        }
+      })
   }
 
   override def partitioning(): Array[Transform] = {
