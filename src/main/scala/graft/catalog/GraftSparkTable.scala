@@ -297,7 +297,7 @@ final class GraftSparkTable(
     JCollections.unmodifiableSet(new java.util.HashSet((
       if (metaKind.isDefined) Seq(TableCapability.BATCH_READ)
       else Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
         // MERGE WITH SCHEMA EVOLUTION: lets Spark's
         // ResolveMergeIntoSchemaEvolution compute the source-only columns
         // and apply them through GraftCatalog.alterTable (the engine's
@@ -346,19 +346,60 @@ final class GraftSparkTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(metaKind.isEmpty, s"cannot write to metadata table $identName")
-    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
-      // INSERT OVERWRITE (static): Spark calls truncate() on the builder;
-      // the V1 write then stages the metadata-tier truncate and the bulk
-      // append into ONE "overwrite" snapshot
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // INSERT OVERWRITE: Spark calls truncate() for the whole-table form
+      // and overwrite(filters) for `PARTITION (col = v, …)` / filtered
+      // overwrites; the V1 write then stages the delete tier (metadata
+      // truncate, single-column deleteWhere, or file-pruned positional
+      // delete) and the bulk append into ONE "overwrite" snapshot
       private var overwriteAll = false
+      private var overwriteFilters: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        import org.apache.spark.sql.sources.AlwaysTrue
+        if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+          overwriteAll = true
+        else overwriteFilters = filters
+        this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new V1Write {
           override def toInsertableRelation: InsertableRelation =
             (data, overwrite) => {
+              import org.apache.spark.sql.functions.{col, lit}
+              import org.apache.spark.sql.sources.{EqualNullSafe => SEqN, EqualTo => SEq, Filter => SFilter}
               val spark = data.sparkSession
               val g = openGenerator(spark)
+              // a static PARTITION spec arrives as null-safe equality; a
+              // non-null value behaves exactly like plain equality for the
+              // delete tier (NULL rows never match either form)
+              def eqOf(f: SFilter): Option[(String, Any)] = f match {
+                case SEq(c, v) if v != null => Some((c, v))
+                case SEqN(c, v) if v != null => Some((c, v))
+                case _ => None
+              }
               if (overwriteAll || overwrite) g.truncate()
+              else overwriteFilters.toSeq match {
+                case Nil =>
+                case Seq(f) if eqOf(f).isDefined =>
+                  // the static single-partition overwrite: fully-covered
+                  // files drop at the metadata tier, residue goes row-level
+                  val (c, v) = eqOf(f).get
+                  g.deleteWhere(c, v, v)
+                case fs if fs.forall(eqOf(_).isDefined) =>
+                  val eqs = fs.map(eqOf(_).get)
+                  val pred = eqs.map { case (c, v) => col(c) === lit(v) }
+                    .reduce(_ && _)
+                  val eqMap = eqs.map { case (c, v) =>
+                    c -> Set(String.valueOf(v)) }.toMap
+                  g.positionalDeletePruned(pred, eqMap, Map.empty, eqMap)
+                case other => throw new UnsupportedOperationException(
+                  s"graft INSERT OVERWRITE supports whole-table and " +
+                    s"equality-conjunction filters; got ${other.mkString(", ")}")
+              }
               val conformed = data.select(
                 g.liveSchema.fields.map(f =>
                   org.apache.spark.sql.functions.col(f.name)

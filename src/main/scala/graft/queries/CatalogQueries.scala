@@ -240,6 +240,21 @@ object CatalogQueries {
       "mexpr_t"
     })
 
+  /** Static partition overwrite: parts a (0..9) and b (10..29); INSERT
+    * OVERWRITE PARTITION (part='a') replaces ONLY partition a with ids
+    * 100..102 (metadata-tier file drop + append, one snapshot). */
+  private def ovwPartT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ovwp_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.ovwp_t (id BIGINT, part STRING) " +
+        "PARTITIONED BY (part)")
+      spark.sql("INSERT INTO graft.cq.ovwp_t SELECT id, 'a' FROM range(0, 10)")
+      spark.sql("INSERT INTO graft.cq.ovwp_t SELECT id, 'b' FROM range(10, 30)")
+      spark.sql("INSERT OVERWRITE graft.cq.ovwp_t PARTITION (part = 'a') " +
+        "SELECT id FROM range(100, 103)")
+      "ovwp_t"
+    })
+
   /** MERGE WITH SCHEMA EVOLUTION: target (id, val) ids 0..199 val 2·id;
     * the source adds a `note` column (n<id>) for ids 100..299. The merge
     * evolves the schema through the catalog's addColumn, then updates
@@ -823,6 +838,12 @@ object CatalogQueries {
       s.sql("SELECT id, val, note FROM graft.cq.mevolve_t")
     }),
 
+    "sql_catalog_overwrite_part" -> ((s, _) => {
+      ovwPartT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum " +
+        "FROM graft.cq.ovwp_t GROUP BY part ORDER BY part")
+    }),
+
     "sql_catalog_delete_exists" -> ((s, _) => {
       existsT(s)
       s.sql("SELECT id, val FROM graft.cq.exists_t")
@@ -1127,6 +1148,15 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // ovwp_t end state: partition a replaced by 100..102, b untouched
+    "sql_catalog_overwrite_part" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM (
+        |  SELECT range AS id, 'a' AS part FROM range(100, 103)
+        |  UNION ALL SELECT range, 'b' FROM range(10, 30)
+        |) GROUP BY part ORDER BY part""".stripMargin,
 
     // mevolve_t end state: 0..99 keep 2id with NULL note; 100..299 take
     // the source's 3id + n<id>
