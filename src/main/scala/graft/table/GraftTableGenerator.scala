@@ -1026,10 +1026,25 @@ final class GraftTableGenerator(
       .select((if (partial) schema.names.map(n => col(s"_t_$n").as(n))
                else schema.names.map(col)) ++ keyCols.map(k =>
         col(s"_dk${schema.fieldId(k)}")): _*)
+    // NULL-key NMBS rows can never be addressed by an equality delete (the
+    // reader's key join is null-rejecting, so a NULL `_dk` row deletes
+    // nothing) — they die POSITIONALLY instead, in the same transaction,
+    // mirroring deleteKeysAnti's null-key leg. Sound because a NULL key
+    // never matches the ON join, so every null-key target row is NMBS by
+    // construction; the predicate re-derives exactly the classified rows.
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    nmbsClassified.foreach { n =>
+      if (!n.where(anyKeyNull).isEmpty) {
+        val doDel = coalesce(nmbsDeleteWhen.getOrElse(lit(false)), lit(false))
+        val doUpd = !doDel && coalesce(nmbsUpdateWhen.getOrElse(lit(false)), lit(false))
+        positionalDelete(anyKeyNull && (doDel || doUpd))
+      }
+    }
     val affected = nmbsClassified match {
       case Some(n) => matchedAffected.unionByName(
-        n.select(schema.names.map(col) ++ keyCols.map(k =>
-          col(s"_dk${schema.fieldId(k)}")): _*))
+        n.where(!anyKeyNull)
+          .select(schema.names.map(col) ++ keyCols.map(k =>
+            col(s"_dk${schema.fieldId(k)}")): _*))
       case None => matchedAffected
     }
     if (!affected.isEmpty) {

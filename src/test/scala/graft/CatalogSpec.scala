@@ -285,6 +285,53 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("NMBS on NULL-key target rows: DELETE actually removes them and " +
+      "UPDATE does not duplicate (positional-delete leg, not eq-delete)") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_nmbs_null")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    // rows 0..9 plus TWO null-key rows (val -1 and -2); a NULL key never
+    // matches the ON join, so both are NOT MATCHED BY SOURCE by definition
+    def nullKeyRows(vals: Long*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(v =>
+        org.apache.spark.sql.Row(null, v))),
+      StructType(Seq(StructField("id", LongType), StructField("val", LongType))))
+    g.appendData(spark.range(0, 10).toDF("id")
+      .withColumn("val", col("id") * 2)
+      .unionByName(nullKeyRows(-1L, -2L))).commit()
+    spark.range(0, 5).toDF("id").withColumn("val", col("id") * 10)
+      .createOrReplaceTempView("nmbs_null_src")
+    spark.sql(
+      """MERGE INTO graft.db.t_nmbs_null t USING nmbs_null_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE AND t.val = -1 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.val < 0
+        |  THEN UPDATE SET val = t.val - 100
+        |""".stripMargin)
+    val got = spark.sql("SELECT id, val FROM graft.db.t_nmbs_null")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    // null/-1 deleted (eq-delete with NULL _dk would silently no-op);
+    // null/-2 updated ONCE to -102 (eq-delete miss would leave a duplicate);
+    // 0..4 updated from source; 5..9 NMBS-unmatched-by-condition, untouched
+    val want = (Seq((-1L, -102L)) ++ (0L until 5L).map(i => (i, i * 10)) ++
+      (5L until 10L).map(i => (i, i * 2))).sorted
+    assert(got == want, s"got $got")
+    // API twin with vector deletes on: null-key NMBS rows merge into the DV
+    val g2 = new GraftTableGenerator(spark, s"$wh/db", "t_nmbs_null_dv")
+    g2.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g2.appendData(spark.range(1, 2).toDF("id").withColumn("val", lit(1L))
+      .unionByName(nullKeyRows(7L))).commit()
+    g2.vectorDeletes(true)
+    g2.mergeInto(spark.range(1, 2).toDF("id").withColumn("val", lit(5L)),
+      Seq("id"), nmbsDeleteWhen = Some(lit(true))).commit()
+    val got2 = MorReader.read(spark, g2.tableDir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((1L, 5L)), s"got $got2")
+  }
+
   test("DELETE WHERE [NOT] EXISTS routes to semi/anti-join deletes; " +
       "unsupported correlation stays a loud error") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_exists")
