@@ -207,8 +207,49 @@ case class GraftDmlExec(label: String, body: () => Unit) extends LeafExecNode {
   }
 }
 
+/** `SHOW VIEWS [IN graft.db] [LIKE 'pat']` — the warehouse listing runs
+  * at EXECUTION time (a cached/reused plan re-lists), with the LIKE
+  * pattern treated as Spark's filter-pattern language, not raw regex:
+  * `*` is a wildcard, `|` separates alternatives, everything else —
+  * including regex metacharacters — matches literally. */
+case class GraftShowViewsCommand(catalog: GraftCatalog, ns: Seq[String],
+                                 pattern: Option[String],
+                                 override val output: Seq[Attribute])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  def rows(): Seq[InternalRow] = {
+    val names = catalog.listViews(ns: _*).map(_.name).sorted.toSeq
+    val filtered = pattern match {
+      case Some(p) =>
+        val res = p.trim.split("\\|").toSeq.map(sub =>
+          ("(?i)" + sub.split("\\*", -1).map(s =>
+            if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+            .mkString(".*")).r)
+        names.filter(n => res.exists(_.pattern.matcher(n).matches))
+      case None => names
+    }
+    filtered.map(n => InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ns.mkString(".")),
+      org.apache.spark.unsafe.types.UTF8String.fromString(n), false))
+  }
+}
+
+/** Row-producing driver-side exec for metadata listings (SHOW VIEWS):
+  * the body runs at execute time, not plan time. */
+case class GraftRowsExec(label: String, override val output: Seq[Attribute],
+                         body: () => Seq[InternalRow]) extends LeafExecNode {
+  override protected def doExecute(): RDD[InternalRow] = {
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(output.map(_.dataType).toArray)
+    sparkContext.parallelize(
+      body().map(r => proj(r).copy(): InternalRow), 1)
+  }
+}
+
 case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case sv: GraftShowViewsCommand =>
+      GraftRowsExec(s"graft show views ${sv.ns.mkString(".")}", sv.output,
+        () => sv.rows()) :: Nil
     case GraftDeleteCommand(t, cond, range, prune) =>
       GraftDmlExec(s"graft delete ${t.name()}", () => {
         val g = t.openGenerator(spark)
@@ -360,6 +401,12 @@ object GraftCatalogRule {
     * beyond it the correct tool is MERGE INTO (a join, not a literal
     * list), and the error says so. */
   val MaxDmlInSetValues = 100000
+
+  /** Set of view names already expanded along a plan path — the cycle
+    * guard for read-time view expansion (mutual recursion detection). */
+  val ExpandedViewsTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Set[String]](
+      "graft.expandedViews")
 }
 
 case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -518,18 +565,49 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if !u.isStreaming && GraftViews.target(spark, u.multipartIdentifier)
           .exists { case (g, id) => g.viewExists(id) } =>
       val (g, ident) = GraftViews.target(spark, u.multipartIdentifier).get
+      // cycle guard for the fixed-point expansion: the tag carries the set
+      // of view names already expanded along THIS path (mutual recursion
+      // v1→v2→v1 escapes the CREATE-time direct-self-reference check and
+      // would otherwise re-expand forever)
+      val viewKey = (g.name +: ident.namespace.toSeq :+ ident.name)
+        .mkString(".").toLowerCase
+      val expandedSoFar = u.getTagValue(GraftCatalogRule.ExpandedViewsTag)
+        .getOrElse(Set.empty[String])
+      if (expandedSoFar.contains(viewKey))
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "RECURSIVE_VIEW",
+          messageParameters = Map(
+            "viewIdent" -> viewKey,
+            "newPath" -> (expandedSoFar + viewKey).mkString(" -> ")))
       val v = g.loadView(ident)
       val parser = spark.sessionState.sqlParser
       var body = parser.parseQuery(v.query)
-      // single-part table refs resolve in the view's DEFINITION context —
-      // unless the body declares CTEs, whose names must stay unqualified
-      val hasCte = body.exists(_.isInstanceOf[UnresolvedWith])
-      if (!hasCte) body = body.transform {
+      // CTE handling must happen HERE: the analyzer's Substitution batch
+      // (which turns UnresolvedWith into WithCTE/CTERelationRef) already
+      // ran before this resolution-batch expansion injects the body, so an
+      // un-substituted WITH would never bind. Substituting first also makes
+      // definition-context qualification sound — afterwards every remaining
+      // UnresolvedRelation is a genuine table/view reference (CTE aliases
+      // became CTERelationRef nodes), so single-part names qualify
+      // unconditionally. ResolveWithCTE in the resolution batch finishes
+      // the CTERelationRef wiring.
+      if (body.exists(_.isInstanceOf[UnresolvedWith]))
+        body = org.apache.spark.sql.catalyst.analysis.CTESubstitution(body)
+      // single-part table refs resolve in the view's DEFINITION context
+      body = body.transformDownWithSubqueries {
         case ur: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
             if ur.multipartIdentifier.size == 1 =>
           ur.copy(multipartIdentifier =
             (v.currentCatalog +: v.currentNamespace.toSeq) ++
               ur.multipartIdentifier)
+      }
+      // propagate the expansion path onto every relation inside the body
+      // so a nested re-expansion of the same view trips the guard above
+      val pathHere = expandedSoFar + viewKey
+      body.foreachWithSubqueries {
+        case ur: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          ur.setTagValue(GraftCatalogRule.ExpandedViewsTag, pathHere)
+        case _ =>
       }
       val aliased =
         if (v.columnAliases != null && v.columnAliases.nonEmpty)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.catalog.{GraftCatalog, GraftCreateViewCommand, GraftDropViewCommand, GraftRenameViewCommand, GraftUpdateSpecDdl, GraftViews}
+import graft.catalog.{GraftCatalog, GraftCreateViewCommand, GraftDropViewCommand, GraftRenameViewCommand, GraftShowViewsCommand, GraftUpdateSpecDdl, GraftViews}
 
 /** Parser-injection shim (the same pattern Iceberg's Spark extensions
   * use): recognizes the partition-evolution DDL the vanilla Spark parser
@@ -133,17 +133,9 @@ object GraftSqlParser {
         case un: UnresolvedNamespace =>
           GraftViews.namespace(session, un.multipartIdentifier) match {
             case Some((g, ns)) =>
-              val names = g.listViews(ns: _*).map(_.name).sorted.toSeq
-              val filtered = sv.pattern match {
-                case Some(p) =>
-                  val res = p.split("\\|").toSeq
-                    .map(x => ("(?i)" + x.replace("*", ".*")).r)
-                  names.filter(n => res.exists(_.pattern.matcher(n).matches))
-                case None => names
-              }
-              LocalRelation(sv.output, filtered.map(n => InternalRow(
-                UTF8String.fromString(ns.mkString(".")),
-                UTF8String.fromString(n), false)))
+              // listing + pattern-matching happen at EXECUTION, inside the
+              // command node (quoted filter-pattern semantics, not raw regex)
+              GraftShowViewsCommand(g, ns, sv.pattern, sv.output)
             case None => sv
           }
         case _ => sv
@@ -168,17 +160,27 @@ object GraftSqlParser {
   private def transform(s: String): String = s.replaceAll("\\s+", "")
 
   def partitionFieldDdl(sqlText: String,
-                        delegate: ParserInterface): Option[LogicalPlan] =
+                        delegate: ParserInterface): Option[LogicalPlan] = {
+    // the regexes are intentionally loose (lazy `.+?` captures), so a
+    // statement that merely CONTAINS the keywords inside a string literal
+    // or comment can false-match — when the captured table name is not a
+    // parseable identifier, fall back to the delegate's normal parse
+    // instead of failing inside parseMultipartIdentifier
+    def tryBuild(table: String)(mk: Seq[String] => LogicalPlan)
+        : Option[LogicalPlan] =
+      scala.util.Try(delegate.parseMultipartIdentifier(table))
+        .toOption.map(mk)
     sqlText match {
       case AddRe(table, tr) =>
-        Some(GraftUpdateSpecDdl(delegate.parseMultipartIdentifier(table),
-          add = Seq(transform(tr)), drop = Nil))
+        tryBuild(table)(GraftUpdateSpecDdl(_, add = Seq(transform(tr)),
+          drop = Nil))
       case DropRe(table, tr) =>
-        Some(GraftUpdateSpecDdl(delegate.parseMultipartIdentifier(table),
-          add = Nil, drop = Seq(transform(tr))))
+        tryBuild(table)(GraftUpdateSpecDdl(_, add = Nil,
+          drop = Seq(transform(tr))))
       case ReplaceRe(table, oldTr, newTr) =>
-        Some(GraftUpdateSpecDdl(delegate.parseMultipartIdentifier(table),
-          add = Seq(transform(newTr)), drop = Seq(transform(oldTr))))
+        tryBuild(table)(GraftUpdateSpecDdl(_, add = Seq(transform(newTr)),
+          drop = Seq(transform(oldTr))))
       case _ => None
     }
+  }
 }

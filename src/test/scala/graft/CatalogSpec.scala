@@ -498,6 +498,14 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == 30L)
     // normal SQL is untouched by the parser shim
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
+    // a statement that merely CONTAINS the DDL keywords inside a string
+    // literal is NOT hijacked — it parses normally through the delegate
+    spark.sql("ALTER TABLE graft.db.t_pf SET TBLPROPERTIES " +
+      "('note'='how to ADD PARTITION FIELD x in a comment')")
+    val note = spark.sql("SHOW TBLPROPERTIES graft.db.t_pf").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(note.get("note").exists(_.contains("ADD PARTITION FIELD")),
+      s"TBLPROPERTIES statement was hijacked by the partition-DDL regex: $note")
     spark.sql("DROP TABLE graft.db.t_pf")
   }
 
@@ -550,6 +558,14 @@ class CatalogSpec extends SparkSpec {
       s"SHOW VIEWS missing entries: $shown")
     assert(spark.sql("SHOW VIEWS IN graft.db LIKE 'v_tra*'").collect()
       .map(_.getString(1)).toSeq == Seq("v_travel"))
+    // LIKE is Spark's filter-pattern language, not raw regex: metachars
+    // match literally (no PatternSyntaxException), `|` separates, `*` globs
+    assert(spark.sql("SHOW VIEWS IN graft.db LIKE 'v_tra+vel'").collect()
+      .isEmpty, "'+' must match literally, not as a regex quantifier")
+    assert(spark.sql("SHOW VIEWS IN graft.db LIKE 'v(trav*'").collect()
+      .isEmpty, "'(' must not throw PatternSyntaxException")
+    assert(spark.sql("SHOW VIEWS IN graft.db LIKE 'v_trav*|v_prod*'")
+      .collect().map(_.getString(1)).toSet == Set("v_travel", "v_products"))
     // ALTER VIEW ... AS replaces in place; missing views stay an error
     spark.sql("ALTER VIEW graft.db.v_alias AS " +
       "SELECT count(*) AS c FROM graft.db.t_vbase")
@@ -571,6 +587,47 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("DROP VIEW graft.db.v_absent") }
     Seq("v_products", "v_travel", "v_alias").foreach(v =>
       spark.sql(s"DROP VIEW graft.db.$v"))
+  }
+
+  test("views: CTE bodies still qualify OUTER table refs in the view's " +
+      "definition context; mutual view recursion raises a clear error") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_cte_rel")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 10).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    // define the view with the graft catalog CURRENT, using a single-part
+    // table name inside a CTE body
+    spark.sql("USE graft.db")
+    spark.sql("CREATE VIEW graft.db.v_cte AS " +
+      "WITH c AS (SELECT id, val FROM t_cte_rel WHERE id < 5) " +
+      "SELECT sum(val) AS s FROM c")
+    // read from a DIFFERENT context, with a decoy temp view shadowing the
+    // single-part name — definition-context qualification must win
+    spark.sql("USE spark_catalog.default")
+    spark.range(0, 3).toDF("id").withColumn("val", lit(1000L))
+      .createOrReplaceTempView("t_cte_rel")
+    assert(spark.sql("SELECT s FROM graft.db.v_cte")
+      .collect()(0).getLong(0) == (0L until 5L).map(_ * 2).sum,
+      "CTE-bearing view body must resolve outer refs in the view's " +
+        "definition context, not the reader's")
+    spark.catalog.dropTempView("t_cte_rel")
+    // mutual recursion: v_m1 -> v_m2 -> v_m1 escapes the CREATE-time
+    // direct-self-reference check; the READ must fail loudly, not diverge
+    spark.sql("CREATE VIEW graft.db.v_m1 AS " +
+      "SELECT id FROM graft.db.t_cte_rel")
+    spark.sql("CREATE VIEW graft.db.v_m2 AS SELECT id FROM graft.db.v_m1")
+    spark.sql("CREATE OR REPLACE VIEW graft.db.v_m1 AS " +
+      "SELECT id FROM graft.db.v_m2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.v_m1").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("recursive"),
+      s"expected a recursive-view error, got: ${e.getMessage}")
+    Seq("v_cte", "v_m1", "v_m2").foreach(v =>
+      spark.sql(s"DROP VIEW graft.db.$v"))
+    spark.sql("DROP TABLE graft.db.t_cte_rel")
   }
 
   test("MERGE with expression assignments: UPDATE SET over target+source, " +
