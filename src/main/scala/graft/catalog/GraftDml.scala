@@ -250,6 +250,20 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     case sv: GraftShowViewsCommand =>
       GraftRowsExec(s"graft show views ${sv.ns.mkString(".")}", sv.output,
         () => sv.rows()) :: Nil
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic: the V2Writes
+    // optimizer rule built our V1 write through SupportsDynamicOverwrite,
+    // but vanilla planning has no V1 exec for OverwritePartitionsDynamic
+    // (only append/filter overwrites) — run the insertable relation here.
+    // The engine stages metadata-tier partition drops + the bulk append
+    // into ONE "overwrite" snapshot.
+    case o @ org.apache.spark.sql.catalyst.plans.logical
+        .OverwritePartitionsDynamic(rel: DataSourceV2Relation, _, _, _,
+          Some(v1w: org.apache.spark.sql.connector.write.V1Write))
+        if rel.table.isInstanceOf[GraftSparkTable] =>
+      GraftDmlExec(s"graft dynamic overwrite ${rel.table.name()}", () => {
+        val df = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, o.query)
+        v1w.toInsertableRelation.insert(df, false)
+      }) :: Nil
     case GraftDeleteCommand(t, cond, range, prune) =>
       GraftDmlExec(s"graft delete ${t.name()}", () => {
         val g = t.openGenerator(spark)

@@ -298,6 +298,11 @@ final class GraftSparkTable(
       if (metaKind.isDefined) Seq(TableCapability.BATCH_READ)
       else Seq(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+        // OVERWRITE_DYNAMIC's capability check demands the pure-V2
+        // BATCH_WRITE flag (V1_BATCH_WRITE does not count). Every write
+        // this table builds is a V1Write, and GraftDmlStrategy plans the
+        // dynamic-overwrite command itself, so toBatch is never reached.
+        TableCapability.BATCH_WRITE, TableCapability.OVERWRITE_DYNAMIC,
         // MERGE WITH SCHEMA EVOLUTION: lets Spark's
         // ResolveMergeIntoSchemaEvolution compute the source-only columns
         // and apply them through GraftCatalog.alterTable (the engine's
@@ -347,16 +352,23 @@ final class GraftSparkTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(metaKind.isEmpty, s"cannot write to metadata table $identName")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
-      // INSERT OVERWRITE: Spark calls truncate() for the whole-table form
-      // and overwrite(filters) for `PARTITION (col = v, …)` / filtered
-      // overwrites; the V1 write then stages the delete tier (metadata
-      // truncate, single-column deleteWhere, or file-pruned positional
-      // delete) and the bulk append into ONE "overwrite" snapshot
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      // INSERT OVERWRITE: Spark calls truncate() for the whole-table form,
+      // overwrite(filters) for `PARTITION (col = v, …)` / filtered
+      // overwrites, and overwriteDynamicPartitions() under
+      // partitionOverwriteMode=dynamic; the V1 write then stages the
+      // delete tier (metadata truncate, metadata partition drop,
+      // single-column deleteWhere, or file-pruned positional delete) and
+      // the bulk append into ONE "overwrite" snapshot
       private var overwriteAll = false
+      private var overwriteDyn = false
       private var overwriteFilters: Array[org.apache.spark.sql.sources.Filter] =
         Array.empty
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        overwriteDyn = true; this
+      }
       override def overwrite(
           filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
         import org.apache.spark.sql.sources.AlwaysTrue
@@ -381,7 +393,12 @@ final class GraftSparkTable(
                 case SEqN(c, v) if v != null => Some((c, v))
                 case _ => None
               }
-              if (overwriteAll || overwrite) g.truncate()
+              val conformed = data.select(
+                g.liveSchema.fields.map(f =>
+                  org.apache.spark.sql.functions.col(f.name)
+                    .cast(f.dataType).as(f.name)): _*)
+              if (overwriteDyn) g.overwriteDynamic(conformed)
+              else if (overwriteAll || overwrite) g.truncate()
               else overwriteFilters.toSeq match {
                 case Nil =>
                 case Seq(f) if eqOf(f).isDefined =>
@@ -400,10 +417,6 @@ final class GraftSparkTable(
                   s"graft INSERT OVERWRITE supports whole-table and " +
                     s"equality-conjunction filters; got ${other.mkString(", ")}")
               }
-              val conformed = data.select(
-                g.liveSchema.fields.map(f =>
-                  org.apache.spark.sql.functions.col(f.name)
-                    .cast(f.dataType).as(f.name)): _*)
               val nFiles = math.max(1,
                 math.min(data.rdd.getNumPartitions, 64))
               g.appendBulk(conformed, nFiles).commit()

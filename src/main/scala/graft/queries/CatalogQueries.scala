@@ -255,6 +255,23 @@ object CatalogQueries {
       "ovwp_t"
     })
 
+  /** Dynamic partition overwrite: partitions a and d replaced/created by
+    * the batch under partitionOverwriteMode=dynamic; b untouched. */
+  private def ovwDynT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ovwd_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.ovwd_t (id BIGINT, part STRING) " +
+        "PARTITIONED BY (part)")
+      spark.sql("INSERT INTO graft.cq.ovwd_t SELECT id, 'a' FROM range(0, 10)")
+      spark.sql("INSERT INTO graft.cq.ovwd_t SELECT id, 'b' FROM range(10, 30)")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql("INSERT OVERWRITE graft.cq.ovwd_t " +
+        "SELECT id, CASE WHEN id < 203 THEN 'a' ELSE 'd' END AS part " +
+        "FROM range(200, 206)")
+      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      "ovwd_t"
+    })
+
   /** MERGE WITH SCHEMA EVOLUTION: target (id, val) ids 0..199 val 2·id;
     * the source adds a `note` column (n<id>) for ids 100..299. The merge
     * evolves the schema through the catalog's addColumn, then updates
@@ -844,6 +861,12 @@ object CatalogQueries {
         "FROM graft.cq.ovwp_t GROUP BY part ORDER BY part")
     }),
 
+    "sql_catalog_overwrite_dyn" -> ((s, _) => {
+      ovwDynT(s)
+      s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum " +
+        "FROM graft.cq.ovwd_t GROUP BY part ORDER BY part")
+    }),
+
     "sql_catalog_delete_exists" -> ((s, _) => {
       existsT(s)
       s.sql("SELECT id, val FROM graft.cq.exists_t")
@@ -1148,6 +1171,17 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // ovwd_t end state (dynamic overwrite): a replaced by 200..202,
+    // d created with 203..205, b untouched
+    "sql_catalog_overwrite_dyn" ->
+      """SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM (
+        |  SELECT range AS id, 'a' AS part FROM range(200, 203)
+        |  UNION ALL SELECT range, 'b' FROM range(10, 30)
+        |  UNION ALL SELECT range, 'd' FROM range(203, 206)
+        |) GROUP BY part ORDER BY part""".stripMargin,
 
     // ovwp_t end state: partition a replaced by 100..102, b untouched
     "sql_catalog_overwrite_part" ->

@@ -587,6 +587,55 @@ final class GraftTableGenerator(
     this
   }
 
+  /** DYNAMIC partition overwrite (INSERT OVERWRITE under
+    * `partitionOverwriteMode=dynamic`): stage the removal of EXACTLY the
+    * partitions present in `df`, leaving every other partition untouched —
+    * the daily re-materialization idiom. One tiny distinct job computes
+    * the batch's partition tuples under the CURRENT spec (O(#touched
+    * partitions) driver memory, loudly capped); live data files with a
+    * matching tuple drop at the METADATA tier — no scan, no tombstones,
+    * and the dropped files stay on disk for time travel, exactly like
+    * [[truncate]]. Partition-scoped delete files for those tuples retire
+    * in the same edit (their targets are gone); GLOBAL-scope delete files
+    * stay — they only kill rows with LOWER sequence numbers, so the fresh
+    * append is never affected. The caller appends the batch and commits:
+    * one "overwrite" snapshot.
+    *
+    * Files written under OLDER specs keep their own partition tuples and
+    * are matched only when the tuples coincide (Iceberg ReplacePartitions
+    * semantics — dynamic overwrite addresses current-spec partitions;
+    * evolve-then-compact first for mixed-spec tables). */
+  def overwriteDynamic(df: DataFrame): this.type = {
+    requireCreated("overwriteDynamic()")
+    require(partitionCols.nonEmpty,
+      "dynamic partition overwrite needs a partitioned table; " +
+        "an unpartitioned INSERT OVERWRITE is truncate()+append")
+    val ts = transforms
+    val ves = ts.map { t =>
+      val dt = schema.fields.find(_.name == t.source)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition transform source ${t.source} not in schema")).dataType
+      t.valueExpr(dt).cast("string")
+    }
+    val cap = GraftTableGenerator.MaxDynamicOverwritePartitions
+    val rows = df.select(
+        ves.zipWithIndex.map { case (v, i) => v.as(s"_pv$i") }: _*)
+      .distinct().limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"dynamic overwrite batch touches more than $cap partitions — " +
+        "that is a whole-table rewrite; use INSERT OVERWRITE (truncate)")
+    val tuples = rows.map(r => ts.zipWithIndex.map { case (t, i) =>
+      t.partName -> r.getString(i) }.toMap).toSet
+    nextOpSeq()
+    val st = lineage(log.load())
+    stagedRemovedData ++= st.dataFiles
+      .filter(f => tuples.contains(f.partition)).map(_.path)
+    stagedRemovedDeletes ++= st.deleteFiles
+      .filter(f => f.partition.nonEmpty && tuples.contains(f.partition))
+      .map(_.path)
+    this
+  }
+
   /** Toggle Iceberg-v3 NATIVE deletion-vector writes: while enabled,
     * [[positionalDelete]] merges its matches into the partition's single
     * deletion vector (read old vector, OR bitmaps, stage replacement)
@@ -2342,6 +2391,11 @@ object GraftTableGenerator {
   /** Metrics are inferred for at most this many leading schema columns
     * (Iceberg `write.metadata.metrics.max-inferred-column-defaults`). */
   val MetricsMaxCols = 32
+
+  /** Bound on the distinct partition tuples a dynamic overwrite batch may
+    * carry — beyond it the operation is effectively a table rewrite and
+    * the error says to use the truncate form instead. */
+  val MaxDynamicOverwritePartitions = 100000
 
   /** Observability counter (tests): data files planned by GENERATOR-side
     * scans (positional-delete matching, compaction grouping) — the
