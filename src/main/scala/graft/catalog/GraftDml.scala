@@ -186,7 +186,8 @@ case class GraftMergeCommand(
     nmbsDeleteWhen: Option[Column] = None,
     nmbsSets: Seq[(String, Column)] = Nil,
     updateSets: Option[Seq[(String, Column)]] = None,
-    insertSets: Option[Seq[(String, Column)]] = None)
+    insertSets: Option[Seq[(String, Column)]] = None,
+    onResidual: Option[Column] = None)
   extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
@@ -383,7 +384,8 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
             deleteWhen = m.deleteWhen, insertWhen = m.insertWhen,
             nmbsUpdateWhen = m.nmbsUpdateWhen,
             nmbsDeleteWhen = m.nmbsDeleteWhen, nmbsSets = m.nmbsSets,
-            updateSets = m.updateSets, insertSets = m.insertSets)
+            updateSets = m.updateSets, insertSets = m.insertSets,
+            onResidual = m.onResidual)
           .commit()
       }) :: Nil
     case _ => Nil
@@ -1363,22 +1365,48 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Cast(c, _, _, _) => stripAlias(c)
       case x => x
     }
-    val keyCols = splitConjuncts(m.mergeCondition).map { c =>
-      c match {
-        case EqualTo(x, y) => (stripAlias(x), stripAlias(y)) match {
-          case (a: AttributeReference, b: AttributeReference)
-              if tgtIds(a.exprId) && srcIds(b.exprId) && a.name == b.name => a.name
-          case (b: AttributeReference, a: AttributeReference)
-              if tgtIds(a.exprId) && srcIds(b.exprId) && a.name == b.name => a.name
-          case _ => unsupported(s"ON conjunct ${c.sql}")
-        }
-        case _ => unsupported(s"ON conjunct ${c.sql}")
+    // key-equality conjuncts drive ROUTING and the target read's key-
+    // envelope pruning; every other conjunct (time bands, ranges — the
+    // CDC event-time shape) rides into the join as a RESIDUAL that only
+    // narrows matches, which keys equality keeps sound for pruning
+    def keyOf(c: Expression): Option[String] = c match {
+      case EqualTo(x, y) => (stripAlias(x), stripAlias(y)) match {
+        case (a: AttributeReference, b: AttributeReference)
+            if tgtIds(a.exprId) && srcIds(b.exprId) && a.name == b.name =>
+          Some(a.name)
+        case (b: AttributeReference, a: AttributeReference)
+            if tgtIds(a.exprId) && srcIds(b.exprId) && a.name == b.name =>
+          Some(a.name)
+        case _ => None
       }
+      case _ => None
+    }
+    val conjuncts = splitConjuncts(m.mergeCondition)
+    val keyCols = conjuncts.flatMap(keyOf)
+    if (keyCols.isEmpty)
+      unsupported(s"ON ${m.mergeCondition.sql} — at least one " +
+        "target.k = source.k equality conjunct is required")
+    val residConjs = conjuncts.filter(keyOf(_).isEmpty)
+    residConjs.foreach { c =>
+      if (c.exists(_.isInstanceOf[SubqueryExpression]))
+        unsupported(s"subquery in ON conjunct ${c.sql}")
     }
     // the merge conditions evaluate over the engine's joined frame: source
-    // columns under their own names, matched-target columns under _t_
+    // columns under their own names, matched-target columns under _t_.
+    // `With`/CommonExpressionRef shapes (how BETWEEN resolves in Spark 4)
+    // are inlined first — a With whose attributes become Unresolved breaks
+    // its own dataType plumbing, and re-analysis re-deduplicates anyway.
+    def inlineWith(e: Expression): Expression = e.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val byId = w.defs.map(d => d.id -> inlineWith(d.child)).toMap
+        w.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            byId(r.id)
+        }
+    }
     def condCol(e: Option[Expression], default: Column): Column =
-      e.map(x => org.apache.spark.sql.graft.GraftSqlShim.column(x.transform {
+      e.map(x => org.apache.spark.sql.graft.GraftSqlShim.column(
+        inlineWith(x).transform {
         case a: AttributeReference if tgtIds(a.exprId) =>
           UnresolvedAttribute(Seq(s"_t_${a.name}"))
         case a: AttributeReference if srcIds(a.exprId) =>
@@ -1445,7 +1473,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // making the order-sensitive case (UPDATE listed before DELETE, row
     // satisfies both) come out right under either application order.
     def nmbsExprCol(e: Expression, what: String): Column =
-      org.apache.spark.sql.graft.GraftSqlShim.column(e.transform {
+      org.apache.spark.sql.graft.GraftSqlShim.column(inlineWith(e).transform {
         case a: AttributeReference if tgtIds(a.exprId) =>
           UnresolvedAttribute(Seq(a.name))
         case a: AttributeReference if srcIds(a.exprId) =>
@@ -1483,9 +1511,11 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => unsupported(s"not-matched-by-source action $other")
       }
     }
+    val onResidual = residConjs.reduceOption(And)
+      .map(e => condCol(Some(e), lit(true)))
     GraftMergeCommand(t, m.sourceTable, keyCols,
       updateWhen, deleteWhen, insertWhen,
       nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets,
-      updateSets, insertSets)
+      updateSets, insertSets, onResidual)
   }
 }

@@ -255,6 +255,32 @@ object CatalogQueries {
       "ovwp_t"
     })
 
+  /** MERGE ON with a non-equi residual (the CDC event-time band): target
+    * ids 0..299 ts=10·id; source ids 0..399 ts=10·id+(id%9), in the ±5
+    * band iff id%9 ≤ 5 — in-band rows update, out-of-band rows insert a
+    * sibling, uncovered ids insert. */
+  private def mergeRangeT(spark: SparkSession): Unit =
+    built.computeIfAbsent("mrange_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "mrange_t")
+        .create(GraftSchema.of(
+          "id" -> LongType, "ts" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 300).toDF("id")
+          .withColumn("ts", col("id") * 10)
+          .withColumn("val", col("id"))).commit()
+      spark.range(0, 400).toDF("id")
+        .withColumn("ts", col("id") * 10 + col("id") % 9)
+        .withColumn("val", col("id") + 1000)
+        .createOrReplaceTempView("graft_sql_mrange_src")
+      spark.sql(
+        """MERGE INTO graft.cq.mrange_t t USING graft_sql_mrange_src s
+          |ON t.id = s.id AND s.ts BETWEEN t.ts - 5 AND t.ts + 5
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      "mrange_t"
+    })
+
   /** Dynamic partition overwrite: partitions a and d replaced/created by
     * the batch under partitionOverwriteMode=dynamic; b untouched. */
   private def ovwDynT(spark: SparkSession): Unit =
@@ -861,6 +887,11 @@ object CatalogQueries {
         "FROM graft.cq.ovwp_t GROUP BY part ORDER BY part")
     }),
 
+    "sql_merge_range" -> ((s, _) => {
+      mergeRangeT(s)
+      s.sql("SELECT id, ts, val FROM graft.cq.mrange_t")
+    }),
+
     "sql_catalog_overwrite_dyn" -> ((s, _) => {
       ovwDynT(s)
       s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum " +
@@ -1171,6 +1202,21 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // mrange_t end state: in-band (id%9<=5) updated; out-of-band old rows
+    // survive with an inserted sibling; 300..399 inserted
+    "sql_merge_range" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(ts AS BIGINT) AS ts,
+        |       CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id, range*10 + range%9 AS ts, range + 1000 AS val
+        |  FROM range(0, 300) WHERE range % 9 <= 5
+        |  UNION ALL SELECT range, range*10, range
+        |  FROM range(0, 300) WHERE range % 9 > 5
+        |  UNION ALL SELECT range, range*10 + range%9, range + 1000
+        |  FROM range(0, 300) WHERE range % 9 > 5
+        |  UNION ALL SELECT range, range*10 + range%9, range + 1000
+        |  FROM range(300, 400)
+        |)""".stripMargin,
 
     // ovwd_t end state (dynamic overwrite): a replaced by 200..202,
     // d created with 203..205, b untouched

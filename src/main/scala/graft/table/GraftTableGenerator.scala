@@ -962,7 +962,8 @@ final class GraftTableGenerator(
                 nmbsDeleteWhen: Option[Column] = None,
                 nmbsSets: Seq[(String, Column)] = Nil,
                 updateSets: Option[Seq[(String, Column)]] = None,
-                insertSets: Option[Seq[(String, Column)]] = None): this.type = {
+                insertSets: Option[Seq[(String, Column)]] = None,
+                onResidual: Option[Column] = None): this.type = {
     requireCreated("mergeInto")
     // Non-star clause projections (`UPDATE SET val = _t_val + bonus`,
     // `INSERT (id, val) VALUES (id, -1)`): expressions over source columns
@@ -1021,8 +1022,15 @@ final class GraftTableGenerator(
     val tgt = tgtBase
       .select(schema.names.map(n => col(n).as(s"_t_$n")) :+ lit(true).as("_t_matched"): _*)
 
+    // `onResidual`: extra non-equi ON conjuncts (time bands, ranges) over
+    // source columns (plain names) and target columns (`_t_` prefix). Key
+    // equality stays NECESSARY for a match, so the key-envelope file
+    // pruning above remains sound; the residual only narrows matches —
+    // a key-matching source row whose residual fails is NOT MATCHED
+    // (inserts), and the target row it key-touched stays NMBS, per SQL.
+    val keyJoin = keyCols.map(k => col(k) === col(s"_t_$k")).reduce(_ && _)
     val joined = source.join(tgt,
-      keyCols.map(k => col(k) === col(s"_t_$k")).reduce(_ && _), "left_outer")
+      onResidual.map(keyJoin && _).getOrElse(keyJoin), "left_outer")
     val matched = col("_t_matched").isNotNull
     val doDel = matched && coalesce(deleteWhen, lit(false))
     val doUpd = matched && !coalesce(deleteWhen, lit(false)) &&
@@ -1040,7 +1048,10 @@ final class GraftTableGenerator(
     val classified = joined.select(
       classifiedCols ++ canonicalKeys ++ Seq(
         doDel.as("_do_del"), doUpd.as("_do_upd"), doIns.as("_do_ins"),
-        (matched && count(lit(1)).over(
+        // count MATCHED rows only: under a residual ON, same-key source
+        // rows can differ in matching, and an unmatched sibling must not
+        // trip the cardinality guard
+        (matched && count(when(matched, lit(1))).over(
           Window.partitionBy(keyCols.map(col): _*)) > 1).as("_dup")): _*)
       .localCheckpoint() // ONE join execution feeds delete file + appends
 
@@ -1055,10 +1066,30 @@ final class GraftTableGenerator(
     val nmbsClassified: Option[DataFrame] =
       if (nmbsUpdateWhen.isEmpty && nmbsDeleteWhen.isEmpty) None
       else {
-        val srcKeys = source.select(keyCols.map(col): _*)
-          .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
-        val unmatched = MorReader.read(spark, tableDir.toString)
-          .join(srcKeys, keyCols, "left_anti")
+        val unmatched = onResidual match {
+          case None =>
+            val srcKeys = source.select(keyCols.map(col): _*)
+              .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+            MorReader.read(spark, tableDir.toString)
+              .join(srcKeys, keyCols, "left_anti")
+          case Some(res) =>
+            // a target row is NMBS iff NO source row satisfies keys AND
+            // residual — expression anti-join with the source prefixed
+            // `_s_` and the residual re-rendered (`_t_x`→`x`, `y`→`_s_y`)
+            val srcPref = source.select(
+              source.columns.map(c => col(c).as(s"_s_$c")): _*)
+            import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            val resAnti = org.apache.spark.sql.graft.GraftSqlShim.column(
+              org.apache.spark.sql.graft.GraftSqlShim.expression(res).transform {
+                case UnresolvedAttribute(Seq(n)) if n.startsWith("_t_") =>
+                  UnresolvedAttribute(Seq(n.stripPrefix("_t_")))
+                case UnresolvedAttribute(Seq(n)) =>
+                  UnresolvedAttribute(Seq(s"_s_$n"))
+              })
+            MorReader.read(spark, tableDir.toString).join(srcPref,
+              keyCols.map(k => col(k) === col(s"_s_$k")).reduce(_ && _) &&
+                resAnti, "left_anti")
+        }
         val doDel = coalesce(nmbsDeleteWhen.getOrElse(lit(false)), lit(false))
         val doUpd = !doDel && coalesce(nmbsUpdateWhen.getOrElse(lit(false)), lit(false))
         Some(unmatched

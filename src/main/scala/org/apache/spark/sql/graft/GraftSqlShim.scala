@@ -22,6 +22,10 @@ object GraftSqlShim {
     * attributes re-resolve against whatever frame the Column is used on). */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** The inverse — Column → catalyst Expression (for engine-side
+    * re-rendering of a caller's condition against a renamed frame). */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
   /** Wrap a BATCH plan as a streaming frame (`isStreaming = true`) — the
     * V1 `Source.getBatch` contract. The plan stays lazy: the LogicalRDD
     * carries `queryExecution.toRdd`, which launches its jobs only when

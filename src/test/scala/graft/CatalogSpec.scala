@@ -285,6 +285,73 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("MERGE ON with non-equi residual conjuncts: key equality routes, " +
+      "the time band narrows matches; NMBS honors the full ON") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_mrange")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "ts" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 10).toDF("id")
+      .withColumn("ts", col("id") * 10).withColumn("val", col("id"))).commit()
+    // ids 0..4 in-band (ts = 10id+3), 5..7 out-of-band (ts = 10id+50),
+    // 20..21 new keys
+    spark.range(0, 5).toDF("id").withColumn("ts", col("id") * 10 + 3)
+      .unionByName(spark.range(5, 8).toDF("id")
+        .withColumn("ts", col("id") * 10 + 50))
+      .unionByName(spark.range(20, 22).toDF("id")
+        .withColumn("ts", col("id") * 10))
+      .withColumn("val", col("id") + 100)
+      .createOrReplaceTempView("mrange_src")
+    spark.sql(
+      """MERGE INTO graft.db.t_mrange t USING mrange_src s
+        |ON t.id = s.id AND s.ts BETWEEN t.ts - 5 AND t.ts + 5
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    val got = spark.sql("SELECT id, ts, val FROM graft.db.t_mrange")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = (
+      (0L until 5L).map(i => (i, i * 10 + 3, i + 100)) ++   // in-band update
+      (5L until 8L).map(i => (i, i * 10, i)) ++             // old row SURVIVES
+      (5L until 8L).map(i => (i, i * 10 + 50, i + 100)) ++  // out-of-band insert
+      (8L until 10L).map(i => (i, i * 10, i)) ++            // untouched
+      (20L until 22L).map(i => (i, i * 10, i + 100))        // new keys insert
+    ).sorted
+    assert(got == want, s"got $got")
+    // NMBS under a residual ON: only rows NO source row fully-matches are
+    // NOT MATCHED BY SOURCE — the out-of-band id 5..7 old rows qualify
+    spark.range(0, 8).toDF("id").withColumn("ts", col("id") * 10 + 3)
+      .withColumn("val", lit(0L)).createOrReplaceTempView("mrange_src2")
+    spark.sql(
+      """MERGE INTO graft.db.t_mrange t USING mrange_src2 s
+        |ON t.id = s.id AND s.ts BETWEEN t.ts - 5 AND t.ts + 5
+        |WHEN MATCHED THEN UPDATE SET val = t.val + 1000
+        |WHEN NOT MATCHED BY SOURCE AND t.id BETWEEN 5 AND 7 THEN DELETE
+        |""".stripMargin)
+    val got2 = spark.sql("SELECT id, ts, val FROM graft.db.t_mrange")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // the key-only anti-join would call EVERY id-5..7 row "matched by
+    // source" and delete none; the full-ON anti-join keeps the in-band
+    // (i, 10i) rows matched+updated and deletes ONLY their out-of-band
+    // (i, 10i+50) siblings — the rows no source row fully-matches
+    val want2 = (
+      (0L until 5L).map(i => (i, i * 10 + 3, i + 1100)) ++
+      (5L until 8L).map(i => (i, i * 10, i + 1000)) ++
+      (8L until 10L).map(i => (i, i * 10, i)) ++
+      (20L until 22L).map(i => (i, i * 10, i + 100))
+    ).sorted
+    assert(got2 == want2, s"got2 $got2")
+    // no-key ON stays a loud error
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.t_mrange t USING mrange_src s
+          |ON t.ts < s.ts WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("equality"), e.getMessage)
+  }
+
   test("NMBS on NULL-key target rows: DELETE actually removes them and " +
       "UPDATE does not duplicate (positional-delete leg, not eq-delete)") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_nmbs_null")

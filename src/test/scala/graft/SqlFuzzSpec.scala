@@ -60,7 +60,22 @@ class SqlFuzzSpec extends SparkSpec {
 
     for (step <- 1 to steps) {
       var commits = 1
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
+        case 12 => // residual-ON MERGE: key equality routes, the residual
+          // (source-side modulo) narrows matches; no INSERT action so the
+          // id-liveness model stays a set
+          val start = rnd.nextLong(math.max(nextId - 10, 1L))
+          val n = 1 + rnd.nextInt(10)
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          val v = freshView(start, n, withOp = true)
+          spark.sql(
+            s"""MERGE INTO $qname t USING $v s
+               |ON t.order_id = s.order_id AND s.order_id % $m = $r
+               |WHEN MATCHED AND s.op = 'D' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET *
+               |""".stripMargin)
+          live.filterInPlace(i =>
+            !(i >= start && i < start + n && i % m == r && i % 3 == 0))
         case 0 | 1 => insertRows()
         case 11 => // MERGE NMBS: full-snapshot reconcile — target rows the
           // source window does NOT cover drop when order_id % 4 == 0
