@@ -161,7 +161,9 @@ case class GraftUpdateSpecDdl(
   * s+1 — MoR semantics, no data file rewritten, O(matches) write cost). */
 case class GraftUpdateCommand(
     table: GraftSparkTable,
-    sets: Seq[(String, Column)],
+    // deferred: scalar-subquery assignments run their (bounded) subquery
+    // at EXECUTE time, not while the analyzer rule builds the command
+    sets: Seq[(String, () => Column)],
     cond: () => Column,
     prune: (Map[String, Set[String]], Map[String, MorReader.ColRange],
       Map[String, Set[String]]) =
@@ -291,7 +293,7 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         // Both the updated-row read AND the tombstone scan are file-pruned
         // by the extracted WHERE predicates (sound: pruned files hold no
         // matching row, so they contribute no updates and no tombstones).
-        val setsMap = sets.toMap
+        val setsMap = sets.map { case (n, mk) => n -> mk() }.toMap
         val condCol = cond()
         val updated = t.readDf(spark, prune._1, prune._2, prune._3)
           .where(condCol)
@@ -1280,8 +1282,50 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case v if v.exists(_.isInstanceOf[SubqueryExpression]) =>
             throw new UnsupportedOperationException(
               "graft UPDATE: subqueries in SET expressions are not supported " +
-                "— rewrite as MERGE INTO")
+                "on this path — rewrite as MERGE INTO")
           case v => Some(name -> toNamedColumn(v, relIds, prefix))
+        }
+      }
+    // the PLAIN update path additionally takes UNCORRELATED scalar
+    // subqueries in SET (`SET val = (SELECT max(x) FROM s)`): each runs
+    // once at EXECUTE time — one row, one column, loud otherwise — and
+    // substitutes as a literal (the same bounded-materialization
+    // philosophy as the DML IN-set cap). Correlated enrichment is still
+    // a join: the error says to write MERGE INTO.
+    def buildSetsDeferred(): Seq[(String, () => Column)] =
+      assignments.flatMap { asg =>
+        val name = asg.key match {
+          case a: AttributeReference => a.name
+          case other => throw new UnsupportedOperationException(
+            s"graft UPDATE: unsupported assignment target $other")
+        }
+        asg.value match {
+          case v: AttributeReference if relIds(v.exprId) && v.name == name => None
+          case v if v.exists(_.isInstanceOf[SubqueryExpression]) =>
+            val allUncorrelatedScalar =
+              v.collect { case s: SubqueryExpression => s }.forall {
+                case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+                  s.outerAttrs.isEmpty
+                case _ => false
+              }
+            if (!allUncorrelatedScalar)
+              throw new UnsupportedOperationException(
+                "graft UPDATE: only UNCORRELATED scalar subqueries are " +
+                  "supported in SET expressions — rewrite correlated " +
+                  "enrichment as MERGE INTO")
+            Some(name -> (() => {
+              val lited = v.transform {
+                case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+                  val rows = org.apache.spark.sql.graft.GraftSqlShim
+                    .ofRows(spark, s.plan).limit(2).collect()
+                  if (rows.length > 1) throw new IllegalStateException(
+                    "scalar subquery in UPDATE SET returned more than one row")
+                  Literal.create(if (rows.isEmpty) null else rows(0).get(0),
+                    s.dataType)
+              }
+              toNamedColumn(lited, relIds, "")
+            }))
+          case v => Some(name -> (() => toNamedColumn(v, relIds, "")))
         }
       }
     // `UPDATE … WHERE [NOT] EXISTS (<key-equality>)` rides the merge
@@ -1334,7 +1378,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))
       case _ =>
     }
-    val sets = buildSets("")
+    val sets = buildSetsDeferred()
     val (pf, rg, pts) = cond.map(extractPruning(_, r, t))
       .getOrElse((Map.empty[String, Set[String]],
         Map.empty[String, MorReader.ColRange], Map.empty[String, Set[String]]))

@@ -255,6 +255,25 @@ object CatalogQueries {
       "ovwp_t"
     })
 
+  /** UPDATE SET with an uncorrelated scalar subquery (the enrichment
+    * idiom): the subquery runs once at execute time and substitutes as a
+    * literal. usub_src ids 0..49 → MAX(id)=49. */
+  private def updSubqT(spark: SparkSession): Unit =
+    built.computeIfAbsent("usub_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "usub_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)).commit()
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "usub_src")
+        .create(GraftSchema.of("id" -> LongType), Nil)
+        .appendData(spark.range(0, 50).toDF("id")).commit()
+      spark.sql("UPDATE graft.cq.usub_t " +
+        "SET val = (SELECT MAX(id) FROM graft.cq.usub_src) + id " +
+        "WHERE id % 3 = 0")
+      "usub_t"
+    })
+
   /** MERGE ON with a non-equi residual (the CDC event-time band): target
     * ids 0..299 ts=10·id; source ids 0..399 ts=10·id+(id%9), in the ±5
     * band iff id%9 ≤ 5 — in-band rows update, out-of-band rows insert a
@@ -887,6 +906,11 @@ object CatalogQueries {
         "FROM graft.cq.ovwp_t GROUP BY part ORDER BY part")
     }),
 
+    "sql_catalog_update_subq" -> ((s, _) => {
+      updSubqT(s)
+      s.sql("SELECT id, val FROM graft.cq.usub_t")
+    }),
+
     "sql_merge_range" -> ((s, _) => {
       mergeRangeT(s)
       s.sql("SELECT id, ts, val FROM graft.cq.mrange_t")
@@ -1202,6 +1226,13 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // usub_t end state: id%3==0 → 49+id (the materialized MAX), else 2·id
+    "sql_catalog_update_subq" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range % 3 = 0 THEN 49 + range
+        |            ELSE range * 2 END AS BIGINT) AS val
+        |FROM range(0, 100)""".stripMargin,
 
     // mrange_t end state: in-band (id%9<=5) updated; out-of-band old rows
     // survive with an inserted sibling; 300..399 inserted

@@ -285,6 +285,48 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("UPDATE SET with an uncorrelated scalar subquery materializes once " +
+      "at execute time; correlated / multi-row shapes stay loud") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_usub")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 100).toDF("id")
+      .withColumn("val", col("id") * 2)).commit()
+    val s = new GraftTableGenerator(spark, s"$wh/db", "t_usub_src")
+    s.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "w" -> LongType), Nil)
+    s.appendData(spark.range(0, 50).toDF("id")
+      .withColumn("w", col("id") % 7)).commit()
+    spark.sql("UPDATE graft.db.t_usub " +
+      "SET val = (SELECT MAX(id) FROM graft.db.t_usub_src) + id " +
+      "WHERE id % 3 = 0")
+    val got = spark.sql("SELECT id, val FROM graft.db.t_usub")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 100L).map(i =>
+      i -> (if (i % 3 == 0) 49L + i else i * 2)).toMap
+    assert(got == want)
+    // empty scalar subquery → NULL, per SQL
+    spark.sql("UPDATE graft.db.t_usub " +
+      "SET val = (SELECT MAX(id) FROM graft.db.t_usub_src WHERE id > 999) " +
+      "WHERE id = 1")
+    assert(spark.sql("SELECT val FROM graft.db.t_usub WHERE id = 1")
+      .collect()(0).isNullAt(0))
+    // >1 row → loud at execution
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE graft.db.t_usub " +
+        "SET val = (SELECT id FROM graft.db.t_usub_src) WHERE id = 2")
+    }
+    assert(e1.getMessage.toLowerCase.contains("more than one row") ||
+      e1.getMessage.contains("MULTI"), e1.getMessage)
+    // correlated → loud with the MERGE hint
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graft.db.t_usub SET val = (SELECT MAX(w) " +
+        "FROM graft.db.t_usub_src s WHERE s.id = t_usub.id)")
+    }
+    assert(e2.getMessage.contains("MERGE"), e2.getMessage)
+  }
+
   test("MERGE ON with non-equi residual conjuncts: key equality routes, " +
       "the time band narrows matches; NMBS honors the full ON") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_mrange")
