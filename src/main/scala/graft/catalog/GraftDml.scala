@@ -156,6 +156,17 @@ case class GraftUpdateSpecDdl(
   override def output: Seq[Attribute] = Nil
 }
 
+/** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [IF [NOT] EXISTS]
+  * [AS OF VERSION v]` — Iceberg's ref DDL, lowered by the injected parser
+  * onto the engine's branch/tag lifecycle (the same verbs
+  * `CALL graft.system.create_branch/create_tag/...` expose). */
+case class GraftRefDdl(nameParts: Seq[String], create: Boolean,
+                       isBranch: Boolean, refName: String,
+                       ifClause: Boolean, asOfVersion: Option[Long])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `UPDATE graft.db.t SET ... WHERE cond` → delete-the-old + append-the-new
   * composed in ONE transaction (positional delete at seq s, append at
   * s+1 — MoR semantics, no data file rewritten, O(matches) write cost). */
@@ -353,6 +364,40 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         if (!d.catalog.dropView(d.ident) && !d.ifExists)
           throw new org.apache.spark.sql.catalyst.analysis
             .NoSuchViewException(d.ident)
+      }) :: Nil
+    case GraftRefDdl(nameParts, create, isBranch, refName, ifClause, asOf) =>
+      val kind = if (isBranch) "BRANCH" else "TAG"
+      GraftDmlExec(s"graft ref ddl ${nameParts.mkString(".")} $kind $refName",
+        () => {
+        val cm = spark.sessionState.catalogManager
+        val (cat, rest) =
+          if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
+            (cm.catalog(nameParts.head), nameParts.tail)
+          else (cm.currentCatalog, nameParts)
+        cat match {
+          case gc: GraftCatalog =>
+            val table = (if (rest.length > 1) rest
+              else cm.currentNamespace.toSeq ++ rest).mkString(".")
+            val g = gc.openGeneratorByName(table)
+            val refs = graft.meta.SnapshotLog(gc.dirByName(table)).refs
+            val key = if (isBranch) s"branch:$refName" else refName
+            (create, refs.contains(key)) match {
+              // IF NOT EXISTS tolerates presence; IF EXISTS tolerates absence
+              case (true, true) if ifClause =>
+              case (false, false) if ifClause =>
+              case (false, false) => throw new IllegalArgumentException(
+                s"no such ${kind.toLowerCase} '$refName' on $table " +
+                  s"(known refs: ${refs.keys.toSeq.sorted.mkString(", ")})")
+              case (true, _) =>
+                if (isBranch) g.createBranch(refName, asOf.getOrElse(-1L))
+                else g.tag(refName, asOf.getOrElse(-1L))
+              case (false, true) =>
+                if (isBranch) g.dropBranch(refName) else g.removeTag(refName)
+            }
+          case other => throw new UnsupportedOperationException(
+            s"ALTER TABLE … $kind requires a graft table; " +
+              s"catalog ${other.name} is not a GraftCatalog")
+        }
       }) :: Nil
     case GraftUpdateSpecDdl(nameParts, add, drop) =>
       GraftDmlExec(s"graft update spec ${nameParts.mkString(".")}", () => {

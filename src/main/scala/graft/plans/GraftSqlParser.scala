@@ -66,6 +66,10 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
   private val ReplaceRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$""".r
+  private val RefDdlRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+""" +
+     """(IF\s+NOT\s+EXISTS\s+|IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)""" +
+     """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
 
   /** Swap freshly-parsed CREATE/DROP VIEW plans that target a graft
     * catalog for the engine's own view commands — BEFORE the analyzer
@@ -180,6 +184,14 @@ object GraftSqlParser {
       case ReplaceRe(table, oldTr, newTr) =>
         tryBuild(table)(GraftUpdateSpecDdl(_, add = Seq(transform(newTr)),
           drop = Seq(transform(oldTr))))
+      // Iceberg ref DDL: ALTER TABLE t CREATE|DROP BRANCH|TAG name
+      // [IF [NOT] EXISTS] [AS OF VERSION v]
+      case RefDdlRe(table, verb, kind, ifc, name, asOf) =>
+        tryBuild(table)(graft.catalog.GraftRefDdl(_,
+          create = verb.equalsIgnoreCase("CREATE"),
+          isBranch = kind.equalsIgnoreCase("BRANCH"),
+          refName = name, ifClause = ifc != null,
+          asOfVersion = Option(asOf).map(_.toLong)))
       case _ => None
     }
   }

@@ -625,6 +625,30 @@ object CatalogQueries {
       "wapc_t"
     })
 
+  /** Branch/tag SQL DDL end-to-end: ALTER TABLE CREATE BRANCH, write to
+    * it through the WAP conf, publish via fast_forward, DROP BRANCH. */
+  private def branchDdlT(spark: SparkSession): Unit =
+    built.computeIfAbsent("brddl_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.brddl_t (id BIGINT, val BIGINT)")
+      spark.sql("INSERT INTO graft.cq.brddl_t " +
+        "SELECT id, id * 2 AS val FROM range(0, 100)")
+      spark.sql("ALTER TABLE graft.cq.brddl_t CREATE BRANCH wapb")
+      spark.sql("ALTER TABLE graft.cq.brddl_t CREATE TAG base_tag")
+      val key = "spark.graft.wap.branch.cq.brddl_t"
+      spark.conf.set(key, "wapb")
+      try {
+        spark.sql("INSERT INTO graft.cq.brddl_t " +
+          "SELECT id, id * 3 AS val FROM range(100, 140)")
+        spark.sql("DELETE FROM graft.cq.brddl_t WHERE id % 10 = 7")
+      } finally spark.conf.unset(key)
+      spark.sql("CALL graft.system.fast_forward(" +
+        "table => 'cq.brddl_t', branch => 'wapb')")
+      spark.sql("ALTER TABLE graft.cq.brddl_t DROP BRANCH IF EXISTS wapb")
+      spark.sql("ALTER TABLE graft.cq.brddl_t DROP BRANCH IF EXISTS ghost")
+      "brddl_t"
+    })
+
   /** Delete-maintenance fixtures: accumulate tombstones / eq deletes, then
     * CALL the rewrite procedures; content must be unchanged. */
   private def rewritePosT(spark: SparkSession): Unit =
@@ -1003,6 +1027,12 @@ object CatalogQueries {
     // the audit branch with the pipeline's SQL unchanged, main stays
     // untouched until CALL fast_forward publishes (isolation is
     // spec-gated in CatalogSpec)
+    // Iceberg ref DDL: CREATE/DROP BRANCH|TAG through ALTER TABLE text
+    "sql_branch_ddl" -> ((s, _) => {
+      branchDdlT(s)
+      s.sql("SELECT id, val FROM graft.cq.brddl_t")
+    }),
+
     "sql_wap_branch_conf" -> ((s, _) => {
       wapConfT(s)
       s.sql("SELECT COUNT(*) AS n, SUM(id) AS id_sum, SUM(val) AS val_sum " +
@@ -1443,6 +1473,14 @@ object CatalogQueries {
         |       CAST(SUM(range) AS BIGINT) AS id_sum,
         |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
         |FROM range(0, 160)""".stripMargin,
+
+    // brddl_t end state: 0..99 (2id) + branch-written 100..139 (3id),
+    // minus the branch DELETE id%10==7, published by fast_forward
+    "sql_branch_ddl" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id, range * 2 AS val FROM range(0, 100)
+        |  UNION ALL SELECT range, range * 3 FROM range(100, 140)
+        |) WHERE id % 10 <> 7""".stripMargin,
 
     // base 0..99 (val 2id) + cherry-picked audit rows 500..539 (val 5id)
     "sql_wap_publish" ->

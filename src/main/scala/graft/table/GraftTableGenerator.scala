@@ -2034,13 +2034,19 @@ final class GraftTableGenerator(
     * `createBranch`). Recorded as ref `branch:<name>` → fork snapshot id;
     * subsequent [[writeTo]] commits stamp their snapshots with the branch
     * name, invisible to main reads until [[fastForward]]. */
-  def createBranch(branchName: String): this.type = {
+  def createBranch(branchName: String, asOfVersion: Long = -1L): this.type = {
     requireCreated("createBranch()")
     require(branchName != "main" && branchName.nonEmpty, "invalid branch name")
     require(!log.refs.contains(s"branch:$branchName"),
       s"branch '$branchName' already exists")
-    val mainHead = log.load().mainOnly.snapshots.lastOption.map(_.id).getOrElse(0L)
-    log.setRef(s"branch:$branchName", mainHead)
+    val mainSnaps = log.load().mainOnly.snapshots
+    val fork =
+      if (asOfVersion >= 0) {
+        require(mainSnaps.exists(_.id == asOfVersion),
+          s"unknown main snapshot $asOfVersion for branch fork")
+        asOfVersion
+      } else mainSnaps.lastOption.map(_.id).getOrElse(0L)
+    log.setRef(s"branch:$branchName", fork)
     this
   }
 

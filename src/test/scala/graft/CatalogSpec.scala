@@ -285,6 +285,47 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("ALTER TABLE CREATE/DROP BRANCH|TAG: Iceberg ref DDL routes through " +
+      "the injected parser onto the engine's branch/tag lifecycle") {
+    wh
+    spark.sql("CREATE TABLE graft.db.t_refddl (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.t_refddl SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.db.t_refddl SELECT id FROM range(10, 20)")
+    val log = graft.meta.SnapshotLog(s"$wh/db/t_refddl")
+    val snap1 = log.load().snapshots.head.id
+    // branch at head, tag AS OF the first snapshot
+    spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH b1")
+    spark.sql(
+      s"ALTER TABLE graft.db.t_refddl CREATE TAG t1 AS OF VERSION $snap1")
+    assert(log.refs.contains("branch:b1") && log.refs("t1") == snap1)
+    // tag read-back: the AS OF VERSION fork pins the first 10 rows
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_refddl VERSION AS OF 't1'")
+      .collect()(0).getLong(0) == 10L)
+    // duplicate create errors; IF NOT EXISTS tolerates
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH b1") }
+    spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH IF NOT EXISTS b1")
+    // WAP write to the branch, publish, read back
+    spark.conf.set("spark.graft.wap.branch.db.t_refddl", "b1")
+    try spark.sql("INSERT INTO graft.db.t_refddl SELECT id FROM range(20, 25)")
+    finally spark.conf.unset("spark.graft.wap.branch.db.t_refddl")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_refddl")
+      .collect()(0).getLong(0) == 20L, "unpublished branch write leaked to main")
+    spark.sql("CALL graft.system.fast_forward(" +
+      "table => 'db.t_refddl', branch => 'b1')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_refddl")
+      .collect()(0).getLong(0) == 25L)
+    // drops: IF EXISTS tolerates absence, bare drop of missing errors
+    spark.sql("ALTER TABLE graft.db.t_refddl DROP BRANCH b1")
+    spark.sql("ALTER TABLE graft.db.t_refddl DROP BRANCH IF EXISTS b1")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_refddl DROP TAG ghost") }
+    spark.sql("ALTER TABLE graft.db.t_refddl DROP TAG t1")
+    assert(!log.refs.contains("branch:b1") && !log.refs.contains("t1"))
+    spark.sql("DROP TABLE graft.db.t_refddl")
+  }
+
   test("UPDATE SET with an uncorrelated scalar subquery materializes once " +
       "at execute time; correlated / multi-row shapes stay loud") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_usub")
