@@ -1535,24 +1535,80 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val star = updActions.forall(u => isStarAssign(u.assignments)) &&
       insActions.forall(i => isStarAssign(i.assignments))
-    if (!star && updActions.size > 1)
-      unsupported("multiple UPDATE actions with expression assignments")
-    if (!star && insActions.size > 1)
-      unsupported("multiple INSERT actions with expression assignments")
-    var updateWhen: Column = lit(false)
-    var deleteWhen: Column = lit(false)
-    var insertWhen: Column = lit(false)
-    updActions.foreach(u => updateWhen = condCol(u.condition, lit(true)))
-    delActions.foreach(d => deleteWhen = condCol(d.condition, lit(true)))
-    insActions.foreach(i => insertWhen = condCol(i.condition, lit(true)))
+    // SQL evaluates a clause group's actions in ORDER: the first whose
+    // condition holds applies. Each action's EFFECTIVE condition conjoins
+    // the negation of every earlier condition in its group (NULL counts
+    // as not-fired, so earlier NULL conditions don't mask later actions);
+    // N conditioned UPDATE branches then fold into ONE per-column
+    // CASE WHEN bundle — exactly one effective condition is true per row.
+    def fired(e: Expression): Expression =
+      Coalesce(Seq(e, Literal.FalseLiteral))
+    def effectiveConds(conds: Seq[Option[Expression]]): Seq[Expression] = {
+      var prior: Seq[Expression] = Nil
+      conds.map { c =>
+        val own = c.getOrElse(Literal.TrueLiteral)
+        val eff = prior.foldLeft(own)((acc, p) => And(acc, Not(fired(p))))
+        prior :+= own
+        eff
+      }
+    }
+    // matched actions share ONE ordered group (UPDATE and DELETE interleave)
+    val matchedEff = effectiveConds(m.matchedActions.map {
+      case UpdateAction(c, _, _) => c
+      case DeleteAction(c) => c
+    })
+    val updEff = m.matchedActions.zip(matchedEff).collect {
+      case (u: UpdateAction, eff) => (u, eff) }
+    val delEff = m.matchedActions.zip(matchedEff).collect {
+      case (_: DeleteAction, eff) => eff }
+    val insEff = insActions.zip(effectiveConds(insActions.map(_.condition)))
+    def orAll(es: Seq[Expression]): Option[Expression] =
+      es.reduceOption(Or)
+    val updateWhen: Column =
+      orAll(updEff.map(_._2)).map(e => condCol(Some(e), lit(true)))
+        .getOrElse(lit(false))
+    val deleteWhen: Column =
+      orAll(delEff).map(e => condCol(Some(e), lit(true)))
+        .getOrElse(lit(false))
+    val insertWhen: Column =
+      orAll(insEff.map(_._2)).map(e => condCol(Some(e), lit(true)))
+        .getOrElse(lit(false))
+    import org.apache.spark.sql.functions.when
     val updateSets: Option[Seq[(String, Column)]] =
       if (star) None
-      else Some(updActions.headOption.map(u =>
-        setsOf(u.assignments, "UPDATE")).getOrElse(Nil))
+      else Some {
+        val perAction = updEff.map { case (u, eff) =>
+          (condCol(Some(eff), lit(true)), setsOf(u.assignments, "UPDATE").toMap)
+        }
+        val cols = updEff.flatMap(_._1.assignments.map(_.key match {
+          case a: AttributeReference => a.name
+          case other => unsupported(s"UPDATE target ${other.sql}")
+        })).distinct
+        cols.map { c =>
+          c -> perAction.foldRight(org.apache.spark.sql.functions
+              .col(s"_t_$c"): Column) { case ((effC, sets), rest) =>
+            when(effC, sets.getOrElse(c,
+              org.apache.spark.sql.functions.col(s"_t_$c"))).otherwise(rest)
+          }
+        }
+      }
     val insertSets: Option[Seq[(String, Column)]] =
       if (star) None
-      else Some(insActions.headOption.map(i =>
-        setsOf(i.assignments, "INSERT")).getOrElse(Nil))
+      else Some {
+        val perAction = insEff.map { case (i, eff) =>
+          (condCol(Some(eff), lit(true)), setsOf(i.assignments, "INSERT").toMap)
+        }
+        val cols = insEff.flatMap(_._1.assignments.map(_.key match {
+          case a: AttributeReference => a.name
+          case other => unsupported(s"INSERT target ${other.sql}")
+        })).distinct
+        cols.map { c =>
+          c -> perAction.foldRight(lit(null): Column) {
+            case ((effC, sets), rest) =>
+              when(effC, sets.getOrElse(c, lit(null))).otherwise(rest)
+          }
+        }
+      }
     // WHEN NOT MATCHED BY SOURCE: conditions and assignments may reference
     // TARGET columns only (there is no source row, per SQL). The engine's
     // NMBS frame carries target columns under PLAIN names. SQL evaluates

@@ -255,6 +255,34 @@ object CatalogQueries {
       "ovwp_t"
     })
 
+  /** Multiple conditioned MERGE actions with expression assignments:
+    * first-match-wins across an interleaved UPDATE/DELETE/UPDATE matched
+    * group and a two-action INSERT group. */
+  private def mergeMultiT(spark: SparkSession): Unit =
+    built.computeIfAbsent("mmulti_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "mmulti_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType,
+          "note" -> StringType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)
+          .withColumn("note", lit("base"))).commit()
+      spark.range(50, 150).toDF("id").withColumn("bonus", col("id") % 5)
+        .createOrReplaceTempView("graft_sql_mmulti_src")
+      spark.sql(
+        """MERGE INTO graft.cq.mmulti_t t USING graft_sql_mmulti_src s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.id % 10 = 0 THEN UPDATE SET val = -1, note = 'ten'
+          |WHEN MATCHED AND s.id % 10 = 1 THEN DELETE
+          |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET val = t.val + s.bonus
+          |WHEN NOT MATCHED AND s.id % 10 = 0 THEN INSERT (id, val, note)
+          |  VALUES (s.id, -100, 'newten')
+          |WHEN NOT MATCHED AND s.id % 2 = 1 THEN INSERT (id, val)
+          |  VALUES (s.id, s.bonus)
+          |""".stripMargin)
+      "mmulti_t"
+    })
+
   /** UPDATE SET with an uncorrelated scalar subquery (the enrichment
     * idiom): the subquery runs once at execute time and substitutes as a
     * literal. usub_src ids 0..49 → MAX(id)=49. */
@@ -930,6 +958,11 @@ object CatalogQueries {
         "FROM graft.cq.ovwp_t GROUP BY part ORDER BY part")
     }),
 
+    "sql_merge_multi_action" -> ((s, _) => {
+      mergeMultiT(s)
+      s.sql("SELECT id, val, note FROM graft.cq.mmulti_t")
+    }),
+
     "sql_catalog_update_subq" -> ((s, _) => {
       updSubqT(s)
       s.sql("SELECT id, val FROM graft.cq.usub_t")
@@ -1256,6 +1289,24 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // mmulti_t end state: first-match-wins across the ordered actions
+    "sql_merge_multi_action" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val, note
+        |FROM (
+        |  SELECT range AS id, range * 2 AS val, 'base' AS note
+        |  FROM range(0, 50)
+        |  UNION ALL SELECT range,
+        |    CASE WHEN range % 10 = 0 THEN -1
+        |         WHEN range % 2 = 0 THEN range * 2 + range % 5
+        |         ELSE range * 2 END,
+        |    CASE WHEN range % 10 = 0 THEN 'ten' ELSE 'base' END
+        |  FROM range(50, 100) WHERE range % 10 <> 1
+        |  UNION ALL SELECT range, -100, 'newten'
+        |  FROM range(100, 150) WHERE range % 10 = 0
+        |  UNION ALL SELECT range, range % 5, NULL
+        |  FROM range(100, 150) WHERE range % 2 = 1
+        |)""".stripMargin,
 
     // usub_t end state: id%3==0 → 49+id (the materialized MAX), else 2·id
     "sql_catalog_update_subq" ->

@@ -285,6 +285,49 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("MERGE with MULTIPLE conditioned UPDATE/INSERT expression actions: " +
+      "first-match-wins order folds into one CASE WHEN bundle") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_mmulti")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType, "note" -> StringType), Nil)
+    g.appendData(spark.range(0, 100).toDF("id")
+      .withColumn("val", col("id") * 2)
+      .withColumn("note", lit("base"))).commit()
+    spark.range(50, 150).toDF("id").withColumn("bonus", col("id") % 5)
+      .createOrReplaceTempView("mmulti_src")
+    // order matters: id%10=0 rows satisfy BOTH update conditions — the
+    // first action must win; the interleaved DELETE catches id%10=1
+    spark.sql(
+      """MERGE INTO graft.db.t_mmulti t USING mmulti_src s ON t.id = s.id
+        |WHEN MATCHED AND s.id % 10 = 0 THEN UPDATE SET val = -1, note = 'ten'
+        |WHEN MATCHED AND s.id % 10 = 1 THEN DELETE
+        |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET val = t.val + s.bonus
+        |WHEN NOT MATCHED AND s.id % 10 = 0 THEN INSERT (id, val, note)
+        |  VALUES (s.id, -100, 'newten')
+        |WHEN NOT MATCHED AND s.id % 2 = 1 THEN INSERT (id, val)
+        |  VALUES (s.id, s.bonus)
+        |""".stripMargin)
+    val got = spark.sql("SELECT id, val, note FROM graft.db.t_mmulti")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1).toSeq
+    def matchedWant(i: Long): Option[(Long, Long, String)] =
+      if (i % 10 == 0) Some((i, -1L, "ten"))
+      else if (i % 10 == 1) None // deleted
+      else if (i % 2 == 0) Some((i, i * 2 + i % 5, "base"))
+      else Some((i, i * 2, "base")) // matched, no action — untouched
+    val want = (
+      (0L until 50L).map(i => (i, i * 2, "base")) ++       // unmatched target
+      (50L until 100L).flatMap(matchedWant) ++
+      (100L until 150L).flatMap(i =>
+        if (i % 10 == 0) Some((i, -100L, "newten"))
+        else if (i % 2 == 1) Some((i, i % 5, null))
+        else None)
+    ).sortBy(_._1)
+    assert(got == want,
+      s"diff=${got.zip(want).filter(p => p._1 != p._2).take(5)}")
+  }
+
   test("ALTER TABLE CREATE/DROP BRANCH|TAG: Iceberg ref DDL routes through " +
       "the injected parser onto the engine's branch/tag lifecycle") {
     wh
@@ -1477,9 +1520,17 @@ class CatalogSpec extends SparkSpec {
     assert(e1.getMessage.contains("graft DML") ||
       Option(e1.getCause).exists(_.getMessage.contains("graft DML")),
       s"want the graft error, got: ${e1.getMessage}")
+    // uncorrelated scalar subquery in UPDATE SET now materializes (its
+    // own test covers the semantics); correlated stays the graft error
+    val wantQ = spark.sql("SELECT max(pid) FROM subq_doomed")
+      .collect()(0).getInt(0)
+    spark.sql("UPDATE graft.db.t_subq SET quantity = " +
+      "(SELECT max(pid) FROM subq_doomed) WHERE product_id = 11")
+    assert(spark.sql("SELECT quantity FROM graft.db.t_subq " +
+      "WHERE product_id = 11").collect().forall(_.getInt(0) == wantQ))
     val e2 = intercept[Exception] {
-      spark.sql("UPDATE graft.db.t_subq SET quantity = " +
-        "(SELECT max(pid) FROM subq_doomed) WHERE product_id = 11")
+      spark.sql("UPDATE graft.db.t_subq SET quantity = (SELECT max(pid) " +
+        "FROM subq_doomed s WHERE s.pid = t_subq.product_id)")
     }
     assert(e2.getMessage.contains("graft UPDATE") ||
       Option(e2.getCause).exists(_.getMessage.contains("graft UPDATE")),
