@@ -514,8 +514,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.writeString(viewFile(info.ident), mapper.writeValueAsString(root))
   }
 
-  override def alterView(ident: Identifier, changes: ViewChange*): View =
-    throw new UnsupportedOperationException("ALTER VIEW is not supported")
+  /** `ALTER VIEW … SET/UNSET TBLPROPERTIES`: rewrite the view document's
+    * properties map in place (body, schema, aliases untouched). */
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val f = viewFile(ident)
+    if (!Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(f))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val props = Option(root.get("properties"))
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(root.putObject("properties"))
+    changes.foreach {
+      case s: ViewChange.SetProperty => props.put(s.property, s.value)
+      case r: ViewChange.RemoveProperty => props.remove(r.property)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER VIEW change $other is not supported")
+    }
+    root.set("properties", props)
+    Files.writeString(f, mapper.writeValueAsString(root))
+    loadView(ident)
+  }
 
   override def dropView(ident: Identifier): Boolean =
     Files.deleteIfExists(viewFile(ident))
@@ -555,19 +575,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || Files.isDirectory(nsDir(namespace))
 
+  /** Namespace properties persist as `<nsdir>/.namespace.json` — absent
+    * file = no properties (plain directories stay valid namespaces). */
+  private def nsMetaFile(namespace: Array[String]): Path =
+    nsDir(namespace).resolve(".namespace.json")
+
+  private def readNsMeta(namespace: Array[String]): Map[String, String] = {
+    val f = nsMetaFile(namespace)
+    if (!Files.isRegularFile(f)) Map.empty
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(Files.readString(f))
+      root.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }
+  }
+
+  private def writeNsMeta(namespace: Array[String],
+                          props: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    Files.writeString(nsMetaFile(namespace), mapper.writeValueAsString(root))
+  }
+
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(namespace)
-    java.util.Collections.emptyMap()
+    val m = new java.util.HashMap[String, String]()
+    readNsMeta(namespace).foreach { case (k, v) => m.put(k, v) }
+    java.util.Collections.unmodifiableMap(m)
   }
 
   override def createNamespace(namespace: Array[String],
-                               metadata: JMap[String, String]): Unit =
+                               metadata: JMap[String, String]): Unit = {
     Files.createDirectories(nsDir(namespace))
+    if (metadata != null && !metadata.isEmpty)
+      writeNsMeta(namespace, metadata.asScala.toMap)
+  }
 
+  /** `ALTER NAMESPACE … SET/UNSET PROPERTIES` (DBPROPERTIES). */
   override def alterNamespace(namespace: Array[String],
-                              changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+                              changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    var props = readNsMeta(namespace)
+    changes.foreach {
+      case s: NamespaceChange.SetProperty => props += (s.property -> s.value)
+      case r: NamespaceChange.RemoveProperty => props -= r.property
+      case other => throw new UnsupportedOperationException(
+        s"ALTER NAMESPACE change $other is not supported")
+    }
+    writeNsMeta(namespace, props)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val d = nsDir(namespace)
@@ -575,7 +634,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else {
       if (!cascade) {
         val s = Files.list(d)
-        val nonEmpty = try s.iterator().hasNext finally s.close()
+        // the properties document doesn't make a namespace "non-empty"
+        val nonEmpty = try s.iterator().asScala
+          .exists(_.getFileName.toString != ".namespace.json")
+        finally s.close()
         if (nonEmpty) throw new org.apache.spark.sql.catalyst.analysis
           .NonEmptyNamespaceException(namespace)
       }

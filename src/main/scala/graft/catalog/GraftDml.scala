@@ -132,6 +132,17 @@ case class GraftDropViewCommand(
   override def output: Seq[Attribute] = Nil
 }
 
+/** `ALTER VIEW graft.db.v SET/UNSET TBLPROPERTIES` — applied through the
+  * ViewCatalog's alterView onto the persisted view document. */
+case class GraftAlterViewPropsCommand(
+    catalog: GraftCatalog,
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    sets: Seq[(String, String)],
+    unsets: Seq[String],
+    unsetIfExists: Boolean = true) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `ALTER VIEW graft.db.v RENAME TO db.v2` within one graft catalog. */
 case class GraftRenameViewCommand(
     catalog: GraftCatalog,
@@ -313,6 +324,21 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
         g.positionalDeletePruned(condCol, prune._1, prune._2, prune._3)
         g.appendData(updated)
         g.commit()
+      }) :: Nil
+    case a: GraftAlterViewPropsCommand =>
+      GraftDmlExec(s"graft alter view props ${a.ident}", () => {
+        import org.apache.spark.sql.connector.catalog.ViewChange
+        if (!a.unsetIfExists) {
+          val have = a.catalog.loadView(a.ident).properties()
+          a.unsets.filterNot(have.containsKey).foreach(k =>
+            throw new IllegalArgumentException(
+              s"view ${a.ident} has no property '$k' " +
+                "(UNSET TBLPROPERTIES without IF EXISTS)"))
+        }
+        val changes: Seq[ViewChange] =
+          a.sets.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+            a.unsets.map(ViewChange.removeProperty)
+        a.catalog.alterView(a.ident, changes: _*)
       }) :: Nil
     case r: GraftRenameViewCommand =>
       GraftDmlExec(s"graft rename view ${r.from}", () => {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.catalog.{GraftCatalog, GraftCreateViewCommand, GraftDropViewCommand, GraftRenameViewCommand, GraftShowViewsCommand, GraftUpdateSpecDdl, GraftViews}
+import graft.catalog.{GraftAlterViewPropsCommand, GraftCatalog, GraftCreateViewCommand, GraftDropViewCommand, GraftRenameViewCommand, GraftShowViewsCommand, GraftUpdateSpecDdl, GraftViews}
 
 /** Parser-injection shim (the same pattern Iceberg's Spark extensions
   * use): recognizes the partition-evolution DDL the vanilla Spark parser
@@ -108,6 +108,31 @@ object GraftSqlParser {
           }
         case _ => av
       }
+      // `ALTER VIEW graft.db.v SET/UNSET TBLPROPERTIES` — Spark 4.1's
+      // ResolveRelations rejects view lookups in non-session catalogs, so
+      // these route here like every other graft view verb
+      case sp: org.apache.spark.sql.catalyst.plans.logical.SetViewProperties =>
+        sp.child match {
+          case uv: UnresolvedView =>
+            GraftViews.target(session, uv.multipartIdentifier) match {
+              case Some((g, ident)) if g.viewExists(ident) =>
+                GraftAlterViewPropsCommand(g, ident,
+                  sets = sp.properties.toSeq, unsets = Nil)
+              case _ => sp
+            }
+          case _ => sp
+        }
+      case up: org.apache.spark.sql.catalyst.plans.logical.UnsetViewProperties =>
+        up.child match {
+          case uv: UnresolvedView =>
+            GraftViews.target(session, uv.multipartIdentifier) match {
+              case Some((g, ident)) if g.viewExists(ident) =>
+                GraftAlterViewPropsCommand(g, ident, sets = Nil,
+                  unsets = up.propertyKeys, unsetIfExists = up.ifExists)
+              case _ => up
+            }
+          case _ => up
+        }
       // `ALTER VIEW graft.db.v RENAME TO db.v2` — same catalog only
       case rt: RenameTable if rt.isView => rt.child match {
         case utv: UnresolvedTableOrView =>

@@ -653,6 +653,23 @@ object CatalogQueries {
       "wapc_t"
     })
 
+  /** ALTER VIEW SET/UNSET TBLPROPERTIES + ALTER NAMESPACE properties:
+    * both persisted in warehouse metadata documents and read back. */
+  private def viewPropsT(spark: SparkSession): Unit =
+    built.computeIfAbsent("vprops_v", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.vprops_t (id BIGINT)")
+      spark.sql("INSERT INTO graft.cq.vprops_t SELECT id FROM range(0, 10)")
+      spark.sql("CREATE VIEW graft.cq.vprops_v AS " +
+        "SELECT id FROM graft.cq.vprops_t WHERE id < 3")
+      spark.sql("ALTER VIEW graft.cq.vprops_v SET TBLPROPERTIES " +
+        "('team' = 'graft', 'scratch' = 'y')")
+      spark.sql("ALTER VIEW graft.cq.vprops_v SET TBLPROPERTIES ('team' = 'g2')")
+      spark.sql("ALTER VIEW graft.cq.vprops_v UNSET TBLPROPERTIES ('scratch')")
+      spark.sql("ALTER NAMESPACE graft.cq SET PROPERTIES ('tier' = 'gold')")
+      "vprops_v"
+    })
+
   /** Branch/tag SQL DDL end-to-end: ALTER TABLE CREATE BRANCH, write to
     * it through the WAP conf, publish via fast_forward, DROP BRANCH. */
   private def branchDdlT(spark: SparkSession): Unit =
@@ -1060,6 +1077,23 @@ object CatalogQueries {
     // the audit branch with the pipeline's SQL unchanged, main stays
     // untouched until CALL fast_forward publishes (isolation is
     // spec-gated in CatalogSpec)
+    // view + namespace properties persisted and read back: the values
+    // fold into literal columns so the oracle hash-gates them
+    "sql_view_props" -> ((s, _) => {
+      viewPropsT(s)
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.catalog.GraftCatalog]
+      val v = cat.loadView(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("cq"), "vprops_v"))
+      val team = v.properties().get("team")
+      val scratch = String.valueOf(v.properties().containsKey("scratch"))
+      val tier = cat.loadNamespaceMetadata(Array("cq")).get("tier")
+      s.sql("SELECT COUNT(*) AS n FROM graft.cq.vprops_v")
+        .withColumn("team", lit(team))
+        .withColumn("scratch_present", lit(scratch))
+        .withColumn("ns_tier", lit(tier))
+    }),
+
     // Iceberg ref DDL: CREATE/DROP BRANCH|TAG through ALTER TABLE text
     "sql_branch_ddl" -> ((s, _) => {
       branchDdlT(s)
@@ -1524,6 +1558,11 @@ object CatalogQueries {
         |       CAST(SUM(range) AS BIGINT) AS id_sum,
         |       CAST(SUM(range * 2) AS BIGINT) AS val_sum
         |FROM range(0, 160)""".stripMargin,
+
+    // vprops_v: 3 rows; team overwritten to g2, scratch unset, ns tier set
+    "sql_view_props" ->
+      """SELECT CAST(3 AS BIGINT) AS n, 'g2' AS team,
+        |       'false' AS scratch_present, 'gold' AS ns_tier""".stripMargin,
 
     // brddl_t end state: 0..99 (2id) + branch-written 100..139 (3id),
     // minus the branch DELETE id%10==7, published by fast_forward

@@ -285,6 +285,50 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES and ALTER NAMESPACE properties " +
+      "persist in the warehouse metadata documents") {
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_vprops")
+    import org.apache.spark.sql.types._
+    g.create(graft.schema.GraftSchema.of("id" -> LongType), Nil)
+    g.appendData(spark.range(0, 5).toDF("id")).commit()
+    spark.sql("CREATE VIEW graft.db.v_props AS " +
+      "SELECT id FROM graft.db.t_vprops WHERE id < 3")
+    spark.sql("ALTER VIEW graft.db.v_props SET TBLPROPERTIES " +
+      "('team' = 'graft', 'comment.note' = 'x')")
+    spark.sql("ALTER VIEW graft.db.v_props SET TBLPROPERTIES ('team' = 'g2')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "v_props")
+    def vprops = cat.loadView(ident).properties()
+    assert(vprops.get("team") == "g2" && vprops.get("comment.note") == "x",
+      s"got $vprops")
+    spark.sql("ALTER VIEW graft.db.v_props UNSET TBLPROPERTIES ('comment.note')")
+    assert(vprops.get("team") == "g2" && !vprops.containsKey("comment.note"))
+    // properties survive alongside an unchanged body
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.v_props")
+      .collect()(0).getLong(0) == 3L)
+    // namespace properties: SET, read back via DESCRIBE, UNSET
+    spark.sql("ALTER NAMESPACE graft.db SET PROPERTIES " +
+      "('team' = 'pipelines', 'tier' = 'gold')")
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.db")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Properties").exists(p =>
+      p.contains("team") && p.contains("pipelines") && p.contains("gold")),
+      s"got $desc")
+    spark.sql("ALTER NAMESPACE graft.db UNSET PROPERTIES ('tier')")
+    val desc2 = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.db")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc2.get("Properties").exists(p =>
+      p.contains("pipelines") && !p.contains("gold")), s"got $desc2")
+    // a properties-only namespace still drops cleanly
+    spark.sql("CREATE NAMESPACE graft.nsprops WITH PROPERTIES ('a'='1')")
+    assert(cat.loadNamespaceMetadata(Array("nsprops")).get("a") == "1")
+    spark.sql("DROP NAMESPACE graft.nsprops")
+    spark.sql("DROP VIEW graft.db.v_props")
+    spark.sql("DROP TABLE graft.db.t_vprops")
+  }
+
   test("MERGE with MULTIPLE conditioned UPDATE/INSERT expression actions: " +
       "first-match-wins order folds into one CASE WHEN bundle") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_mmulti")
