@@ -60,7 +60,14 @@ case class GraftDeleteJoinCommand(
     table: GraftSparkTable,
     source: LogicalPlan,
     keyCols: Seq[String],
-    anti: Boolean) extends UnaryNode with Command {
+    anti: Boolean,
+    // correlated NON-EQUALITY conjuncts from inside the EXISTS, rendered
+    // over target plain names + `_s_`-prefixed source names: routes the
+    // delete through the engine's residual-aware semi/anti join instead
+    // of the eq-delete fast path
+    joinResidual: Option[Column] = None,
+    // target-only conjuncts OUTSIDE the EXISTS (scan filter)
+    scanFilter: Option[Column] = None) extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftDeleteJoinCommand =
@@ -442,11 +449,14 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
               s"catalog ${other.name} is not a GraftCatalog")
         }
       }) :: Nil
-    case d @ GraftDeleteJoinCommand(t, _, keyCols, anti) =>
+    case d @ GraftDeleteJoinCommand(t, _, keyCols, anti, joinResid, scanF) =>
       GraftDmlExec(s"graft delete-${if (anti) "anti" else "semi"} ${t.name()}", () => {
         val src = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, d.source)
         val g = t.openGenerator(spark)
-        if (anti) g.deleteKeysAnti(src, keyCols) else g.deleteKeys(src, keyCols)
+        if (joinResid.isEmpty && scanF.isEmpty) {
+          // key-equality-only correlation: the eq-delete fast path
+          if (anti) g.deleteKeysAnti(src, keyCols) else g.deleteKeys(src, keyCols)
+        } else g.deleteSemiJoin(src, keyCols, joinResid, scanF, anti)
         g.commit()
       }) :: Nil
     case m: GraftMergeCommand =>
@@ -1140,6 +1150,18 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Rewrite target-relation attribute refs to plain names and build a
     * Column the exec can resolve against a fresh read of the table. */
+  /** Inline `With`/CommonExpressionRef shapes (how BETWEEN resolves in
+    * Spark 4) — a With whose attributes become Unresolved breaks its own
+    * dataType plumbing, and re-analysis re-deduplicates anyway. */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val byId = w.defs.map(d => d.id -> inlineWith(d.child)).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+          byId(r.id)
+      }
+  }
+
   private def toNamedColumn(e: Expression, relIds: Set[ExprId],
                             prefix: String = ""): Column =
     org.apache.spark.sql.graft.GraftSqlShim.column(e.transform {
@@ -1191,7 +1213,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * the inner attrs under the TARGET key names, plus those names.
     * None → not the supported shape (caller raises the loud error). */
   private def decorrelateExists(ex: Exists, relIds: Set[ExprId])
-      : Option[(LogicalPlan, Seq[String])] = {
+      : Option[(LogicalPlan, Seq[String], Option[Expression])] = {
     def findFilter(p: LogicalPlan): Option[Filter] = p match {
       case f: Filter if f.condition.exists(_.isInstanceOf[OuterReference]) =>
         Some(f)
@@ -1209,22 +1231,52 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }))
       n
     }
-    val (corr, rest) = splitConjuncts(f.condition)
+    val (corr, rest) = splitConjuncts(inlineWith(f.condition))
       .partition(_.exists(_.isInstanceOf[OuterReference]))
     if (corr.map(_.collect { case _: OuterReference => 1 }.size).sum != outerCount)
       return None
     val childOut = f.child.outputSet
-    val pairs: Seq[(String, AttributeReference)] = corr.map {
+    // key-equality conjuncts pair (target key, subquery column); every
+    // OTHER correlated conjunct (band, range) becomes a residual that the
+    // caller carries into its join condition — allowed when its outer
+    // refs all target the relation and its inner attrs are all subquery
+    // columns (which project as `_rc<i>` alongside the keys)
+    def wellScoped(e: Expression): Boolean = e match {
+      case OuterReference(a: AttributeReference) => relIds(a.exprId)
+      case a: AttributeReference => childOut.contains(a)
+      case other => !other.isInstanceOf[SubqueryExpression] &&
+        other.children.forall(wellScoped)
+    }
+    def innerAttrs(e: Expression): Seq[AttributeReference] = e match {
+      case OuterReference(_) => Nil
+      case a: AttributeReference => Seq(a)
+      case other => other.children.flatMap(innerAttrs)
+    }
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, AttributeReference)]
+    val residRaw = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    corr.foreach {
       case EqualTo(OuterReference(a: AttributeReference), b: AttributeReference)
-          if relIds(a.exprId) && childOut.contains(b) => (a.name, b)
+          if relIds(a.exprId) && childOut.contains(b) => pairs += ((a.name, b))
       case EqualTo(b: AttributeReference, OuterReference(a: AttributeReference))
-          if relIds(a.exprId) && childOut.contains(b) => (a.name, b)
+          if relIds(a.exprId) && childOut.contains(b) => pairs += ((a.name, b))
+      case other if wellScoped(other) => residRaw += other
       case _ => return None
     }
     if (pairs.isEmpty || pairs.map(_._1).distinct.size != pairs.size) return None
     val inner = if (rest.isEmpty) f.child else Filter(rest.reduce(And), f.child)
-    Some((Project(pairs.map { case (n, b) => Alias(b, n)() }, inner),
-      pairs.map(_._1)))
+    val rcAttrs = residRaw.toSeq.flatMap(innerAttrs)
+      .groupBy(_.exprId).map(_._2.head).toSeq.sortBy(_.name)
+    val rcName: Map[ExprId, String] =
+      rcAttrs.zipWithIndex.map { case (a, i) => a.exprId -> s"_rc$i" }.toMap
+    // the residual in NEUTRAL form: subquery columns as `_rc<i>`, outer
+    // target refs kept as OuterReference for the caller to render
+    val residNeutral = residRaw.toSeq.reduceOption(And).map(_.transform {
+      case a: AttributeReference if rcName.contains(a.exprId) =>
+        UnresolvedAttribute(Seq(rcName(a.exprId)))
+    })
+    Some((Project(pairs.toSeq.map { case (n, b) => Alias(b, n)() } ++
+        rcAttrs.zipWithIndex.map { case (a, i) => Alias(a, s"_rc$i")() }, inner),
+      pairs.toSeq.map(_._1), residNeutral))
   }
 
   /** A conjunction holding exactly ONE `[NOT] EXISTS` (key-equality
@@ -1232,7 +1284,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * key names, residual, anti). None → not the supported shape (caller
     * falls through to the literal path's loud error). */
   private def existsWithResidual(cond: Expression, relIds: Set[ExprId])
-      : Option[(LogicalPlan, Seq[String], Option[Expression], Boolean)] = {
+      : Option[(LogicalPlan, Seq[String], Option[Expression],
+          Option[Expression], Boolean)] = {
     val conj = splitConjuncts(cond)
     val exs = conj.collect {
       case e: Exists => (e, false)
@@ -1252,8 +1305,9 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         })
     if (!targetOnly) return None
     val (ex, anti) = exs.head
-    decorrelateExists(ex, relIds).map { case (src, keys) =>
-      (src, keys, if (rest.isEmpty) None else Some(rest.reduce(And)), anti)
+    decorrelateExists(ex, relIds).map { case (src, keys, corrResid) =>
+      (src, keys, if (rest.isEmpty) None else Some(rest.reduce(And)),
+        corrResid, anti)
     }
   }
 
@@ -1262,14 +1316,24 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val relIds = r.output.map(_.exprId).toSet
     // [NOT] EXISTS with key-equality correlation → the engine's semi/anti-
     // join delete (scales as a join; never a literal set)
+    // render a neutral corr-residual for deleteSemiJoin's frame: outer
+    // target refs by PLAIN name, subquery `_rc<i>` columns `_s_`-prefixed
+    def deleteResid(e: Expression): Column =
+      toNamedColumn(e.transform {
+        case OuterReference(a: AttributeReference) => a
+        case UnresolvedAttribute(Seq(n)) if n.startsWith("_rc") =>
+          UnresolvedAttribute(Seq(s"_s_$n"))
+      }, relIds)
     cond match {
       case ex: Exists =>
-        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
-          return GraftDeleteJoinCommand(t, src, keys, anti = false)
+        decorrelateExists(ex, relIds).foreach { case (src, keys, corrResid) =>
+          return GraftDeleteJoinCommand(t, src, keys, anti = false,
+            joinResidual = corrResid.map(deleteResid))
         }
       case Not(ex: Exists) =>
-        decorrelateExists(ex, relIds).foreach { case (src, keys) =>
-          return GraftDeleteJoinCommand(t, src, keys, anti = true)
+        decorrelateExists(ex, relIds).foreach { case (src, keys, corrResid) =>
+          return GraftDeleteJoinCommand(t, src, keys, anti = true,
+            joinResidual = corrResid.map(deleteResid))
         }
       // a BARE `(k…) IN (<subquery>)` (single- or multi-column, every
       // value a bare target column) is the EXISTS semi-join in disguise
@@ -1297,7 +1361,15 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           } =>
         existsWithResidual(cond, relIds).foreach {
-          case (src, keys, residual, anti) =>
+          case (src, keys, residual, corrResid, anti) =>
+            // a correlated NON-EQUALITY conjunct inside the EXISTS rides
+            // the residual-aware semi/anti join (an eq-delete can't
+            // express per-row both-sides conditions); the target-only
+            // residual OUTSIDE the EXISTS filters the scan
+            if (corrResid.isDefined)
+              return GraftDeleteJoinCommand(t, src, keys, anti,
+                joinResidual = corrResid.map(deleteResid),
+                scanFilter = residual.map(toNamedColumn(_, relIds)))
             val cmd =
               if (!anti) GraftMergeCommand(t, Distinct(src), keys,
                 updateWhen = lit(false),
@@ -1414,7 +1486,10 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           } =>
         existsWithResidual(c, relIds).foreach {
-          case (src, keys, residual, anti) =>
+          case (src, keys, residual, corrResid, anti) =>
+            if (corrResid.isDefined) throw new UnsupportedOperationException(
+              "graft UPDATE: non-equality correlated EXISTS is supported " +
+                "for DELETE only — rewrite as MERGE INTO with a residual ON")
             val cmd =
               if (!anti) GraftMergeCommand(t, Distinct(src), keys,
                 updateWhen = residual.map(toNamedColumn(_, relIds, "_t_"))
@@ -1507,18 +1582,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         unsupported(s"subquery in ON conjunct ${c.sql}")
     }
     // the merge conditions evaluate over the engine's joined frame: source
-    // columns under their own names, matched-target columns under _t_.
-    // `With`/CommonExpressionRef shapes (how BETWEEN resolves in Spark 4)
-    // are inlined first — a With whose attributes become Unresolved breaks
-    // its own dataType plumbing, and re-analysis re-deduplicates anyway.
-    def inlineWith(e: Expression): Expression = e.transformUp {
-      case w: org.apache.spark.sql.catalyst.expressions.With =>
-        val byId = w.defs.map(d => d.id -> inlineWith(d.child)).toMap
-        w.child.transformUp {
-          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
-            byId(r.id)
-        }
-    }
+    // columns under their own names, matched-target columns under _t_
     def condCol(e: Option[Expression], default: Column): Column =
       e.map(x => org.apache.spark.sql.graft.GraftSqlShim.column(
         inlineWith(x).transform {

@@ -255,6 +255,31 @@ object CatalogQueries {
       "ovwp_t"
     })
 
+  /** DELETE WHERE EXISTS with a non-equality correlated conjunct (the
+    * event-time band): ids 0..299 ts=10·id; source ids 0..199 with
+    * sts = 10·id + (3 if id even else 50) — in the ±5 band iff even. */
+  private def existsResidT(spark: SparkSession): Unit =
+    built.computeIfAbsent("exres_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "exres_t")
+        .create(GraftSchema.of("id" -> LongType, "ts" -> LongType,
+          "val" -> LongType), Nil)
+        .appendData(spark.range(0, 300).toDF("id")
+          .withColumn("ts", col("id") * 10)
+          .withColumn("val", col("id") * 2)).commit()
+      spark.range(0, 200).toDF("id")
+        .withColumn("sts", col("id") * 10 +
+          when(col("id") % 2 === 0, lit(3L)).otherwise(lit(50L)))
+        .createOrReplaceTempView("graft_sql_exres_src")
+      spark.sql(
+        """DELETE FROM graft.cq.exres_t WHERE EXISTS (
+          |  SELECT 1 FROM graft_sql_exres_src s
+          |  WHERE s.id = exres_t.id
+          |    AND s.sts BETWEEN exres_t.ts - 5 AND exres_t.ts + 5)
+          |""".stripMargin)
+      "exres_t"
+    })
+
   /** Multiple conditioned MERGE actions with expression assignments:
     * first-match-wins across an interleaved UPDATE/DELETE/UPDATE matched
     * group and a two-action INSERT group. */
@@ -975,6 +1000,11 @@ object CatalogQueries {
         "FROM graft.cq.ovwp_t GROUP BY part ORDER BY part")
     }),
 
+    "sql_catalog_delete_exists_residual" -> ((s, _) => {
+      existsResidT(s)
+      s.sql("SELECT id, ts, val FROM graft.cq.exres_t")
+    }),
+
     "sql_merge_multi_action" -> ((s, _) => {
       mergeMultiT(s)
       s.sql("SELECT id, val, note FROM graft.cq.mmulti_t")
@@ -1323,6 +1353,15 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // exres_t end state: even ids 0..198 were in-band and died; odd ids
+    // under 200 (out-of-band) and 200..299 (uncovered) survive
+    "sql_catalog_delete_exists_residual" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(id * 10 AS BIGINT) AS ts,
+        |       CAST(id * 2 AS BIGINT) AS val FROM (
+        |  SELECT range AS id FROM range(0, 200) WHERE range % 2 = 1
+        |  UNION ALL SELECT range FROM range(200, 300)
+        |)""".stripMargin,
 
     // mmulti_t end state: first-match-wins across the ordered actions
     "sql_merge_multi_action" ->

@@ -728,6 +728,62 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Semi/anti-join positional DELETE with a correlated RESIDUAL — the
+    * `DELETE WHERE [NOT] EXISTS (… s.k = t.k AND s.ts > t.ts …)` shape
+    * an equality-delete file cannot express (whether a row dies depends
+    * on BOTH sides, not just its key). One join decides the dead rows:
+    * the committed scan (semi: pruned to the source's key envelope —
+    * sound because key equality stays necessary for a match) joins the
+    * `_s_`-prefixed source on key equality AND `joinResidual`, and the
+    * matches' (path, pos) land in ONE global tombstone file the reader
+    * prunes by path bounds. `scanFilter` (target-only conjuncts OUTSIDE
+    * the EXISTS) filters the scan first — equivalent for semi, required
+    * ordering for anti. Cost: one join + one O(matches) tombstone; no
+    * data file rewritten. */
+  def deleteSemiJoin(src: DataFrame, keyCols: Seq[String],
+                     joinResidual: Option[Column],
+                     scanFilter: Option[Column] = None,
+                     anti: Boolean = false): this.type = {
+    requireCreated("deleteSemiJoin()")
+    keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    val opSeq = nextOpSeq()
+    val st = lineage(log.load())
+    val files =
+      if (anti) st.dataFiles
+      else {
+        val aggs = keyCols.flatMap(k => Seq(
+          min(col(k)).cast("string").as(s"_lo_$k"),
+          max(col(k)).cast("string").as(s"_hi_$k")))
+        val r = src.agg(aggs.head, aggs.tail: _*).head()
+        val ranges = keyCols.flatMap { k =>
+          val lo = Option(r.getAs[String](s"_lo_$k"))
+          val hi = Option(r.getAs[String](s"_hi_$k"))
+          if (lo.isEmpty && hi.isEmpty) None
+          else Some(k -> MorReader.ColRange(lo, hi))
+        }.toMap
+        st.dataFiles.filter(f =>
+          MorReader.entryMatches(f, schema, Map.empty, ranges))
+      }
+    if (files.isEmpty) return this
+    val srcPref = src.select(src.columns.map(c => col(c).as(s"_s_$c")): _*)
+    val keyEq = keyCols.map(k => col(k) === col(s"_s_$k")).reduce(_ && _)
+    val scan0 = rawScan(files)
+    val scan = scanFilter.map(scan0.where).getOrElse(scan0)
+    val matches = scan.join(srcPref,
+        joinResidual.map(keyEq && _).getOrElse(keyEq),
+        if (anti) "left_anti" else "left_semi")
+      .select(col(MorReader.FilePathCol).as("file_path"),
+        col(MorReader.PosCol).as("pos"))
+    val target = deleteFileTarget("delete", Map.empty)
+    writeSingleFile(
+      matches.repartition(1).sortWithinPartitions("file_path", "pos"), target)
+    stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "pos",
+      Nil, Nil, opSeq,
+      metrics = deleteColMetrics(target,
+        Seq(DeleteFileEntry.PathFieldId -> "file_path")))
+    this
+  }
+
   def equalityDelete(pred: Column, keyCols: Seq[String]): this.type =
     equalityDelete(None, pred, keyCols)
 

@@ -285,6 +285,64 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("DELETE WHERE [NOT] EXISTS with a non-equality correlated conjunct " +
+      "routes to the residual-aware semi/anti join") {
+    import org.apache.spark.sql.types._
+    def mk(name: String): GraftTableGenerator = {
+      val g = new GraftTableGenerator(spark, s"$wh/db", name)
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "ts" -> LongType, "val" -> LongType), Nil)
+      // ids 0..19, ts = 10·id
+      g.appendData(spark.range(0, 20).toDF("id")
+        .withColumn("ts", col("id") * 10)
+        .withColumn("val", col("id"))).commit()
+      g
+    }
+    // source covers ids 0..9; in the ±5 band iff id even
+    spark.range(0, 10).toDF("id")
+      .withColumn("sts", col("id") * 10 +
+        when(col("id") % 2 === 0, lit(3L)).otherwise(lit(50L)))
+      .createOrReplaceTempView("exres_src")
+    mk("t_exres")
+    spark.sql(
+      """DELETE FROM graft.db.t_exres WHERE EXISTS (
+        |  SELECT 1 FROM exres_src s
+        |  WHERE s.id = t_exres.id
+        |    AND s.sts BETWEEN t_exres.ts - 5 AND t_exres.ts + 5)
+        |""".stripMargin)
+    val got = spark.sql("SELECT id FROM graft.db.t_exres")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // even 0..8 in-band → deleted; odd 0..9 out-of-band and 10..19 survive
+    assert(got == ((1L until 10L by 2) ++ (10L until 20L)).sorted,
+      s"got $got")
+    // NOT EXISTS twin: delete rows NO source row fully-matches
+    mk("t_exres2")
+    spark.sql(
+      """DELETE FROM graft.db.t_exres2 WHERE NOT EXISTS (
+        |  SELECT 1 FROM exres_src s
+        |  WHERE s.id = t_exres2.id
+        |    AND s.sts BETWEEN t_exres2.ts - 5 AND t_exres2.ts + 5)
+        |""".stripMargin)
+    val got2 = spark.sql("SELECT id FROM graft.db.t_exres2")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == (0L until 10L by 2).toSeq, s"got2 $got2")
+    // composite: correlated residual INSIDE + target-only residual OUTSIDE
+    mk("t_exres3")
+    spark.sql(
+      """DELETE FROM graft.db.t_exres3 WHERE EXISTS (
+        |  SELECT 1 FROM exres_src s
+        |  WHERE s.id = t_exres3.id AND s.sts > t_exres3.ts)
+        |  AND t_exres3.id >= 4
+        |""".stripMargin)
+    val got3 = spark.sql("SELECT id FROM graft.db.t_exres3")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // s.sts > ts holds for ALL covered ids (both +3 and +50); outside
+    // residual keeps ids < 4 → deleted 4..9, survivors 0..3 and 10..19
+    assert(got3 == ((0L until 4L) ++ (10L until 20L)).sorted, s"got3 $got3")
+    Seq("t_exres", "t_exres2", "t_exres3").foreach(t =>
+      spark.sql(s"DROP TABLE graft.db.$t"))
+  }
+
   test("ALTER VIEW SET/UNSET TBLPROPERTIES and ALTER NAMESPACE properties " +
       "persist in the warehouse metadata documents") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_vprops")
