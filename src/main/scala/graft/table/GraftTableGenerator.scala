@@ -1173,7 +1173,11 @@ final class GraftTableGenerator(
       if (!n.where(anyKeyNull).isEmpty) {
         val doDel = coalesce(nmbsDeleteWhen.getOrElse(lit(false)), lit(false))
         val doUpd = !doDel && coalesce(nmbsUpdateWhen.getOrElse(lit(false)), lit(false))
-        positionalDelete(anyKeyNull && (doDel || doUpd))
+        // null-count pruning: a file whose every key column records ZERO
+        // nulls provably holds no null-key row — the matching scan skips it
+        positionalDelete(None, anyKeyNull && (doDel || doUpd), 0, 0, Nil,
+          f => keyCols.exists(k => f.metrics.get(schema.fieldId(k))
+            .forall(_.nullCount != 0)))
       }
     }
     val affected = nmbsClassified match {

@@ -152,6 +152,52 @@ if m and n_keys is not None:
 else:
     print("NOTE: README count pattern not found or no bench artifact; skipping check 4")
 
+# 5. README spec count vs the suite's registrations (VERDICT r10 "what's
+# wrong" #1: README said 390 while the suite ran 409). The count derives
+# from the test sources — every spec in this repo is a literal top-level
+# `test(` registration (ScalaTest FunSuite style), so the static count IS
+# the run count; SPEC_COUNT=<n> overrides when a suite log is at hand.
+spec_count = os.environ.get("SPEC_COUNT")
+if spec_count:
+    spec_count = int(spec_count)
+else:
+    spec_count = 0
+    tdir = os.path.join(repo, "src", "test", "scala", "graft")
+    for fn in os.listdir(tdir):
+        if not fn.endswith(".scala"):
+            continue
+        src = open(os.path.join(tdir, fn), errors="replace").read()
+        spec_count += len(re.findall(r"(?m)^\s+test\(", src))
+m = re.search(r"`sbt test` — (\d+) specs", readme)
+if m:
+    if int(m.group(1)) != spec_count:
+        fails.append(f"README says {m.group(1)} specs; suite registers "
+                     f"{spec_count} — update README.md")
+    else:
+        print(f"OK README spec count: {spec_count}")
+else:
+    fails.append("README spec-count pattern ('`sbt test` — N specs') not found")
+
+# 6. canonical bench artifact declared in COVERAGE.md — when close-time
+# and driver runs differ, the doc must say which one is committed
+# (VERDICT r10 "what's wrong" #2).
+coverage = open(os.path.join(repo, "COVERAGE.md")).read()
+m = re.search(r"[Cc]anonical bench artifact: (\d+) keys / ([\d.]+) s", coverage)
+if m and bench is not None:
+    ck, ct = int(m.group(1)), float(m.group(2))
+    total = bench.get("value")
+    if ck != n_keys:
+        fails.append(f"COVERAGE canonical artifact says {ck} keys; committed "
+                     f"artifact has {n_keys}")
+    elif total is not None and abs(ct - float(total)) > 0.05 * max(ct, 1.0):
+        fails.append(f"COVERAGE canonical artifact says {ct} s; committed "
+                     f"artifact totals {total:.1f} s — restate which run is canonical")
+    else:
+        print(f"OK canonical artifact declared: {ck} keys / {ct} s")
+else:
+    fails.append("COVERAGE.md lacks a 'canonical bench artifact: N keys / T s' "
+                 "line (or no bench artifact present)")
+
 if fails:
     print("\nROUND-CLOSE GATE FAILED:")
     for f in fails:
