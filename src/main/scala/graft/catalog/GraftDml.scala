@@ -1279,6 +1279,67 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       pairs.toSeq.map(_._1), residNeutral))
   }
 
+  /** Decorrelate a KEY-EQUALITY-correlated scalar AGGREGATE subquery
+    * (`(SELECT max(s.v) FROM s WHERE s.k = t.k [AND …])` — the UPDATE
+    * enrichment idiom): rebuilt as `Aggregate(GROUP BY keys, keys ++
+    * value AS _sq0)` over the de-correlated filter, exactly one row per
+    * key (the merge cardinality guard stays safe). COUNT-family
+    * aggregates are refused — an empty group is 0 there, but the grouped
+    * rewrite LOSES empty groups and the caller substitutes NULL for
+    * unmatched keys, which is only correct for NULL-on-empty aggregates
+    * (max/min/sum/avg/first). */
+  private def decorrelateScalarAgg(sq: org.apache.spark.sql.catalyst
+        .expressions.ScalarSubquery, relIds: Set[ExprId])
+      : Option[(LogicalPlan, Seq[String])] = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case x => x
+    }
+    strip(sq.plan) match {
+      case agg @ Aggregate(Nil, aggExprs, aggChild, _) if aggExprs.size == 1 =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+        val hasCount = aggExprs.head.exists {
+          case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[Count]
+          case _ => false
+        }
+        if (hasCount) return None
+        strip(aggChild) match {
+          case f: Filter if f.condition.exists(_.isInstanceOf[OuterReference]) =>
+            val childOut = f.child.outputSet
+            val (corr, rest) = splitConjuncts(inlineWith(f.condition))
+              .partition(_.exists(_.isInstanceOf[OuterReference]))
+            val pairs: Seq[(String, AttributeReference)] = corr.map {
+              case EqualTo(OuterReference(a: AttributeReference), b: AttributeReference)
+                  if relIds(a.exprId) && childOut.contains(b) => (a.name, b)
+              case EqualTo(b: AttributeReference, OuterReference(a: AttributeReference))
+                  if relIds(a.exprId) && childOut.contains(b) => (a.name, b)
+              case _ => return None
+            }
+            if (pairs.isEmpty || pairs.map(_._1).distinct.size != pairs.size)
+              return None
+            // no correlation anywhere else in the subquery
+            var outerCount = 0
+            sq.plan.foreach(n => n.expressions.foreach(_.foreach {
+              case _: OuterReference => outerCount += 1
+              case _ =>
+            }))
+            if (corr.map(_.collect { case _: OuterReference => 1 }.size).sum
+                != outerCount) return None
+            val inner =
+              if (rest.isEmpty) f.child else Filter(rest.reduce(And), f.child)
+            val valueAlias = Alias(aggExprs.head match {
+              case Alias(c, _) => c
+              case other => other
+            }, "_sq0")()
+            Some((Aggregate(pairs.map(_._2),
+              pairs.map { case (n, b) => Alias(b, n)() } :+ valueAlias, inner),
+              pairs.map(_._1)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** A conjunction holding exactly ONE `[NOT] EXISTS` (key-equality
     * shape) plus target-only residual conjuncts → (decorrelated source,
     * key names, residual, anti). None → not the supported shape (caller
@@ -1523,6 +1584,57 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           insertWhen = lit(false),
           updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))
       case _ =>
+    }
+    // correlated-by-key scalar subquery in SET — the enrichment JOIN
+    // (`SET v = (SELECT max(s.x) FROM s WHERE s.k = t.k) …`): ONE
+    // assignment carries the subquery; it decorrelates to a grouped
+    // aggregate source and rides the merge machinery. Matched rows take
+    // the joined `_sq0` value; keys the subquery does NOT cover update
+    // through the NMBS leg with the subquery substituted NULL (the SQL
+    // value of a NULL-on-empty aggregate over zero rows).
+    {
+      import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+      val subAssigns = assignments.filter(
+        _.value.exists(_.isInstanceOf[SubqueryExpression]))
+      if (subAssigns.size == 1 &&
+          cond.forall(c => !c.exists(_.isInstanceOf[SubqueryExpression]))) {
+        val asg = subAssigns.head
+        val subs = asg.value.collect { case s: ScalarSubquery => s }
+        if (subs.size == 1 && subs.head.outerAttrs.nonEmpty) {
+          decorrelateScalarAgg(subs.head, relIds).foreach { case (src, keys) =>
+            def targetName(a: Assignment): String = a.key match {
+              case x: AttributeReference => x.name
+              case other => throw new UnsupportedOperationException(
+                s"graft UPDATE: unsupported assignment target $other")
+            }
+            def renderSets(prefix: String,
+                           subVal: Expression => Expression)
+                : Seq[(String, Column)] =
+              assignments.flatMap { a =>
+                val name = targetName(a)
+                a.value match {
+                  case v: AttributeReference
+                      if relIds(v.exprId) && v.name == name => None
+                  case v => Some(name -> toNamedColumn(
+                    inlineWith(v).transform {
+                      case s: ScalarSubquery => subVal(s)
+                    }, relIds, prefix))
+                }
+              }
+            return GraftMergeCommand(t, src, keys,
+              updateWhen = cond.map(toNamedColumn(_, relIds, "_t_"))
+                .getOrElse(lit(true)),
+              deleteWhen = lit(false), insertWhen = lit(false),
+              nmbsUpdateWhen = Some(cond.map(toNamedColumn(_, relIds))
+                .getOrElse(lit(true))),
+              nmbsSets = renderSets("",
+                s => Literal.create(null, s.dataType)),
+              updateSets = Some(renderSets("_t_",
+                _ => UnresolvedAttribute(Seq("_sq0")))),
+              insertSets = Some(Nil))
+          }
+        }
+      }
     }
     val sets = buildSetsDeferred()
     val (pf, rg, pts) = cond.map(extractPruning(_, r, t))

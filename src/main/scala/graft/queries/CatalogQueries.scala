@@ -255,6 +255,26 @@ object CatalogQueries {
       "ovwp_t"
     })
 
+  /** UPDATE SET with a correlated-by-key scalar AGGREGATE subquery (the
+    * enrichment JOIN): covered keys take the per-key aggregate (+10),
+    * uncovered keys take NULL, untouched rows keep 2·id. */
+  private def updCorrT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ucorr_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "ucorr_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)).commit()
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "ucorr_src")
+        .create(GraftSchema.of("id" -> LongType, "w" -> LongType), Nil)
+        .appendData(spark.range(0, 50).toDF("id")
+          .withColumn("w", col("id") % 7)).commit()
+      spark.sql("UPDATE graft.cq.ucorr_t SET val = (SELECT MAX(w) " +
+        "FROM graft.cq.ucorr_src s WHERE s.id = ucorr_t.id) + 10 " +
+        "WHERE id % 2 = 0")
+      "ucorr_t"
+    })
+
   /** DELETE WHERE EXISTS with a non-equality correlated conjunct (the
     * event-time band): ids 0..299 ts=10·id; source ids 0..199 with
     * sts = 10·id + (3 if id even else 50) — in the ±5 band iff even. */
@@ -1000,6 +1020,11 @@ object CatalogQueries {
         "FROM graft.cq.ovwp_t GROUP BY part ORDER BY part")
     }),
 
+    "sql_catalog_update_corr" -> ((s, _) => {
+      updCorrT(s)
+      s.sql("SELECT id, val FROM graft.cq.ucorr_t")
+    }),
+
     "sql_catalog_delete_exists_residual" -> ((s, _) => {
       existsResidT(s)
       s.sql("SELECT id, ts, val FROM graft.cq.exres_t")
@@ -1353,6 +1378,16 @@ object CatalogQueries {
     "sql_catalog_delete_exists" ->
       """SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS val
         |FROM range(0, 250) WHERE range % 4 <> 0""".stripMargin,
+
+    // ucorr_t end state: even covered ids take id%7+10, even uncovered
+    // take NULL (max over zero rows, +10 keeps NULL), odd keep 2·id
+    "sql_catalog_update_corr" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range % 2 = 0 AND range < 50
+        |                 THEN range % 7 + 10
+        |            WHEN range % 2 = 0 THEN NULL
+        |            ELSE range * 2 END AS BIGINT) AS val
+        |FROM range(0, 100)""".stripMargin,
 
     // exres_t end state: even ids 0..198 were in-band and died; odd ids
     // under 200 (out-of-band) and 200..299 (uncovered) survive

@@ -505,12 +505,30 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e1.getMessage.toLowerCase.contains("more than one row") ||
       e1.getMessage.contains("MULTI"), e1.getMessage)
-    // correlated → loud with the MERGE hint
+    // correlated-by-key AGGREGATE subquery: the enrichment JOIN — matched
+    // keys take the per-key aggregate, uncovered keys take NULL (the SQL
+    // value of max() over zero rows)
+    spark.sql("UPDATE graft.db.t_usub SET val = (SELECT MAX(w) " +
+      "FROM graft.db.t_usub_src s WHERE s.id = t_usub.id) WHERE id >= 40")
+    val corr = spark.sql("SELECT id, val FROM graft.db.t_usub WHERE id >= 40")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    (40L until 50L).foreach(i => assert(corr(i) == i % 7, s"id $i: ${corr(i)}"))
+    (50L until 100L).foreach(i => assert(corr(i) == null,
+      s"uncovered key $i must take NULL, got ${corr(i)}"))
+    // COUNT-family correlated aggregates stay loud (empty group = 0, not
+    // NULL — the grouped rewrite would silently miscount)
     val e2 = intercept[Exception] {
-      spark.sql("UPDATE graft.db.t_usub SET val = (SELECT MAX(w) " +
+      spark.sql("UPDATE graft.db.t_usub SET val = (SELECT COUNT(*) " +
         "FROM graft.db.t_usub_src s WHERE s.id = t_usub.id)")
     }
     assert(e2.getMessage.contains("MERGE"), e2.getMessage)
+    // non-aggregate correlated subqueries stay loud too
+    val e3 = intercept[Exception] {
+      spark.sql("UPDATE graft.db.t_usub SET val = (SELECT s.w " +
+        "FROM graft.db.t_usub_src s WHERE s.id = t_usub.id)")
+    }
+    assert(e3.getMessage.contains("MERGE"), e3.getMessage)
   }
 
   test("MERGE ON with non-equi residual conjuncts: key equality routes, " +
@@ -1630,13 +1648,12 @@ class CatalogSpec extends SparkSpec {
       "(SELECT max(pid) FROM subq_doomed) WHERE product_id = 11")
     assert(spark.sql("SELECT quantity FROM graft.db.t_subq " +
       "WHERE product_id = 11").collect().forall(_.getInt(0) == wantQ))
-    val e2 = intercept[Exception] {
-      spark.sql("UPDATE graft.db.t_subq SET quantity = (SELECT max(pid) " +
-        "FROM subq_doomed s WHERE s.pid = t_subq.product_id)")
-    }
-    assert(e2.getMessage.contains("graft UPDATE") ||
-      Option(e2.getCause).exists(_.getMessage.contains("graft UPDATE")),
-      s"want the graft error, got: ${e2.getMessage}")
+    // correlated-by-key aggregate now join-assigns (own test); keys the
+    // subquery covers take their per-key max, others NULL
+    spark.sql("UPDATE graft.db.t_subq SET quantity = (SELECT max(pid) " +
+      "FROM subq_doomed s WHERE s.pid = t_subq.product_id)")
+    assert(spark.sql("SELECT quantity FROM graft.db.t_subq " +
+      "WHERE product_id = 12").collect().forall(_.getInt(0) == 12))
   }
 
   test("add_files adopts external parquet in place: stats, pruning, MoR parity") {
