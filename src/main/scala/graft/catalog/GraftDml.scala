@@ -180,7 +180,8 @@ case class GraftUpdateSpecDdl(
   * `CALL graft.system.create_branch/create_tag/...` expose). */
 case class GraftRefDdl(nameParts: Seq[String], create: Boolean,
                        isBranch: Boolean, refName: String,
-                       ifClause: Boolean, asOfVersion: Option[Long])
+                       ifClause: Boolean, asOfVersion: Option[Long],
+                       replace: Boolean = false)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -398,7 +399,8 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
           throw new org.apache.spark.sql.catalyst.analysis
             .NoSuchViewException(d.ident)
       }) :: Nil
-    case GraftRefDdl(nameParts, create, isBranch, refName, ifClause, asOf) =>
+    case GraftRefDdl(nameParts, create, isBranch, refName, ifClause, asOf,
+                     replace) =>
       val kind = if (isBranch) "BRANCH" else "TAG"
       GraftDmlExec(s"graft ref ddl ${nameParts.mkString(".")} $kind $refName",
         () => {
@@ -414,17 +416,24 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
             val g = gc.openGeneratorByName(table)
             val refs = graft.meta.SnapshotLog(gc.dirByName(table)).refs
             val key = if (isBranch) s"branch:$refName" else refName
-            (create, refs.contains(key)) match {
+            def repoint(): Unit =
+              if (isBranch) g.replaceBranch(refName, asOf.getOrElse(-1L))
+              else g.tag(refName, asOf.getOrElse(-1L)) // tag repoint = setRef
+            (create, replace, refs.contains(key)) match {
               // IF NOT EXISTS tolerates presence; IF EXISTS tolerates absence
-              case (true, true) if ifClause =>
-              case (false, false) if ifClause =>
-              case (false, false) => throw new IllegalArgumentException(
+              case (true, false, true) if ifClause =>
+              case (false, _, false) if ifClause =>
+              case (false, _, false) => throw new IllegalArgumentException(
                 s"no such ${kind.toLowerCase} '$refName' on $table " +
                   s"(known refs: ${refs.keys.toSeq.sorted.mkString(", ")})")
-              case (true, _) =>
+              case (true, _, false) => // CREATE / CREATE OR REPLACE, absent
                 if (isBranch) g.createBranch(refName, asOf.getOrElse(-1L))
                 else g.tag(refName, asOf.getOrElse(-1L))
-              case (false, true) =>
+              case (true, true, true) => repoint() // CREATE OR REPLACE
+              case (true, false, true) => throw new IllegalArgumentException(
+                s"${kind.toLowerCase} '$refName' already exists on $table")
+              case (false, true, true) => repoint() // REPLACE
+              case (false, false, true) =>
                 if (isBranch) g.dropBranch(refName) else g.removeTag(refName)
             }
           case other => throw new UnsupportedOperationException(

@@ -67,7 +67,7 @@ object GraftSqlParser {
   private val ReplaceRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$""".r
   private val RefDdlRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+""" +
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+(CREATE\s+OR\s+REPLACE|CREATE|DROP|REPLACE)\s+(BRANCH|TAG)\s+""" +
      """(IF\s+NOT\s+EXISTS\s+|IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)""" +
      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
 
@@ -212,11 +212,13 @@ object GraftSqlParser {
       // Iceberg ref DDL: ALTER TABLE t CREATE|DROP BRANCH|TAG name
       // [IF [NOT] EXISTS] [AS OF VERSION v]
       case RefDdlRe(table, verb, kind, ifc, name, asOf) =>
+        val v = verb.toUpperCase.replaceAll("\\s+", " ")
         tryBuild(table)(graft.catalog.GraftRefDdl(_,
-          create = verb.equalsIgnoreCase("CREATE"),
+          create = v.startsWith("CREATE"),
           isBranch = kind.equalsIgnoreCase("BRANCH"),
           refName = name, ifClause = ifc != null,
-          asOfVersion = Option(asOf).map(_.toLong)))
+          asOfVersion = Option(asOf).map(_.toLong),
+          replace = v.endsWith("REPLACE")))
       case _ => None
     }
   }

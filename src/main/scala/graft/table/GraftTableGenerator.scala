@@ -2110,6 +2110,28 @@ final class GraftTableGenerator(
     this
   }
 
+  /** Repoint an EXISTING branch ref (`REPLACE BRANCH … AS OF VERSION v`):
+    * only for branches with no own commits — repointing a branch that has
+    * written snapshots would orphan them (drop and recreate instead). */
+  def replaceBranch(branchName: String, asOfVersion: Long = -1L): this.type = {
+    requireCreated("replaceBranch()")
+    require(log.refs.contains(s"branch:$branchName"),
+      s"unknown branch '$branchName'")
+    val st = log.load()
+    require(!st.snapshots.exists(_.branch == branchName),
+      s"branch '$branchName' has its own commits — REPLACE would orphan " +
+        "them; drop and recreate instead")
+    val mainSnaps = st.mainOnly.snapshots
+    val fork =
+      if (asOfVersion >= 0) {
+        require(mainSnaps.exists(_.id == asOfVersion),
+          s"unknown main snapshot $asOfVersion for branch fork")
+        asOfVersion
+      } else mainSnaps.lastOption.map(_.id).getOrElse(0L)
+    log.setRef(s"branch:$branchName", fork)
+    this
+  }
+
   /** Route subsequent staged commits to a branch (or back to "main").
     * Branch writes see the branch lineage — main history up to the fork
     * plus the branch's own commits — for delete planning and compaction;

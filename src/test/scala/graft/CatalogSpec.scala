@@ -461,6 +461,32 @@ class CatalogSpec extends SparkSpec {
       "table => 'db.t_refddl', branch => 'b1')")
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_refddl")
       .collect()(0).getLong(0) == 25L)
+    // REPLACE repoints an existing ref; CREATE OR REPLACE creates-or-repoints
+    val snap2 = log.load().mainOnly.snapshots.map(_.id).sorted.apply(1)
+    spark.sql(s"ALTER TABLE graft.db.t_refddl REPLACE TAG t1 " +
+      s"AS OF VERSION $snap2")
+    assert(log.refs("t1") == snap2)
+    spark.sql(s"ALTER TABLE graft.db.t_refddl CREATE OR REPLACE TAG t9 " +
+      s"AS OF VERSION $snap1")
+    assert(log.refs("t9") == snap1)
+    intercept[Exception] { // bare REPLACE of a missing ref stays loud
+      spark.sql("ALTER TABLE graft.db.t_refddl REPLACE BRANCH ghostb") }
+    // an UNPUBLISHED branch with its own commits refuses REPLACE (a
+    // repoint would orphan them); a commit-free branch repoints fine
+    spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH b2")
+    spark.conf.set("spark.graft.wap.branch.db.t_refddl", "b2")
+    try spark.sql("INSERT INTO graft.db.t_refddl SELECT id FROM range(90, 95)")
+    finally spark.conf.unset("spark.graft.wap.branch.db.t_refddl")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.db.t_refddl REPLACE BRANCH b2 " +
+        s"AS OF VERSION $snap1") }
+    spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH b3")
+    spark.sql(s"ALTER TABLE graft.db.t_refddl REPLACE BRANCH b3 " +
+      s"AS OF VERSION $snap1")
+    assert(log.refs("branch:b3") == snap1)
+    Seq("b2", "b3").foreach(b =>
+      spark.sql(s"ALTER TABLE graft.db.t_refddl DROP BRANCH $b"))
+    spark.sql("ALTER TABLE graft.db.t_refddl DROP TAG t9")
     // drops: IF EXISTS tolerates absence, bare drop of missing errors
     spark.sql("ALTER TABLE graft.db.t_refddl DROP BRANCH b1")
     spark.sql("ALTER TABLE graft.db.t_refddl DROP BRANCH IF EXISTS b1")
