@@ -1744,7 +1744,11 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case i: InsertAction => i
       case other => unsupported(s"not-matched action $other")
     }
-    val star = updActions.forall(u => isStarAssign(u.assignments)) &&
+    // star (full-schema source) only when an UPDATE/INSERT action actually
+    // consumes the source row; delete-only and NMBS-only merges take the
+    // partial path, where the source needs just its keys + condition cols
+    val star = (updActions.nonEmpty || insActions.nonEmpty) &&
+      updActions.forall(u => isStarAssign(u.assignments)) &&
       insActions.forall(i => isStarAssign(i.assignments))
     // SQL evaluates a clause group's actions in ORDER: the first whose
     // condition holds applies. Each action's EFFECTIVE condition conjoins
@@ -1836,35 +1840,45 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           unsupported(s"$what references source column ${a.name} " +
             "inside WHEN NOT MATCHED BY SOURCE")
       })
-    var nmbsUpdateWhen: Option[Column] = None
-    var nmbsDeleteWhen: Option[Column] = None
-    var nmbsSets: Seq[(String, Column)] = Nil
-    var priorConds: Seq[Expression] = Nil
-    m.notMatchedBySourceActions.foreach { action =>
-      def effective(c: Option[Expression], what: String): Column = {
-        val own = c.getOrElse(Literal.TrueLiteral)
-        val eff = priorConds.foldLeft(own)((acc, p) => And(acc, Not(p)))
-        priorConds :+= own
-        nmbsExprCol(eff, what)
+    // NMBS actions fold exactly like the matched group: first-match-wins
+    // effective conditions, N conditioned UPDATE branches into one
+    // per-column CASE WHEN bundle (unassigned columns keep the target's
+    // value — plain names in the NMBS frame)
+    m.notMatchedBySourceActions.foreach {
+      case _: UpdateAction | _: DeleteAction =>
+      case other => unsupported(s"not-matched-by-source action $other")
+    }
+    val nmbsEffs = effectiveConds(m.notMatchedBySourceActions.map {
+      case UpdateAction(c, _, _) => c
+      case DeleteAction(c) => c
+    })
+    val nmbsUpdEff = m.notMatchedBySourceActions.zip(nmbsEffs).collect {
+      case (u: UpdateAction, eff) => (u, eff) }
+    val nmbsDelEff = m.notMatchedBySourceActions.zip(nmbsEffs).collect {
+      case (_: DeleteAction, eff) => eff }
+    val nmbsUpdateWhen: Option[Column] = orAll(nmbsUpdEff.map(_._2))
+      .map(e => nmbsExprCol(e, "NOT MATCHED BY SOURCE UPDATE"))
+    val nmbsDeleteWhen: Option[Column] = orAll(nmbsDelEff)
+      .map(e => nmbsExprCol(e, "NOT MATCHED BY SOURCE DELETE"))
+    val nmbsSets: Seq[(String, Column)] = {
+      def nameOf(asg: Assignment): String = asg.key match {
+        case a: AttributeReference if tgtIds(a.exprId) => a.name
+        case other => unsupported(
+          s"NOT MATCHED BY SOURCE UPDATE target ${other.sql}")
       }
-      action match {
-        case UpdateAction(c, assignments, _) =>
-          if (nmbsUpdateWhen.isDefined)
-            unsupported("more than one NOT MATCHED BY SOURCE UPDATE action")
-          nmbsSets = assignments.map { asg =>
-            val name = asg.key match {
-              case a: AttributeReference if tgtIds(a.exprId) => a.name
-              case other => unsupported(
-                s"NOT MATCHED BY SOURCE UPDATE target ${other.sql}")
-            }
-            name -> nmbsExprCol(asg.value, s"SET $name")
-          }
-          nmbsUpdateWhen = Some(effective(c, "NOT MATCHED BY SOURCE UPDATE"))
-        case DeleteAction(c) =>
-          if (nmbsDeleteWhen.isDefined)
-            unsupported("more than one NOT MATCHED BY SOURCE DELETE action")
-          nmbsDeleteWhen = Some(effective(c, "NOT MATCHED BY SOURCE DELETE"))
-        case other => unsupported(s"not-matched-by-source action $other")
+      val perAction = nmbsUpdEff.map { case (u, eff) =>
+        (nmbsExprCol(eff, "NOT MATCHED BY SOURCE UPDATE"),
+          u.assignments.map(a => nameOf(a) ->
+            nmbsExprCol(a.value, s"SET ${nameOf(a)}")).toMap)
+      }
+      val cols = nmbsUpdEff.flatMap(_._1.assignments.map(nameOf)).distinct
+      cols.map { c =>
+        c -> perAction.foldRight(org.apache.spark.sql.functions
+            .col(c): Column) { case ((effC, sets), rest) =>
+          org.apache.spark.sql.functions.when(effC,
+            sets.getOrElse(c, org.apache.spark.sql.functions.col(c)))
+            .otherwise(rest)
+        }
       }
     }
     val onResidual = residConjs.reduceOption(And)

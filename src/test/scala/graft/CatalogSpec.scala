@@ -428,6 +428,26 @@ class CatalogSpec extends SparkSpec {
     ).sortBy(_._1)
     assert(got == want,
       s"diff=${got.zip(want).filter(p => p._1 != p._2).take(5)}")
+    // multiple conditioned NMBS actions fold the same way: an ordered
+    // DELETE + two UPDATE branches, first-match-wins
+    spark.range(60, 80).toDF("id").withColumn("bonus", lit(0L))
+      .createOrReplaceTempView("mmulti_src2")
+    spark.sql(
+      """MERGE INTO graft.db.t_mmulti t USING mmulti_src2 s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 10 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 20 THEN UPDATE SET note = 'teen'
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 30
+        |  THEN UPDATE SET val = -7, note = 'twenty'
+        |""".stripMargin)
+    val got2 = spark.sql(
+      "SELECT id, val, note FROM graft.db.t_mmulti WHERE id < 30")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1).toSeq
+    val want2 = want.filter(w => w._1 >= 10 && w._1 < 30).map {
+      case (i, v, n) if i < 20 => (i, v, "teen")   // first UPDATE wins
+      case (i, _, _) => (i, -7L, "twenty")         // second UPDATE
+    }
+    assert(got2 == want2, s"got2=$got2")
   }
 
   test("ALTER TABLE CREATE/DROP BRANCH|TAG: Iceberg ref DDL routes through " +
