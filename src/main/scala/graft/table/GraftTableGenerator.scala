@@ -764,6 +764,7 @@ final class GraftTableGenerator(
         st.dataFiles.filter(f =>
           MorReader.entryMatches(f, schema, Map.empty, ranges))
       }
+    GraftTableGenerator.deleteScanFilesPlanned.addAndGet(files.size)
     if (files.isEmpty) return this
     val srcPref = src.select(src.columns.map(c => col(c).as(s"_s_$c")): _*)
     val keyEq = keyCols.map(k => col(k) === col(s"_s_$k")).reduce(_ && _)

@@ -339,6 +339,23 @@ class CatalogSpec extends SparkSpec {
     // s.sts > ts holds for ALL covered ids (both +3 and +50); outside
     // residual keeps ids < 4 → deleted 4..9, survivors 0..3 and 10..19
     assert(got3 == ((0L until 4L) ++ (10L until 20L)).sorted, s"got3 $got3")
+    // scale gate: the SEMI scan is pruned to the source's key envelope —
+    // a second data file far outside [0, 9] must never be opened
+    val g4 = mk("t_exres4")
+    g4.appendData(spark.range(1000000, 1000100).toDF("id")
+      .withColumn("ts", col("id") * 10)
+      .withColumn("val", col("id"))).commit()
+    val before = GraftTableGenerator.deleteScanFilesPlanned.get()
+    spark.sql(
+      """DELETE FROM graft.db.t_exres4 WHERE EXISTS (
+        |  SELECT 1 FROM exres_src s
+        |  WHERE s.id = t_exres4.id AND s.sts > t_exres4.ts)
+        |""".stripMargin)
+    assert(GraftTableGenerator.deleteScanFilesPlanned.get() - before == 1L,
+      "semi deleteSemiJoin must open only files inside the source key envelope")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_exres4")
+      .collect()(0).getLong(0) == 110L) // 20 - 10 deleted + 100 untouched
+    spark.sql("DROP TABLE graft.db.t_exres4")
     Seq("t_exres", "t_exres2", "t_exres3").foreach(t =>
       spark.sql(s"DROP TABLE graft.db.$t"))
   }
