@@ -282,25 +282,30 @@ object AnalyticsQueries {
     // the table — the classic affinity-analysis shape. Lift rounds at 6
     // from exact integer counts.
     "brand_affinity" -> ((s, d) => {
-      // the deduped (order, brand) set feeds FOUR consumers (order count,
-      // singles, both self-join sides): one materialization; the corpus
-      // size folds in as a broadcast one-row aggregate instead of a
-      // separate driver-side count() job
-      val li = tbl(s, d, "lineitem")
+      // per-order brand SETS in ONE shuffle: the groupBy both dedupes
+      // (order, brand) and feeds all three consumers (order count,
+      // singles, pairs); pair generation is a per-order double explode —
+      // k brands per order (single digits) → k² transient rows inside the
+      // task, never a row-level self-join shuffle. Brand-keyed sides are
+      // |brands|-sized → broadcast; the corpus size folds in as a
+      // broadcast one-row aggregate instead of a driver-side count() job.
+      val byOrder = tbl(s, d, "lineitem")
         .join(tbl(s, d, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-        .distinct()
+        .groupBy("ok").agg(collect_set(col("b")).as("bs"))
         .localCheckpoint()
-      val nOrders = li.select("ok").distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val single = li.groupBy("b").agg(count(lit(1)).as("nb"))
-      val pairs = li.join(li.select(col("ok").as("ok2"), col("b").as("b2")),
-          col("ok") === col("ok2") && col("b") < col("b2"))
+      val nOrders = byOrder.agg(count(lit(1)).as("n_orders"))
+      val single = byOrder.select(explode(col("bs")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("nb"))
+      val pairs = byOrder
+        .select(explode(col("bs")).as("b"), col("bs"))
+        .select(col("b"), explode(col("bs")).as("b2"))
+        .where(col("b") < col("b2"))
         .groupBy("b", "b2").agg(count(lit(1)).as("nab"))
       pairs
-        .join(single, "b")
-        .join(single.select(col("b").as("b2j"), col("nb").as("nb2")),
+        .join(broadcast(single), "b")
+        .join(broadcast(single.select(col("b").as("b2j"), col("nb").as("nb2"))),
           col("b2") === col("b2j"))
         .where(col("nab") >= 20)
         .crossJoin(broadcast(nOrders))
