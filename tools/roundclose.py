@@ -198,6 +198,25 @@ else:
     fails.append("COVERAGE.md lacks a 'canonical bench artifact: N keys / T s' "
                  "line (or no bench artifact present)")
 
+# 7. latest driver CORRECTNESS_r*.json vs the bench artifact (VERDICT r11
+# "next round" #1): every key the driver verified last round must still be
+# benched — the artifact may have MORE keys (added this round), never fewer.
+rs = sorted((int(m.group(1)), fn) for fn in os.listdir(repo)
+            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn)))
+if rs and bench is not None:
+    rn, fn = rs[-1]
+    corr = json.load(open(os.path.join(repo, fn)))
+    missing = sorted(set(corr) - set(bench.get("queries", {})))
+    if missing:
+        fails.append(f"{fn} has {len(missing)} keys absent from the bench "
+                     f"artifact: {missing[:10]}")
+    else:
+        extra = len(set(bench.get("queries", {})) - set(corr))
+        print(f"OK correctness cross-check: all {len(corr)} r{rn} keys benched"
+              + (f" (+{extra} new this round)" if extra else ""))
+elif bench is not None:
+    print("NOTE: no CORRECTNESS_r*.json found; skipping cross-check 7")
+
 if fails:
     print("\nROUND-CLOSE GATE FAILED:")
     for f in fails:
