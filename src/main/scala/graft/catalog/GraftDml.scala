@@ -67,10 +67,40 @@ case class GraftDeleteJoinCommand(
     // of the eq-delete fast path
     joinResidual: Option[Column] = None,
     // target-only conjuncts OUTSIDE the EXISTS (scan filter)
-    scanFilter: Option[Column] = None) extends UnaryNode with Command {
+    scanFilter: Option[Column] = None,
+    // `k NOT IN (<subquery>)` three-valued logic (differs from NOT
+    // EXISTS): any NULL in the subquery → the predicate is never TRUE,
+    // nothing deletes; empty subquery → EVERY row (null keys included)
+    // deletes; otherwise anti-join with null-key target rows SURVIVING
+    notIn: Boolean = false) extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftDeleteJoinCommand =
+    copy(source = newChild)
+}
+
+/** `UPDATE t SET … WHERE [NOT] EXISTS (… s.k = t.k AND <band>)` with a
+  * correlated NON-EQUALITY conjunct — routed to the engine's
+  * residual-aware semi/anti-join update ([[graft.table
+  * .GraftTableGenerator.updateSemiJoin]]): EXISTS semantics, so several
+  * source rows witnessing one target row is fine (no MERGE cardinality
+  * rule). `sets` are expressions over TARGET columns (plain names);
+  * `joinResidual`/`scanFilter` render exactly as in
+  * [[GraftDeleteJoinCommand]]. */
+case class GraftUpdateJoinCommand(
+    table: GraftSparkTable,
+    source: LogicalPlan,
+    keyCols: Seq[String],
+    anti: Boolean,
+    sets: Seq[(String, Column)],
+    joinResidual: Option[Column] = None,
+    scanFilter: Option[Column] = None,
+    // `k NOT IN (<subquery>)` three-valued logic — same contract as
+    // [[GraftDeleteJoinCommand.notIn]] but rows update instead of dying
+    notIn: Boolean = false) extends UnaryNode with Command {
+  override def child: LogicalPlan = source
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftUpdateJoinCommand =
     copy(source = newChild)
 }
 
@@ -219,7 +249,15 @@ case class GraftMergeCommand(
     nmbsSets: Seq[(String, Column)] = Nil,
     updateSets: Option[Seq[(String, Column)]] = None,
     insertSets: Option[Seq[(String, Column)]] = None,
-    onResidual: Option[Column] = None)
+    onResidual: Option[Column] = None,
+    // deferred twins of updateSets/insertSets: assignments carrying an
+    // UNCORRELATED scalar subquery materialize it at EXECUTE time (one
+    // bounded collect, loud >1 row) — never while the analyzer rule
+    // builds the command (an EXPLAIN must not run jobs; same discipline
+    // as GraftUpdateCommand's deferred sets). When present they win over
+    // the eager fields.
+    updateSetsDeferred: Option[() => Option[Seq[(String, Column)]]] = None,
+    insertSetsDeferred: Option[() => Option[Seq[(String, Column)]]] = None)
   extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
@@ -266,6 +304,33 @@ case class GraftShowViewsCommand(catalog: GraftCatalog, ns: Seq[String],
   }
 }
 
+/** `SHOW PARTITIONS graft.db.t [PARTITION (k=v, …)]` — answered from the
+  * same metadata tier as the `.partitions` table (one distributed
+  * manifest read, no data file opened), at EXECUTION time: distinct
+  * partition tuples of live data files, Hive-rendered `k=v[/k=v…]` and
+  * sorted; the optional spec keeps tuples containing every given pair.
+  * Unpartitioned tables refuse, mirroring Spark's v1 semantics. */
+case class GraftShowPartitionsCommand(catalog: GraftCatalog, table: String,
+    filter: Map[String, String], override val output: Seq[Attribute])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  def rows(spark: SparkSession): Seq[InternalRow] = {
+    val dir = catalog.dirByName(table)
+    val out = graft.meta.SnapshotLog(dir).loadOutline().mainOnly
+    val specId = out.outlines.lastOption.map(_.snapshot.specId).getOrElse(0)
+    if (out.specs.getOrElse(specId, Nil).isEmpty)
+      throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS is not allowed on the unpartitioned table $table")
+    val parts = graft.read.MetaTables.partitions(spark, dir)
+      .select("partition").collect().map(_.getString(0))
+    val kept = parts.filter { p =>
+      val pairs = p.split("/").toSet
+      filter.forall { case (k, v) => pairs(s"$k=$v") }
+    }.sorted
+    kept.toSeq.map(p => InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+  }
+}
+
 /** Row-producing driver-side exec for metadata listings (SHOW VIEWS):
   * the body runs at execute time, not plan time. */
 case class GraftRowsExec(label: String, override val output: Seq[Attribute],
@@ -283,6 +348,9 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
     case sv: GraftShowViewsCommand =>
       GraftRowsExec(s"graft show views ${sv.ns.mkString(".")}", sv.output,
         () => sv.rows()) :: Nil
+    case sp: GraftShowPartitionsCommand =>
+      GraftRowsExec(s"graft show partitions ${sp.table}", sp.output,
+        () => sp.rows(spark)) :: Nil
     // INSERT OVERWRITE under partitionOverwriteMode=dynamic: the V2Writes
     // optimizer rule built our V1 write through SupportsDynamicOverwrite,
     // but vanilla planning has no V1 exec for OverwritePartitionsDynamic
@@ -458,14 +526,46 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
               s"catalog ${other.name} is not a GraftCatalog")
         }
       }) :: Nil
-    case d @ GraftDeleteJoinCommand(t, _, keyCols, anti, joinResid, scanF) =>
+    case d @ GraftDeleteJoinCommand(t, _, keyCols, anti, joinResid, scanF, notIn) =>
       GraftDmlExec(s"graft delete-${if (anti) "anti" else "semi"} ${t.name()}", () => {
         val src = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, d.source)
         val g = t.openGenerator(spark)
-        if (joinResid.isEmpty && scanF.isEmpty) {
+        if (notIn) {
+          // NOT IN three-valued logic (one bounded probe each): a NULL in
+          // the subquery makes the predicate never-TRUE (no-op); an empty
+          // subquery makes it TRUE everywhere (metadata-tier truncate);
+          // otherwise the anti-join with null target keys surviving
+          val srcC = src.localCheckpoint()
+          if (srcC.isEmpty) g.truncate()
+          else if (srcC.where(keyCols.map(col(_).isNull).reduce(_ || _))
+              .isEmpty)
+            g.deleteKeysAnti(srcC, keyCols, nullKeysDie = false)
+        } else if (joinResid.isEmpty && scanF.isEmpty) {
           // key-equality-only correlation: the eq-delete fast path
           if (anti) g.deleteKeysAnti(src, keyCols) else g.deleteKeys(src, keyCols)
         } else g.deleteSemiJoin(src, keyCols, joinResid, scanF, anti)
+        g.commit()
+      }) :: Nil
+    case u @ GraftUpdateJoinCommand(t, _, keyCols, anti, sets, joinResid,
+                                    scanF, notIn) =>
+      GraftDmlExec(s"graft update-${if (anti) "anti" else "semi"} ${t.name()}", () => {
+        val src = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, u.source)
+        val g = t.openGenerator(spark)
+        if (notIn) {
+          // NOT IN three-valued logic: a NULL in the subquery → no row
+          // updates; empty subquery → EVERY row (null keys included)
+          // updates — the anti join with an empty right side keeps all;
+          // otherwise anti-join with null-key target rows EXCLUDED (the
+          // predicate is UNKNOWN there, unlike NOT EXISTS)
+          val srcC = src.localCheckpoint()
+          if (srcC.isEmpty)
+            g.updateSemiJoin(srcC, keyCols, None, sets, None, anti = true)
+          else if (srcC.where(keyCols.map(col(_).isNull).reduce(_ || _))
+              .isEmpty)
+            g.updateSemiJoin(srcC, keyCols, None, sets,
+              scanFilter = Some(keyCols.map(col(_).isNotNull).reduce(_ && _)),
+              anti = true)
+        } else g.updateSemiJoin(src, keyCols, joinResid, sets, scanF, anti)
         g.commit()
       }) :: Nil
     case m: GraftMergeCommand =>
@@ -476,7 +576,8 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
             deleteWhen = m.deleteWhen, insertWhen = m.insertWhen,
             nmbsUpdateWhen = m.nmbsUpdateWhen,
             nmbsDeleteWhen = m.nmbsDeleteWhen, nmbsSets = m.nmbsSets,
-            updateSets = m.updateSets, insertSets = m.insertSets,
+            updateSets = m.updateSetsDeferred.map(_()).getOrElse(m.updateSets),
+            insertSets = m.insertSetsDeferred.map(_()).getOrElse(m.insertSets),
             onResidual = m.onResidual)
           .commit()
       }) :: Nil
@@ -1292,26 +1393,45 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * (`(SELECT max(s.v) FROM s WHERE s.k = t.k [AND …])` — the UPDATE
     * enrichment idiom): rebuilt as `Aggregate(GROUP BY keys, keys ++
     * value AS _sq0)` over the de-correlated filter, exactly one row per
-    * key (the merge cardinality guard stays safe). COUNT-family
-    * aggregates are refused — an empty group is 0 there, but the grouped
-    * rewrite LOSES empty groups and the caller substitutes NULL for
-    * unmatched keys, which is only correct for NULL-on-empty aggregates
-    * (max/min/sum/avg/first). */
+    * key (the merge cardinality guard stays safe). The grouped rewrite
+    * LOSES empty groups, so the caller must substitute the aggregate's
+    * over-zero-rows value on the uncovered-key (NMBS) leg — returned as
+    * the third element: NULL for the provably NULL-on-empty WHITELIST
+    * (max/min/sum/avg/first/last/bool_and/bool_or/any_value), 0 for
+    * COUNT (SQL says an empty group counts 0, never NULL). Any other
+    * aggregate (approx_count_distinct → 0, collect_list → [], …) is
+    * refused — the caller's loud rewrite-as-MERGE error fires instead of
+    * a silently-wrong NULL. */
   private def decorrelateScalarAgg(sq: org.apache.spark.sql.catalyst
         .expressions.ScalarSubquery, relIds: Set[ExprId])
-      : Option[(LogicalPlan, Seq[String])] = {
+      : Option[(LogicalPlan, Seq[String], Expression)] = {
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => strip(c)
       case x => x
     }
     strip(sq.plan) match {
       case agg @ Aggregate(Nil, aggExprs, aggChild, _) if aggExprs.size == 1 =>
-        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-        val hasCount = aggExprs.head.exists {
-          case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[Count]
-          case _ => false
+        import org.apache.spark.sql.catalyst.expressions.aggregate._
+        def emptyVal(ae: AggregateExpression): Option[Expression] =
+          ae.aggregateFunction match {
+            case _: Count => Some(Literal(0L))
+            case _: Max | _: Min | _: Sum | _: Average | _: First | _: Last |
+                 _: BoolAnd | _: BoolOr | _: AnyValue =>
+              Some(Literal.create(null, ae.dataType))
+            case _ => None
+          }
+        // the subquery's value over ZERO source rows: every aggregate in
+        // the select expression replaced by its on-empty value (whitelist
+        // only — anything else refuses the whole rewrite)
+        var whitelisted = true
+        val onEmpty = (aggExprs.head match {
+          case Alias(c, _) => c
+          case other => other
+        }).transform {
+          case ae: AggregateExpression =>
+            emptyVal(ae).getOrElse { whitelisted = false; ae }
         }
-        if (hasCount) return None
+        if (!whitelisted) return None
         strip(aggChild) match {
           case f: Filter if f.condition.exists(_.isInstanceOf[OuterReference]) =>
             val childOut = f.child.outputSet
@@ -1342,7 +1462,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }, "_sq0")()
             Some((Aggregate(pairs.map(_._2),
               pairs.map { case (n, b) => Alias(b, n)() } :+ valueAlias, inner),
-              pairs.map(_._1)))
+              pairs.map(_._1), onEmpty))
           case _ => None
         }
       case _ => None
@@ -1381,6 +1501,39 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A conjunction holding exactly ONE bare `(k…) IN (<subquery>)` (every
+    * value a distinct target column, arity-matched — single- or
+    * multi-column) plus target-only residual conjuncts → (projected
+    * source, key names, residual). Same NULL reasoning as the bare-IN
+    * route (a NULL never equality-matches in either the IN or the
+    * semi-join form), and the residual is target-only so it commutes
+    * with the join as a scan filter. */
+  private def inSubqueryWithResidual(cond: Expression, relIds: Set[ExprId])
+      : Option[(LogicalPlan, Seq[String], Option[Expression])] = {
+    val conj = splitConjuncts(cond)
+    val ins = conj.collect { case i: InSubquery => i }
+    if (ins.size != 1) return None
+    val in = ins.head
+    val ok = in.values.forall {
+      case a: AttributeReference => relIds(a.exprId)
+      case _ => false
+    } && in.values.map { case a: AttributeReference => a.name }
+      .distinct.size == in.values.size &&
+      in.query.plan.output.size == in.values.size
+    if (!ok) return None
+    val rest = conj.filterNot(_.isInstanceOf[InSubquery])
+    val targetOnly = rest.forall(r =>
+      !r.exists(_.isInstanceOf[SubqueryExpression]) &&
+        !r.exists {
+          case a: AttributeReference => !relIds(a.exprId)
+          case _ => false
+        })
+    if (!targetOnly) return None
+    val names = in.values.map { case a: AttributeReference => a.name }
+    Some((Project(in.query.plan.output.zip(names).map { case (o, n) =>
+      Alias(o, n)() }, in.query.plan), names, rest.reduceOption(And)))
+  }
+
   private def makeDelete(r: DataSourceV2Relation, t: GraftSparkTable,
                          cond: Expression): LogicalPlan = {
     val relIds = r.output.map(_.exprId).toSet
@@ -1405,6 +1558,19 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           return GraftDeleteJoinCommand(t, src, keys, anti = true,
             joinResidual = corrResid.map(deleteResid))
         }
+      // single-column `k NOT IN (<subquery>)` — NOT the NOT-EXISTS
+      // anti-join: SQL's three-valued logic differs on NULLs (a NULL in
+      // the subquery kills the whole delete; a NULL target key survives)
+      // and is decided by two bounded probes at execute time
+      case Not(InSubquery(values, lq))
+          if values.size == 1 && (values.head match {
+            case a: AttributeReference => relIds(a.exprId)
+            case _ => false
+          }) && lq.plan.output.size == 1 =>
+        val name = values.head.asInstanceOf[AttributeReference].name
+        return GraftDeleteJoinCommand(t,
+          Project(Seq(Alias(lq.plan.output.head, name)()), lq.plan),
+          Seq(name), anti = true, notIn = true)
       // a BARE `(k…) IN (<subquery>)` (single- or multi-column, every
       // value a bare target column) is the EXISTS semi-join in disguise
       // (NULL subquery values never equality-match in either form, and
@@ -1454,6 +1620,16 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   .map(toNamedColumn(_, relIds)).getOrElse(lit(true))),
                 updateSets = Some(Nil), insertSets = Some(Nil))
             return cmd
+        }
+      // `(k…) IN (<subquery>) AND <target-only residual>` (single- or
+      // multi-column): the same semi-join with the residual filtering the
+      // scan — the subquery's size never matters (the literal fallback
+      // bounds at MaxDmlInSetValues and is single-column only)
+      case _ if splitConjuncts(cond).exists(_.isInstanceOf[InSubquery]) =>
+        inSubqueryWithResidual(cond, relIds).foreach {
+          case (src, names, residual) =>
+            return GraftDeleteJoinCommand(t, src, names, anti = false,
+              scanFilter = residual.map(toNamedColumn(_, relIds)))
         }
       case _ =>
     }
@@ -1555,11 +1731,26 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _: Exists | Not(_: Exists) => true
             case _ => false
           } =>
+        // residual rendering for the semi/anti-join frame: outer target
+        // refs by PLAIN name, subquery `_rc<i>` columns `_s_`-prefixed
+        // (same convention as makeDelete's deleteSemiJoin routing)
+        def joinResid(e: Expression): Column =
+          toNamedColumn(e.transform {
+            case OuterReference(a: AttributeReference) => a
+            case UnresolvedAttribute(Seq(n)) if n.startsWith("_rc") =>
+              UnresolvedAttribute(Seq(s"_s_$n"))
+          }, relIds)
         existsWithResidual(c, relIds).foreach {
           case (src, keys, residual, corrResid, anti) =>
-            if (corrResid.isDefined) throw new UnsupportedOperationException(
-              "graft UPDATE: non-equality correlated EXISTS is supported " +
-                "for DELETE only — rewrite as MERGE INTO with a residual ON")
+            // a correlated NON-EQUALITY conjunct inside the EXISTS rides
+            // the residual-aware semi/anti-join update (EXISTS semantics —
+            // several source witnesses per target row are fine); the
+            // target-only residual OUTSIDE the EXISTS filters the scan
+            if (corrResid.isDefined)
+              return GraftUpdateJoinCommand(t, src, keys, anti,
+                sets = buildSets(""),
+                joinResidual = corrResid.map(joinResid),
+                scanFilter = residual.map(toNamedColumn(_, relIds)))
             val cmd =
               if (!anti) GraftMergeCommand(t, Distinct(src), keys,
                 updateWhen = residual.map(toNamedColumn(_, relIds, "_t_"))
@@ -1592,6 +1783,28 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           updateWhen = lit(true), deleteWhen = lit(false),
           insertWhen = lit(false),
           updateSets = Some(buildSets("_t_")), insertSets = Some(Nil))
+      // single-column `k NOT IN (<subquery>)` — three-valued logic
+      // decided at execute time (DELETE's NOT-IN twin)
+      case Some(Not(InSubquery(values, lq)))
+          if values.size == 1 && (values.head match {
+            case a: AttributeReference => relIds(a.exprId)
+            case _ => false
+          }) && lq.plan.output.size == 1 =>
+        val name = values.head.asInstanceOf[AttributeReference].name
+        return GraftUpdateJoinCommand(t,
+          Project(Seq(Alias(lq.plan.output.head, name)()), lq.plan),
+          Seq(name), anti = true, sets = buildSets(""), notIn = true)
+      // `(k…) IN (<subquery>) AND <target-only residual>` (single- or
+      // multi-column): the semi-join update with the residual filtering
+      // the scan — DELETE's composite-IN twin (the literal fallback is
+      // single-column and bounded at MaxDmlInSetValues)
+      case Some(c) if splitConjuncts(c).exists(_.isInstanceOf[InSubquery]) =>
+        inSubqueryWithResidual(c, relIds).foreach {
+          case (src, names, residual) =>
+            return GraftUpdateJoinCommand(t, src, names, anti = false,
+              sets = buildSets(""),
+              scanFilter = residual.map(toNamedColumn(_, relIds)))
+        }
       case _ =>
     }
     // correlated-by-key scalar subquery in SET — the enrichment JOIN
@@ -1599,49 +1812,89 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // assignment carries the subquery; it decorrelates to a grouped
     // aggregate source and rides the merge machinery. Matched rows take
     // the joined `_sq0` value; keys the subquery does NOT cover update
-    // through the NMBS leg with the subquery substituted NULL (the SQL
-    // value of a NULL-on-empty aggregate over zero rows).
+    // through the NMBS leg with the subquery substituted by its
+    // over-zero-rows value (NULL for max/min/sum/…, 0 for COUNT).
     {
       import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
       val subAssigns = assignments.filter(
         _.value.exists(_.isInstanceOf[SubqueryExpression]))
-      if (subAssigns.size == 1 &&
+      val allSingleCorrelated = subAssigns.nonEmpty && subAssigns.forall { a =>
+        val scalars = a.value.collect { case s: ScalarSubquery => s }
+        scalars.size == 1 && scalars.head.outerAttrs.nonEmpty &&
+          a.value.collect { case s: SubqueryExpression => s }.size == 1
+      }
+      if (allSingleCorrelated &&
           cond.forall(c => !c.exists(_.isInstanceOf[SubqueryExpression]))) {
-        val asg = subAssigns.head
-        val subs = asg.value.collect { case s: ScalarSubquery => s }
-        if (subs.size == 1 && subs.head.outerAttrs.nonEmpty) {
-          decorrelateScalarAgg(subs.head, relIds).foreach { case (src, keys) =>
-            def targetName(a: Assignment): String = a.key match {
-              case x: AttributeReference => x.name
-              case other => throw new UnsupportedOperationException(
-                s"graft UPDATE: unsupported assignment target $other")
-            }
-            def renderSets(prefix: String,
-                           subVal: Expression => Expression)
-                : Seq[(String, Column)] =
-              assignments.flatMap { a =>
-                val name = targetName(a)
-                a.value match {
-                  case v: AttributeReference
-                      if relIds(v.exprId) && v.name == name => None
-                  case v => Some(name -> toNamedColumn(
-                    inlineWith(v).transform {
-                      case s: ScalarSubquery => subVal(s)
-                    }, relIds, prefix))
-                }
-              }
-            return GraftMergeCommand(t, src, keys,
-              updateWhen = cond.map(toNamedColumn(_, relIds, "_t_"))
-                .getOrElse(lit(true)),
-              deleteWhen = lit(false), insertWhen = lit(false),
-              nmbsUpdateWhen = Some(cond.map(toNamedColumn(_, relIds))
-                .getOrElse(lit(true))),
-              nmbsSets = renderSets("",
-                s => Literal.create(null, s.dataType)),
-              updateSets = Some(renderSets("_t_",
-                _ => UnresolvedAttribute(Seq("_sq0")))),
-              insertSets = Some(Nil))
+        val subs = subAssigns.map(
+          _.value.collect { case s: ScalarSubquery => s }.head)
+        val dec = subs.map(decorrelateScalarAgg(_, relIds))
+        // every subquery must decorrelate, and all on the SAME key names
+        // (one enrichment join per key set; mixed keys stay loud below)
+        if (dec.forall(_.isDefined) &&
+            dec.flatMap(_.map(_._2)).distinct.size == 1) {
+          val parts = dec.map(_.get)
+          val keys = parts.head._2
+          // N grouped aggregates (value renamed `_sq<i>`) FULL-OUTER
+          // joined on the shared keys (USING semantics coalesce the key
+          // columns): at most one row per key survives, so the merge
+          // cardinality guard stays safe; a key one aggregate does not
+          // cover reads NULL for its `_sq<i>` — coalesced to the
+          // aggregate's on-empty value where that is not already NULL
+          def renamed(p: LogicalPlan, i: Int): LogicalPlan = p match {
+            case agg @ Aggregate(_, exprs, _, _) =>
+              agg.copy(aggregateExpressions = exprs.map {
+                case a @ Alias(c, "_sq0") => Alias(c, s"_sq$i")()
+                case x => x
+              })
+            case other => other
           }
+          val src = parts.map(_._1).zipWithIndex.map((renamed _).tupled)
+            .reduce[LogicalPlan] { (a, b) =>
+              org.apache.spark.sql.catalyst.plans.logical.Join(a, b,
+                org.apache.spark.sql.catalyst.plans.UsingJoin(
+                  org.apache.spark.sql.catalyst.plans.FullOuter, keys),
+                None, org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+            }
+          val slot: Map[Long, (Int, Expression)] = subs.zipWithIndex.map {
+            case (s, i) => s.exprId.id -> (i, parts(i)._3) }.toMap
+          def targetName(a: Assignment): String = a.key match {
+            case x: AttributeReference => x.name
+            case other => throw new UnsupportedOperationException(
+              s"graft UPDATE: unsupported assignment target $other")
+          }
+          def renderSets(prefix: String, matched: Boolean)
+              : Seq[(String, Column)] =
+            assignments.flatMap { a =>
+              val name = targetName(a)
+              a.value match {
+                case v: AttributeReference
+                    if relIds(v.exprId) && v.name == name => None
+                case v => Some(name -> toNamedColumn(
+                  inlineWith(v).transform {
+                    case s: ScalarSubquery =>
+                      val (i, onEmpty) = slot(s.exprId.id)
+                      if (!matched) onEmpty
+                      else onEmpty match {
+                        // non-NULL on-empty (COUNT → 0): a key this
+                        // aggregate's filter left uncovered reads NULL
+                        // from the outer join — coalesce to the SQL value
+                        case Literal(null, _) =>
+                          UnresolvedAttribute(Seq(s"_sq$i"))
+                        case e => Coalesce(Seq(
+                          UnresolvedAttribute(Seq(s"_sq$i")), e))
+                      }
+                  }, relIds, prefix))
+              }
+            }
+          return GraftMergeCommand(t, src, keys,
+            updateWhen = cond.map(toNamedColumn(_, relIds, "_t_"))
+              .getOrElse(lit(true)),
+            deleteWhen = lit(false), insertWhen = lit(false),
+            nmbsUpdateWhen = Some(cond.map(toNamedColumn(_, relIds))
+              .getOrElse(lit(true))),
+            nmbsSets = renderSets("", matched = false),
+            updateSets = Some(renderSets("_t_", matched = true)),
+            insertSets = Some(Nil))
         }
       }
     }
@@ -1723,16 +1976,43 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
     // non-star assignments: arbitrary expressions over source columns
-    // (plain names) and matched-target columns (`_t_` prefix)
+    // (plain names) and matched-target columns (`_t_` prefix).
+    // UNCORRELATED scalar subqueries substitute as execute-once literals
+    // (one row, one column, loud otherwise — the same bounded-
+    // materialization treatment UPDATE SET takes); correlated shapes
+    // refuse with the MERGE-source rewrite hint, since the enrichment
+    // join belongs in the source.
     def setsOf(assignments: Seq[Assignment], what: String): Seq[(String, Column)] =
       assignments.map { asg =>
         val tname = asg.key match {
           case a: AttributeReference if tgtIds(a.exprId) => a.name
           case other => unsupported(s"$what target ${other.sql}")
         }
-        if (asg.value.exists(_.isInstanceOf[SubqueryExpression]))
-          unsupported(s"subquery in $what assignment $tname")
-        tname -> condCol(Some(asg.value), lit(null))
+        val value =
+          if (!asg.value.exists(_.isInstanceOf[SubqueryExpression])) asg.value
+          else {
+            import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+            val allUncorr = asg.value.collect {
+              case s: SubqueryExpression => s
+            }.forall {
+              case s: ScalarSubquery => s.outerAttrs.isEmpty
+              case _ => false
+            }
+            if (!allUncorr) unsupported(
+              s"correlated subquery in $what assignment $tname — join the " +
+                "enrichment into the MERGE source (USING (SELECT …)) instead")
+            asg.value.transform {
+              case s: ScalarSubquery =>
+                val rows = org.apache.spark.sql.graft.GraftSqlShim
+                  .ofRows(spark, s.plan).limit(2).collect()
+                if (rows.length > 1) throw new IllegalStateException(
+                  s"scalar subquery in MERGE $what assignment $tname " +
+                    "returned more than one row")
+                Literal.create(if (rows.isEmpty) null else rows(0).get(0),
+                  s.dataType)
+            }
+          }
+        tname -> condCol(Some(value), lit(null))
       }
     val updActions = m.matchedActions.collect { case u: UpdateAction => u }
     val delActions = m.matchedActions.collect { case d: DeleteAction => d }
@@ -1789,7 +2069,30 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       orAll(insEff.map(_._2)).map(e => condCol(Some(e), lit(true)))
         .getOrElse(lit(false))
     import org.apache.spark.sql.functions.when
-    val updateSets: Option[Seq[(String, Column)]] =
+    // any assignment carrying a subquery defers the WHOLE sets build to
+    // execute time (the bounded collect must not run during analysis);
+    // shape validation still fires NOW so a correlated subquery errors
+    // at analysis, not mid-execution
+    val anyAssignSubquery =
+      (updActions.flatMap(_.assignments) ++ insActions.flatMap(_.assignments))
+        .exists(_.value.exists(_.isInstanceOf[SubqueryExpression]))
+    if (anyAssignSubquery) {
+      import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+      (updActions.flatMap(_.assignments) ++ insActions.flatMap(_.assignments))
+        .filter(_.value.exists(_.isInstanceOf[SubqueryExpression]))
+        .foreach { asg =>
+          val allUncorr = asg.value.collect {
+            case s: SubqueryExpression => s
+          }.forall {
+            case s: ScalarSubquery => s.outerAttrs.isEmpty
+            case _ => false
+          }
+          if (!allUncorr) unsupported(
+            s"correlated subquery in assignment ${asg.key.sql} — join the " +
+              "enrichment into the MERGE source (USING (SELECT …)) instead")
+        }
+    }
+    def buildUpdateSets(): Option[Seq[(String, Column)]] =
       if (star) None
       else Some {
         val perAction = updEff.map { case (u, eff) =>
@@ -1807,7 +2110,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
       }
-    val insertSets: Option[Seq[(String, Column)]] =
+    def buildInsertSets(): Option[Seq[(String, Column)]] =
       if (star) None
       else Some {
         val perAction = insEff.map { case (i, eff) =>
@@ -1883,9 +2186,17 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val onResidual = residConjs.reduceOption(And)
       .map(e => condCol(Some(e), lit(true)))
-    GraftMergeCommand(t, m.sourceTable, keyCols,
-      updateWhen, deleteWhen, insertWhen,
-      nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets,
-      updateSets, insertSets, onResidual)
+    if (anyAssignSubquery)
+      GraftMergeCommand(t, m.sourceTable, keyCols,
+        updateWhen, deleteWhen, insertWhen,
+        nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets,
+        updateSets = None, insertSets = None, onResidual = onResidual,
+        updateSetsDeferred = Some(() => buildUpdateSets()),
+        insertSetsDeferred = Some(() => buildInsertSets()))
+    else
+      GraftMergeCommand(t, m.sourceTable, keyCols,
+        updateWhen, deleteWhen, insertWhen,
+        nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets,
+        buildUpdateSets(), buildInsertSets(), onResidual)
   }
 }

@@ -393,10 +393,16 @@ final class GraftSparkTable(
                 case SEqN(c, v) if v != null => Some((c, v))
                 case _ => None
               }
-              val conformed = data.select(
+              val conformed0 = data.select(
                 g.liveSchema.fields.map(f =>
                   org.apache.spark.sql.functions.col(f.name)
                     .cast(f.dataType).as(f.name)): _*)
+              // dynamic overwrite decides the DROPPED partition set from
+              // one job and appends from another — materialize the batch
+              // so a non-deterministic source (rand(), sampling) can't
+              // drop a different partition set than it appends
+              val conformed =
+                if (overwriteDyn) conformed0.localCheckpoint() else conformed0
               if (overwriteDyn) g.overwriteDynamic(conformed)
               else if (overwriteAll || overwrite) g.truncate()
               else overwriteFilters.toSeq match {

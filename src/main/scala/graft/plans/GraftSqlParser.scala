@@ -169,6 +169,25 @@ object GraftSqlParser {
           }
         case _ => sv
       }
+      // `SHOW PARTITIONS graft.db.t [PARTITION (k=v, …)]` — graft tables
+      // have no SupportsPartitionManagement, so the native route rejects
+      // them; answered off the snapshot log's live manifest instead
+      case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
+        sp.table match {
+          case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            GraftViews.target(session, ut.multipartIdentifier) match {
+              case Some((g, id)) =>
+                val filter: Map[String, String] = sp.pattern match {
+                  case Some(u: org.apache.spark.sql.catalyst.analysis
+                      .UnresolvedPartitionSpec) => u.spec
+                  case _ => Map.empty
+                }
+                graft.catalog.GraftShowPartitionsCommand(g,
+                  (id.namespace :+ id.name).mkString("."), filter, sp.output)
+              case None => sp
+            }
+          case _ => sp
+        }
       case dv: DropView => dv.child match {
         // single-part names prefer a session TEMP view of that name, per
         // Spark's own resolution order
@@ -213,7 +232,18 @@ object GraftSqlParser {
       // [IF [NOT] EXISTS] [AS OF VERSION v]
       case RefDdlRe(table, verb, kind, ifc, name, asOf) =>
         val v = verb.toUpperCase.replaceAll("\\s+", " ")
-        tryBuild(table)(graft.catalog.GraftRefDdl(_,
+        // IF NOT EXISTS pairs with CREATE only, IF EXISTS with DROP only
+        // (REPLACE has no tolerance clause) — a mismatched clause like
+        // `CREATE BRANCH IF EXISTS b` must fall through to the delegate's
+        // parse error, not silently invert the tolerance semantics
+        val ifOk = Option(ifc)
+          .map(_.toUpperCase.replaceAll("\\s+", " ").trim).forall {
+            case "IF NOT EXISTS" => v == "CREATE"
+            case "IF EXISTS" => v == "DROP"
+            case _ => false
+          }
+        if (!ifOk) None
+        else tryBuild(table)(graft.catalog.GraftRefDdl(_,
           create = v.startsWith("CREATE"),
           isBranch = kind.equalsIgnoreCase("BRANCH"),
           refName = name, ifClause = ifc != null,

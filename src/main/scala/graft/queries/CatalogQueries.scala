@@ -275,6 +275,93 @@ object CatalogQueries {
       "ucorr_t"
     })
 
+  /** UPDATE WHERE [NOT] EXISTS with a non-equality correlated conjunct
+    * (the event-time-band enrichment): ids 0..299 ts=10·id val=2·id;
+    * source covers 0..199 with sts in the ±5 band iff even — and even
+    * ids < 100 carry TWO in-band witnesses (EXISTS semantics must not
+    * trip any cardinality rule). EXISTS adds 1000 to in-band rows; the
+    * NOT EXISTS leg (with a target-only scan conjunct) stamps unwitnessed
+    * rows under 100 with -1. */
+  private def updExistsResidT(spark: SparkSession): Unit =
+    built.computeIfAbsent("updexres_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "updexres_t")
+        .create(GraftSchema.of("id" -> LongType, "ts" -> LongType,
+          "val" -> LongType), Nil)
+        .appendData(spark.range(0, 300).toDF("id")
+          .withColumn("ts", col("id") * 10)
+          .withColumn("val", col("id") * 2)).commit()
+      spark.range(0, 200).toDF("id")
+        .withColumn("sts", col("id") * 10 +
+          when(col("id") % 2 === 0, lit(3L)).otherwise(lit(50L)))
+        .unionByName(spark.range(0, 100).toDF("id")
+          .withColumn("sts", col("id") * 10 +
+            when(col("id") % 2 === 0, lit(5L)).otherwise(lit(60L))))
+        .createOrReplaceTempView("graft_sql_updexres_src")
+      spark.sql(
+        """UPDATE graft.cq.updexres_t SET val = val + 1000 WHERE EXISTS (
+          |  SELECT 1 FROM graft_sql_updexres_src s
+          |  WHERE s.id = updexres_t.id
+          |    AND s.sts BETWEEN updexres_t.ts - 5 AND updexres_t.ts + 5)
+          |""".stripMargin)
+      spark.sql(
+        """UPDATE graft.cq.updexres_t SET val = -1 WHERE NOT EXISTS (
+          |  SELECT 1 FROM graft_sql_updexres_src s
+          |  WHERE s.id = updexres_t.id
+          |    AND s.sts BETWEEN updexres_t.ts - 5 AND updexres_t.ts + 5)
+          |  AND id < 100
+          |""".stripMargin)
+      "updexres_t"
+    })
+
+  /** UPDATE SET with a correlated COUNT subquery — the empty-group-is-0
+    * shape the grouped decorrelation must get right on BOTH uncovered
+    * legs: source rows are (k = id%60, x = id) over 0..149 with the
+    * count filtered to x >= 120, so even keys 0..29 count 1, even keys
+    * 30..59 count 0 (covered key, every row filtered out — the group
+    * vanishes), even keys 60..98 count 0 (key never in the source). */
+  private def updCorrCountT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ucorrcnt_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "ucorrcnt_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)).commit()
+      spark.range(0, 150).selectExpr("id % 60 AS k", "id AS x")
+        .createOrReplaceTempView("graft_sql_ucorrcnt_src")
+      spark.sql("UPDATE graft.cq.ucorrcnt_t SET val = (SELECT COUNT(*) " +
+        "FROM graft_sql_ucorrcnt_src s WHERE s.k = ucorrcnt_t.id " +
+        "AND s.x >= 120) WHERE id % 2 = 0")
+      "ucorrcnt_t"
+    })
+
+  /** UPDATE SET with TWO correlated scalar aggregate subqueries over
+    * DIFFERENT sources (same key): the decorrelated per-key aggregates
+    * full-outer join on the key, and each on-empty value substitutes
+    * independently — MAX over an uncovered key reads NULL, COUNT reads 0
+    * even where the other aggregate matched. */
+  private def updCorrMultiT(spark: SparkSession): Unit =
+    built.computeIfAbsent("ucorrm_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "ucorrm_t")
+        .create(GraftSchema.of("id" -> LongType, "a" -> LongType,
+          "b" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("a", col("id"))
+          .withColumn("b", col("id"))).commit()
+      spark.range(0, 50).toDF("id").withColumn("w", col("id") % 7)
+        .createOrReplaceTempView("graft_sql_ucorrm_s1")
+      spark.range(0, 150).selectExpr("id % 60 AS k", "id AS x")
+        .createOrReplaceTempView("graft_sql_ucorrm_s2")
+      spark.sql(
+        """UPDATE graft.cq.ucorrm_t SET
+          |  a = (SELECT MAX(w) FROM graft_sql_ucorrm_s1 s
+          |       WHERE s.id = ucorrm_t.id),
+          |  b = (SELECT COUNT(*) FROM graft_sql_ucorrm_s2 s
+          |       WHERE s.k = ucorrm_t.id AND s.x >= 120)""".stripMargin)
+      "ucorrm_t"
+    })
+
   /** DELETE WHERE EXISTS with a non-equality correlated conjunct (the
     * event-time band): ids 0..299 ts=10·id; source ids 0..199 with
     * sts = 10·id + (3 if id even else 50) — in the ±5 band iff even. */
@@ -345,6 +432,124 @@ object CatalogQueries {
         "SET val = (SELECT MAX(id) FROM graft.cq.usub_src) + id " +
         "WHERE id % 3 = 0")
       "usub_t"
+    })
+
+  /** Composite multi-column IN (<subquery>) DELETE: the tuple IN plus a
+    * target-only conjunct routes to the semi-join with the conjunct as
+    * the scan filter — ids 0..199 (grp = id%3, val = id); the source
+    * covers (id, grp) for ids 0..99; even covered ids die. */
+  private def delInCompT(spark: SparkSession): Unit =
+    built.computeIfAbsent("delincomp_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "delincomp_t")
+        .create(GraftSchema.of("id" -> LongType, "grp" -> LongType,
+          "val" -> LongType), Nil)
+        .appendData(spark.range(0, 200).toDF("id")
+          .withColumn("grp", col("id") % 3)
+          .withColumn("val", col("id"))).commit()
+      spark.range(0, 100).toDF("id").withColumn("grp", col("id") % 3)
+        .createOrReplaceTempView("graft_sql_delincomp_src")
+      spark.sql(
+        """DELETE FROM graft.cq.delincomp_t
+          |WHERE (id, grp) IN (SELECT id, grp FROM graft_sql_delincomp_src)
+          |  AND val % 2 = 0""".stripMargin)
+      "delincomp_t"
+    })
+
+  /** Composite multi-column IN (<subquery>) UPDATE — the DELETE twin:
+    * even covered ids stamp val = -1 through the semi-join update. */
+  private def updInCompT(spark: SparkSession): Unit =
+    built.computeIfAbsent("updincomp_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "updincomp_t")
+        .create(GraftSchema.of("id" -> LongType, "grp" -> LongType,
+          "val" -> LongType), Nil)
+        .appendData(spark.range(0, 200).toDF("id")
+          .withColumn("grp", col("id") % 3)
+          .withColumn("val", col("id"))).commit()
+      spark.range(0, 100).toDF("id").withColumn("grp", col("id") % 3)
+        .createOrReplaceTempView("graft_sql_updincomp_src")
+      spark.sql(
+        """UPDATE graft.cq.updincomp_t SET val = -1
+          |WHERE (id, grp) IN (SELECT id, grp FROM graft_sql_updincomp_src)
+          |  AND id % 2 = 0""".stripMargin)
+      "updincomp_t"
+    })
+
+  /** `k NOT IN (<subquery>)` DELETE with SQL three-valued logic: a NULL
+    * in the subquery makes the delete a NO-OP; against the clean source
+    * (ids 0..59) the uncovered 60..99 die while the NULL-key target row
+    * SURVIVES (NOT IN is UNKNOWN there — unlike NOT EXISTS). */
+  private def delNotInT(spark: SparkSession): Unit =
+    built.computeIfAbsent("delnotin_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "delnotin_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)
+          .unionByName(spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS id, CAST(-5 AS BIGINT) AS val")))
+        .commit()
+      spark.range(0, 60).toDF("id")
+        .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) AS id"))
+        .createOrReplaceTempView("graft_sql_delnotin_withnull")
+      spark.range(0, 60).toDF("id")
+        .createOrReplaceTempView("graft_sql_delnotin_clean")
+      spark.sql("DELETE FROM graft.cq.delnotin_t WHERE id NOT IN " +
+        "(SELECT id FROM graft_sql_delnotin_withnull)") // NULL → no-op
+      spark.sql("DELETE FROM graft.cq.delnotin_t WHERE id NOT IN " +
+        "(SELECT id FROM graft_sql_delnotin_clean)")
+      "delnotin_t"
+    })
+
+  /** `k NOT IN (<subquery>)` UPDATE — the DELETE twin: the with-NULL
+    * source no-ops, the clean source stamps the uncovered ids, and the
+    * NULL-key row never updates (the predicate is UNKNOWN there). */
+  private def updNotInT(spark: SparkSession): Unit =
+    built.computeIfAbsent("updnotin_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "updnotin_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)
+          .unionByName(spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS id, CAST(-5 AS BIGINT) AS val")))
+        .commit()
+      spark.range(0, 60).toDF("id")
+        .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) AS id"))
+        .createOrReplaceTempView("graft_sql_updnotin_withnull")
+      spark.range(0, 60).toDF("id")
+        .createOrReplaceTempView("graft_sql_updnotin_clean")
+      spark.sql("UPDATE graft.cq.updnotin_t SET val = -1 WHERE id NOT IN " +
+        "(SELECT id FROM graft_sql_updnotin_withnull)") // NULL → no-op
+      spark.sql("UPDATE graft.cq.updnotin_t SET val = -1 WHERE id NOT IN " +
+        "(SELECT id FROM graft_sql_updnotin_clean)")
+      "updnotin_t"
+    })
+
+  /** MERGE with UNCORRELATED scalar subqueries in the assignments: each
+    * materializes once at execute time as a literal (the UPDATE-SET
+    * treatment). bsrc is range(0,8) → MAX(b)=7, COUNT(*)=8. */
+  private def mergeSubqT(spark: SparkSession): Unit =
+    built.computeIfAbsent("msub_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "msub_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)).commit()
+      spark.range(50, 150).toDF("id")
+        .createOrReplaceTempView("graft_sql_msub_src")
+      spark.range(0, 8).toDF("b")
+        .createOrReplaceTempView("graft_sql_msub_b")
+      spark.sql(
+        """MERGE INTO graft.cq.msub_t t USING graft_sql_msub_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET
+          |  val = t.val + (SELECT MAX(b) FROM graft_sql_msub_b)
+          |WHEN NOT MATCHED THEN INSERT (id, val)
+          |  VALUES (s.id, (SELECT COUNT(*) FROM graft_sql_msub_b))
+          |""".stripMargin)
+      "msub_t"
     })
 
   /** MERGE ON with a non-equi residual (the CDC event-time band): target
@@ -1030,6 +1235,16 @@ object CatalogQueries {
       s.sql("SELECT id, ts, val FROM graft.cq.exres_t")
     }),
 
+    "sql_catalog_update_corr_count" -> ((s, _) => {
+      updCorrCountT(s)
+      s.sql("SELECT id, val FROM graft.cq.ucorrcnt_t")
+    }),
+
+    "sql_catalog_update_exists_residual" -> ((s, _) => {
+      updExistsResidT(s)
+      s.sql("SELECT id, ts, val FROM graft.cq.updexres_t")
+    }),
+
     "sql_merge_multi_action" -> ((s, _) => {
       mergeMultiT(s)
       s.sql("SELECT id, val, note FROM graft.cq.mmulti_t")
@@ -1043,6 +1258,43 @@ object CatalogQueries {
     "sql_merge_range" -> ((s, _) => {
       mergeRangeT(s)
       s.sql("SELECT id, ts, val FROM graft.cq.mrange_t")
+    }),
+
+    "sql_merge_subq_assign" -> ((s, _) => {
+      mergeSubqT(s)
+      s.sql("SELECT id, val FROM graft.cq.msub_t")
+    }),
+
+    "sql_catalog_delete_in_composite" -> ((s, _) => {
+      delInCompT(s)
+      s.sql("SELECT id, grp, val FROM graft.cq.delincomp_t")
+    }),
+
+    // SHOW PARTITIONS answered off the snapshot log's live manifest (the
+    // .partitions metadata tier — no data file opened)
+    "sql_show_partitions" -> ((s, _) => {
+      scanT(s)
+      s.sql("SHOW PARTITIONS graft.cq.scan_t")
+    }),
+
+    "sql_catalog_update_in_composite" -> ((s, _) => {
+      updInCompT(s)
+      s.sql("SELECT id, grp, val FROM graft.cq.updincomp_t")
+    }),
+
+    "sql_catalog_delete_not_in" -> ((s, _) => {
+      delNotInT(s)
+      s.sql("SELECT id, val FROM graft.cq.delnotin_t")
+    }),
+
+    "sql_catalog_update_corr_multi" -> ((s, _) => {
+      updCorrMultiT(s)
+      s.sql("SELECT id, a, b FROM graft.cq.ucorrm_t")
+    }),
+
+    "sql_catalog_update_not_in" -> ((s, _) => {
+      updNotInT(s)
+      s.sql("SELECT id, val FROM graft.cq.updnotin_t")
     }),
 
     "sql_catalog_overwrite_dyn" -> ((s, _) => {
@@ -1398,6 +1650,30 @@ object CatalogQueries {
         |  UNION ALL SELECT range FROM range(200, 300)
         |)""".stripMargin,
 
+    // updexres_t end state: in-band (even, covered) ids took +1000; rows
+    // with NO in-band witness and id < 100 (the odd ids under 100) took
+    // -1; everything else kept 2·id
+    "sql_catalog_update_exists_residual" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(id * 10 AS BIGINT) AS ts,
+        |       CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id, range * 2 + 1000 AS val FROM range(0, 200)
+        |  WHERE range % 2 = 0
+        |  UNION ALL SELECT range, -1 FROM range(0, 100) WHERE range % 2 = 1
+        |  UNION ALL SELECT range, range * 2 FROM range(100, 200)
+        |  WHERE range % 2 = 1
+        |  UNION ALL SELECT range, range * 2 FROM range(200, 300)
+        |)""".stripMargin,
+
+    // ucorrcnt_t end state: even covered ids < 30 count 1 (only x=k+120
+    // clears the filter), every other even id counts 0 — whether the key
+    // was covered-but-filtered-empty (30..58) or never covered (60..98) —
+    // odd ids keep 2·id
+    "sql_catalog_update_corr_count" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range % 2 = 1 THEN range * 2
+        |            WHEN range < 30 THEN 1 ELSE 0 END AS BIGINT) AS val
+        |FROM range(0, 100)""".stripMargin,
+
     // mmulti_t end state: first-match-wins across the ordered actions
     "sql_merge_multi_action" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val, note
@@ -1422,6 +1698,62 @@ object CatalogQueries {
         |       CAST(CASE WHEN range % 3 = 0 THEN 49 + range
         |            ELSE range * 2 END AS BIGINT) AS val
         |FROM range(0, 100)""".stripMargin,
+
+    // scan_t live partitions (Hive-rendered)
+    "sql_show_partitions" ->
+      """SELECT * FROM (VALUES ('part=a'), ('part=b')) v(partition)
+        |ORDER BY partition""".stripMargin,
+
+    // updnotin_t end state: with-NULL source no-oped; clean source
+    // stamped 60..99 with -1; the NULL-key row kept -5
+    "sql_catalog_update_not_in" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(val AS BIGINT) AS val FROM (
+        |  SELECT range AS id, range * 2 AS val FROM range(0, 60)
+        |  UNION ALL SELECT range, -1 FROM range(60, 100)
+        |  UNION ALL SELECT NULL, -5
+        |)""".stripMargin,
+
+    // ucorrm_t end state: a = per-key MAX (NULL where s1 uncovered),
+    // b = filtered per-key COUNT (0 where empty), independently
+    "sql_catalog_update_corr_multi" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range < 50 THEN range % 7
+        |            ELSE NULL END AS BIGINT) AS a,
+        |       CAST(CASE WHEN range < 30 THEN 1 ELSE 0 END AS BIGINT) AS b
+        |FROM range(0, 100)""".stripMargin,
+
+    // updincomp_t end state: even covered ids stamped -1
+    "sql_catalog_update_in_composite" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(range % 3 AS BIGINT) AS grp,
+        |       CAST(CASE WHEN range < 100 AND range % 2 = 0 THEN -1
+        |            ELSE range END AS BIGINT) AS val
+        |FROM range(0, 200)""".stripMargin,
+
+    // delnotin_t end state: the with-NULL source made delete #1 a no-op;
+    // the clean source killed 60..99; the NULL-key row survives
+    "sql_catalog_delete_not_in" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(range * 2 AS BIGINT) AS val FROM range(0, 60)
+        |UNION ALL SELECT NULL, CAST(-5 AS BIGINT)""".stripMargin,
+
+    // delincomp_t end state: even covered ids (0..98) died; odd covered
+    // and all uncovered ids survive
+    "sql_catalog_delete_in_composite" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(range % 3 AS BIGINT) AS grp,
+        |       CAST(range AS BIGINT) AS val
+        |FROM range(0, 200)
+        |WHERE NOT (range < 100 AND range % 2 = 0)""".stripMargin,
+
+    // msub_t end state: matched 50..99 took 2·id + MAX(b)=7; unmatched
+    // 100..149 inserted COUNT(*)=8; untouched 0..49 keep 2·id
+    "sql_merge_subq_assign" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range < 50 THEN range * 2
+        |            WHEN range < 100 THEN range * 2 + 7
+        |            ELSE 8 END AS BIGINT) AS val
+        |FROM range(0, 150)""".stripMargin,
 
     // mrange_t end state: in-band (id%9<=5) updated; out-of-band old rows
     // survive with an inserted sibling; 300..399 inserted

@@ -263,11 +263,12 @@ final class GraftTableGenerator(
       val stats = bulkMetrics(staging)
       list(staging).filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.toString).foreach { part =>
-          val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
+          val (rc, m) = stats.getOrElse(part.toString,
+            (footerRowCount(part), Map.empty[Int, ColMetrics]))
           val target = uniqueNumberedFile(dataDir, "%02d.parquet")
           Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
           stagedData :+= DataFileEntry(target.toString, Map.empty, specId,
-            schemaV, opSeq, footerRowCount(target), metrics = m)
+            schemaV, opSeq, rc, metrics = m)
         }
     } else {
       // one partition-value column per spec transform (identity keeps the
@@ -307,12 +308,13 @@ final class GraftTableGenerator(
       walk(staging, Nil).foreach { case (vals, part) =>
         val pmap = ts.zip(vals).map { case (t, v) => t.partName -> v }.toMap
         val pdir = partitionDirName(pmap)
-        val m = stats.getOrElse(part.toString, Map.empty[Int, ColMetrics])
+        val (rc, m) = stats.getOrElse(part.toString,
+          (footerRowCount(part), Map.empty[Int, ColMetrics]))
         val target = uniqueNumberedFile(dataDir.resolve(pdir),
           s"$pdir-%02d.parquet")
         Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
         stagedData :+= DataFileEntry(target.toString, pmap, specId, schemaV,
-          opSeq, footerRowCount(target), metrics = m)
+          opSeq, rc, metrics = m)
       }
     }
     deleteRecursively(staging)
@@ -735,11 +737,12 @@ final class GraftTableGenerator(
     * the committed scan (semi: pruned to the source's key envelope —
     * sound because key equality stays necessary for a match) joins the
     * `_s_`-prefixed source on key equality AND `joinResidual`, and the
-    * matches' (path, pos) land in ONE global tombstone file the reader
-    * prunes by path bounds. `scanFilter` (target-only conjuncts OUTSIDE
-    * the EXISTS) filters the scan first — equivalent for semi, required
-    * ordering for anti. Cost: one join + one O(matches) tombstone; no
-    * data file rewritten. */
+    * matches' (path, pos) land in ordered tombstone file(s) the reader
+    * prunes by path bounds (one file normally; path-range-split past
+    * [[GraftTableGenerator.deleteSplitThreshold]]). `scanFilter`
+    * (target-only conjuncts OUTSIDE the EXISTS) filters the scan first —
+    * equivalent for semi, required ordering for anti. Cost: one join +
+    * O(matches) tombstone bytes; no data file rewritten. */
   def deleteSemiJoin(src: DataFrame, keyCols: Seq[String],
                      joinResidual: Option[Column],
                      scanFilter: Option[Column] = None,
@@ -775,13 +778,126 @@ final class GraftTableGenerator(
         if (anti) "left_anti" else "left_semi")
       .select(col(MorReader.FilePathCol).as("file_path"),
         col(MorReader.PosCol).as("pos"))
-    val target = deleteFileTarget("delete", Map.empty)
-    writeSingleFile(
-      matches.repartition(1).sortWithinPartitions("file_path", "pos"), target)
-    stagedDeletes :+= DeleteFileEntry(target.toString, Map.empty, "pos",
-      Nil, Nil, opSeq,
-      metrics = deleteColMetrics(target,
-        Seq(DeleteFileEntry.PathFieldId -> "file_path")))
+    stageOrderedTombstones(matches, Map.empty, opSeq)
+    this
+  }
+
+  /** Stage `matches` (file_path, pos) as (path, pos)-ordered positional
+    * tombstone file(s): ONE file normally; past
+    * [[GraftTableGenerator.deleteSplitThreshold]] rows, N path-RANGE-
+    * partitioned ordered files — a residual DELETE matching ~10⁹ rows
+    * must not funnel a global sort+write through one task. Sound because
+    * the reader consumes any number of positional files and prunes each
+    * by its own recorded file_path bounds; the (path, pos) order the
+    * spec requires is a per-file property, and range partitions are
+    * disjoint and sorted within. Empty range partitions are skipped. */
+  private def stageOrderedTombstones(matches0: DataFrame,
+                                     partition: Map[String, String],
+                                     opSeq: Long): Unit = {
+    def entryFor(target: Path): DeleteFileEntry =
+      DeleteFileEntry(target.toString, partition, "pos", Nil, Nil, opSeq,
+        metrics = deleteColMetrics(target,
+          Seq(DeleteFileEntry.PathFieldId -> "file_path")))
+    val thr = GraftTableGenerator.deleteSplitThreshold(spark)
+    val matches = matches0.localCheckpoint()
+    val n = matches.count()
+    if (n <= thr) {
+      val target = deleteFileTarget("delete", partition)
+      writeSingleFile(matches.repartition(1)
+        .sortWithinPartitions("file_path", "pos"), target)
+      stagedDeletes :+= entryFor(target)
+    } else {
+      val parts = math.min(((n + thr - 1) / thr).toInt, 512)
+      val staging = Files.createTempDirectory(tableDir, ".delsplit")
+      try {
+        matches.repartitionByRange(parts, col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.options(props).mode("overwrite").parquet(staging.toString)
+        listDir(staging).filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.toString).foreach { part =>
+            if (footerRowCount(part) > 0) {
+              val target = deleteFileTarget("delete", partition)
+              Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+              stagedDeletes :+= entryFor(target)
+            }
+          }
+      } finally deleteRecursively(staging)
+    }
+  }
+
+  /** Semi/anti-join UPDATE with a correlated RESIDUAL — the
+    * `UPDATE … WHERE [NOT] EXISTS (… s.k = t.k AND s.ts BETWEEN …)`
+    * event-time-band enrichment, the UPDATE twin of [[deleteSemiJoin]].
+    * Whether a row updates depends on BOTH sides, and several source
+    * rows may witness the same target row — EXISTS semantics, which a
+    * semi join gives exactly (each target row at most once, so there is
+    * no MERGE cardinality concern and no dedup pass). Two reads, one
+    * transaction:
+    *   - the REWRITTEN rows come from the live MoR state (an already-
+    *     dead row must not resurrect) joined left_semi / left_anti
+    *     against the `_s_`-prefixed source on key equality AND
+    *     `joinResidual`, with `sets` applied as ONE simultaneous
+    *     projection over the original row, per SQL;
+    *   - the TOMBSTONES come from the raw committed scan through the
+    *     same join (an extra tombstone on an already-dead row is
+    *     harmless), written (path, pos)-ordered and range-split past
+    *     the threshold.
+    * Both reads are key-envelope file-pruned for the semi form (key
+    * equality stays necessary for a match); `scanFilter` (target-only
+    * conjuncts OUTSIDE the EXISTS) filters both reads first. Cost: two
+    * joins + O(matches) tombstone + O(matches) appended rows; no data
+    * file rewritten. */
+  def updateSemiJoin(src: DataFrame, keyCols: Seq[String],
+                     joinResidual: Option[Column],
+                     sets: Seq[(String, Column)],
+                     scanFilter: Option[Column] = None,
+                     anti: Boolean = false): this.type = {
+    requireCreated("updateSemiJoin()")
+    keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    val srcC = src.localCheckpoint() // envelope agg + two joins, one read
+    val st = lineage(log.load())
+    val (files, ranges) =
+      if (anti) (st.dataFiles, Map.empty[String, MorReader.ColRange])
+      else {
+        val aggs = keyCols.flatMap(k => Seq(
+          min(col(k)).cast("string").as(s"_lo_$k"),
+          max(col(k)).cast("string").as(s"_hi_$k")))
+        val r = srcC.agg(aggs.head, aggs.tail: _*).head()
+        val rg = keyCols.flatMap { k =>
+          val lo = Option(r.getAs[String](s"_lo_$k"))
+          val hi = Option(r.getAs[String](s"_hi_$k"))
+          if (lo.isEmpty && hi.isEmpty) None
+          else Some(k -> MorReader.ColRange(lo, hi))
+        }.toMap
+        (st.dataFiles.filter(f =>
+          MorReader.entryMatches(f, schema, Map.empty, rg)), rg)
+      }
+    GraftTableGenerator.deleteScanFilesPlanned.addAndGet(files.size)
+    if (files.isEmpty) return this
+    val srcPref = srcC.select(srcC.columns.map(c => col(c).as(s"_s_$c")): _*)
+    val keyEq = keyCols.map(k => col(k) === col(s"_s_$k")).reduce(_ && _)
+    val joinCond = joinResidual.map(keyEq && _).getOrElse(keyEq)
+    val joinType = if (anti) "left_anti" else "left_semi"
+    val opSeq = nextOpSeq()
+    // rewritten rows from the LIVE state (computed before the staged
+    // delete publishes — reads see only committed snapshots anyway)
+    val liveBase =
+      if (anti) MorReader.read(spark, tableDir.toString)
+      else MorReader.readRange(spark, tableDir.toString, ranges)
+    val live = scanFilter.map(liveBase.where).getOrElse(liveBase)
+    val setsMap = sets.toMap
+    val updated = live.join(srcPref, joinCond, joinType)
+      .select(schema.fields.map(f =>
+        setsMap.getOrElse(f.name, col(f.name)).cast(f.dataType).as(f.name)): _*)
+      .localCheckpoint()
+    // tombstones from the raw committed files
+    val scan0 = rawScan(files)
+    val scan = scanFilter.map(scan0.where).getOrElse(scan0)
+    val matches = scan.join(srcPref, joinCond, joinType)
+      .select(col(MorReader.FilePathCol).as("file_path"),
+        col(MorReader.PosCol).as("pos"))
+    stageOrderedTombstones(matches, Map.empty, opSeq)
+    appendSlices(partitionSlices(updated))
     this
   }
 
@@ -946,15 +1062,20 @@ final class GraftTableGenerator(
     * keys) write cost, no data file rewritten). A NULL target key never
     * equality-matches, so NOT EXISTS holds for those rows too — they die
     * by positional delete staged in the SAME transaction (only when such
-    * rows exist; the probe rides the already-computed key projection). */
-  def deleteKeysAnti(df: DataFrame, keyCols: Seq[String]): this.type = {
+    * rows exist; the probe rides the already-computed key projection).
+    * `nullKeysDie = false` keeps null-key rows instead — the NOT IN
+    * three-valued twin, where a NULL key makes the predicate UNKNOWN and
+    * the row survives. */
+  def deleteKeysAnti(df: DataFrame, keyCols: Seq[String],
+                     nullKeysDie: Boolean = true): this.type = {
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
     val srcKeys = df.select(keyCols.map(col): _*)
       .na.drop("any", keyCols).distinct()
     val tgtKeys = MorReader.read(spark, tableDir.toString)
       .select(keyCols.map(col): _*).localCheckpoint()
     val nullPred = keyCols.map(col(_).isNull).reduce(_ || _)
-    if (!tgtKeys.where(nullPred).isEmpty) positionalDelete(nullPred)
+    if (nullKeysDie && !tgtKeys.where(nullPred).isEmpty)
+      positionalDelete(nullPred)
     val unmatched = tgtKeys.na.drop("any", keyCols).distinct()
       .join(srcKeys, keyCols, "left_anti").localCheckpoint()
     if (!unmatched.isEmpty) deleteKeys(unmatched, keyCols)
@@ -2111,17 +2232,23 @@ final class GraftTableGenerator(
     this
   }
 
-  /** Repoint an EXISTING branch ref (`REPLACE BRANCH … AS OF VERSION v`):
-    * only for branches with no own commits — repointing a branch that has
-    * written snapshots would orphan them (drop and recreate instead). */
+  /** Repoint an EXISTING branch ref (`REPLACE BRANCH … AS OF VERSION v`).
+    * A branch that has written its OWN snapshots is repointed by
+    * orphaning them through the same rewrite+reclaim discipline as
+    * [[dropBranch]]: the branch's snapshots leave the log, and their
+    * exclusively-referenced files are physically reclaimed (a file also
+    * referenced by a surviving lineage — e.g. one the branch picked up
+    * via cherry-pick, or pre-fork history — stays). Main history and
+    * time travel are untouched: the rewrite only removes snapshots
+    * stamped with this branch's name. */
   def replaceBranch(branchName: String, asOfVersion: Long = -1L): this.type = {
     requireCreated("replaceBranch()")
+    require(stagedOps == 0, "commit staged work before replaceBranch()")
     require(log.refs.contains(s"branch:$branchName"),
       s"unknown branch '$branchName'")
     val st = log.load()
-    require(!st.snapshots.exists(_.branch == branchName),
-      s"branch '$branchName' has its own commits — REPLACE would orphan " +
-        "them; drop and recreate instead")
+    // validate the new fork point BEFORE any destructive rewrite — a
+    // typo'd version must not orphan the branch's commits
     val mainSnaps = st.mainOnly.snapshots
     val fork =
       if (asOfVersion >= 0) {
@@ -2129,6 +2256,18 @@ final class GraftTableGenerator(
           s"unknown main snapshot $asOfVersion for branch fork")
         asOfVersion
       } else mainSnaps.lastOption.map(_.id).getOrElse(0L)
+    val (dropped, keep) = st.snapshots.partition(_.branch == branchName)
+    if (dropped.nonEmpty) {
+      val keepPaths = (keep.flatMap(_.dataFiles).map(_.path) ++
+        keep.flatMap(_.deleteFiles).map(_.path)).toSet
+      val orphans = (dropped.flatMap(_.dataFiles).map(_.path) ++
+        dropped.flatMap(_.deleteFiles).map(_.path))
+        .filterNot(keepPaths).distinct
+      log.rewrite(keep)
+      orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      if (activeBranch == branchName) activeBranch = "main"
+      refresh()
+    }
     log.setRef(s"branch:$branchName", fork)
     this
   }
@@ -2247,6 +2386,12 @@ final class GraftTableGenerator(
     * [[graft.read.MorReader.readRef]]. */
   def tag(name: String, snapshotId: Long = -1L): this.type = {
     requireCreated("tag()")
+    // an explicit id must name a COMMITTED snapshot (same strictness as
+    // createBranch) — a typo'd version would otherwise create a dangling
+    // tag that time-travel reads only fail on much later
+    if (snapshotId >= 0)
+      require(log.load().snapshots.exists(_.id == snapshotId),
+        s"unknown snapshot $snapshotId for tag '$name'")
     log.setRef(name, if (snapshotId < 0) committedSnapId else snapshotId)
     this
   }
@@ -2416,16 +2561,22 @@ final class GraftTableGenerator(
     * scales with the write parallelism, not the file count. Keys are
     * normalized absolute paths of the STAGING files (callers look up before
     * moving each part to its target). */
-  private def bulkMetrics(staging: Path): Map[String, Map[Int, ColMetrics]] = {
+  /** Per staged file: (row count, column metrics) — ONE job for the whole
+    * staging dir. The row count rides the same aggregate so a 10⁴-file
+    * bulk append never pays 10⁴ sequential driver-side footer opens
+    * (measured ~15 ms each — minutes at 10⁵ partitions). */
+  private def bulkMetrics(staging: Path): Map[String, (Long, Map[Int, ColMetrics])] = {
     val fields = metricFields
-    if (fields.isEmpty) return Map.empty
-    val aggs = metricAggs(fields)
+    val aggs = count(lit(1L)).as("_rc") +:
+      (if (fields.isEmpty) Nil else metricAggs(fields))
     spark.read.parquet(staging.toString)
       .select(col("*"), col("_metadata.file_path").as("_mfp"))
       .groupBy("_mfp").agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => r.getAs[String]("_mfp").replaceFirst("^file:/+", "/") ->
-        rowToMetrics(fields, r))
+        (r.getAs[Long]("_rc"),
+          if (fields.isEmpty) Map.empty[Int, ColMetrics]
+          else rowToMetrics(fields, r)))
       .toMap
   }
 
@@ -2516,6 +2667,15 @@ object GraftTableGenerator {
     * carry — beyond it the operation is effectively a table rewrite and
     * the error says to use the truncate form instead. */
   val MaxDynamicOverwritePartitions = 100000
+
+  /** Past this many matches, the semi/anti-join DML verbs split their
+    * ordered positional tombstone into path-range files instead of one
+    * global `repartition(1)` sort — the 100×-scale seam for residual
+    * deletes touching ~10⁹ rows. Conf-overridable so specs can exercise
+    * the split path at test scale. */
+  def deleteSplitThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.delete.splitThreshold")
+      .map(_.toLong).getOrElse(10000000L)
 
   /** Observability counter (tests): data files planned by GENERATOR-side
     * scans (positional-delete matching, compaction grouping) — the

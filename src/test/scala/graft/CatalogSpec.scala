@@ -360,6 +360,180 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE graft.db.$t"))
   }
 
+  test("DELETE WHERE k NOT IN (<subquery>): NULL in the subquery no-ops, " +
+      "an empty subquery truncates, null target keys survive the anti-join") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_notin")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 10).toDF("id")
+      .withColumn("val", col("id") * 2)
+      .unionByName(spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS id, CAST(-5 AS BIGINT) AS val")))
+      .commit()
+    spark.range(0, 6).toDF("id").createOrReplaceTempView("notin_src")
+    // a NULL in the subquery → the predicate is never TRUE → no-op
+    spark.sql("DELETE FROM graft.db.t_notin WHERE id NOT IN " +
+      "(SELECT CASE WHEN id = 3 THEN NULL ELSE id END FROM notin_src)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_notin")
+      .collect()(0).getLong(0) == 11L, "NULL-carrying NOT IN must no-op")
+    // clean subquery → uncovered ids 6..9 die, the NULL-key row survives
+    spark.sql("DELETE FROM graft.db.t_notin WHERE id NOT IN " +
+      "(SELECT id FROM notin_src)")
+    val left = spark.sql("SELECT id FROM graft.db.t_notin").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    assert(left == (-1L +: (0L until 6L)), s"got $left")
+    // empty subquery → NOT IN is TRUE everywhere (null keys included):
+    // metadata-tier truncate
+    spark.sql("DELETE FROM graft.db.t_notin WHERE id NOT IN " +
+      "(SELECT id FROM notin_src WHERE id < 0)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_notin")
+      .collect()(0).getLong(0) == 0L)
+    spark.sql("DROP TABLE graft.db.t_notin")
+  }
+
+  test("SHOW PARTITIONS lists live partition tuples off the manifest; " +
+      "the PARTITION spec filters; unpartitioned tables refuse") {
+    fresh("t_showpart")
+    val got = spark.sql("SHOW PARTITIONS graft.db.t_showpart")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("category=gizmo", "category=widget"), s"got $got")
+    val filtered = spark.sql(
+      "SHOW PARTITIONS graft.db.t_showpart PARTITION (category='widget')")
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq("category=widget"), s"got $filtered")
+    // dropping one partition's files (metadata-tier DELETE) drops it
+    // from the listing — .partitions lists LIVE data files
+    spark.sql("DELETE FROM graft.db.t_showpart WHERE category = 'widget'")
+    val after = spark.sql("SHOW PARTITIONS graft.db.t_showpart")
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("category=gizmo"), s"got $after")
+    // unpartitioned: loud, mirroring Spark's v1 semantics
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_showpart_un")
+    g.create(graft.schema.GraftSchema.of("id" -> LongType), Nil)
+    g.appendData(spark.range(0, 5).toDF("id")).commit()
+    val e = intercept[Exception] {
+      spark.sql("SHOW PARTITIONS graft.db.t_showpart_un").collect() }
+    assert(e.getMessage.toLowerCase.contains("not allowed"), e.getMessage)
+    Seq("t_showpart", "t_showpart_un").foreach(t =>
+      spark.sql(s"DROP TABLE graft.db.$t"))
+  }
+
+  test("MERGE assignments take uncorrelated scalar subqueries as " +
+      "execute-once literals; correlated / multi-row shapes stay loud") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, s"$wh/db", "t_msub")
+    g.create(graft.schema.GraftSchema.of(
+      "id" -> LongType, "val" -> LongType), Nil)
+    g.appendData(spark.range(0, 10).toDF("id")
+      .withColumn("val", col("id"))).commit()
+    spark.range(5, 15).toDF("id").createOrReplaceTempView("msub_src")
+    spark.range(0, 3).toDF("b").createOrReplaceTempView("msub_b")
+    spark.sql(
+      """MERGE INTO graft.db.t_msub t USING msub_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  val = t.val + (SELECT MAX(b) FROM msub_b)
+        |WHEN NOT MATCHED THEN INSERT (id, val)
+        |  VALUES (s.id, (SELECT COUNT(*) FROM msub_b))
+        |""".stripMargin)
+    val got = spark.sql("SELECT id, val FROM graft.db.t_msub")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 15L).map(i =>
+      i -> (if (i < 5) i else if (i < 10) i + 2 else 3L)).toMap
+    assert(got == want, s"got $got")
+    // the bounded materialization runs at EXECUTE time, not analysis: a
+    // multi-row scalar subquery EXPLAINs fine and only fails when run
+    val multi =
+      """MERGE INTO graft.db.t_msub t USING msub_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET val = (SELECT b FROM msub_b)
+        |""".stripMargin
+    spark.sql(s"EXPLAIN $multi").collect()
+    val e1 = intercept[Exception] { spark.sql(multi) }
+    assert(e1.getMessage.contains("more than one row"), e1.getMessage)
+    // a CORRELATED assignment subquery refuses at analysis with the
+    // source-rewrite hint
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.t_msub t USING msub_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET
+          |  val = (SELECT MAX(b) FROM msub_b WHERE b = t.id)
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("MERGE source"), e2.getMessage)
+    spark.sql("DROP TABLE graft.db.t_msub")
+  }
+
+  test("UPDATE WHERE [NOT] EXISTS with a non-equality correlated conjunct " +
+      "routes to the residual-aware semi/anti-join update") {
+    import org.apache.spark.sql.types._
+    def mk(name: String): GraftTableGenerator = {
+      val g = new GraftTableGenerator(spark, s"$wh/db", name)
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "ts" -> LongType, "val" -> LongType), Nil)
+      g.appendData(spark.range(0, 20).toDF("id")
+        .withColumn("ts", col("id") * 10)
+        .withColumn("val", col("id"))).commit()
+      g
+    }
+    // source covers ids 0..9, in the ±5 band iff even — and every even id
+    // carries TWO in-band witnesses: EXISTS semantics, no cardinality rule
+    spark.range(0, 10).toDF("id")
+      .withColumn("sts", col("id") * 10 +
+        when(col("id") % 2 === 0, lit(3L)).otherwise(lit(50L)))
+      .unionByName(spark.range(0, 10).toDF("id")
+        .withColumn("sts", col("id") * 10 +
+          when(col("id") % 2 === 0, lit(5L)).otherwise(lit(60L))))
+      .createOrReplaceTempView("updres_src")
+    mk("t_updres")
+    spark.sql(
+      """UPDATE graft.db.t_updres SET val = val + 1000 WHERE EXISTS (
+        |  SELECT 1 FROM updres_src s
+        |  WHERE s.id = t_updres.id
+        |    AND s.sts BETWEEN t_updres.ts - 5 AND t_updres.ts + 5)
+        |""".stripMargin)
+    val got = spark.sql("SELECT id, val FROM graft.db.t_updres")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 20L).map(i =>
+      i -> (if (i < 10 && i % 2 == 0) i + 1000 else i)).toMap
+    assert(got == want, s"got $got")
+    // NOT EXISTS twin with a target-only conjunct OUTSIDE the EXISTS
+    spark.sql(
+      """UPDATE graft.db.t_updres SET val = -1 WHERE NOT EXISTS (
+        |  SELECT 1 FROM updres_src s
+        |  WHERE s.id = t_updres.id
+        |    AND s.sts BETWEEN t_updres.ts - 5 AND t_updres.ts + 5)
+        |  AND id < 15
+        |""".stripMargin)
+    val got2 = spark.sql("SELECT id, val FROM graft.db.t_updres")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want2 = (0L until 20L).map(i =>
+      i -> (if (i < 10 && i % 2 == 0) i + 1000
+            else if (i < 15) -1L else i)).toMap
+    assert(got2 == want2, s"got2 $got2")
+    // scale gate: the SEMI form prunes the tombstone scan to the source's
+    // key envelope — a second data file far outside [0, 9] never opens
+    val g2 = mk("t_updres2")
+    g2.appendData(spark.range(1000000, 1000100).toDF("id")
+      .withColumn("ts", col("id") * 10)
+      .withColumn("val", col("id"))).commit()
+    val before = GraftTableGenerator.deleteScanFilesPlanned.get()
+    spark.sql(
+      """UPDATE graft.db.t_updres2 SET val = 7 WHERE EXISTS (
+        |  SELECT 1 FROM updres_src s
+        |  WHERE s.id = t_updres2.id AND s.sts > t_updres2.ts)
+        |""".stripMargin)
+    assert(GraftTableGenerator.deleteScanFilesPlanned.get() - before == 1L,
+      "semi updateSemiJoin must open only files inside the source key envelope")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_updres2 WHERE val = 7")
+      .collect()(0).getLong(0) == 10L) // every covered id has an sts > ts witness
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_updres2")
+      .collect()(0).getLong(0) == 120L, "EXISTS-update must not change row count")
+    Seq("t_updres", "t_updres2").foreach(t =>
+      spark.sql(s"DROP TABLE graft.db.$t"))
+  }
+
   test("ALTER VIEW SET/UNSET TBLPROPERTIES and ALTER NAMESPACE properties " +
       "persist in the warehouse metadata documents") {
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_vprops")
@@ -508,15 +682,38 @@ class CatalogSpec extends SparkSpec {
     assert(log.refs("t9") == snap1)
     intercept[Exception] { // bare REPLACE of a missing ref stays loud
       spark.sql("ALTER TABLE graft.db.t_refddl REPLACE BRANCH ghostb") }
-    // an UNPUBLISHED branch with its own commits refuses REPLACE (a
-    // repoint would orphan them); a commit-free branch repoints fine
+    // REPLACE of a branch WITH its own commits repoints by ORPHANING
+    // them (the dropBranch reclaim discipline): the branch's snapshots
+    // leave the log, their exclusively-referenced files are physically
+    // reclaimed, and main reads / time travel are untouched
     spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH b2")
     spark.conf.set("spark.graft.wap.branch.db.t_refddl", "b2")
     try spark.sql("INSERT INTO graft.db.t_refddl SELECT id FROM range(90, 95)")
     finally spark.conf.unset("spark.graft.wap.branch.db.t_refddl")
+    val branchFiles = log.load().snapshots.filter(_.branch == "b2")
+      .flatMap(_.dataFiles).map(_.path)
+    assert(branchFiles.nonEmpty, "branch write must have produced files")
+    val mainBefore = spark.sql("SELECT count(*) AS n FROM graft.db.t_refddl")
+      .collect()(0).getLong(0)
+    // a typo'd fork version refuses BEFORE orphaning anything
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.db.t_refddl REPLACE BRANCH b2 " +
-        s"AS OF VERSION $snap1") }
+      spark.sql("ALTER TABLE graft.db.t_refddl REPLACE BRANCH b2 " +
+        "AS OF VERSION 987654") }
+    assert(log.load().snapshots.exists(_.branch == "b2"),
+      "failed REPLACE must not orphan the branch")
+    spark.sql(s"ALTER TABLE graft.db.t_refddl REPLACE BRANCH b2 " +
+      s"AS OF VERSION $snap1")
+    assert(log.refs("branch:b2") == snap1)
+    assert(log.load().snapshots.forall(_.branch != "b2"),
+      "the branch's own snapshots must leave the log")
+    assert(branchFiles.forall(p =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "orphaned branch files must be reclaimed")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_refddl")
+      .collect()(0).getLong(0) == mainBefore, "main read changed")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.t_refddl VERSION AS OF $snap1")
+      .collect()(0).getLong(0) == 10L, "time travel changed")
     spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH b3")
     spark.sql(s"ALTER TABLE graft.db.t_refddl REPLACE BRANCH b3 " +
       s"AS OF VERSION $snap1")
@@ -531,6 +728,18 @@ class CatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.db.t_refddl DROP TAG ghost") }
     spark.sql("ALTER TABLE graft.db.t_refddl DROP TAG t1")
     assert(!log.refs.contains("branch:b1") && !log.refs.contains("t1"))
+    // a mismatched IF clause is a parse error, not inverted tolerance:
+    // IF EXISTS pairs with DROP only, IF NOT EXISTS with CREATE only
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_refddl CREATE BRANCH IF EXISTS bx") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_refddl DROP BRANCH IF NOT EXISTS bx") }
+    assert(!log.refs.contains("branch:bx"))
+    // a typo'd AS OF VERSION must not create a dangling tag
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_refddl CREATE TAG tghost " +
+        "AS OF VERSION 987654") }
+    assert(!log.refs.contains("tghost"))
     spark.sql("DROP TABLE graft.db.t_refddl")
   }
 
@@ -579,10 +788,23 @@ class CatalogSpec extends SparkSpec {
     (40L until 50L).foreach(i => assert(corr(i) == i % 7, s"id $i: ${corr(i)}"))
     (50L until 100L).foreach(i => assert(corr(i) == null,
       s"uncovered key $i must take NULL, got ${corr(i)}"))
-    // COUNT-family correlated aggregates stay loud (empty group = 0, not
-    // NULL — the grouped rewrite would silently miscount)
+    // COUNT-family correlated aggregates: covered keys take the per-key
+    // count, uncovered keys take 0 — SQL counts an empty group 0, never
+    // NULL, so the rewrite substitutes 0 on the uncovered (NMBS) leg
+    spark.sql("UPDATE graft.db.t_usub SET val = (SELECT COUNT(*) " +
+      "FROM graft.db.t_usub_src s WHERE s.id = t_usub.id)")
+    val cnt = spark.sql("SELECT id, val FROM graft.db.t_usub")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 50L).foreach(i => assert(cnt(i) == 1L,
+      s"covered key $i must count 1, got ${cnt(i)}"))
+    (50L until 100L).foreach(i => assert(cnt(i) == 0L,
+      s"uncovered key $i must count 0, got ${cnt(i)}"))
+    // aggregates OUTSIDE the NULL-on-empty whitelist stay loud
+    // (approx_count_distinct is 0 on empty, collect_list is [] — a NULL
+    // substitution on the uncovered leg would be silently wrong)
     val e2 = intercept[Exception] {
-      spark.sql("UPDATE graft.db.t_usub SET val = (SELECT COUNT(*) " +
+      spark.sql("UPDATE graft.db.t_usub SET val = " +
+        "(SELECT APPROX_COUNT_DISTINCT(s.w) " +
         "FROM graft.db.t_usub_src s WHERE s.id = t_usub.id)")
     }
     assert(e2.getMessage.contains("MERGE"), e2.getMessage)
@@ -1032,14 +1254,15 @@ class CatalogSpec extends SparkSpec {
         i -> (if (i % 10 == 5) i * 2 else i * 2 + i % 7)) ++
       (200L until 300L).map(i => i -> (i % 7) * 100)).toMap
     assert(got == want)
-    // subqueries in SET expressions stay a loud error
-    val e = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft.db.t_mexpr t USING mexpr_src s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET
-          |  val = (SELECT max(bonus) FROM mexpr_src)""".stripMargin)
-    }
-    assert(e.getMessage != null)
+    // uncorrelated scalar subqueries in SET materialize once at execute
+    // time (max(bonus) over ids 100..299 % 7 = 6)
+    spark.sql(
+      """MERGE INTO graft.db.t_mexpr t USING mexpr_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  val = (SELECT max(bonus) FROM mexpr_src)""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t_mexpr WHERE id >= 100 AND val <> 6")
+      .collect()(0).getLong(0) == 0L)
   }
 
   test("UPDATE WHERE [NOT] EXISTS rides the merge machinery " +

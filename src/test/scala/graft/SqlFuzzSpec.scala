@@ -60,7 +60,18 @@ class SqlFuzzSpec extends SparkSpec {
 
     for (step <- 1 to steps) {
       var commits = 1
-      rnd.nextInt(13) match {
+      rnd.nextInt(14) match {
+        case 13 => // UPDATE WHERE EXISTS with a non-equality correlated
+          // conjunct → the residual-aware semi-join update; id-liveness
+          // no-op (one delete+append snapshot), COUNT/MIN/MAX gates apply
+          val start = rnd.nextLong(math.max(nextId - 10, 1L))
+          val n = 1 + rnd.nextInt(10)
+          val v = freshView(start, n, withOp = false)
+          spark.sql(
+            s"""UPDATE $qname t SET amount = amount + 1 WHERE EXISTS (
+               |  SELECT 1 FROM $v s
+               |  WHERE s.order_id = t.order_id
+               |    AND s.amount >= t.amount - 1000000)""".stripMargin)
         case 12 => // residual-ON MERGE: key equality routes, the residual
           // (source-side modulo) narrows matches; no INSERT action so the
           // id-liveness model stays a set
