@@ -204,6 +204,16 @@ case class GraftUpdateSpecDdl(
   override def output: Seq[Attribute] = Nil
 }
 
+/** `ALTER TABLE t WRITE ORDERED BY c1, c2 | WRITE UNORDERED` — the
+  * Iceberg write-order DDL, lowered by the injected parser onto the
+  * engine's [[graft.table.GraftTableGenerator.writeOrdered]] (persisted
+  * declared order; later INSERTs lay rows out sorted so per-file
+  * envelopes are disjoint from the first write). Empty `cols` clears. */
+case class GraftWriteOrderDdl(nameParts: Seq[String], cols: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [IF [NOT] EXISTS]
   * [AS OF VERSION v]` — Iceberg's ref DDL, lowered by the injected parser
   * onto the engine's branch/tag lifecycle (the same verbs
@@ -523,6 +533,23 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
             g.openGeneratorByName(table).updateSpec(add, drop).commit()
           case other => throw new UnsupportedOperationException(
             s"ALTER TABLE … PARTITION FIELD requires a graft table; " +
+              s"catalog ${other.name} is not a GraftCatalog")
+        }
+      }) :: Nil
+    case GraftWriteOrderDdl(nameParts, cols) =>
+      GraftDmlExec(s"graft write order ${nameParts.mkString(".")}", () => {
+        val cm = spark.sessionState.catalogManager
+        val (cat, rest) =
+          if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
+            (cm.catalog(nameParts.head), nameParts.tail)
+          else (cm.currentCatalog, nameParts)
+        cat match {
+          case g: GraftCatalog =>
+            val table = (if (rest.length > 1) rest
+              else cm.currentNamespace.toSeq ++ rest).mkString(".")
+            g.openGeneratorByName(table).writeOrdered(cols: _*)
+          case other => throw new UnsupportedOperationException(
+            s"ALTER TABLE … WRITE ORDERED requires a graft table; " +
               s"catalog ${other.name} is not a GraftCatalog")
         }
       }) :: Nil

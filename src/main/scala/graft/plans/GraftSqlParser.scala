@@ -66,6 +66,10 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
   private val ReplaceRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$""".r
+  private val WriteOrderRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val WriteUnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
   private val RefDdlRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+(CREATE\s+OR\s+REPLACE|CREATE|DROP|REPLACE)\s+(BRANCH|TAG)\s+""" +
      """(IF\s+NOT\s+EXISTS\s+|IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)""" +
@@ -228,6 +232,18 @@ object GraftSqlParser {
       case ReplaceRe(table, oldTr, newTr) =>
         tryBuild(table)(GraftUpdateSpecDdl(_, add = Seq(transform(newTr)),
           drop = Seq(transform(oldTr))))
+      // Iceberg write-order DDL: `ALTER TABLE t WRITE ORDERED BY c1 [ASC]
+      // [, c2 …]` / `WRITE UNORDERED` — ascending only (each column may
+      // say ASC explicitly; DESC/NULLS clauses fall through to the
+      // delegate's parse error rather than silently dropping direction)
+      case WriteOrderRe(table, colsRaw) =>
+        val cols = colsRaw.split(",").map(_.trim).toSeq
+          .map(c => c.replaceAll("(?i)\\s+ASC$", "").trim)
+        if (cols.exists(c => c.isEmpty || c.contains(" ") || c.contains("(")))
+          None
+        else tryBuild(table)(graft.catalog.GraftWriteOrderDdl(_, cols))
+      case WriteUnorderedRe(table) =>
+        tryBuild(table)(graft.catalog.GraftWriteOrderDdl(_, Nil))
       // Iceberg ref DDL: ALTER TABLE t CREATE|DROP BRANCH|TAG name
       // [IF [NOT] EXISTS] [AS OF VERSION v]
       case RefDdlRe(table, verb, kind, ifc, name, asOf) =>

@@ -502,6 +502,20 @@ object CatalogQueries {
       "delnotin_t"
     })
 
+  /** `ALTER TABLE … WRITE ORDERED BY id` DDL: later INSERTs lay rows out
+    * sorted on id ((id·37) mod 1000 is a permutation, so the insert
+    * arrives shuffled); content must round-trip exactly. Envelope
+    * disjointness is spec-gated (CatalogSpec). */
+  private def writeOrdDdlT(spark: SparkSession): Unit =
+    built.computeIfAbsent("wodd_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE graft.cq.wodd_t (id BIGINT, v BIGINT)")
+      spark.sql("ALTER TABLE graft.cq.wodd_t WRITE ORDERED BY id")
+      spark.sql("INSERT INTO graft.cq.wodd_t " +
+        "SELECT (id * 37) % 1000 AS id, id AS v FROM range(0, 1000)")
+      "wodd_t"
+    })
+
   /** `k NOT IN (<subquery>)` UPDATE — the DELETE twin: the with-NULL
     * source no-ops, the clean source stamps the uncovered ids, and the
     * NULL-key row never updates (the predicate is UNKNOWN there). */
@@ -1297,6 +1311,11 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.updnotin_t")
     }),
 
+    "sql_write_order_ddl" -> ((s, _) => {
+      writeOrdDdlT(s)
+      s.sql("SELECT id, v FROM graft.cq.wodd_t")
+    }),
+
     "sql_catalog_overwrite_dyn" -> ((s, _) => {
       ovwDynT(s)
       s.sql("SELECT part, COUNT(*) AS n, SUM(id) AS id_sum " +
@@ -1703,6 +1722,11 @@ object CatalogQueries {
     "sql_show_partitions" ->
       """SELECT * FROM (VALUES ('part=a'), ('part=b')) v(partition)
         |ORDER BY partition""".stripMargin,
+
+    // wodd_t: the shuffled permutation insert round-trips exactly
+    "sql_write_order_ddl" ->
+      """SELECT CAST((range * 37) % 1000 AS BIGINT) AS id,
+        |       CAST(range AS BIGINT) AS v FROM range(0, 1000)""".stripMargin,
 
     // updnotin_t end state: with-NULL source no-oped; clean source
     // stamped 60..99 with -1; the NULL-key row kept -5

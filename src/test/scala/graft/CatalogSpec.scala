@@ -360,6 +360,38 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE graft.db.$t"))
   }
 
+  test("ALTER TABLE WRITE ORDERED BY persists the declared order; bulk " +
+      "INSERTs produce disjoint per-file envelopes; WRITE UNORDERED clears") {
+    import org.apache.spark.sql.types._
+    val _ = wh // force the catalog fixture (warehouse conf) first
+    spark.sql("CREATE TABLE graft.db.t_wodd (id BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE graft.db.t_wodd WRITE ORDERED BY id ASC")
+    def gen = new GraftTableGenerator(spark, s"$wh/db", "t_wodd").open()
+    assert(gen.writeOrder == Seq("id"), s"got ${gen.writeOrder}")
+    // a shuffled permutation insert: the declared order must range-
+    // partition it so per-file id envelopes are DISJOINT
+    spark.sql("INSERT INTO graft.db.t_wodd " +
+      "SELECT (id * 37) % 1000 AS id, id AS v FROM range(0, 1000)")
+    val st = SnapshotLog(s"$wh/db/t_wodd").load()
+    val idField = st.schema.fields.find(_.name == "id").get.id
+    val envs = st.dataFiles.flatMap(_.metrics.get(idField))
+      .flatMap(m => m.min.zip(m.max))
+      .map { case (lo, hi) => (lo.toLong, hi.toLong) }.sortBy(_._1)
+    assert(envs.size > 1, "bulk insert should produce several files")
+    envs.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file envelopes overlap: $envs")
+      case _ =>
+    }
+    // DESC is not silently dropped — it falls through to a parse error
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_wodd WRITE ORDERED BY id DESC") }
+    assert(gen.writeOrder == Seq("id"))
+    spark.sql("ALTER TABLE graft.db.t_wodd WRITE UNORDERED")
+    assert(gen.writeOrder.isEmpty, s"got ${gen.writeOrder}")
+    spark.sql("DROP TABLE graft.db.t_wodd")
+  }
+
   test("DELETE WHERE k NOT IN (<subquery>): NULL in the subquery no-ops, " +
       "an empty subquery truncates, null target keys survive the anti-join") {
     import org.apache.spark.sql.types._

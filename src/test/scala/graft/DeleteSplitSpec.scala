@@ -63,6 +63,46 @@ class DeleteSplitSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.delete.splitThreshold")
   }
 
+  test("updateSemiJoin scale proof: 10^6 matched rows through the " +
+      "residual semi-join update, split tombstones, counts exact") {
+    spark.conf.set("spark.graft.delete.splitThreshold", "300000")
+    try {
+      val n = 2000000L
+      val g = new GraftTableGenerator(spark, s"$wh/db", "t_updscale")
+      g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "ts" -> LongType, "v" -> LongType), Nil)
+      g.appendBulk(spark.range(0, n).toDF("id")
+        .withColumn("ts", col("id") * 10)
+        .withColumn("v", col("id")), 16).commit()
+      // source covers the lower half; the ±5 band residual matches even
+      // ids only → 5·10^5 updates... with TWO witnesses per even id the
+      // semi join still rewrites each row once
+      val src = spark.range(0, n / 2).toDF("id")
+        .withColumn("sts", col("id") * 10 +
+          when(col("id") % 2 === 0, lit(3L)).otherwise(lit(50L)))
+        .unionByName(spark.range(0, n / 2).toDF("id")
+          .withColumn("sts", col("id") * 10 +
+            when(col("id") % 2 === 0, lit(5L)).otherwise(lit(60L))))
+      val t0 = System.nanoTime()
+      g.updateSemiJoin(src, Seq("id"),
+        joinResidual = Some(col("_s_sts").between(col("ts") - 5, col("ts") + 5)),
+        sets = Seq("v" -> (col("v") + 1000000000L))).commit()
+      val sec = (System.nanoTime() - t0) / 1e9
+      info(f"10^6-witness residual update: $sec%.1f s")
+      assert(sec < 120.0, f"residual update took $sec%.1f s (budget 120)")
+      val live = MorReader.read(spark, g.tableDir.toString)
+      assert(live.count() == n, "row count must not change")
+      val updated = live.where(col("v") >= 1000000000L)
+      assert(updated.count() == n / 4,
+        "exactly the in-band (even, covered) rows update")
+      assert(updated.where(col("id") % 2 =!= 0 || col("id") >= n / 2)
+        .count() == 0L)
+      val posFiles = SnapshotLog(g.tableDir.toString).load()
+        .snapshots.last.deleteFiles.filter(_.kind == "pos")
+      assert(posFiles.size > 1, s"expected split tombstones, got ${posFiles.size}")
+    } finally spark.conf.unset("spark.graft.delete.splitThreshold")
+  }
+
   test("updateSemiJoin splits its tombstone past the threshold and " +
       "rewrites in place") {
     spark.conf.set("spark.graft.delete.splitThreshold", "1000")

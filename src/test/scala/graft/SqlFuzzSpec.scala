@@ -60,7 +60,16 @@ class SqlFuzzSpec extends SparkSpec {
 
     for (step <- 1 to steps) {
       var commits = 1
-      rnd.nextInt(14) match {
+      rnd.nextInt(15) match {
+        case 14 => // NOT IN delete (three-valued logic; this model has no
+          // NULL keys, source non-empty): survivors are exactly the ids
+          // the source window covers
+          val start = rnd.nextLong(math.max(nextId - 10, 1L))
+          val n = 1 + rnd.nextInt(10)
+          val v = freshView(start, n, withOp = false)
+          spark.sql(s"DELETE FROM $qname WHERE order_id NOT IN " +
+            s"(SELECT order_id FROM $v)")
+          live.filterInPlace(i => i >= start && i < start + n)
         case 13 => // UPDATE WHERE EXISTS with a non-equality correlated
           // conjunct → the residual-aware semi-join update; id-liveness
           // no-op (one delete+append snapshot), COUNT/MIN/MAX gates apply
