@@ -182,7 +182,10 @@ else:
 # and driver runs differ, the doc must say which one is committed
 # (VERDICT r10 "what's wrong" #2).
 coverage = open(os.path.join(repo, "COVERAGE.md")).read()
-m = re.search(r"[Cc]anonical bench artifact: (\d+) keys / ([\d.]+) s", coverage)
+# declarations accrete one per round (older rounds stay as history) —
+# the CURRENT declaration is the LAST match
+ms = list(re.finditer(r"[Cc]anonical bench artifact: (\d+) keys / ([\d.]+) s", coverage))
+m = ms[-1] if ms else None
 if m and bench is not None:
     ck, ct = int(m.group(1)), float(m.group(2))
     total = bench.get("value")
