@@ -325,11 +325,17 @@ case class GraftShowPartitionsCommand(catalog: GraftCatalog, table: String,
     extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
   def rows(spark: SparkSession): Seq[InternalRow] = {
     val dir = catalog.dirByName(table)
-    val out = graft.meta.SnapshotLog(dir).loadOutline().mainOnly
-    val specId = out.outlines.lastOption.map(_.snapshot.specId).getOrElse(0)
-    if (out.specs.getOrElse(specId, Nil).isEmpty)
+    if (graft.meta.SnapshotLog(dir).loadOutline().mainOnly
+        .partitionCols.isEmpty)
       throw new UnsupportedOperationException(
         s"SHOW PARTITIONS is not allowed on the unpartitioned table $table")
+    // the rendered tuple separates components with '/', so a filter
+    // value containing one is unmatchable through the string form —
+    // refuse rather than silently return zero rows
+    filter.collect { case (k, v) if v.contains("/") => k }.foreach(k =>
+      throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS … PARTITION ($k=…): values containing '/' " +
+          "cannot be matched against the rendered partition tuple"))
     val parts = graft.read.MetaTables.partitions(spark, dir)
       .select("partition").collect().map(_.getString(0))
     val kept = parts.filter { p =>
@@ -354,6 +360,28 @@ case class GraftRowsExec(label: String, override val output: Seq[Attribute],
 }
 
 case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
+
+  /** Shared execution-time name resolution for parser-routed DDL:
+    * `nameParts` against the session's catalog manager → (graft catalog,
+    * dotted table name). The leading part is a catalog when one is
+    * registered under it; otherwise the current catalog + namespace
+    * apply. */
+  private def graftTable(nameParts: Seq[String], what: String)
+      : (GraftCatalog, String) = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, rest) =
+      if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
+        (cm.catalog(nameParts.head), nameParts.tail)
+      else (cm.currentCatalog, nameParts)
+    cat match {
+      case g: GraftCatalog =>
+        (g, (if (rest.length > 1) rest
+          else cm.currentNamespace.toSeq ++ rest).mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"$what requires a graft table; catalog ${other.name} is not a " +
+          "GraftCatalog")
+    }
+  }
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case sv: GraftShowViewsCommand =>
       GraftRowsExec(s"graft show views ${sv.ns.mkString(".")}", sv.output,
@@ -482,76 +510,40 @@ case class GraftDmlStrategy(spark: SparkSession) extends SparkStrategy {
       val kind = if (isBranch) "BRANCH" else "TAG"
       GraftDmlExec(s"graft ref ddl ${nameParts.mkString(".")} $kind $refName",
         () => {
-        val cm = spark.sessionState.catalogManager
-        val (cat, rest) =
-          if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
-            (cm.catalog(nameParts.head), nameParts.tail)
-          else (cm.currentCatalog, nameParts)
-        cat match {
-          case gc: GraftCatalog =>
-            val table = (if (rest.length > 1) rest
-              else cm.currentNamespace.toSeq ++ rest).mkString(".")
-            val g = gc.openGeneratorByName(table)
-            val refs = graft.meta.SnapshotLog(gc.dirByName(table)).refs
-            val key = if (isBranch) s"branch:$refName" else refName
-            def repoint(): Unit =
-              if (isBranch) g.replaceBranch(refName, asOf.getOrElse(-1L))
-              else g.tag(refName, asOf.getOrElse(-1L)) // tag repoint = setRef
-            (create, replace, refs.contains(key)) match {
-              // IF NOT EXISTS tolerates presence; IF EXISTS tolerates absence
-              case (true, false, true) if ifClause =>
-              case (false, _, false) if ifClause =>
-              case (false, _, false) => throw new IllegalArgumentException(
-                s"no such ${kind.toLowerCase} '$refName' on $table " +
-                  s"(known refs: ${refs.keys.toSeq.sorted.mkString(", ")})")
-              case (true, _, false) => // CREATE / CREATE OR REPLACE, absent
-                if (isBranch) g.createBranch(refName, asOf.getOrElse(-1L))
-                else g.tag(refName, asOf.getOrElse(-1L))
-              case (true, true, true) => repoint() // CREATE OR REPLACE
-              case (true, false, true) => throw new IllegalArgumentException(
-                s"${kind.toLowerCase} '$refName' already exists on $table")
-              case (false, true, true) => repoint() // REPLACE
-              case (false, false, true) =>
-                if (isBranch) g.dropBranch(refName) else g.removeTag(refName)
-            }
-          case other => throw new UnsupportedOperationException(
-            s"ALTER TABLE … $kind requires a graft table; " +
-              s"catalog ${other.name} is not a GraftCatalog")
+        val (gc, table) = graftTable(nameParts, s"ALTER TABLE … $kind")
+        val g = gc.openGeneratorByName(table)
+        val refs = graft.meta.SnapshotLog(gc.dirByName(table)).refs
+        val key = if (isBranch) s"branch:$refName" else refName
+        def repoint(): Unit =
+          if (isBranch) g.replaceBranch(refName, asOf.getOrElse(-1L))
+          else g.tag(refName, asOf.getOrElse(-1L)) // tag repoint = setRef
+        (create, replace, refs.contains(key)) match {
+          // IF NOT EXISTS tolerates presence; IF EXISTS tolerates absence
+          case (true, false, true) if ifClause =>
+          case (false, _, false) if ifClause =>
+          case (false, _, false) => throw new IllegalArgumentException(
+            s"no such ${kind.toLowerCase} '$refName' on $table " +
+              s"(known refs: ${refs.keys.toSeq.sorted.mkString(", ")})")
+          case (true, _, false) => // CREATE / CREATE OR REPLACE, absent
+            if (isBranch) g.createBranch(refName, asOf.getOrElse(-1L))
+            else g.tag(refName, asOf.getOrElse(-1L))
+          case (true, true, true) => repoint() // CREATE OR REPLACE
+          case (true, false, true) => throw new IllegalArgumentException(
+            s"${kind.toLowerCase} '$refName' already exists on $table")
+          case (false, true, true) => repoint() // REPLACE
+          case (false, false, true) =>
+            if (isBranch) g.dropBranch(refName) else g.removeTag(refName)
         }
       }) :: Nil
     case GraftUpdateSpecDdl(nameParts, add, drop) =>
       GraftDmlExec(s"graft update spec ${nameParts.mkString(".")}", () => {
-        val cm = spark.sessionState.catalogManager
-        val (cat, rest) =
-          if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
-            (cm.catalog(nameParts.head), nameParts.tail)
-          else (cm.currentCatalog, nameParts)
-        cat match {
-          case g: GraftCatalog =>
-            val table = (if (rest.length > 1) rest
-              else cm.currentNamespace.toSeq ++ rest).mkString(".")
-            g.openGeneratorByName(table).updateSpec(add, drop).commit()
-          case other => throw new UnsupportedOperationException(
-            s"ALTER TABLE … PARTITION FIELD requires a graft table; " +
-              s"catalog ${other.name} is not a GraftCatalog")
-        }
+        val (g, table) = graftTable(nameParts, "ALTER TABLE … PARTITION FIELD")
+        g.openGeneratorByName(table).updateSpec(add, drop).commit()
       }) :: Nil
     case GraftWriteOrderDdl(nameParts, cols) =>
       GraftDmlExec(s"graft write order ${nameParts.mkString(".")}", () => {
-        val cm = spark.sessionState.catalogManager
-        val (cat, rest) =
-          if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
-            (cm.catalog(nameParts.head), nameParts.tail)
-          else (cm.currentCatalog, nameParts)
-        cat match {
-          case g: GraftCatalog =>
-            val table = (if (rest.length > 1) rest
-              else cm.currentNamespace.toSeq ++ rest).mkString(".")
-            g.openGeneratorByName(table).writeOrdered(cols: _*)
-          case other => throw new UnsupportedOperationException(
-            s"ALTER TABLE … WRITE ORDERED requires a graft table; " +
-              s"catalog ${other.name} is not a GraftCatalog")
-        }
+        val (g, table) = graftTable(nameParts, "ALTER TABLE … WRITE ORDERED")
+        g.openGeneratorByName(table).writeOrdered(cols: _*)
       }) :: Nil
     case d @ GraftDeleteJoinCommand(t, _, keyCols, anti, joinResid, scanF, notIn) =>
       GraftDmlExec(s"graft delete-${if (anti) "anti" else "semi"} ${t.name()}", () => {
@@ -1318,6 +1310,9 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : () => Column = { () =>
     val materialized = e.transform {
       case InSubquery(values, lq) =>
+        if (lq.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
+          "graft DML: correlated IN (<subquery>) is not supported — " +
+            "rewrite as [NOT] EXISTS (the semi/anti-join routes)")
         if (values.size != 1) throw new UnsupportedOperationException(
           "graft DML: only single-column IN (<subquery>) is supported")
         val df = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, lq.plan)
@@ -1541,6 +1536,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val ins = conj.collect { case i: InSubquery => i }
     if (ins.size != 1) return None
     val in = ins.head
+    if (in.query.outerAttrs.nonEmpty) return None // correlated IN: loud below
     val ok = in.values.forall {
       case a: AttributeReference => relIds(a.exprId)
       case _ => false
@@ -1561,9 +1557,21 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(o, n)() }, in.query.plan), names, rest.reduceOption(And)))
   }
 
+  /** DELETE/UPDATE conditions evaluate in MORE THAN ONE job (the
+    * matching scan and the tombstone write, or the rewrite read and the
+    * tombstone scan) — a non-deterministic predicate would sample
+    * independently per job and silently lose or duplicate rows, so it
+    * refuses here instead. */
+  private def requireDeterministic(cond: Expression, what: String): Unit =
+    if (!cond.deterministic) throw new UnsupportedOperationException(
+      s"graft $what: non-deterministic WHERE (rand(), sampling) is not " +
+        "supported — the condition evaluates in more than one job; " +
+        "materialize the sampled keys into a source table first")
+
   private def makeDelete(r: DataSourceV2Relation, t: GraftSparkTable,
                          cond: Expression): LogicalPlan = {
     val relIds = r.output.map(_.exprId).toSet
+    requireDeterministic(cond, "DELETE")
     // [NOT] EXISTS with key-equality correlation → the engine's semi/anti-
     // join delete (scales as a join; never a literal set)
     // render a neutral corr-residual for deleteSemiJoin's frame: outer
@@ -1593,7 +1601,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if values.size == 1 && (values.head match {
             case a: AttributeReference => relIds(a.exprId)
             case _ => false
-          }) && lq.plan.output.size == 1 =>
+          }) && lq.plan.output.size == 1 &&
+            lq.outerAttrs.isEmpty =>
         val name = values.head.asInstanceOf[AttributeReference].name
         return GraftDeleteJoinCommand(t,
           Project(Seq(Alias(lq.plan.output.head, name)()), lq.plan),
@@ -1610,7 +1619,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           } && values.map { case a: AttributeReference => a.name }
             .distinct.size == values.size &&
-          lq.plan.output.size == values.size =>
+          lq.plan.output.size == values.size &&
+          lq.outerAttrs.isEmpty =>
         val names = values.map { case a: AttributeReference => a.name }
         return GraftDeleteJoinCommand(t,
           Project(lq.plan.output.zip(names).map { case (o, n) =>
@@ -1684,6 +1694,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
                          assignments: Seq[Assignment],
                          cond: Option[Expression]): LogicalPlan = {
     val relIds = r.output.map(_.exprId).toSet
+    cond.foreach(requireDeterministic(_, "UPDATE"))
     def buildSets(prefix: String): Seq[(String, Column)] =
       assignments.flatMap { asg =>
         val name = asg.key match {
@@ -1801,7 +1812,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           } && values.map { case a: AttributeReference => a.name }
             .distinct.size == values.size &&
-          lq.plan.output.size == values.size =>
+          lq.plan.output.size == values.size &&
+          lq.outerAttrs.isEmpty =>
         val names = values.map { case a: AttributeReference => a.name }
         return GraftMergeCommand(t,
           Distinct(Project(lq.plan.output.zip(names).map { case (o, n) =>
@@ -1816,7 +1828,8 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if values.size == 1 && (values.head match {
             case a: AttributeReference => relIds(a.exprId)
             case _ => false
-          }) && lq.plan.output.size == 1 =>
+          }) && lq.plan.output.size == 1 &&
+            lq.outerAttrs.isEmpty =>
         val name = values.head.asInstanceOf[AttributeReference].name
         return GraftUpdateJoinCommand(t,
           Project(Seq(Alias(lq.plan.output.head, name)()), lq.plan),

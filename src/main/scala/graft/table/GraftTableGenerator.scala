@@ -743,12 +743,13 @@ final class GraftTableGenerator(
     * (target-only conjuncts OUTSIDE the EXISTS) filters the scan first —
     * equivalent for semi, required ordering for anti. Cost: one join +
     * O(matches) tombstone bytes; no data file rewritten. */
-  def deleteSemiJoin(src: DataFrame, keyCols: Seq[String],
+  def deleteSemiJoin(src0: DataFrame, keyCols: Seq[String],
                      joinResidual: Option[Column],
                      scanFilter: Option[Column] = None,
                      anti: Boolean = false): this.type = {
     requireCreated("deleteSemiJoin()")
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
+    val src = materialized(src0) // envelope probe + join read ONE frame
     val opSeq = nextOpSeq()
     val st = lineage(log.load())
     val files =
@@ -854,7 +855,7 @@ final class GraftTableGenerator(
                      anti: Boolean = false): this.type = {
     requireCreated("updateSemiJoin()")
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
-    val srcC = src.localCheckpoint() // envelope agg + two joins, one read
+    val srcC = materialized(src) // envelope agg + two joins, one read
     val st = lineage(log.load())
     val (files, ranges) =
       if (anti) (st.dataFiles, Map.empty[String, MorReader.ColRange])
@@ -879,11 +880,13 @@ final class GraftTableGenerator(
     val joinCond = joinResidual.map(keyEq && _).getOrElse(keyEq)
     val joinType = if (anti) "left_anti" else "left_semi"
     val opSeq = nextOpSeq()
-    // rewritten rows from the LIVE state (computed before the staged
-    // delete publishes — reads see only committed snapshots anyway)
-    val liveBase =
-      if (anti) MorReader.read(spark, tableDir.toString)
-      else MorReader.readRange(spark, tableDir.toString, ranges)
+    // rewritten rows from the LIVE state, PINNED to the snapshot the
+    // tombstone scan planned against — a concurrent commit landing
+    // between the two loads must not append rows whose originals the
+    // (older) tombstone file set never covers
+    val pin = st.snapshots.lastOption.map(_.id)
+    val liveBase = MorReader.read(spark, tableDir.toString, pin,
+      Map.empty, if (anti) Map.empty else ranges)
     val live = scanFilter.map(liveBase.where).getOrElse(liveBase)
     val setsMap = sets.toMap
     val updated = live.join(srcPref, joinCond, joinType)
@@ -1132,7 +1135,7 @@ final class GraftTableGenerator(
     * All legs still publish in the SAME single snapshot (one eq-delete
     * file, one append set, one commit).
     */
-  def mergeInto(source: DataFrame, keyCols: Seq[String],
+  def mergeInto(source0: DataFrame, keyCols: Seq[String],
                 updateWhen: Column = lit(true),
                 deleteWhen: Column = lit(false),
                 insertWhen: Column = lit(true),
@@ -1143,6 +1146,10 @@ final class GraftTableGenerator(
                 insertSets: Option[Seq[(String, Column)]] = None,
                 onResidual: Option[Column] = None): this.type = {
     requireCreated("mergeInto")
+    // point-value/envelope probes + the join + the NMBS anti-join all
+    // read ONE materialization — a non-deterministic source must not
+    // prune against one sample and join another
+    val source = materialized(source0)
     // Non-star clause projections (`UPDATE SET val = _t_val + bonus`,
     // `INSERT (id, val) VALUES (id, -1)`): expressions over source columns
     // (plain names) and matched-target columns (`_t_` prefix). An updated
@@ -2258,6 +2265,7 @@ final class GraftTableGenerator(
       } else mainSnaps.lastOption.map(_.id).getOrElse(0L)
     val (dropped, keep) = st.snapshots.partition(_.branch == branchName)
     if (dropped.nonEmpty) {
+      requireUnreferenced(branchName, dropped)
       val keepPaths = (keep.flatMap(_.dataFiles).map(_.path) ++
         keep.flatMap(_.deleteFiles).map(_.path)).toSet
       val orphans = (dropped.flatMap(_.dataFiles).map(_.path) ++
@@ -2270,6 +2278,21 @@ final class GraftTableGenerator(
     }
     log.setRef(s"branch:$branchName", fork)
     this
+  }
+
+  /** Refuse to reclaim a branch's snapshots while ANOTHER ref (a tag, or
+    * a branch forked onto one of them) still names one — the
+    * immediate-reclaim model's stand-in for Iceberg's expiry rule that
+    * ref-reachable snapshots never expire; deleting them would leave a
+    * dangling ref whose data is gone. */
+  private def requireUnreferenced(branchName: String,
+                                  dropped: Seq[Snapshot]): Unit = {
+    val ids = dropped.map(_.id).toSet
+    val holders = log.refs.filter { case (name, id) =>
+      name != s"branch:$branchName" && ids(id) }
+    require(holders.isEmpty,
+      s"branch '$branchName' snapshots are still referenced by " +
+        s"${holders.keys.toSeq.sorted.mkString(", ")} — drop those refs first")
   }
 
   /** Route subsequent staged commits to a branch (or back to "main").
@@ -2363,6 +2386,9 @@ final class GraftTableGenerator(
   def dropBranch(branchName: String): this.type = {
     requireCreated("dropBranch()")
     require(stagedOps == 0, "commit or refresh() away staged work before dropBranch")
+    val stPre = log.load()
+    requireUnreferenced(branchName,
+      stPre.snapshots.filter(_.branch == branchName))
     log.removeRef(s"branch:$branchName")
     val st = log.load()
     val (dropped, keep) = st.snapshots.partition(_.branch == branchName)
@@ -2625,6 +2651,18 @@ final class GraftTableGenerator(
     }
     sys.error("unreachable")
   }
+
+  /** The caller's frame materialized exactly ONCE (localCheckpoint),
+    * unless it already is one: verbs that evaluate a source more than
+    * once (key-envelope probe + join, null/empty probes + join) must not
+    * let a non-deterministic source (rand(), sampling) produce DIFFERENT
+    * rows per evaluation — the same failure class the dynamic-overwrite
+    * path guards against. */
+  private def materialized(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint()
+    }
 
   /** Write `df` as exactly one Parquet file at `target` (write-temp + move;
     * Parquet layout knobs from table props — reference

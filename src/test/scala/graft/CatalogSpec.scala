@@ -360,6 +360,62 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE graft.db.$t"))
   }
 
+  test("DML guards: non-deterministic WHERE refuses loudly; correlated IN " +
+      "says rewrite as EXISTS; a tagged branch refuses REPLACE/DROP reclaim") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.t_guard (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.t_guard SELECT id, id FROM range(0, 10)")
+    // the condition evaluates in more than one job (matching scan +
+    // tombstone / rewrite + tombstone) — sampling must refuse, not
+    // silently lose or duplicate rows
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.t_guard WHERE rand() < 0.5") }
+    assert(e1.getMessage.toLowerCase.contains("deterministic"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graft.db.t_guard SET v = 0 WHERE id IN " +
+        "(SELECT id FROM range(5)) AND rand() < 0.5") }
+    assert(e2.getMessage.toLowerCase.contains("deterministic"), e2.getMessage)
+    // correlated IN subqueries never reach the join routes (they would
+    // execute the fragment with dangling outer references) — loud, with
+    // the EXISTS rewrite hint
+    spark.range(0, 5).selectExpr("id AS k", "id AS w")
+      .createOrReplaceTempView("guard_src")
+    val e3 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.t_guard WHERE id NOT IN " +
+        "(SELECT k FROM guard_src s WHERE s.w = t_guard.v)") }
+    assert(e3.getMessage.contains("EXISTS"), e3.getMessage)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_guard")
+      .collect()(0).getLong(0) == 10L, "guard failures must not mutate")
+    // a tag holding one of a branch's own snapshots blocks the
+    // REPLACE/DROP reclaim — deleting the files would dangle the tag
+    spark.sql("ALTER TABLE graft.db.t_guard CREATE BRANCH gb")
+    spark.conf.set("spark.graft.wap.branch.db.t_guard", "gb")
+    try spark.sql(
+      "INSERT INTO graft.db.t_guard SELECT id, id FROM range(50, 55)")
+    finally spark.conf.unset("spark.graft.wap.branch.db.t_guard")
+    val log = SnapshotLog(s"$wh/db/t_guard")
+    val bsnap = log.load().snapshots.filter(_.branch == "gb").last.id
+    spark.sql(
+      s"ALTER TABLE graft.db.t_guard CREATE TAG hold AS OF VERSION $bsnap")
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_guard REPLACE BRANCH gb") }
+    assert(e4.getMessage.contains("referenced"), e4.getMessage)
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.t_guard DROP BRANCH gb") }
+    assert(e5.getMessage.contains("referenced"), e5.getMessage)
+    val bfiles = log.load().snapshots.filter(_.branch == "gb")
+      .flatMap(_.dataFiles).map(_.path)
+    assert(bfiles.nonEmpty && bfiles.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "refused reclaim must leave the branch files on disk")
+    // dropping the tag unblocks the reclaim
+    spark.sql("ALTER TABLE graft.db.t_guard DROP TAG hold")
+    spark.sql("ALTER TABLE graft.db.t_guard DROP BRANCH gb")
+    assert(bfiles.forall(p =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    spark.sql("DROP TABLE graft.db.t_guard")
+  }
+
   test("ALTER TABLE WRITE ORDERED BY persists the declared order; bulk " +
       "INSERTs produce disjoint per-file envelopes; WRITE UNORDERED clears") {
     import org.apache.spark.sql.types._
