@@ -1328,11 +1328,24 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
               "MERGE INTO (joins at scale instead of a literal set)")
         if (rows.isEmpty) Literal.FalseLiteral
         else In(values.head, rows.map(r => Literal.create(r.get(0), dt)).toSeq)
+      // an UNCORRELATED scalar comparison (`WHERE v > (SELECT avg(x) …)`)
+      // runs once at execute time and folds in as a literal — one row,
+      // one column, loud otherwise (the UPDATE SET treatment); SQL's
+      // empty-subquery NULL then compares to nothing, deleting no rows
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        if (s.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
+          "graft DML: correlated scalar subqueries in WHERE are not " +
+            "supported — rewrite as [NOT] EXISTS or MERGE INTO")
+        val rows = org.apache.spark.sql.graft.GraftSqlShim
+          .ofRows(spark, s.plan).limit(2).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          "graft DML: scalar subquery in WHERE returned more than one row")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
       case s: SubqueryExpression =>
         throw new UnsupportedOperationException(
-          s"graft DML supports IN (<subquery>) conditions, and bare " +
-            s"[NOT] EXISTS with key-equality correlation on DELETE; got " +
-            s"${s.getClass.getSimpleName} — rewrite as MERGE INTO")
+          s"graft DML supports IN (<subquery>) and scalar-subquery " +
+            s"comparisons, and [NOT] EXISTS with key-equality correlation; " +
+            s"got ${s.getClass.getSimpleName} — rewrite as MERGE INTO")
     }
     toNamedColumn(materialized, relIds)
   }
@@ -1557,6 +1570,61 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(o, n)() }, in.query.plan), names, rest.reduceOption(And)))
   }
 
+  /** A conjunction holding exactly ONE conjunct that compares a target
+    * expression against a CORRELATED scalar aggregate subquery
+    * (`v > (SELECT max(x) FROM s WHERE s.k = t.k)`) plus target-only
+    * residual conjuncts → (decorrelated per-key aggregate, key names,
+    * comparison residual over the semi-join frame, scan filter).
+    *
+    * Sound ONLY for the NULL-on-empty aggregate whitelist: an uncovered
+    * key's subquery value is NULL, the (null-strict, non-<=>) comparison
+    * is then never TRUE, and the INNER semi join dropping those rows is
+    * exactly SQL. A COUNT-family aggregate reads 0 on uncovered keys —
+    * rows a semi join cannot see — so that shape returns None and the
+    * caller's loud refusal fires instead. */
+  private def corrScalarWhere(cond: Expression, relIds: Set[ExprId])
+      : Option[(LogicalPlan, Seq[String], Expression, Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val conj = splitConjuncts(cond)
+    val (withSq, rest) =
+      conj.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    if (withSq.size != 1) return None
+    val c = withSq.head
+    val sq = c.collect { case s: SubqueryExpression => s } match {
+      case Seq(s: ScalarSubquery) if s.outerAttrs.nonEmpty => s
+      case _ => return None
+    }
+    // the comparison must be NULL-strict in the subquery slot (never <=>,
+    // no OR around it): a branch that can fire independently of the
+    // subquery would have to see the uncovered keys the semi join drops
+    def sqSide(e: Expression): Boolean = e match {
+      case s if s eq sq => true
+      case Cast(ch, _, _, _) => sqSide(ch)
+      case _ => false
+    }
+    val cmpOk = c match {
+      case _: EqualNullSafe => false
+      case b: BinaryComparison => sqSide(b.left) || sqSide(b.right)
+      case _ => false
+    }
+    if (!cmpOk) return None
+    if (rest.exists(_.exists {
+      case a: AttributeReference => !relIds(a.exprId)
+      case _ => false
+    })) return None
+    decorrelateScalarAgg(sq, relIds).flatMap { case (agg, keys, onEmpty) =>
+      onEmpty match {
+        case Literal(null, _) =>
+          val resid = c.transform {
+            case s: ScalarSubquery if s.exprId == sq.exprId =>
+              UnresolvedAttribute(Seq("_s__sq0"))
+          }
+          Some((agg, keys, resid, rest.reduceOption(And)))
+        case _ => None
+      }
+    }
+  }
+
   /** DELETE/UPDATE conditions evaluate in MORE THAN ONE job (the
     * matching scan and the tombstone write, or the rewrite read and the
     * tombstone scan) — a non-deterministic predicate would sample
@@ -1667,6 +1735,19 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case (src, names, residual) =>
             return GraftDeleteJoinCommand(t, src, names, anti = false,
               scanFilter = residual.map(toNamedColumn(_, relIds)))
+        }
+      // `<cmp>(target expr, (SELECT agg(x) FROM s WHERE s.k = t.k)) AND
+      // <target-only residual>` — the decorrelated per-key aggregate
+      // rides the residual-aware semi join (whitelist aggregates only;
+      // COUNT-family falls through to the loud refusal — see
+      // corrScalarWhere's NULL reasoning)
+      case _ if cond.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.ScalarSubquery]) =>
+        corrScalarWhere(cond, relIds).foreach {
+          case (src, keys, resid, scanF) =>
+            return GraftDeleteJoinCommand(t, src, keys, anti = false,
+              joinResidual = Some(toNamedColumn(resid, relIds)),
+              scanFilter = scanF.map(toNamedColumn(_, relIds)))
         }
       case _ =>
     }
@@ -1845,6 +1926,17 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
               sets = buildSets(""),
               scanFilter = residual.map(toNamedColumn(_, relIds)))
         }
+      // correlated scalar-aggregate comparison in WHERE — DELETE's twin
+      // over the semi-join update (whitelist aggregates only)
+      case Some(c) if c.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.ScalarSubquery]) =>
+        corrScalarWhere(c, relIds).foreach {
+          case (src, keys, resid, scanF) =>
+            return GraftUpdateJoinCommand(t, src, keys, anti = false,
+              sets = buildSets(""),
+              joinResidual = Some(toNamedColumn(resid, relIds)),
+              scanFilter = scanF.map(toNamedColumn(_, relIds)))
+        }
       case _ =>
     }
     // correlated-by-key scalar subquery in SET — the enrichment JOIN
@@ -1995,6 +2087,76 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (c.exists(_.isInstanceOf[SubqueryExpression]))
         unsupported(s"subquery in ON conjunct ${c.sql}")
     }
+    // WHEN-clause conditions (and the ON) may evaluate in more than one
+    // job (tombstone scan vs append build) — the same rule as DELETE/
+    // UPDATE WHERE applies: non-deterministic conditions refuse, and
+    // subqueries in clause conditions belong in the MERGE source
+    (m.mergeCondition +:
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+        .flatMap {
+          case UpdateAction(c, _, _) => c
+          case DeleteAction(c) => c
+          case i: InsertAction => i.condition
+          case _ => None
+        }).foreach { c =>
+      requireDeterministic(c, "MERGE")
+      if ((c ne m.mergeCondition) &&
+          c.exists(_.isInstanceOf[SubqueryExpression]))
+        unsupported(s"subquery in a WHEN clause condition ${c.sql} — " +
+          "compute it as a column of the MERGE source instead")
+    }
+    // Correlated scalar AGGREGATE subqueries in assignments decorrelate
+    // into the MERGE SOURCE: `(SELECT agg(x) FROM aux WHERE aux.k = t.k)`
+    // becomes a grouped per-key aggregate LEFT-OUTER using-joined onto the
+    // source by the correlation key names. Sound because every correlation
+    // key is either a SOURCE column (exact for UPDATE and INSERT actions
+    // alike) or a TARGET column that is an ON key (t.k = s.k holds on
+    // matched rows — the only rows UPDATE assignments touch); the
+    // aggregate has at most one row per key, so the merge cardinality
+    // guard stays safe. A key the enrichment does not cover reads the
+    // aggregate's over-zero-rows value through a coalesce (COUNT → 0 per
+    // SQL; the NULL-on-empty whitelist reads the join's NULL directly).
+    val corrSubst = scala.collection.mutable.Map.empty[Long, Expression]
+    val enrichedSource: LogicalPlan = {
+      import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+      val corrSubs = (m.matchedActions ++ m.notMatchedActions).flatMap {
+        case u: UpdateAction => u.assignments
+        case i: InsertAction => i.assignments
+        case _ => Nil
+      }.flatMap(_.value.collect {
+        case s: ScalarSubquery if s.outerAttrs.nonEmpty => s
+      }).groupBy(_.exprId).map(_._2.head).toSeq.sortBy(_.exprId.id)
+      corrSubs.zipWithIndex.foldLeft(m.sourceTable) { case (acc, (sq, i)) =>
+        val keysOk = sq.outerAttrs.forall {
+          case a: AttributeReference =>
+            srcIds(a.exprId) || (tgtIds(a.exprId) && keyCols.contains(a.name))
+          case _ => false
+        }
+        val dec =
+          if (keysOk) decorrelateScalarAgg(sq, tgtIds ++ srcIds) else None
+        val (aggPlan, keys, onEmpty) = dec.getOrElse(unsupported(
+          "correlated subquery in an assignment — only a scalar AGGREGATE " +
+            "correlated by equality on source columns or ON key columns " +
+            "decorrelates into the MERGE source; otherwise join the " +
+            "enrichment into the source (USING (SELECT …)) yourself"))
+        val renamed = aggPlan match {
+          case agg @ Aggregate(_, exprs, _, _) =>
+            agg.copy(aggregateExpressions = exprs.map {
+              case a @ Alias(c, "_sq0") => Alias(c, s"_sqm$i")()
+              case x => x
+            })
+          case other => other
+        }
+        corrSubst(sq.exprId.id) = onEmpty match {
+          case Literal(null, _) => UnresolvedAttribute(Seq(s"_sqm$i"))
+          case e => Coalesce(Seq(UnresolvedAttribute(Seq(s"_sqm$i")), e))
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Join(acc, renamed,
+          org.apache.spark.sql.catalyst.plans.UsingJoin(
+            org.apache.spark.sql.catalyst.plans.LeftOuter, keys),
+          None, org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      }
+    }
     // the merge conditions evaluate over the engine's joined frame: source
     // columns under their own names, matched-target columns under _t_
     def condCol(e: Option[Expression], default: Column): Column =
@@ -2032,7 +2194,14 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (!asg.value.exists(_.isInstanceOf[SubqueryExpression])) asg.value
           else {
             import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
-            val allUncorr = asg.value.collect {
+            // correlated aggregates already decorrelated into the source —
+            // substitute their enrichment column; anything left must be an
+            // uncorrelated scalar (an execute-once literal)
+            val pre = asg.value.transform {
+              case s: ScalarSubquery if corrSubst.contains(s.exprId.id) =>
+                corrSubst(s.exprId.id)
+            }
+            val allUncorr = pre.collect {
               case s: SubqueryExpression => s
             }.forall {
               case s: ScalarSubquery => s.outerAttrs.isEmpty
@@ -2041,7 +2210,7 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (!allUncorr) unsupported(
               s"correlated subquery in $what assignment $tname — join the " +
                 "enrichment into the MERGE source (USING (SELECT …)) instead")
-            asg.value.transform {
+            pre.transform {
               case s: ScalarSubquery =>
                 val rows = org.apache.spark.sql.graft.GraftSqlShim
                   .ofRows(spark, s.plan).limit(2).collect()
@@ -2121,14 +2290,18 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (updActions.flatMap(_.assignments) ++ insActions.flatMap(_.assignments))
         .filter(_.value.exists(_.isInstanceOf[SubqueryExpression]))
         .foreach { asg =>
-          val allUncorr = asg.value.collect {
+          // correlated scalar aggregates are in corrSubst (the enrichment
+          // builder threw for any other correlated shape); what this still
+          // refuses is a non-scalar subquery (EXISTS / IN) in a value
+          val ok = asg.value.collect {
             case s: SubqueryExpression => s
           }.forall {
-            case s: ScalarSubquery => s.outerAttrs.isEmpty
+            case s: ScalarSubquery =>
+              s.outerAttrs.isEmpty || corrSubst.contains(s.exprId.id)
             case _ => false
           }
-          if (!allUncorr) unsupported(
-            s"correlated subquery in assignment ${asg.key.sql} — join the " +
+          if (!ok) unsupported(
+            s"non-scalar subquery in assignment ${asg.key.sql} — join the " +
               "enrichment into the MERGE source (USING (SELECT …)) instead")
         }
     }
@@ -2227,14 +2400,14 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val onResidual = residConjs.reduceOption(And)
       .map(e => condCol(Some(e), lit(true)))
     if (anyAssignSubquery)
-      GraftMergeCommand(t, m.sourceTable, keyCols,
+      GraftMergeCommand(t, enrichedSource, keyCols,
         updateWhen, deleteWhen, insertWhen,
         nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets,
         updateSets = None, insertSets = None, onResidual = onResidual,
         updateSetsDeferred = Some(() => buildUpdateSets()),
         insertSetsDeferred = Some(() => buildInsertSets()))
     else
-      GraftMergeCommand(t, m.sourceTable, keyCols,
+      GraftMergeCommand(t, enrichedSource, keyCols,
         updateWhen, deleteWhen, insertWhen,
         nmbsUpdateWhen, nmbsDeleteWhen, nmbsSets,
         buildUpdateSets(), buildInsertSets(), onResidual)

@@ -566,6 +566,98 @@ object CatalogQueries {
       "msub_t"
     })
 
+  /** CORRELATED scalar-aggregate comparisons in DELETE/UPDATE WHERE
+    * (`v > (SELECT max(x) FROM aux WHERE aux.g = t.grp)`): decorrelated
+    * per-key aggregates riding the residual-aware semi joins. grps 0..4
+    * covered (MAX = 10g+40, AVG = 10g+20), 5..9 uncovered (NULL
+    * comparison — rows untouched). */
+  private def dmlCorrScalarT(spark: SparkSession): Unit =
+    built.computeIfAbsent("dcorrs_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "dcorrs_t")
+        .create(GraftSchema.of("id" -> LongType, "grp" -> LongType,
+          "v" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("grp", col("id") % 10).withColumn("v", col("id")))
+        .commit()
+      spark.range(0, 5).selectExpr("id AS g", "id * 10 AS x")
+        .union(spark.range(0, 5).selectExpr("id AS g", "id * 10 + 40 AS x"))
+        .createOrReplaceTempView("graft_sql_dcorrs_aux")
+      spark.sql("DELETE FROM graft.cq.dcorrs_t WHERE v > " +
+        "(SELECT MAX(x) FROM graft_sql_dcorrs_aux a WHERE a.g = dcorrs_t.grp)")
+      spark.sql("UPDATE graft.cq.dcorrs_t SET v = v + 1000 WHERE v >= " +
+        "(SELECT AVG(x) FROM graft_sql_dcorrs_aux a WHERE a.g = dcorrs_t.grp)")
+      "dcorrs_t"
+    })
+
+  /** SHOW CREATE TABLE rides Spark's native DSv2 rendering — the key pins
+    * the engine's schema / partitioning / properties surface as exposed
+    * through GraftSparkTable. */
+  private def showCreateT(spark: SparkSession): Unit =
+    built.computeIfAbsent("showcr_t", _ => {
+      CatalogFixture.ensure(spark)
+      spark.sql("CREATE TABLE IF NOT EXISTS graft.cq.showcr_t " +
+        "(id BIGINT, part STRING, v DOUBLE) PARTITIONED BY (part) " +
+        "TBLPROPERTIES ('write.parquet.compression-codec' = 'zstd')")
+      "showcr_t"
+    })
+
+  /** DELETE/UPDATE with an UNCORRELATED scalar-subquery comparison in
+    * WHERE — folded in as an execute-once literal. Exercises the
+    * empty-subquery leg too (NULL comparison deletes nothing, per SQL). */
+  private def dmlScalarT(spark: SparkSession): Unit =
+    built.computeIfAbsent("dmlscal_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "dmlscal_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id"))).commit()
+      spark.range(0, 60).toDF("x")
+        .createOrReplaceTempView("graft_sql_dmlscal_src")
+      // MAX = 59: rows with val > 59 go
+      spark.sql("DELETE FROM graft.cq.dmlscal_t WHERE val > " +
+        "(SELECT MAX(x) FROM graft_sql_dmlscal_src)")
+      // empty subquery → NULL comparison → deletes nothing
+      spark.sql("DELETE FROM graft.cq.dmlscal_t WHERE val < " +
+        "(SELECT MIN(x) FROM graft_sql_dmlscal_src WHERE x < 0)")
+      // AVG = 29.5: ids 0..29 read val + COUNT (60)
+      spark.sql("UPDATE graft.cq.dmlscal_t SET val = val + " +
+        "(SELECT COUNT(*) FROM graft_sql_dmlscal_src) WHERE id < " +
+        "(SELECT AVG(x) FROM graft_sql_dmlscal_src)")
+      "dmlscal_t"
+    })
+
+  /** MERGE with CORRELATED scalar-aggregate subqueries in assignments —
+    * decorrelated into the source as grouped aggregates. aux covers ids
+    * divisible by 3 with two rows each (x = id and x = 1): matched rows
+    * read SUM = id+1 where covered, NULL where not (SUM over zero rows);
+    * inserted rows read COUNT = 2 where covered, 0 where not. */
+  private def mergeCorrT(spark: SparkSession): Unit =
+    built.computeIfAbsent("mcorr_t", _ => {
+      CatalogFixture.ensure(spark)
+      new GraftTableGenerator(spark, s"${CatalogFixture.warehouse}/cq", "mcorr_t")
+        .create(GraftSchema.of("id" -> LongType, "val" -> LongType), Nil)
+        .appendData(spark.range(0, 100).toDF("id")
+          .withColumn("val", col("id") * 2)).commit()
+      spark.range(50, 150).toDF("id")
+        .createOrReplaceTempView("graft_sql_mcorr_src")
+      spark.range(0, 150).filter(col("id") % 3 === 0)
+        .select(col("id").as("k"), col("id").as("x"))
+        .union(spark.range(0, 150).filter(col("id") % 3 === 0)
+          .select(col("id").as("k"), lit(1L).as("x")))
+        .createOrReplaceTempView("graft_sql_mcorr_aux")
+      spark.sql(
+        """MERGE INTO graft.cq.mcorr_t t USING graft_sql_mcorr_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET
+          |  val = (SELECT SUM(x) FROM graft_sql_mcorr_aux a WHERE a.k = t.id)
+          |WHEN NOT MATCHED THEN INSERT (id, val)
+          |  VALUES (s.id, (SELECT COUNT(*) FROM graft_sql_mcorr_aux a
+          |                 WHERE a.k = s.id))
+          |""".stripMargin)
+      "mcorr_t"
+    })
+
   /** MERGE ON with a non-equi residual (the CDC event-time band): target
     * ids 0..299 ts=10·id; source ids 0..399 ts=10·id+(id%9), in the ±5
     * band iff id%9 ≤ 5 — in-band rows update, out-of-band rows insert a
@@ -1279,6 +1371,35 @@ object CatalogQueries {
       s.sql("SELECT id, val FROM graft.cq.msub_t")
     }),
 
+    // correlated scalar-aggregate subqueries in MERGE assignments,
+    // decorrelated into the source (UPDATE correlates on the target ON
+    // key, INSERT on a source column; mixed coverage both ways)
+    "sql_merge_corr_assign" -> ((s, _) => {
+      mergeCorrT(s)
+      s.sql("SELECT id, val FROM graft.cq.mcorr_t")
+    }),
+
+    // uncorrelated scalar-subquery comparisons in DELETE/UPDATE WHERE
+    // (execute-once literals; empty subquery → NULL → no rows)
+    "sql_catalog_dml_scalar_where" -> ((s, _) => {
+      dmlScalarT(s)
+      s.sql("SELECT id, val FROM graft.cq.dmlscal_t")
+    }),
+
+    // SHOW CREATE TABLE (native DSv2 rendering over the engine's
+    // schema/partitioning/properties surface)
+    "sql_show_create" -> ((s, _) => {
+      showCreateT(s)
+      s.sql("SHOW CREATE TABLE graft.cq.showcr_t")
+    }),
+
+    // correlated scalar-aggregate comparisons in DELETE/UPDATE WHERE
+    // (the decorrelated per-key aggregate semi-join routes)
+    "sql_catalog_dml_corr_scalar" -> ((s, _) => {
+      dmlCorrScalarT(s)
+      s.sql("SELECT id, grp, v FROM graft.cq.dcorrs_t")
+    }),
+
     "sql_catalog_delete_in_composite" -> ((s, _) => {
       delInCompT(s)
       s.sql("SELECT id, grp, val FROM graft.cq.delincomp_t")
@@ -1777,6 +1898,54 @@ object CatalogQueries {
         |       CAST(CASE WHEN range < 50 THEN range * 2
         |            WHEN range < 100 THEN range * 2 + 7
         |            ELSE 8 END AS BIGINT) AS val
+        |FROM range(0, 150)""".stripMargin,
+
+    // dcorrs_t: DuckDB replays the same correlated DML semantics
+    // (a genuine differential, not a hand-enumerated end state)
+    "sql_catalog_dml_corr_scalar" ->
+      """WITH t AS (SELECT range AS id, range % 10 AS grp, range AS v
+        |           FROM range(0, 100)),
+        |     aux AS (SELECT range AS g, range * 10 AS x FROM range(0, 5)
+        |             UNION ALL
+        |             SELECT range, range * 10 + 40 FROM range(0, 5)),
+        |     d AS (SELECT * FROM t WHERE NOT coalesce(
+        |             v > (SELECT MAX(x) FROM aux a WHERE a.g = t.grp),
+        |             FALSE))
+        |SELECT CAST(id AS BIGINT) AS id, CAST(grp AS BIGINT) AS grp,
+        |       CAST(CASE WHEN coalesce(
+        |              v >= (SELECT AVG(x) FROM aux a WHERE a.g = d.grp),
+        |              FALSE) THEN v + 1000 ELSE v END AS BIGINT) AS v
+        |FROM d""".stripMargin,
+
+    // the exact Spark-rendered DDL text (trailing newline included)
+    "sql_show_create" ->
+      """SELECT 'CREATE TABLE graft.cq.showcr_t (' || chr(10) ||
+        |       '  id BIGINT,' || chr(10) ||
+        |       '  part STRING,' || chr(10) ||
+        |       '  v DOUBLE)' || chr(10) ||
+        |       'PARTITIONED BY (part)' || chr(10) ||
+        |       'TBLPROPERTIES (' || chr(10) ||
+        |       '  ''write.parquet.compression-codec'' = ''zstd'')' ||
+        |       chr(10) AS createtab_stmt""".stripMargin,
+
+    // dmlscal_t end state: ids 60..99 deleted (MAX=59); the empty-subquery
+    // DELETE is a no-op; ids 0..29 (AVG=29.5) read val + 60 (COUNT)
+    "sql_catalog_dml_scalar_where" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range < 30 THEN range + 60 ELSE range END
+        |            AS BIGINT) AS val
+        |FROM range(0, 60)""".stripMargin,
+
+    // mcorr_t end state: 0..49 untouched; 50..99 matched (SUM = id+1 where
+    // id%3=0, else NULL — SUM over zero rows); 100..149 inserted (COUNT =
+    // 2 where id%3=0, else 0)
+    "sql_merge_corr_assign" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(CASE WHEN range < 50 THEN range * 2
+        |            WHEN range < 100 THEN
+        |              CASE WHEN range % 3 = 0 THEN range + 1 END
+        |            ELSE CASE WHEN range % 3 = 0 THEN 2 ELSE 0 END
+        |            END AS BIGINT) AS val
         |FROM range(0, 150)""".stripMargin,
 
     // mrange_t end state: in-band (id%9<=5) updated; out-of-band old rows

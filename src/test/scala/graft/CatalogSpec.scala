@@ -416,6 +416,145 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.t_guard")
   }
 
+  test("scalar-subquery WHERE comparisons fold as execute-once literals; " +
+      "empty subquery deletes nothing; correlated and multi-row refuse") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.t_scw (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.t_scw SELECT id, id FROM range(0, 20)")
+    spark.range(0, 10).toDF("x").createOrReplaceTempView("scw_src")
+    def n(): Long = spark.sql("SELECT COUNT(*) FROM graft.db.t_scw")
+      .collect()(0).getLong(0)
+    spark.sql(
+      "DELETE FROM graft.db.t_scw WHERE v > (SELECT MAX(x) FROM scw_src)")
+    assert(n() == 10L) // MAX = 9: ids 10..19 deleted
+    spark.sql("DELETE FROM graft.db.t_scw WHERE v < " +
+      "(SELECT MIN(x) FROM scw_src WHERE x < 0)")
+    assert(n() == 10L, "empty subquery → NULL comparison must delete nothing")
+    spark.sql("UPDATE graft.db.t_scw SET v = v * 10 WHERE id >= " +
+      "(SELECT AVG(x) FROM scw_src)") // AVG = 4.5: ids 5..9
+    assert(spark.sql("SELECT SUM(v) FROM graft.db.t_scw")
+      .collect()(0).getLong(0) == (0L to 4L).sum + (5L to 9L).map(_ * 10).sum)
+    val e1 = intercept[Exception] { spark.sql(
+      "DELETE FROM graft.db.t_scw WHERE v > " +
+        "(SELECT x FROM scw_src WHERE x = t_scw.id)") }
+    assert(e1.getMessage.contains("EXISTS"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql(
+      "DELETE FROM graft.db.t_scw WHERE v > (SELECT x FROM scw_src)") }
+    assert(e2.getMessage.contains("more than one row"), e2.getMessage)
+    assert(n() == 10L, "refusals must not mutate")
+    spark.sql("DROP TABLE graft.db.t_scw")
+  }
+
+  test("correlated scalar-aggregate WHERE comparisons ride the semi-join " +
+      "routes; uncovered keys survive; COUNT / <=> / OR shapes refuse") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.t_csw (id BIGINT, grp BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.t_csw " +
+      "SELECT id, id % 4, id FROM range(0, 40)")
+    // aux covers grps 0 and 1 only: MAX = 10g + 20
+    spark.range(0, 2).selectExpr("id AS g", "id * 10 AS x")
+      .union(spark.range(0, 2).selectExpr("id AS g", "id * 10 + 20 AS x"))
+      .createOrReplaceTempView("csw_aux")
+    spark.sql("DELETE FROM graft.db.t_csw WHERE v > " +
+      "(SELECT MAX(x) FROM csw_aux a WHERE a.g = t_csw.grp)")
+    // grp0: keep v ≤ 20 (ids 0,4,8,12,16,20); grp1: v ≤ 30 (1,5,…,29);
+    // grps 2,3 uncovered: NULL comparison — all 10 rows each survive
+    val ids = spark.sql("SELECT id FROM graft.db.t_csw")
+      .collect().map(_.getLong(0)).toSet
+    val want = (0L until 40L).filter { i =>
+      val g = i % 4
+      if (g >= 2) true else i <= g * 10 + 20
+    }.toSet
+    assert(ids == want, s"got ${ids.toSeq.sorted}")
+    spark.sql("UPDATE graft.db.t_csw SET v = v + 100 WHERE v >= " +
+      "(SELECT AVG(x) FROM csw_aux a WHERE a.g = t_csw.grp)")
+    // AVG = 10g+10: grp0 ids ≥ 10 bump, grp1 ids ≥ 20 bump, others not
+    val got = spark.sql("SELECT id, v FROM graft.db.t_csw")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    want.foreach { i =>
+      val g = i % 4
+      val exp = if (g < 2 && i >= g * 10 + 10) i + 100 else i
+      assert(got(i) == exp, s"id=$i got=${got(i)} want=$exp")
+    }
+    // refusal shapes: COUNT (0 on uncovered keys — a semi join can't see
+    // them), null-safe equality, OR around the comparison
+    val e1 = intercept[Exception] { spark.sql(
+      "DELETE FROM graft.db.t_csw WHERE v < " +
+        "(SELECT COUNT(*) FROM csw_aux a WHERE a.g = t_csw.grp)") }
+    assert(e1.getMessage.contains("EXISTS"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql(
+      "DELETE FROM graft.db.t_csw WHERE v <=> " +
+        "(SELECT MAX(x) FROM csw_aux a WHERE a.g = t_csw.grp)") }
+    assert(e2.getMessage.contains("EXISTS"), e2.getMessage)
+    val e3 = intercept[Exception] { spark.sql(
+      "DELETE FROM graft.db.t_csw WHERE v > " +
+        "(SELECT MAX(x) FROM csw_aux a WHERE a.g = t_csw.grp) OR v < 0") }
+    assert(e3.getMessage.contains("EXISTS"), e3.getMessage)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.t_csw")
+      .collect()(0).getLong(0) == want.size.toLong, "refusals must not mutate")
+    spark.sql("DROP TABLE graft.db.t_csw")
+  }
+
+  test("MERGE correlated scalar-aggregate assignments decorrelate into " +
+      "the source; non-aggregate / non-ON-key / WHEN-condition subqueries " +
+      "refuse loudly") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.t_mca (id BIGINT, grp BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.t_mca " +
+      "SELECT id, id % 5, id * 10 FROM range(0, 20)")
+    spark.range(10, 30).selectExpr("id", "id % 5 AS grp")
+      .createOrReplaceTempView("mca_src")
+    // aux covers even keys only, two rows each: SUM = k + 1
+    spark.range(0, 30).filter("id % 2 = 0")
+      .selectExpr("id AS k", "id AS x")
+      .union(spark.range(0, 30).filter("id % 2 = 0")
+        .selectExpr("id AS k", "CAST(1 AS BIGINT) AS x"))
+      .createOrReplaceTempView("mca_aux")
+    spark.sql(
+      """MERGE INTO graft.db.t_mca t USING mca_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT SUM(x) FROM mca_aux a WHERE a.k = t.id)
+        |WHEN NOT MATCHED THEN INSERT (id, grp, v)
+        |  VALUES (s.id, s.grp, (SELECT COUNT(*) FROM mca_aux a
+        |                        WHERE a.k = s.id))
+        |""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM graft.db.t_mca ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    val want = (0L until 30L).map { id =>
+      (id, if (id < 10) Some(id * 10)                       // untouched
+      else if (id < 20) { if (id % 2 == 0) Some(id + 1) else None } // SUM
+      else Some(if (id % 2 == 0) 2L else 0L))               // COUNT
+    }
+    assert(got == want, got.take(30).mkString(", "))
+    // refusal shapes, none of which may mutate the table
+    val e1 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.db.t_mca t USING mca_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT x FROM mca_aux a WHERE a.k = t.id LIMIT 1)
+        |""".stripMargin) }
+    assert(e1.getMessage.contains("MERGE source"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.db.t_mca t USING mca_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT SUM(x) FROM mca_aux a WHERE a.k = t.grp)
+        |""".stripMargin) }
+    assert(e2.getMessage.contains("MERGE source"), e2.getMessage)
+    val e3 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.db.t_mca t USING mca_src s ON t.id = s.id
+        |WHEN MATCHED AND (SELECT COUNT(*) FROM mca_aux) > 0 THEN DELETE
+        |""".stripMargin) }
+    assert(e3.getMessage.contains("WHEN clause condition"), e3.getMessage)
+    val e4 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.db.t_mca t USING mca_src s
+        |ON t.id = s.id AND rand() < 2 WHEN MATCHED THEN DELETE
+        |""".stripMargin) }
+    assert(e4.getMessage.toLowerCase.contains("deterministic"), e4.getMessage)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.db.t_mca")
+      .collect()(0).getLong(0) == 30L, "refusals must not mutate")
+    spark.sql("DROP TABLE graft.db.t_mca")
+  }
+
   test("ALTER TABLE WRITE ORDERED BY persists the declared order; bulk " +
       "INSERTs produce disjoint per-file envelopes; WRITE UNORDERED clears") {
     import org.apache.spark.sql.types._
@@ -539,13 +678,14 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"EXPLAIN $multi").collect()
     val e1 = intercept[Exception] { spark.sql(multi) }
     assert(e1.getMessage.contains("more than one row"), e1.getMessage)
-    // a CORRELATED assignment subquery refuses at analysis with the
-    // source-rewrite hint
+    // a CORRELATED assignment subquery on a NON-ON-key target column
+    // refuses at analysis with the source-rewrite hint (ON-key
+    // correlation decorrelates into the source — its own test)
     val e2 = intercept[Exception] {
       spark.sql(
         """MERGE INTO graft.db.t_msub t USING msub_src s ON t.id = s.id
           |WHEN MATCHED THEN UPDATE SET
-          |  val = (SELECT MAX(b) FROM msub_b WHERE b = t.id)
+          |  val = (SELECT MAX(b) FROM msub_b WHERE b = t.val)
           |""".stripMargin)
     }
     assert(e2.getMessage.contains("MERGE source"), e2.getMessage)
@@ -2004,16 +2144,21 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
       .collect()(0).getLong(0) == preHuge,
       "beyond-bound IN subquery must join, not materialize")
-    // unsupported shapes: the GRAFT error, not a Spark internal (EXISTS
-    // with key-equality correlation routes to the semi-join delete now —
-    // its own test — so the loud-error case here is a scalar subquery)
+    // unsupported shapes: the GRAFT error, not a Spark internal
+    // (uncorrelated scalar COMPARISONS fold as execute-once literals
+    // now — their own test — so the loud case here is a MULTI-ROW
+    // scalar, failing before any tombstone is staged)
+    val preN = spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
+      .collect()(0).getLong(0)
     val e1 = intercept[Exception] {
       spark.sql("DELETE FROM graft.db.t_subq WHERE quantity > " +
-        "(SELECT max(pid) FROM subq_doomed)")
+        "(SELECT pid FROM subq_doomed)")
     }
-    assert(e1.getMessage.contains("graft DML") ||
-      Option(e1.getCause).exists(_.getMessage.contains("graft DML")),
-      s"want the graft error, got: ${e1.getMessage}")
+    assert(e1.getMessage.contains("more than one row") ||
+      Option(e1.getCause).exists(_.getMessage.contains("more than one row")),
+      s"want the graft multi-row error, got: ${e1.getMessage}")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t_subq")
+      .collect()(0).getLong(0) == preN, "failed DELETE must not mutate")
     // uncorrelated scalar subquery in UPDATE SET now materializes (its
     // own test covers the semantics); correlated stays the graft error
     val wantQ = spark.sql("SELECT max(pid) FROM subq_doomed")

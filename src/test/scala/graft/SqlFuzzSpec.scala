@@ -60,7 +60,32 @@ class SqlFuzzSpec extends SparkSpec {
 
     for (step <- 1 to steps) {
       var commits = 1
-      rnd.nextInt(15) match {
+      rnd.nextInt(17) match {
+        case 16 => // correlated scalar-aggregate WHERE comparison over the
+          // semi-join route: per covered id MIN(a.order_id) = order_id, so
+          // `>=` is TRUE for exactly the window's live ids; uncovered ids
+          // read NULL (never TRUE) and must survive. Correlates on the
+          // key itself — amount drifts under earlier update steps, so a
+          // value-column comparison would not have a closed-form model.
+          val start = rnd.nextLong(math.max(nextId - 10, 1L))
+          val n = 1 + rnd.nextInt(10)
+          val v = freshView(start, n, withOp = false)
+          spark.sql(
+            s"""DELETE FROM $qname t WHERE t.order_id >= (
+               |  SELECT MIN(a.order_id) FROM $v a
+               |  WHERE a.order_id = t.order_id)""".stripMargin)
+          live.filterInPlace(i => i < start || i >= start + n)
+        case 15 => // correlated scalar-aggregate assignment: the COUNT
+          // decorrelates into the source (covered keys read 2×-windowed
+          // counts, uncovered read 0); id-liveness no-op, gates apply
+          val start = rnd.nextLong(math.max(nextId - 10, 1L))
+          val n = 1 + rnd.nextInt(10)
+          val v = freshView(start, n, withOp = false)
+          spark.sql(
+            s"""MERGE INTO $qname t USING $v s ON t.order_id = s.order_id
+               |WHEN MATCHED THEN UPDATE SET amount = t.amount +
+               |  (SELECT COUNT(*) FROM $v a WHERE a.order_id = t.order_id)
+               |""".stripMargin)
         case 14 => // NOT IN delete (three-valued logic; this model has no
           // NULL keys, source non-empty): survivors are exactly the ids
           // the source window covers
