@@ -325,8 +325,14 @@ case class GraftShowPartitionsCommand(catalog: GraftCatalog, table: String,
     extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
   def rows(spark: SparkSession): Seq[InternalRow] = {
     val dir = catalog.dirByName(table)
-    if (graft.meta.SnapshotLog(dir).loadOutline().mainOnly
-        .partitionCols.isEmpty)
+    // the refusal keys off the latest DECLARED spec (Iceberg's default
+    // spec changes the moment ALTER TABLE ADD PARTITION FIELD commits),
+    // not the last snapshot's spec — a spec evolved on a quiet table
+    // must count immediately
+    val out = graft.meta.SnapshotLog(dir).loadOutline().mainOnly
+    val declared =
+      if (out.specs.isEmpty) Nil else out.specs(out.specs.keys.max)
+    if (declared.isEmpty)
       throw new UnsupportedOperationException(
         s"SHOW PARTITIONS is not allowed on the unpartitioned table $table")
     // the rendered tuple separates components with '/', so a filter
@@ -339,8 +345,15 @@ case class GraftShowPartitionsCommand(catalog: GraftCatalog, table: String,
     val parts = graft.read.MetaTables.partitions(spark, dir)
       .select("partition").collect().map(_.getString(0))
     val kept = parts.filter { p =>
-      val pairs = p.split("/").toSet
-      filter.forall { case (k, v) => pairs(s"$k=$v") }
+      // reassemble pairs: a '/'-split segment WITHOUT '=' belongs to the
+      // previous pair's VALUE (stored values may contain '/'), so
+      // 'part=x/y' is one pair — it must not prefix-match part='x'
+      val pairs = scala.collection.mutable.ListBuffer.empty[String]
+      p.split("/").foreach { s =>
+        if (s.contains("=") || pairs.isEmpty) pairs += s
+        else pairs(pairs.length - 1) = pairs.last + "/" + s
+      }
+      filter.forall { case (k, v) => pairs.contains(s"$k=$v") }
     }.sorted
     kept.toSeq.map(p => InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString(p)))
@@ -1467,6 +1480,21 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             emptyVal(ae).getOrElse { whitelisted = false; ae }
         }
         if (!whitelisted) return None
+        // a NON-NULL on-empty value (COUNT-family) substitutes through a
+        // coalesce on the uncovered-key leg, which conflates "key not
+        // covered" with "covered but legitimately NULL" — only safe when
+        // the select expression can NEVER be NULL over a non-empty group
+        // (plain COUNT, COUNT+1, …). `NULLIF(COUNT(*), 3)` is nullable on
+        // covered keys, so it refuses instead of silently reading 0.
+        val selNullable = (aggExprs.head match {
+          case Alias(c, _) => c
+          case other => other
+        }).nullable
+        onEmpty match {
+          case Literal(null, _) =>
+          case _ if !selNullable =>
+          case _ => return None
+        }
         strip(aggChild) match {
           case f: Filter if f.condition.exists(_.isInstanceOf[OuterReference]) =>
             val childOut = f.child.outputSet
@@ -2104,6 +2132,18 @@ case class GraftCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           c.exists(_.isInstanceOf[SubqueryExpression]))
         unsupported(s"subquery in a WHEN clause condition ${c.sql} — " +
           "compute it as a column of the MERGE source instead")
+    }
+    // NMBS assignments evaluate over target-only rows — there is no source
+    // frame to decorrelate into, so any subquery refuses here instead of
+    // surfacing as a dangling-outer-reference Spark internal
+    m.notMatchedBySourceActions.foreach {
+      case u: UpdateAction => u.assignments.foreach { a =>
+        if (a.value.exists(_.isInstanceOf[SubqueryExpression]))
+          unsupported("subquery in a NOT MATCHED BY SOURCE assignment " +
+            s"${a.key.sql} — precompute the value, or use a separate " +
+            "UPDATE statement (which takes scalar subqueries)")
+      }
+      case _ =>
     }
     // Correlated scalar AGGREGATE subqueries in assignments decorrelate
     // into the MERGE SOURCE: `(SELECT agg(x) FROM aux WHERE aux.k = t.k)`

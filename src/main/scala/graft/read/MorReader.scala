@@ -239,14 +239,21 @@ object MorReader {
            partitionFilter: Map[String, Set[String]],
            ranges: Map[String, ColRange] = Map.empty,
            pointValues: Map[String, Set[String]] = Map.empty,
-           keepInternal: Seq[String] = Nil): DataFrame = {
+           keepInternal: Seq[String] = Nil,
+           lineage: Option[(String, Long)] = None): DataFrame = {
     // OUTLINE load: sharded manifest groups stay unmaterialized — when any
     // retained snapshot shards its data list, per-file plan predicates
     // evaluate inside Spark tasks that each read ONE group file, so the
     // driver holds group names + survivors, never the full file list (the
     // 10^7-file manifest problem). Non-sharded logs take the eager path
     // unchanged (same parse work, zero job latency).
-    val o0 = SnapshotLog(tableDir).loadOutline().mainOnly
+    // `lineage = Some((branch, forkId))` reads the BRANCH lineage instead
+    // of main — the WAP-routed rewrite verbs must read what they write.
+    val o0 = lineage match {
+      case Some((name, fork)) =>
+        SnapshotLog(tableDir).loadOutline().onBranch(name, fork)
+      case None => SnapshotLog(tableDir).loadOutline().mainOnly
+    }
     val o = asOf.map(o0.asOf).getOrElse(o0)
     val st =
       if (o.hasShardedData)

@@ -302,8 +302,12 @@ final class GraftTableGenerator(
           val prefix = s"${dups(acc.size)}="
           list(dir).filter(_.getFileName.toString.startsWith(prefix))
             .sortBy(_.toString)
+            // Spark path-escapes partition dir values ('/' → %2F);
+            // the metadata tuple must carry the TRUE value back
             .flatMap(d => walk(d,
-              acc :+ d.getFileName.toString.stripPrefix(prefix)))
+              acc :+ org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(
+                  d.getFileName.toString.stripPrefix(prefix))))
         }
       walk(staging, Nil).foreach { case (vals, part) =>
         val pmap = ts.zip(vals).map { case (t, v) => t.partName -> v }.toMap
@@ -881,12 +885,12 @@ final class GraftTableGenerator(
     val joinType = if (anti) "left_anti" else "left_semi"
     val opSeq = nextOpSeq()
     // rewritten rows from the LIVE state, PINNED to the snapshot the
-    // tombstone scan planned against — a concurrent commit landing
+    // tombstone scan planned against (a concurrent commit landing
     // between the two loads must not append rows whose originals the
-    // (older) tombstone file set never covers
+    // older tombstone file set never covers) and on the ACTIVE lineage
+    // (a WAP-branch update must read the branch it writes)
     val pin = st.snapshots.lastOption.map(_.id)
-    val liveBase = MorReader.read(spark, tableDir.toString, pin,
-      Map.empty, if (anti) Map.empty else ranges)
+    val liveBase = lineageRead(pin, if (anti) Map.empty else ranges)
     val live = scanFilter.map(liveBase.where).getOrElse(liveBase)
     val setsMap = sets.toMap
     val updated = live.join(srcPref, joinCond, joinType)
@@ -1074,7 +1078,11 @@ final class GraftTableGenerator(
     keyCols.foreach(k => require(schema.names.contains(k), s"no key col $k"))
     val srcKeys = df.select(keyCols.map(col): _*)
       .na.drop("any", keyCols).distinct()
-    val tgtKeys = MorReader.read(spark, tableDir.toString)
+    // pinned to the active lineage's head: the anti-join's key universe,
+    // the null-key positional delete, and the staged eq-delete must all
+    // describe ONE state (and, on a WAP branch, the branch's state)
+    val tgtKeys = lineageRead(
+        lineage(log.load()).snapshots.lastOption.map(_.id))
       .select(keyCols.map(col): _*).localCheckpoint()
     val nullPred = keyCols.map(col(_).isNull).reduce(_ || _)
     if (nullKeysDie && !tgtKeys.where(nullPred).isEmpty)
@@ -1150,6 +1158,10 @@ final class GraftTableGenerator(
     // read ONE materialization — a non-deterministic source must not
     // prune against one sample and join another
     val source = materialized(source0)
+    // every target read below (matched leg, NMBS leg) is pinned to the
+    // lineage head seen HERE: the staged delete + append must describe
+    // one state, not whatever later loads happen to observe
+    val mergePin = lineage(log.load()).snapshots.lastOption.map(_.id)
     // Non-star clause projections (`UPDATE SET val = _t_val + bonus`,
     // `INSERT (id, val) VALUES (id, -1)`): expressions over source columns
     // (plain names) and matched-target columns (`_t_` prefix). An updated
@@ -1188,7 +1200,8 @@ final class GraftTableGenerator(
         if (vs.nonEmpty && vs.size <= inSetCap) Some(vs) else None
       }
     val tgtBase = pointVals match {
-      case Some(vs) => MorReader.readValues(spark, tableDir.toString, keyCols.head, vs)
+      case Some(vs) =>
+        lineageRead(mergePin, pointValues = Map(keyCols.head -> vs.toSet))
       case None =>
         val ranges: Map[String, MorReader.ColRange] = {
           val aggs = keyCols.flatMap(k => Seq(
@@ -1202,7 +1215,7 @@ final class GraftTableGenerator(
             else Some(k -> MorReader.ColRange(lo, hi))
           }.toMap
         }
-        MorReader.readRange(spark, tableDir.toString, ranges)
+        lineageRead(mergePin, ranges)
     }
     val tgt = tgtBase
       .select(schema.names.map(n => col(n).as(s"_t_$n")) :+ lit(true).as("_t_matched"): _*)
@@ -1255,8 +1268,7 @@ final class GraftTableGenerator(
           case None =>
             val srcKeys = source.select(keyCols.map(col): _*)
               .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
-            MorReader.read(spark, tableDir.toString)
-              .join(srcKeys, keyCols, "left_anti")
+            lineageRead(mergePin).join(srcKeys, keyCols, "left_anti")
           case Some(res) =>
             // a target row is NMBS iff NO source row satisfies keys AND
             // residual — expression anti-join with the source prefixed
@@ -1271,7 +1283,7 @@ final class GraftTableGenerator(
                 case UnresolvedAttribute(Seq(n)) =>
                   UnresolvedAttribute(Seq(s"_s_$n"))
               })
-            MorReader.read(spark, tableDir.toString).join(srcPref,
+            lineageRead(mergePin).join(srcPref,
               keyCols.map(k => col(k) === col(s"_s_$k")).reduce(_ && _) &&
                 resAnti, "left_anti")
         }
@@ -1529,9 +1541,10 @@ final class GraftTableGenerator(
     val declared: Map[String, Long] = st.dataFiles
       .flatMap(f => f.partition.get(pname).map(_ -> f.recordCount))
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
-    val live: Map[String, Long] = MorReader.read(spark, tableDir.toString)
-      .groupBy(col(pname)).count().collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val live: Map[String, Long] =
+      lineageRead(st.snapshots.lastOption.map(_.id))
+        .groupBy(col(pname)).count().collect()
+        .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val dirty = declared.collect {
       case (p, d) if d > 0 &&
         (d - live.getOrElse(p, 0L)) * 100 / d >= deadPct => p
@@ -2606,8 +2619,14 @@ final class GraftTableGenerator(
       .toMap
   }
 
+  /** Directory fragment for a partition tuple. Values are PATH-ESCAPED
+    * (Hive/Spark escaping — '/' → %2F, '%' → %25, …) so a hostile value
+    * stays one directory level; the metadata map keeps the TRUE value. */
   private def partitionDirName(partition: Map[String, String]): String =
-    partition.toSeq.sortBy(_._1).map(_._2).mkString("-")
+    partition.toSeq.sortBy(_._1).map { case (_, v) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+    }.mkString("-")
 
   private def deleteFileTarget(kind: String, partition: Map[String, String]): Path = {
     val partitionString = partitionDirName(partition)
@@ -2643,26 +2662,59 @@ final class GraftTableGenerator(
     * (same first-free `%02d` names). */
   private def uniqueNumberedFile(dir: Path, template: String): Path = {
     Files.createDirectories(dir)
+    // the counter substitutes via a manual split on the "%02d" marker —
+    // String.format would choke on '%' sequences a partition VALUE can
+    // smuggle into the prefix (path-escaped '/' is %2F, and raw values
+    // may themselves contain '%')
+    val i = template.lastIndexOf("%02d")
+    require(i >= 0, s"numbered-file template without %%02d: $template")
+    val (pre, post) = (template.substring(0, i), template.substring(i + 4))
     var n = 0
     while (true) {
-      val p = dir.resolve(template.format(n))
+      val p = dir.resolve(pre + f"$n%02d" + post)
       try { Files.createFile(p); return p }
       catch { case _: java.nio.file.FileAlreadyExistsException => n += 1 }
     }
     sys.error("unreachable")
   }
 
-  /** The caller's frame materialized exactly ONCE (localCheckpoint),
-    * unless it already is one: verbs that evaluate a source more than
-    * once (key-envelope probe + join, null/empty probes + join) must not
-    * let a non-deterministic source (rand(), sampling) produce DIFFERENT
-    * rows per evaluation — the same failure class the dynamic-overwrite
-    * path guards against. */
-  private def materialized(df: DataFrame): DataFrame =
-    df.queryExecution.analyzed match {
+  /** MoR read over THIS generator's ACTIVE lineage (main, or the branch
+    * [[writeTo]] routed to), pinned to `pin`: every rewrite-style verb
+    * (mergeInto's matched and NMBS legs, updateSemiJoin's rewrite,
+    * deleteKeysAnti's key projection) must read the SAME lineage its
+    * staged files publish into, at the SAME snapshot its planning saw —
+    * a main-only or freshly-reloaded read would leak a concurrent
+    * commit's rows (or, on a branch, the wrong history) into the rewrite. */
+  private def lineageRead(pin: Option[Long],
+                          ranges: Map[String, MorReader.ColRange] = Map.empty,
+                          pointValues: Map[String, Set[String]] = Map.empty)
+      : DataFrame =
+    MorReader.read(spark, tableDir.toString, pin, Map.empty, ranges,
+      pointValues, Nil,
+      lineage = if (activeBranch == "main") None
+        else Some((activeBranch, branchForkId(activeBranch))))
+
+  /** The caller's frame materialized exactly ONCE (localCheckpoint) when
+    * — and only when — re-evaluating it could produce DIFFERENT rows:
+    * verbs that evaluate a source more than once (key-envelope probe +
+    * join, null/empty probes + join) must not let a non-deterministic
+    * source (rand(), sampling) prune against one sample and join another
+    * — the same failure class the dynamic-overwrite path guards against.
+    * A deterministic plan stays LAZY: these verbs exist to join at scale,
+    * and forcing an arbitrarily large subquery source onto executor
+    * storage would be a regression, not a guard. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val nondet = plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case n => n.expressions.exists(e => !e.deterministic)
+    }
+    if (!nondet) df
+    else plan match {
       case _: org.apache.spark.sql.execution.LogicalRDD => df
       case _ => df.localCheckpoint()
     }
+  }
 
   /** Write `df` as exactly one Parquet file at `target` (write-temp + move;
     * Parquet layout knobs from table props — reference

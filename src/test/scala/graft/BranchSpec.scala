@@ -36,6 +36,55 @@ class BranchSpec extends SparkSpec {
     assert(MorReader.readRef(spark, g.tableDir.toString, "branch:dev").count() == 30L)
   }
 
+  test("rewrite-style verbs follow the ACTIVE branch lineage: mergeInto " +
+      "updates branch-only rows on a branch; updateSemiJoin rewrites " +
+      "branch rows; main stays untouched throughout") {
+    import org.apache.spark.sql.types._
+    val g = new GraftTableGenerator(spark, freshWh("rw"), "t")
+    g.create(graft.schema.GraftSchema.of(
+        "id" -> LongType, "v" -> LongType), Nil)
+      .appendData(spark.range(0, 10).toDF("id").withColumn("v", col("id")))
+      .commit()
+    g.createBranch("dev")
+    g.writeTo("dev")
+      .appendData(spark.range(10, 20).toDF("id").withColumn("v", col("id")))
+      .commit()
+    // mergeInto on the branch: source covers 5..14 — ids 10..14 exist ONLY
+    // on the branch and MUST be seen as matched (a main-only read would
+    // wrongly classify them NOT MATCHED and insert duplicates)
+    g.mergeInto(
+      spark.range(5, 15).toDF("id").withColumn("v", col("id") + 1000),
+      Seq("id"))
+      .commit()
+    val brAfterMerge = g.read.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(brAfterMerge.size == 20, s"no duplicate ids: ${brAfterMerge.size}")
+    (0L until 20L).foreach { i =>
+      val exp = if (i >= 5 && i < 15) i + 1000 else i
+      assert(brAfterMerge(i) == exp, s"id=$i got=${brAfterMerge(i)} want=$exp")
+    }
+    // updateSemiJoin on the branch: witnesses for 12..17 (branch-only and
+    // shared rows) — the rewrite read must come from the BRANCH lineage
+    g.updateSemiJoin(
+      spark.range(12, 18).toDF("id").withColumn("w", lit(1L)),
+      Seq("id"), joinResidual = None,
+      sets = Seq("v" -> (col("v") + 100000)))
+      .commit()
+    val brAfterUsj = g.read.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(brAfterUsj.size == 20)
+    (0L until 20L).foreach { i =>
+      val base = if (i >= 5 && i < 15) i + 1000 else i
+      val exp = if (i >= 12 && i < 18) base + 100000 else base
+      assert(brAfterUsj(i) == exp, s"id=$i got=${brAfterUsj(i)} want=$exp")
+    }
+    // main never saw any of it
+    val mainRows = g.writeTo("main").read.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mainRows == (0L until 10L).map(i => i -> i).toMap,
+      s"main mutated: $mainRows")
+  }
+
   test("branch deletes apply only to the branch lineage") {
     val g = new GraftTableGenerator(spark, freshWh("del"), "t")
     g.create(Scenarios.ProductsSchema, Seq("category"))

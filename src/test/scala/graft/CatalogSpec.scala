@@ -550,6 +550,24 @@ class CatalogSpec extends SparkSpec {
         |ON t.id = s.id AND rand() < 2 WHEN MATCHED THEN DELETE
         |""".stripMargin) }
     assert(e4.getMessage.toLowerCase.contains("deterministic"), e4.getMessage)
+    // a COUNT-family select expression that can be NULL on a COVERED key
+    // (NULLIF) must refuse — the uncovered-key coalesce would conflate
+    // "not covered" (0) with "covered but NULL"
+    val e5 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.db.t_mca t USING mca_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT NULLIF(COUNT(*), 2) FROM mca_aux a WHERE a.k = t.id)
+        |""".stripMargin) }
+    assert(e5.getMessage.contains("MERGE source"), e5.getMessage)
+    // NMBS assignments have no source frame to decorrelate into — any
+    // subquery there refuses loudly, never a dangling-outer-ref internal
+    val e6 = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.db.t_mca t USING mca_src s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+        |  v = (SELECT MAX(x) FROM mca_aux a WHERE a.k = t.id)
+        |""".stripMargin) }
+    assert(e6.getMessage.contains("NOT MATCHED BY SOURCE assignment"),
+      e6.getMessage)
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft.db.t_mca")
       .collect()(0).getLong(0) == 30L, "refusals must not mutate")
     spark.sql("DROP TABLE graft.db.t_mca")
@@ -635,6 +653,15 @@ class CatalogSpec extends SparkSpec {
     val after = spark.sql("SHOW PARTITIONS graft.db.t_showpart")
       .collect().map(_.getString(0)).toSeq
     assert(after == Seq("category=gizmo"), s"got $after")
+    // a stored value containing '/' stays ONE pair: it must not
+    // prefix-match a filter on the part before its slash
+    spark.sql("CREATE TABLE graft.db.t_showpart_sl (id BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO graft.db.t_showpart_sl VALUES (1, 'x/y'), (2, 'x')")
+    val slashed = spark.sql(
+      "SHOW PARTITIONS graft.db.t_showpart_sl PARTITION (part='x')")
+      .collect().map(_.getString(0)).toSeq
+    assert(slashed == Seq("part=x"), s"got $slashed")
     // unpartitioned: loud, mirroring Spark's v1 semantics
     import org.apache.spark.sql.types._
     val g = new GraftTableGenerator(spark, s"$wh/db", "t_showpart_un")
@@ -643,7 +670,14 @@ class CatalogSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql("SHOW PARTITIONS graft.db.t_showpart_un").collect() }
     assert(e.getMessage.toLowerCase.contains("not allowed"), e.getMessage)
-    Seq("t_showpart", "t_showpart_un").foreach(t =>
+    // a spec evolved on a QUIET table counts immediately (declared spec,
+    // not last-snapshot spec): the refusal must lift without a write
+    spark.sql("ALTER TABLE graft.db.t_showpart_un ADD PARTITION FIELD id")
+    val quiet = spark.sql("SHOW PARTITIONS graft.db.t_showpart_un")
+      .collect().map(_.getString(0)).toSeq
+    assert(quiet.nonEmpty, "declared-spec table must list (pre-spec files " +
+      s"render their identity tuple); got $quiet")
+    Seq("t_showpart", "t_showpart_un", "t_showpart_sl").foreach(t =>
       spark.sql(s"DROP TABLE graft.db.$t"))
   }
 
