@@ -105,9 +105,21 @@ object Relevance {
           "struct(_toks[i - 1] as w1, concat(_toks[i - 1], ' ', _toks[i]) as big))"))
         .as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.big").as("big"))
-    val c2 = bg.groupBy("big").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = bg.agg(countDistinct(col("w1")).as("v"))
+    // the bigram-count table is the trained LM — materialize it once
+    // (distinct-bigram scale, vastly smaller than the exploded corpus; the
+    // eager cut is what actually stops Catalyst re-deriving it per
+    // consumer, since plain DataFrame reuse duplicates the subtree and
+    // runtime exchange reuse does not collapse it — verified in the final
+    // adaptive plan)
+    val c2 = bg.groupBy("big").agg(count(lit(1)).as("c2")).localCheckpoint()
+    // the context counts and vocabulary are DERIVED from the bigram-count
+    // table (c1(w1) = Σ c2 over bigrams starting with w1 — w1 is the
+    // bigram's first space-delimited token; V = |c1|) instead of two more
+    // full-width passes + shuffles over the tokenize/explode subtree
+    // (guide §1.2: remove unnecessary passes over the data)
+    val c1 = c2.groupBy(substring_index(col("big"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
     bg.join(c2, "big").join(c1, "w1")
       .crossJoin(broadcast(v))
       .withColumn("nll",

@@ -175,16 +175,26 @@ object Ops {
     */
   def resampleFfill(df: DataFrame, keyCol: String, bucketCol: String,
                     valCol: String): DataFrame = {
+    // Closed-form fill from each key's sorted observation array: every
+    // observation's value repeats until the next observed bucket, so the
+    // dense grid is `array_repeat` runs flattened in bucket order — the
+    // grid join + LOCF window of the naive formulation (two extra
+    // exchanges and a per-key sort) collapse into per-row array math on
+    // the already-aggregated observations. Per-key state stays
+    // span-bounded, same as the exploded spine was.
     val hv = df.groupBy(keyCol, bucketCol).agg(max(valCol).as("_hv"))
-    val rng = df.groupBy(keyCol)
-      .agg(min(bucketCol).as("_b0"), max(bucketCol).as("_b1"))
-    val grid = rng.select(col(keyCol),
-      explode(sequence(col("_b0"), col("_b1"))).as(bucketCol))
-    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(hv, Seq(keyCol, bucketCol), "left")
-      .select(col(keyCol), col(bucketCol),
-        last("_hv", ignoreNulls = true).over(w).as("fv"))
+    hv.groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(col(bucketCol).as("_b"),
+        col("_hv")))).as("_obs"))
+      .select(col(keyCol), expr("element_at(_obs, 1)._b").as("_g0"),
+        expr("""flatten(transform(_obs, (o, i) ->
+            array_repeat(o._hv, CAST(
+              (IF(i = size(_obs) - 1, o._b + 1L,
+                  element_at(_obs, i + 2)._b) - o._b) AS INT))))""")
+          .as("_fvs"))
+      .select(col(keyCol), col("_g0"), posexplode(col("_fvs")))
+      .select(col(keyCol), (col("_g0") + col("pos")).as(bucketCol),
+        col("col").as("fv"))
   }
 
   /** Bloom-prefiltered equi-join: an explicit, deterministic form of the

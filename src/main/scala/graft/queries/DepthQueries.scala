@@ -19,32 +19,40 @@ object DepthQueries {
 
   val queries: Map[String, QueryFn] = Map(
 
-    // calendar-spine gap fill with last-observation-carried-forward: each
-    // user's hourly spine (sequence + explode — bounded by the span, never
-    // a cross join with a global calendar) left-joins the hourly last
-    // reading, and LOCF runs per-user (frames partitioned by user, no
-    // global window). The per-(user, hour) "last reading" rank touches
-    // partitions of a handful of rows. Folded to one row per user so the
-    // key stays compact; the fill itself is what the sums prove.
+    // calendar-spine gap fill with last-observation-carried-forward, in
+    // closed form. The "last reading per (user, hour)" is a lexicographic
+    // max_by — one partially-aggregated exchange of (user, hour) partials
+    // instead of a row_number window that shuffles and sorts EVERY event
+    // row (guide §2.3 "aggregate before you shuffle"). The LOCF spine sums
+    // then fall out of each user's sorted (hour, value) observation array
+    // without materializing the dense grid: every observation covers the
+    // hours up to the next observation, so its LOCF contribution is
+    // value × gap-width, and n_hours/n_gaps are span arithmetic. Two
+    // partial-agg exchanges, zero window sorts, zero joins — per-user
+    // state stays span-bounded exactly like the exploded spine was.
     "gap_fill_locf" -> ((s, d) => {
       val hourUs = 3600L * 1000000L
       val ev = Q.events(s, d).select(col("user_id"), col("event_id"),
         col("_us"), expr(s"_us div $hourUs").as("h"), cents(col("value")).as("vc"))
-      val lastInHour = Window.partitionBy("user_id", "h")
-        .orderBy(col("_us").desc, col("event_id").desc)
-      val hourly = ev.withColumn("rn", row_number().over(lastInHour))
-        .where(col("rn") === 1).select("user_id", "h", "vc")
-      val spine = hourly.groupBy("user_id")
-        .agg(min("h").as("h0"), max("h").as("h1"))
-        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
-      val locf = Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(hourly, Seq("user_id", "h"), "left")
-        .withColumn("fv", last("vc", ignoreNulls = true).over(locf))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_hours"),
-          count(when(col("vc").isNull, 1)).as("n_gaps"),
-          sum("fv").as("locf_cents_sum"))
+      // max(struct) = row of the lexicographically-largest (_us, event_id):
+      // identical survivor to ORDER BY _us DESC, event_id DESC LIMIT 1
+      val hourly = ev.groupBy("user_id", "h")
+        .agg(max(struct(col("_us"), col("event_id"), col("vc")))
+          .getField("vc").as("vc"))
+      hourly.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("h"), col("vc")))).as("obs"))
+        .select(col("user_id"),
+          expr("element_at(obs, size(obs)).h - element_at(obs, 1).h + 1L")
+            .as("n_hours"),
+          expr("element_at(obs, size(obs)).h - element_at(obs, 1).h + 1L" +
+            " - size(obs)").as("n_gaps"),
+          // Σ value·(next_h − h); the last observation covers exactly its
+          // own hour (it is the span's max). zip_with pads the shifted
+          // array with null, so coalesce closes the final interval.
+          expr("""aggregate(
+              zip_with(obs, slice(obs, 2, greatest(size(obs) - 1, 0)),
+                (o, nx) -> o.vc * (coalesce(nx.h, o.h + 1L) - o.h)),
+              0L, (acc, x) -> acc + x)""").as("locf_cents_sum"))
         .orderBy("user_id")
     }),
 
@@ -791,6 +799,10 @@ object DepthQueries {
     // order-free integer sum the oracle recomputes bit-for-bit. One
     // explode + one partial-aggregated shuffle on (vec, out-dim); the
     // matrix is a FORMULA, not data — nothing broadcast, nothing trained.
+    // (r12 note: a shuffle-free rewrite — literal sign array + row-local
+    // zip_with sums — measured SLOWER (0.76 → 1.08 s min-of-5): Spark's
+    // higher-order array functions are interpreted, not codegen'd, so at
+    // this fan-out the codegen'd explode+hash-agg path wins. Kept.)
     "embed_random_project" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")))
@@ -1355,17 +1367,36 @@ object DepthQueries {
   private def boardOracle(k: String): String =
     oracleSql.getOrElse(k, AnalyticsQueries.oracleSql(k))
 
-  /** `tpch_all`: the WHOLE board executed back-to-back in ONE session,
-    * reduced to per-query row counts. A per-key run can never catch
+  /** `tpch_all`: the WHOLE board executed in ONE session, reduced to
+    * per-query row counts. A per-key run can never catch
     * rule-ordering/codegen-cache interactions between queries; this key
-    * plans and runs all 22 in sequence (PlanSpec's tpch_all gate then
-    * re-asserts every plan invariant in that same polluted session). The
-    * oracle composes the 22 per-key DuckDB oracles the same way. */
+    * plans and runs all 22 in one shared session (PlanSpec's tpch_all gate
+    * then re-asserts every plan invariant in that same polluted session).
+    * The oracle composes the 22 per-key DuckDB oracles the same way.
+    *
+    * The 22 counts are independent jobs, so they are submitted from a
+    * small thread pool (optimization guide §2.6 "overlap independent
+    * jobs"): while one query drains its straggler tail the next query's
+    * tasks back-fill the freed cores. FIFO scheduling keeps earlier
+    * queries prioritized; each count is deterministic, so the result row
+    * set is identical to the sequential formulation. */
   val tpchAll: Map[String, QueryFn] = Map(
     "tpch_all" -> ((s, d) => {
       import s.implicits._
-      tpchBoard.map(k => (k, boardQuery(k)(s, d).count()))
-        .toDF("q", "n").orderBy("q")
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val rows =
+        try Await.result(
+          Future.sequence(tpchBoard.map { k =>
+            Future {
+              // job descriptions are thread-local — label each board member
+              s.sparkContext.setJobDescription(s"tpch_all: $k")
+              (k, boardQuery(k)(s, d).count())
+            }
+          }), scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      rows.toDF("q", "n").orderBy("q")
     }))
 
   val tpchAllOracle: Map[String, String] = Map(

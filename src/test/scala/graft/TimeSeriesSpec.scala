@@ -25,6 +25,21 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 3L, 9L)))
   }
 
+  test("resampleFfill: adjacent buckets, multi-bucket gap, negative buckets") {
+    // pins the closed-form array fill (r12): adjacent observations emit
+    // exactly one grid row each, a 2-wide gap repeats the prior value
+    // twice, and the grid math holds for negative bucket indices
+    val obs = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 5L, 5L),   // adjacent + gap 3,4
+      ("b", -2L, 8L), ("b", 0L, 9L)).toDF("k", "b", "v")
+    val got = Ops.resampleFfill(obs, "k", "b", "v")
+      .orderBy("k", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 2L), ("a", 4L, 2L), ("a", 5L, 5L),
+      ("b", -2L, 8L), ("b", -1L, 8L), ("b", 0L, 9L)))
+  }
+
   test("event-time RANGE window includes every tie row in the frame") {
     // two rows at the same timestamp: each row's frame contains BOTH
     // (RANGE frames are value-based) — the property the oracle relies on
