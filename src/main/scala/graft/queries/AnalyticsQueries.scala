@@ -227,11 +227,19 @@ object AnalyticsQueries {
         .toDF("label", "dim", "v")
         .select(col("label"), col("dim"),
           round(col("v").cast("double") * 1000000, 0).cast("long").as("vi"))
-      val byLabel = e.groupBy("label", "dim")
-        .agg(round(sum("vi").cast("double") / count(lit(1)), 0).cast("long").as("ml"))
-      val global = e.groupBy("dim")
-        .agg(round(sum("vi").cast("double") / count(lit(1)), 0).cast("long").as("mg"))
-      val dots = byLabel.join(global, "dim")
+      // ONE partial-aggregated pass over the exploded elements feeds both
+      // centroids: the global per-dim mean re-aggregates the (label, dim)
+      // sums/counts exactly (Σ over labels of per-label sums) through a
+      // window over the TINY aggregate (|labels|·64 rows) — the naive
+      // formulation's second full explode + exchange and the dim join are
+      // both gone (guide §1.2); integer sums, bit-identical results
+      val wd = Window.partitionBy("dim")
+      val dots = e.groupBy("label", "dim")
+        .agg(sum("vi").as("_s"), count(lit(1)).as("_n"))
+        .select(col("label"),
+          round(col("_s").cast("double") / col("_n"), 0).cast("long").as("ml"),
+          round(sum("_s").over(wd).cast("double") / sum("_n").over(wd), 0)
+            .cast("long").as("mg"))
         .groupBy("label")
         .agg(sum(col("ml") * col("mg")).as("dot"),
           sum(col("ml") * col("ml")).as("n1"),

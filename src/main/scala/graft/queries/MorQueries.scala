@@ -1137,12 +1137,26 @@ object MorQueries {
     // incremental refresh indexed, and an absent value
     "mor_value_index" -> ((s, _) => {
       val Array(dir, idx) = vidxTable(s).split("\n")
-      Seq("137", "140", "205", "99999").map { v =>
-        graft.read.ValueIndex.readValue(s, dir, idx, v)
-          .agg(count(lit(1)).as("n_rows"),
-            coalesce(sum("product_id"), lit(0L)).as("id_sum"))
-          .select(lit(v).as("probe"), col("n_rows"), col("id_sum"))
-      }.reduce(_ unionAll _).orderBy("probe")
+      // each probe's index lookup runs a small posting-scan job during
+      // plan CONSTRUCTION — the four probes are independent, so build
+      // them concurrently (guide §2.6) instead of paying four sequential
+      // lookup jobs; the union still executes as one action
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val probes =
+        try Await.result(
+          Future.sequence(Seq("137", "140", "205", "99999").map { v =>
+            Future {
+              s.sparkContext.setJobDescription(s"mor_value_index: probe $v")
+              graft.read.ValueIndex.readValue(s, dir, idx, v)
+                .agg(count(lit(1)).as("n_rows"),
+                  coalesce(sum("product_id"), lit(0L)).as("id_sum"))
+                .select(lit(v).as("probe"), col("n_rows"), col("id_sum"))
+            }
+          }), scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      probes.reduce(_ unionAll _).orderBy("probe")
     }),
 
     // the writable-branch surface, driver-oracled END STATE: after the
