@@ -187,9 +187,14 @@ object AnalyticsQueries {
       // the iterative-graph lineage discipline (same as the dedup
       // clustering loop): materialize the static edge set once so the
       // expensive derivation join doesn't re-execute under every
-      // iteration's subtree
-      val edges = pairs.unionByName(
-        pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+      // iteration's subtree. Both orientations come from ONE explode over
+      // the pair set — the union-of-two-subtrees formulation computed the
+      // join+distinct twice inside this checkpoint job (guide §1.2)
+      val edges = pairs.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("_e"))
+        .select(col("_e.a").as("a"), col("_e.b").as("b"))
+        .localCheckpoint()
       val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
       // rank and degree tables are node-scale (dim-scale for a bipartite
       // star-schema graph) — broadcast them so the edge set is never
