@@ -476,13 +476,18 @@ class PlanSpec extends SparkSpec {
       s"data-scale global window detected:\n${windows.mkString("\n")}")
   }
 
-  test("gap_fill_locf: spine join and LOCF window stay per-user partitioned") {
+  test("gap_fill_locf: closed-form fill — no windows, no joins, " +
+      "aggregates only (r12 rewrite)") {
     val p = plan("gap_fill_locf")
-    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windows.nonEmpty, p)
-    assert(windows.forall(_.contains("user_id")),
-      s"global window detected:\n${windows.mkString("\n")}")
-    assert(!p.contains("CartesianProduct"), p)
+    // the r12 closed-form formulation computes LOCF spine sums from each
+    // user's sorted observation array: the spine join, the LOCF window
+    // and the last-in-hour row_number window must all stay gone — any
+    // Window or Join reappearing is a regression to the shuffle-heavy
+    // shape (plans/r12/gap_fill_locf_{before,after}.txt)
+    assert(!p.linesIterator.exists(_.contains("Window ")),
+      s"window reintroduced into the closed-form gap fill:\n$p")
+    assert(!p.contains("Join"), s"join reintroduced:\n$p")
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("sample_reservoir_group pre-ranks per input partition before the per-group window") {
