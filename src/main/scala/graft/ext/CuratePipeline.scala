@@ -39,14 +39,26 @@ object CuratePipeline {
       .withColumn("_toks", TextOps.tokens(col(textCol)))
       .where(TextOps.qualityScore(col(textCol), "_toks") >= minQuality)
       .select(col(idCol), col(textCol))
-    // 2. exact dedup: keep the min-id survivor of every identical text.
+    // 2. exact dedup: keep the min-id survivor of every identical text,
+    // picked in ONE pass with min_by over the content-hash groups — the
+    // id-set + join-back formulation (Dedup.exact ∘ join) re-executed the
+    // whole quality-gate subtree on the join side and shuffled the text a
+    // second time through the join. Here the quality scan runs once and
+    // the groupBy exchange carries one partially-aggregated candidate
+    // (id, text) row per distinct hash per map partition (map-side
+    // min_by dedups copies before the wire). Same survivor set: min id
+    // per hash60 group, texts identical within a group by construction.
     // Stage boundaries materialize (eager localCheckpoint): the surviving
     // frame feeds three downstream consumers (LSH signatures, the label
     // join, the survivor join) and without a cut the whole quality+dedup
     // subtree re-executes per consumer — at cluster scale this handoff is
     // a persisted table between pipeline stages, same shape.
-    val exIds = Dedup.exact(q, textCol, idCol).select(idCol)
-    val ex = q.join(exIds, Seq(idCol)).localCheckpoint()
+    val ex = q
+      .select(col(idCol), col(textCol), TextOps.hash60(col(textCol)).as("_h"))
+      .groupBy("_h")
+      .agg(min_by(struct(col(idCol), col(textCol)), col(idCol)).as("_w"))
+      .select(col(s"_w.$idCol").as(idCol), col(s"_w.$textCol").as(textCol))
+      .localCheckpoint()
     // 3. near-dup collapse: LSH pairs → bounded label propagation → keep
     //    each cluster's min-id representative
     val pairs = Dedup.minhashPairs(ex, textCol, idCol)

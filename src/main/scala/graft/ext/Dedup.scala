@@ -288,10 +288,11 @@ object Dedup {
     // convergence detection without a per-round join: labels only ever
     // DECREASE (least(...)), so the label sum is strictly monotone until
     // the fixed point — an unchanged sum proves the round changed nothing
-    // and every remaining round is an identity. One constant-width agg
-    // action per round buys skipping whole join+checkpoint rounds; the
-    // result is bit-identical to running all `iters` rounds. decimal(38)
-    // keeps the sum exact at any corpus size.
+    // and every remaining round is an identity. The sum rides the round's
+    // OWN checkpoint job as an observe() metric (CollectMetrics populates
+    // when localCheckpoint materializes the plan), so convergence costs
+    // zero extra actions; the result is bit-identical to running all
+    // `iters` rounds. decimal(38) keeps the sum exact at any corpus size.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     // the check only runs where it can still skip work: after rounds
@@ -305,15 +306,22 @@ object Dedup {
         .join(labels.select(col("id").as("_v"), col("lbl").as("_vlbl")),
           col("v") === col("_v"))
         .groupBy(col("u").as("id")).agg(min("_vlbl").as("_nmin"))
-      labels = labels.join(nbMin, Seq("id"), "left")
+      val next = labels.join(nbMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
       if (r < iters) {
-        val s = labelSum(labels)
+        val obsName = s"_label_sum_r$r"
+        val obs = next.observe(obsName,
+          sum(col("lbl").cast("decimal(38,0)")).as("ls"))
+        labels = obs.localCheckpoint()
+        // defensive fallback: if the metric did not materialize (empty
+        // frame edge case), fall back to the explicit probe — identical
+        // semantics, one extra bounded action
+        val s = obs.queryExecution.observedMetrics.get(obsName)
+          .map(_.getDecimal(0)).getOrElse(labelSum(labels))
         converged = s == prevSum
         prevSum = s
-      }
+      } else labels = next.localCheckpoint()
     }
     labels
   }

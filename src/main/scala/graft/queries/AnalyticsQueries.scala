@@ -195,25 +195,37 @@ object AnalyticsQueries {
           struct(col("b").as("a"), col("a").as("b")))).as("_e"))
         .select(col("_e.a").as("a"), col("_e.b").as("b"))
         .localCheckpoint()
+      // degrees are node-scale and STATIC — materialize once instead of
+      // re-aggregating the edge set inside every round's broadcast build
       val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       // rank and degree tables are node-scale (dim-scale for a bipartite
       // star-schema graph) — broadcast them so the edge set is never
       // shuffled; only the per-destination share aggregate exchanges.
       // For a graph whose node set outgrows broadcast, drop the hints and
       // the same plan degrades to co-partitioned hash joins.
-      var r = deg.select(col("a").as("node"), lit(1000000L).as("rk"))
-      for (_ <- 1 to 3) {
+      // The rank table CARRIES deg, so each round probes the edge set
+      // through ONE broadcast join instead of two; deg re-attaches after
+      // the aggregate at NODE scale (the removed join probed at edge
+      // scale — guide §2.3/§2.4). The final round skips the re-attach and
+      // the checkpoint: its output feeds exactly one consumer (the top-k
+      // action), so materializing it would be a pure extra pass.
+      var r = deg.select(col("a").as("node"), lit(1000000L).as("rk"),
+        col("deg"))
+      for (i <- 1 to 3) {
         // node-scale checkpoint per round: without it, iteration k's
         // broadcast subtree replays iterations 1..k-1 (1+2+3 passes over
         // the edge set instead of 3)
-        r = edges
+        val nxt = edges
           .join(broadcast(r), edges("a") === r("node"))
-          .join(broadcast(deg), "a")
           .select(col("b").as("node"),
             expr("rk * 17 div (20 * deg)").as("share"))
           .groupBy("node")
           .agg((lit(150000L) + sum("share")).as("rk"))
-          .localCheckpoint()
+        r = if (i < 3)
+          nxt.join(broadcast(deg.select(col("a").as("node"), col("deg"))),
+            Seq("node")).localCheckpoint()
+        else nxt
       }
       r.orderBy(desc("rk"), col("node")).limit(20)
         .select(col("node"), col("rk").as("rank_fp"))
